@@ -1,38 +1,1102 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2, each built on the graphkb_spark engine; ``oracle_sql()``
+gives the DuckDB-equivalent SQL the driver cross-checks at sf=0.01.
+
+Column-name discipline: every computed column is aliased identically
+in the Spark plan and the oracle SQL; float aggregates are rounded on
+both sides so value hashes are stable across summation orders.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphkb_spark.session import load_tables
+from graphkb_spark.functions.hashing import stable_hash_id
+from graphkb_spark.functions.hgvs import parse_variant_udf
+from graphkb_spark.operators import text as text_ops
+from graphkb_spark.operators.aggregate import (
+    consensus_value,
+    recurrence_threshold,
+    top1_per_group,
+)
+from graphkb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from graphkb_spark.operators.expand import expand_profiles
+from graphkb_spark.operators.graph import expand_neighbors
+from graphkb_spark.operators.merge import merge_upsert
+from graphkb_spark.operators.reconcile import reconcile
+from graphkb_spark.operators.resolve import cascade_resolve
+from graphkb_spark.operators.similarity import cosine_topk, lsh_topk
+from graphkb_spark.plans import run_query
+from graphkb_spark.streaming.incremental import sessionize
+
+TPCH = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+ALL_TABLES = TPCH + ["events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    return load_tables(spark, sf_dir, *names)
+
+
+# --------------------------------------------------------------------------
+# §3.3 filter DSL (the reference's /query language)
+# --------------------------------------------------------------------------
+
+def q_filter_dsl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested AND/OR/IN/comparison filter tree -> Column compile
+    (reference src/graphkb.js:114-123, :429-434)."""
+    t = _t(spark, sf_dir, "orders")
+    return run_query(
+        t,
+        {
+            "target": "orders",
+            "filters": {
+                "AND": [
+                    {"o_orderstatus": "O"},
+                    {
+                        "OR": [
+                            {"o_orderpriority": ["1-URGENT", "2-HIGH"]},
+                            {"o_totalprice": {"operator": ">", "value": 250000}},
+                        ]
+                    },
+                ]
+            },
+            "returnProperties": ["o_orderkey", "o_totalprice", "o_orderpriority"],
+            "orderBy": ["o_orderkey"],
+        },
+    )
+
+
+def q_filter_dsl_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-subquery filter -> semi-join rewrite (reference
+    src/graphkb.js:492 source-link subquery)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    out = run_query(
+        t,
+        {
+            "target": "orders",
+            "filters": {
+                "AND": [
+                    {"o_orderstatus": "F"},
+                    {
+                        "o_custkey": {
+                            "target": "customer",
+                            "key": "c_custkey",
+                            "filters": {
+                                "AND": [
+                                    {"c_mktsegment": "BUILDING"},
+                                    {"c_acctbal": {"operator": ">", "value": 1000}},
+                                ]
+                            },
+                        }
+                    },
+                ]
+            },
+            "returnProperties": ["o_orderkey", "o_custkey", "o_totalprice"],
+        },
+    )
+    return out
+
+
+def q_filter_dsl_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit/skip paging with deterministic order (reference
+    ``getRecords`` skip-paging src/graphkb.js:341-372)."""
+    t = _t(spark, sf_dir, "customer")
+    return run_query(
+        t,
+        {
+            "target": "customer",
+            "filters": {"c_mktsegment": "AUTOMOBILE"},
+            "returnProperties": ["c_custkey", "c_name", "c_acctbal"],
+            "orderBy": ["c_custkey"],
+            "skip": 50,
+            "limit": 100,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 joins
+# --------------------------------------------------------------------------
+
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/W1: preference-ranked unique resolution — best customer
+    per nation by (acctbal desc, custkey asc)."""
+    t = _t(spark, sf_dir, "nation", "customer")
+    best = top1_per_group(
+        t["customer"],
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+    )
+    return (
+        t["nation"]
+        .join(F.broadcast(best), t["nation"].n_nationkey == best.c_nationkey)
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("best_acctbal"))
+    )
+
+
+def q_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: cascade lookup — customer by key among positive-balance rows
+    first, then any (mirrors therapy sourceId-then-name retries,
+    src/graphkb.js:427-478)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    cust = t["customer"]
+    out = cascade_resolve(
+        orders,
+        cust,
+        levels=[
+            (
+                (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_acctbal") > 0),
+                [F.col("c_custkey").asc()],
+            ),
+            (F.col("o_custkey") == F.col("c_custkey"), [F.col("c_custkey").asc()]),
+        ],
+        select=["c_name", "c_acctbal"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("resolved_c_name").alias("cust_name"),
+        F.round("resolved_c_acctbal", 2).alias("cust_acctbal"),
+    )
+
+
+def q_anti_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: incremental skip-set / deprecation sweep — customers with
+    no URGENT order (left_anti vs already-loaded ids)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: edge-existence style semi-join — customers with >=1 URGENT
+    open order."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    urgent = t["orders"].filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: broadcast map-join — revenue per region through the
+    supplier->nation->region dimension chain."""
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    li = t["lineitem"].select(
+        "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    dims = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), t["supplier"].s_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_normalized_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: normalized-string equi join — join parts to an uppercased
+    brand dimension on the case-normalized key."""
+    t = _t(spark, sf_dir, "part")
+    dim = t["part"].select(F.upper("p_brand").alias("brand_uc")).distinct()
+    return (
+        t["part"]
+        .join(F.broadcast(dim), F.lower(F.col("brand_uc")) == F.lower(F.col("p_brand")))
+        .groupBy("brand_uc")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5/§2.6 aggregations & windows
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family headline agg (TPC-H Q1 shape) — partial aggregation +
+    AQE; no UDFs."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_recurrence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct-count recurrence threshold (COSMIC fusions >=3
+    distinct samples -> parts supplied by >=4 distinct suppliers)."""
+    t = _t(spark, sf_dir, "lineitem")
+    return recurrence_threshold(
+        t["lineitem"], ["l_partkey"], "l_suppkey", threshold=4, count_alias="n_suppliers"
+    )
+
+
+def q_consensus_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: single-consensus aggregation (consensus trial location ->
+    consensus order priority per customer)."""
+    t = _t(spark, sf_dir, "orders")
+    return consensus_value(
+        t["orders"], ["o_custkey"], "o_orderpriority", alias="consensus_priority"
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: latest-created per key (latest therapy by createdAt ->
+    latest order per customer)."""
+    t = _t(spark, sf_dir, "orders")
+    latest = top1_per_group(
+        t["orders"], ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+    )
+
+
+def q_version_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: lag-based version chaining (oncotree version ladder ->
+    previous event per user with gap seconds)."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag(F.col("ts")).over(w)
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("long") - prev.cast("long")).alias("gap_seconds"),
+    )
+
+
+def q_duplicate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: duplicate-name detection (ncit name dedup -> part names
+    appearing more than once)."""
+    t = _t(spark, sf_dir, "part")
+    return (
+        t["part"].groupBy("p_name").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 merge / reconciliation
+# --------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2: MERGE with field-level change detection. Target = stale
+    KB snapshot (orders % 3 != 0); source = refreshed batch (prices
+    bumped for %5==0, rows %7==0 dropped)."""
+    t = _t(spark, sf_dir, "orders")
+    base = t["orders"].select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+    target = base.filter(F.col("o_orderkey") % 3 != 0)
+    source = (
+        base.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") + 1.0, 2))
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    merged = merge_upsert(target, source, ["o_orderkey"], delete_missing=True)
+    return merged.select("o_orderkey", "o_totalprice", F.col("_action").alias("action"))
+
+
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/§2.9.2: statement reconciliation — stored vs new batch diff
+    into update/create/delete (content keys unique per group here; the
+    positional-pairing passes are exercised in tests/)."""
+    t = _t(spark, sf_dir, "orders")
+    stored = t["orders"].filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_custkey").alias("sourceId"),
+        F.col("o_orderkey").alias("subject"),
+        F.col("o_orderpriority").alias("content"),
+        F.concat(F.lit("rid_"), F.col("o_orderkey")).alias("rid"),
+    )
+    batch = t["orders"].filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_custkey").alias("sourceId"),
+        F.col("o_orderkey").alias("subject"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("REVISED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("content"),
+        F.concat(F.lit("new_"), F.col("o_orderkey")).alias("rid"),
+    )
+    out = reconcile(
+        stored,
+        batch,
+        group_key=["sourceId"],
+        strong_key=["subject"],
+        weak_key=["subject"],
+        order=["subject", "content"],
+        id_col="rid",
+    )
+    return out.select("sourceId", "subject", "content", "rid", F.col("_action").alias("action"))
+
+
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: high-watermark incremental load (clinicaltrials --days N
+    -> events after 2024-01-15, newest per user upserted over the
+    pre-watermark state)."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 4).alias("value")
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    target = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fresh = (
+        ev.filter(F.col("ts") >= cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    merged = merge_upsert(target, fresh, ["user_id"])
+    return merged.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        "event_type",
+        "value",
+        F.col("_action").alias("action"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 functions: hashing, HGVS, expansion
+# --------------------------------------------------------------------------
+
+def q_stable_hash_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: deterministic surrogate ids — md5 of key-sorted JSON
+    (hashRecordToId parity)."""
+    t = _t(spark, sf_dir, "nation")
+    return t["nation"].select(
+        "n_nationkey", "n_name", stable_hash_id("n_name", "n_nationkey").alias("rid")
+    )
+
+
+def q_hgvs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: HGVS parser UDF over synthetic notation built from lineitem
+    (protein sub / cds sub / exon del grammar paths)."""
+    t = _t(spark, sf_dir, "lineitem")
+    src = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.concat(F.lit("p.G"), (F.col("l_partkey") % 500 + 1).cast("string"), F.lit("D")),
+        )
+        .when(
+            F.col("l_linenumber") % 3 == 1,
+            F.concat(
+                F.lit("c."), (F.col("l_partkey") % 900 + 1).cast("string"), F.lit("A>T")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("e."), (F.col("l_partkey") % 20 + 1).cast("string"), F.lit("del"))
+        )
+        .alias("notation"),
+    )
+    parsed = src.select(
+        "l_orderkey", "l_linenumber", "notation", parse_variant_udf("notation").alias("v")
+    )
+    return parsed.select(
+        "l_orderkey",
+        "l_linenumber",
+        "notation",
+        F.col("v.prefix").alias("prefix"),
+        F.col("v.variant_type").alias("variant_type"),
+        F.col("v.break1_start").alias("break1_start"),
+    )
+
+
+def q_explode_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (single): one->many expansion — p_type word explode with
+    counts."""
+    t = _t(spark, sf_dir, "part")
+    return (
+        t["part"]
+        .select(F.explode(F.split("p_type", " ")).alias("type_word"))
+        .groupBy("type_word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cross_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (cross): conditions x therapies style cross-product of two
+    exploded arrays."""
+    t = _t(spark, sf_dir, "part")
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.explode(F.split("p_type", " ")).alias("type_word"),
+        )
+        .select(
+            "p_partkey",
+            "type_word",
+            F.explode(F.array(F.lit("A"), F.lit("B"))).alias("variant"),
+        )
+    )
+
+
+def q_dnf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: molecular-profile boolean expression -> DNF condition sets
+    (pure-Python grammar in a Pandas UDF, exploded JVM-side).
+    Expressions are synthesized from order keys; conjuncts join to a
+    string column so the oracle can verify exactly."""
+    t = _t(spark, sf_dir, "orders")
+    src = t["orders"].filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.concat(
+            F.lit("v"),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit(" AND (v"),
+            (F.col("o_orderkey") % 5).cast("string"),
+            F.lit(" OR v"),
+            (F.col("o_orderkey") % 3).cast("string"),
+            F.lit(")"),
+        ).alias("expr"),
+    )
+    out = expand_profiles(src, "expr")
+    return out.select(
+        "o_orderkey", "expr", F.concat_ws("+", "condition_set").alias("conditions")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest groupBy."""
+    t = _t(spark, sf_dir, "documents")
+    return exact_dedup(t["documents"], "text", "doc_id")
+
+
+def q_dedup_fillscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W4: keep the best-filled duplicate per (lang, source) —
+    ASCO collapseAbstractDups shape."""
+    t = _t(spark, sf_dir, "documents")
+    best = top1_per_group(
+        t["documents"], ["lang", "source"], [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return best.select("lang", "source", "doc_id", "n_chars")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 signatures — not
+    SQL-expressible; driver records the rows-only check; exact-Jaccard
+    verification happens inside the operator)."""
+    t = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.6
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (posting-list candidates,
+    rare-shingle skew guard)."""
+    t = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(t["documents"], "text", "doc_id", shingle_n=3, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (bit-vote Pandas UDF + chunk blocking)."""
+    t = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(t["documents"], "text", "doc_id", max_hamming=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline) for 5 query
+    vectors."""
+    t = _t(spark, sf_dir, "embeddings")
+    # compute in double on both sides so ranking matches the oracle
+    emb = t["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path; rows-only
+    check — bucketing is hash-defined)."""
+    t = _t(spark, sf_dir, "embeddings")
+    queries = t["embeddings"].filter(F.col("vec_id") < 5)
+    out = lsh_topk(t["embeddings"], queries, k=5, n_planes=6)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-marker argmax (JVM-side heuristic)."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", "lang", text_ops.lang_id("text").alias("pred_lang")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        text_ops.whitespace_token_count("text").alias("ws_tokens"),
+        text_ops.token_count("text").alias("regex_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + composite score."""
+    t = _t(spark, sf_dir, "documents")
+    out = text_ops.quality_features(t["documents"].select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id", "q_chars", "q_words", "q_punct_ratio", "q_stop_ratio", "q_score"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (xxhash64 min-shingle; not
+    SQL-expressible -> rows-only check)."""
+    from graphkb_spark.functions.hashing import content_fingerprint
+
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", content_fingerprint("text", 32).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming-ish + graph
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (lag + cumsum)."""
+    t = _t(spark, sf_dir, "events")
+    out = sessionize(t["events"], gap_minutes=30)
+    return out.select("event_id", "user_id", "session_id")
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window event aggregation (batch plan of the
+    Structured Streaming query in graphkb_spark.streaming)."""
+    t = _t(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-hop neighborhood expansion (``neighbors: 2``) over an edges
+    table built from region<-nation<-customer links."""
+    t = _t(spark, sf_dir, "region", "nation", "customer")
+    e1 = t["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("out_rid"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("in_rid"),
+        F.lit("ElementOf").alias("edge_class"),
+        F.lit(None).cast("string").alias("source_rid"),
+    )
+    e2 = t["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("out_rid"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("in_rid"),
+        F.lit("ElementOf").alias("edge_class"),
+        F.lit(None).cast("string").alias("source_rid"),
+    )
+    edges = e1.unionByName(e2)
+    seeds = t["region"].filter(F.col("r_regionkey") == 0).select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("rid")
+    )
+    return expand_neighbors(seeds, edges, "rid", n=2)
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: revenue per region through the full
+    dimension chain (broadcast joins + aggregation)."""
+    return q_broadcast_dim_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "filter_dsl_nested": q_filter_dsl_nested,
+        "filter_dsl_subquery": q_filter_dsl_subquery,
+        "filter_dsl_pagination": q_filter_dsl_pagination,
+        "top1_per_group": q_top1_per_group,
+        "fallback_cascade": q_fallback_cascade,
+        "anti_join_incremental": q_anti_join_incremental,
+        "semi_join_exists": q_semi_join_exists,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "normalized_key_join": q_normalized_key_join,
+        "pricing_summary": q_pricing_summary,
+        "recurrence_rollup": q_recurrence_rollup,
+        "consensus_agg": q_consensus_agg,
+        "latest_per_key": q_latest_per_key,
+        "version_chain": q_version_chain,
+        "duplicate_names": q_duplicate_names,
+        "merge_upsert": q_merge_upsert,
+        "reconcile": q_reconcile,
+        "incremental_merge": q_incremental_merge,
+        "stable_hash_id": q_stable_hash_id,
+        "hgvs_parse": q_hgvs_parse,
+        "explode_expansion": q_explode_expansion,
+        "cross_expansion": q_cross_expansion,
+        "dnf_expansion": q_dnf_expansion,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fillscore": q_dedup_fillscore,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh": q_embedding_lsh,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "graph_neighbors": q_graph_neighbors,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = ", ".join(f"'{w}'" for w in text_ops.LANG_MARKERS["en"])
+    lang_hits = {
+        lang: (
+            "len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''), "
+            f"x -> list_contains([{', '.join(repr(w) for w in ws)}], x)))"
+        )
+        for lang, ws in text_ops.LANG_MARKERS.items()
+    }
+    return {
+        "filter_dsl_nested": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus = 'O'
+              AND (o_orderpriority IN ('1-URGENT', '2-HIGH') OR o_totalprice > 250000)
+            ORDER BY o_orderkey
+        """,
+        "filter_dsl_subquery": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE o_orderstatus = 'F'
+              AND EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey
+                  AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 1000)
+        """,
+        "filter_dsl_pagination": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            ORDER BY c_custkey LIMIT 100 OFFSET 50
+        """,
+        "top1_per_group": """
+            WITH ranked AS (
+              SELECT c_nationkey, c_name, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer)
+            SELECT n.n_name, r.c_name, round(r.c_acctbal, 2) AS best_acctbal
+            FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+            WHERE r.rn = 1
+        """,
+        "fallback_cascade": """
+            SELECT o.o_orderkey,
+                   coalesce(c1.c_name, c2.c_name) AS cust_name,
+                   round(coalesce(c1.c_acctbal, c2.c_acctbal), 2) AS cust_acctbal
+            FROM orders o
+            LEFT JOIN customer c1 ON c1.c_custkey = o.o_custkey AND c1.c_acctbal > 0
+            LEFT JOIN customer c2 ON c2.c_custkey = o.o_custkey
+        """,
+        "anti_join_incremental": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')
+        """,
+        "semi_join_exists": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+        """,
+        "broadcast_dim_join": """
+            SELECT r.r_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
+        """,
+        "normalized_key_join": """
+            SELECT d.brand_uc, count(*) AS n_parts
+            FROM part p
+            JOIN (SELECT DISTINCT upper(p_brand) AS brand_uc FROM part) d
+              ON lower(d.brand_uc) = lower(p.p_brand)
+            GROUP BY d.brand_uc
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "recurrence_rollup": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) >= 4
+        """,
+        "consensus_agg": """
+            SELECT o_custkey,
+                   CASE WHEN count(DISTINCT o_orderpriority) = 1
+                        THEN min(o_orderpriority) END AS consensus_priority
+            FROM orders GROUP BY o_custkey
+        """,
+        "latest_per_key": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+            SELECT o_custkey, o_orderkey AS latest_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+            FROM ranked WHERE rn = 1
+        """,
+        "version_chain": """
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap_seconds
+            FROM events
+        """,
+        "duplicate_names": """
+            SELECT p_name, count(*) AS n FROM part GROUP BY p_name HAVING count(*) > 1
+        """,
+        "merge_upsert": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+              FROM orders),
+            target AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+            source AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice + 1.0, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM base WHERE o_orderkey % 7 <> 0)
+            SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice,
+                   CASE WHEN t.o_orderkey IS NULL THEN 'create'
+                        WHEN s.o_orderkey IS NULL THEN 'delete'
+                        WHEN s.o_totalprice <> t.o_totalprice
+                          OR s.o_orderstatus <> t.o_orderstatus THEN 'update'
+                        ELSE 'noop' END AS action
+            FROM target t FULL OUTER JOIN source s ON s.o_orderkey = t.o_orderkey
+        """,
+        "reconcile": """
+            WITH stored AS (
+              SELECT o_custkey AS sourceId, o_orderkey AS subject,
+                     o_orderpriority AS content,
+                     'rid_' || o_orderkey AS rid
+              FROM orders WHERE o_orderkey % 4 <> 0),
+            batch AS (
+              SELECT o_custkey AS sourceId, o_orderkey AS subject,
+                     CASE WHEN o_orderkey % 2 = 0 THEN 'REVISED'
+                          ELSE o_orderpriority END AS content,
+                     'new_' || o_orderkey AS rid
+              FROM orders WHERE o_orderkey % 5 <> 0),
+            -- pass 1: exact content-key (subject) match within the group
+            p1 AS (
+              SELECT b.sourceId, b.subject, b.content, s.rid
+              FROM batch b JOIN stored s
+                ON s.sourceId = b.sourceId AND s.subject = b.subject),
+            -- leftovers, ranked positionally within the group
+            lo AS (
+              SELECT s.*, row_number() OVER (PARTITION BY sourceId
+                                             ORDER BY subject, content) AS rn
+              FROM stored s WHERE NOT EXISTS (
+                SELECT 1 FROM batch b
+                WHERE b.sourceId = s.sourceId AND b.subject = s.subject)),
+            ln AS (
+              SELECT b.*, row_number() OVER (PARTITION BY sourceId
+                                             ORDER BY subject, content) AS rn
+              FROM batch b WHERE NOT EXISTS (
+                SELECT 1 FROM stored s
+                WHERE s.sourceId = b.sourceId AND s.subject = b.subject)),
+            -- pass 3: artificial positional pairing of leftovers
+            p3 AS (
+              SELECT coalesce(ln.sourceId, lo.sourceId) AS sourceId,
+                     CASE WHEN ln.rid IS NOT NULL THEN ln.subject
+                          ELSE lo.subject END AS subject,
+                     CASE WHEN ln.rid IS NOT NULL THEN ln.content
+                          ELSE lo.content END AS content,
+                     CASE WHEN ln.rid IS NOT NULL AND lo.rid IS NOT NULL THEN lo.rid
+                          WHEN ln.rid IS NOT NULL THEN ln.rid ELSE lo.rid END AS rid,
+                     CASE WHEN ln.rid IS NOT NULL AND lo.rid IS NOT NULL THEN 'update'
+                          WHEN ln.rid IS NOT NULL THEN 'create'
+                          ELSE 'delete' END AS action
+              FROM ln FULL OUTER JOIN lo
+                ON lo.sourceId = ln.sourceId AND lo.rn = ln.rn)
+            SELECT sourceId, subject, content, rid, 'update' AS action FROM p1
+            UNION ALL
+            SELECT sourceId, subject, content, rid, action FROM p3
+        """,
+        "incremental_merge": """
+            WITH ev AS (
+              SELECT user_id, event_id, ts, event_type, round(value, 4) AS value
+              FROM events),
+            target AS (
+              SELECT * FROM (
+                SELECT user_id, event_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+            fresh AS (
+              SELECT * FROM (
+                SELECT user_id, event_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1)
+            SELECT coalesce(f.user_id, t.user_id) AS user_id,
+                   strftime(CASE WHEN f.user_id IS NOT NULL THEN f.ts ELSE t.ts END,
+                            '%Y-%m-%d %H:%M:%S') AS latest_ts,
+                   CASE WHEN f.user_id IS NOT NULL THEN f.event_type
+                        ELSE t.event_type END AS event_type,
+                   CASE WHEN f.user_id IS NOT NULL THEN f.value ELSE t.value END AS value,
+                   CASE WHEN t.user_id IS NULL THEN 'create'
+                        WHEN f.user_id IS NULL THEN 'keep'
+                        WHEN f.event_id <> t.event_id OR f.ts <> t.ts
+                          OR f.event_type <> t.event_type
+                          OR f.value <> t.value THEN 'update'
+                        ELSE 'noop' END AS action
+            FROM target t FULL OUTER JOIN fresh f ON f.user_id = t.user_id
+        """,
+        "stable_hash_id": """
+            SELECT n_nationkey, n_name,
+                   md5('{"n_name":"' || n_name || '","n_nationkey":' || n_nationkey || '}')
+                     AS rid
+            FROM nation
+        """,
+        "hgvs_parse": """
+            WITH src AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE
+                       WHEN l_linenumber % 3 = 0
+                         THEN 'p.G' || (l_partkey % 500 + 1) || 'D'
+                       WHEN l_linenumber % 3 = 1
+                         THEN 'c.' || (l_partkey % 900 + 1) || 'A>T'
+                       ELSE 'e.' || (l_partkey % 20 + 1) || 'del'
+                     END AS notation,
+                     CASE WHEN l_linenumber % 3 = 0 THEN 'p'
+                          WHEN l_linenumber % 3 = 1 THEN 'c' ELSE 'e' END AS prefix,
+                     CASE WHEN l_linenumber % 3 = 0 THEN 'missense'
+                          WHEN l_linenumber % 3 = 1 THEN 'substitution'
+                          ELSE 'deletion' END AS variant_type,
+                     CASE WHEN l_linenumber % 3 = 0 THEN l_partkey % 500 + 1
+                          WHEN l_linenumber % 3 = 1 THEN l_partkey % 900 + 1
+                          ELSE l_partkey % 20 + 1 END AS break1_start
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber, notation, prefix, variant_type,
+                   CAST(break1_start AS INTEGER) AS break1_start
+            FROM src
+        """,
+        "explode_expansion": """
+            SELECT t.type_word, count(*) AS n
+            FROM part p, unnest(string_split(p.p_type, ' ')) AS t(type_word)
+            GROUP BY t.type_word
+        """,
+        "cross_expansion": """
+            SELECT p.p_partkey, t.type_word, v.variant
+            FROM part p,
+                 unnest(string_split(p.p_type, ' ')) AS t(type_word),
+                 unnest(['A', 'B']) AS v(variant)
+            WHERE p.p_partkey <= 200
+        """,
+        "dnf_expansion": """
+            WITH src AS (
+              SELECT o_orderkey,
+                     'v' || (o_orderkey % 7) || ' AND (v' || (o_orderkey % 5) ||
+                     ' OR v' || (o_orderkey % 3) || ')' AS expr,
+                     'v' || (o_orderkey % 7) AS a,
+                     'v' || (o_orderkey % 5) AS b,
+                     'v' || (o_orderkey % 3) AS c
+              FROM orders WHERE o_orderkey <= 2000),
+            expanded AS (
+              SELECT o_orderkey, expr,
+                     list_aggregate(list_sort(list_distinct([a, b])), 'string_agg', '+')
+                       AS conj1,
+                     list_aggregate(list_sort(list_distinct([a, c])), 'string_agg', '+')
+                       AS conj2
+              FROM src)
+            SELECT o_orderkey, expr, unnest([conj1, conj2]) AS conditions
+            FROM expanded
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_fillscore": """
+            WITH ranked AS (
+              SELECT lang, source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents)
+            SELECT lang, source, doc_id, n_chars FROM ranked WHERE rn = 1
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     {lang_hits['de']} AS h_de,
+                     {lang_hits['en']} AS h_en,
+                     {lang_hits['es']} AS h_es,
+                     {lang_hits['fr']} AS h_fr
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= 1
+                          THEN 'de'
+                        WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= 1 THEN 'en'
+                        WHEN h_es >= h_fr AND h_es >= 1 THEN 'es'
+                        WHEN h_fr >= 1 THEN 'fr'
+                        ELSE 'und' END AS pred_lang
+            FROM scored
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                     AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                     AS regex_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     length(text) AS q_chars,
+                     len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                       AS q_words,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+                     len(list_filter(list_filter(string_split(lower(text), ' '),
+                                                 x -> x <> ''),
+                                     x -> list_contains([{en}], x))) AS n_stop
+              FROM documents)
+            SELECT doc_id, q_chars, q_words,
+                   round(CASE WHEN q_chars > 0
+                              THEN n_punct / CAST(q_chars AS DOUBLE) ELSE 0 END, 6)
+                     AS q_punct_ratio,
+                   round(CASE WHEN q_words > 0
+                              THEN n_stop / CAST(q_words AS DOUBLE) ELSE 0 END, 6)
+                     AS q_stop_ratio,
+                   round(least(q_words / 100.0, 1.0) * 0.4
+                         + greatest(0.0, 1.0 - (CASE WHEN q_chars > 0
+                              THEN n_punct / CAST(q_chars AS DOUBLE) ELSE 0 END) * 5) * 0.3
+                         + least((CASE WHEN q_words > 0
+                              THEN n_stop / CAST(q_words AS DOUBLE) ELSE 0 END) * 5,
+                              1.0) * 0.3, 6) AS q_score
+            FROM feats
+        """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT event_id, user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS is_new,
+                     ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+            SELECT event_id, user_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        """,
+        "windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "graph_neighbors": """
+            SELECT 'R0' AS rid, 0 AS hop
+            UNION ALL
+            SELECT 'N' || n_nationkey, 1 FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT 'C' || c_custkey, 2 FROM customer c
+            WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey
+                          AND n.n_regionkey = 0)
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }

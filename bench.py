@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall-clock seconds.
+
+Each query is executed via a count()-style action that forces the full
+plan without collecting rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod
+from graphkb_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "broadcast_dim_join",
+    "filter_dsl_subquery",
+    "top1_per_group",
+    "merge_upsert",
+    "reconcile",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "embedding_topk",
+    "lang_id",
+    "quality_score",
+    "sessionize",
+    "incremental_merge",
+    "graph_neighbors",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not first-touch JIT
+    queries["pricing_summary"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.time() - t0, 3)
+        del n
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

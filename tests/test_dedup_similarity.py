@@ -1,0 +1,105 @@
+"""Dedup + similarity operators: exactness of the Jaccard join vs
+brute force, MinHash/LSH recall on known near-dups, SimHash, ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    word_shingles,
+    words,
+)
+from graphkb_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now"),  # near-dup of 1
+    (3, "completely different content about spark dataframes and shuffles here"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, "another unrelated document mentioning catalyst optimizer and codegen"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def brute_jaccard_pairs(spark, docs, n, threshold):
+    base = docs.select(
+        "doc_id", F.array_distinct(word_shingles(words("text"), n)).alias("sh")
+    ).collect()
+    out = set()
+    for i, a in enumerate(base):
+        for b in base[i + 1:]:
+            sa, sb = set(a.sh), set(b.sh)
+            if sa and sb and len(sa & sb) / len(sa | sb) >= threshold:
+                out.add((min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)))
+    return out
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "text", "doc_id")
+    rows = {r.doc_id: r.n_copies for r in out.collect()}
+    assert rows[1] == 2  # 1 and 4 collapse, min id kept
+    assert len(rows) == 4
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()
+    }
+    assert got == brute_jaccard_pairs(spark, docs, 3, 0.5)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup
+    assert (2, 4) in pairs
+    # verified jaccard filter keeps unrelated docs out
+    assert all(a in (1, 2, 4) and b in (1, 2, 4) for a, b in pairs)
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert (1, 4) in pairs
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.1, 0.0, 0.9]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got[0] == (1, 1)  # closest to [1,0,0]
+
+
+def test_lsh_and_ivf_return_ranked_neighbors(spark, vectors):
+    for fn in (lsh_topk, ivf_topk):
+        kwargs = {"n_planes": 2} if fn is lsh_topk else {"n_centroids": 3, "nprobe": 3}
+        out = fn(vectors, vectors.filter("vec_id = 0"), k=2, **kwargs).collect()
+        assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
+        assert len(out) <= 2

@@ -1,0 +1,124 @@
+"""Scalar functions + text analysis + hashing + graph ops."""
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_stable_hash_id_matches_json_stable_stringify(spark):
+    """md5 of key-sorted JSON (reference hashRecordToId,
+    src/util.js:186-193)."""
+    from graphkb_spark.functions.hashing import stable_hash_id
+
+    df = spark.createDataFrame([("oncokb", 42)], ["name", "num"])
+    got = df.select(stable_hash_id("num", "name").alias("h")).first().h
+    expected = hashlib.md5(
+        json.dumps({"name": "oncokb", "num": 42}, separators=(",", ":")).encode()
+    ).hexdigest()
+    assert got == expected
+
+
+def test_normalizers(spark):
+    from graphkb_spark.functions.normalize import (
+        clean_disease_name,
+        gene_name_key,
+        norm_case_space,
+        norm_title,
+        null_like_to_null,
+    )
+
+    df = spark.createDataFrame(
+        [("  Mixed   CASE  ", "Acute_Myeloid_Leukaemia", "The Title.", "ABL1", "None")],
+        ["a", "b", "c", "d", "e"],
+    )
+    row = df.select(
+        norm_case_space("a").alias("a"),
+        clean_disease_name("b").alias("b"),
+        norm_title("c").alias("c"),
+        gene_name_key("d").alias("d"),
+        null_like_to_null("e").alias("e"),
+    ).first()
+    assert row.a == "mixed case"
+    assert row.b == "acute myeloid leukemia"
+    assert row.c == "the title"
+    assert row.d == "abl"
+    assert row.e is None
+
+
+def test_lang_id_and_tokens(spark):
+    from graphkb_spark.operators.text import lang_id, token_count, whitespace_token_count
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house",),
+            ("der hund ist nicht in das haus und der garten",),
+            ("xyzzy qwerty",),
+        ],
+        ["text"],
+    )
+    rows = df.select(
+        lang_id("text").alias("lang"),
+        whitespace_token_count("text").alias("ws"),
+        token_count("text").alias("tok"),
+    ).collect()
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "de"
+    assert rows[2].lang == "und"
+    assert rows[0].ws == 9
+    assert rows[0].tok == 9
+
+
+def test_graph_expand_and_edge_exists(spark):
+    from graphkb_spark.core.schemas import EDGE_SCHEMA
+    from graphkb_spark.operators.graph import edge_exists, expand_neighbors
+
+    edges = spark.createDataFrame(
+        [("a", "b", "SubClassOf", None), ("b", "c", "SubClassOf", None),
+         ("x", "y", "AliasOf", None)],
+        EDGE_SCHEMA,
+    )
+    seeds = spark.createDataFrame([("a",)], ["rid"])
+    got = {(r.rid, r.hop) for r in expand_neighbors(seeds, edges, "rid", 2).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 2)}
+
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], ["o", "i"])
+    ex = {(r.o, r.i): r.edge_exists for r in edge_exists(
+        pairs, edges, "o", "i", "SubClassOf"
+    ).collect()}
+    assert ex == {("a", "b"): True, ("a", "c"): False}
+
+
+def test_canonical_edge_class():
+    import pytest
+
+    from graphkb_spark.core.schemas import canonical_edge_class
+
+    assert canonical_edge_class("subclassof") == "SubClassOf"
+    assert canonical_edge_class("ALIASOF") == "AliasOf"
+    with pytest.raises(ValueError):
+        canonical_edge_class("nope")
+
+
+def test_aggregate_ops(spark):
+    from graphkb_spark.operators.aggregate import (
+        consensus_value,
+        recurrence_threshold,
+        version_chain,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "s1", "US"), ("g1", "s2", "US"), ("g1", "s3", "US"),
+         ("g2", "s1", "US"), ("g2", "s1", "CA")],
+        ["g", "sample", "country"],
+    )
+    rec = {r.g: r.n for r in recurrence_threshold(df, ["g"], "sample", 3, "n").collect()}
+    assert rec == {"g1": 3}
+    cons = {r.g: r.consensus_country for r in consensus_value(
+        df, ["g"], "country"
+    ).collect()}
+    assert cons == {"g1": "US", "g2": None}
+
+    versions = spark.createDataFrame([("v1",), ("v2",), ("v3",)], ["v"])
+    chain = {r.v: r.previous for r in version_chain(versions, "v").collect()}
+    assert chain == {"v1": None, "v2": "v1", "v3": "v2"}
