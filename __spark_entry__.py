@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 
 from graphkb_spark.session import load_tables
 from graphkb_spark.functions.hashing import stable_hash_id
+from graphkb_spark.functions.variant_names import (
+    RELEVANCE_ROWS,
+    canonical_phases,
+    extract_year,
+    fix_docm_variant_udf,
+    parse_abstract_citation,
+    parse_oncokb_variant_name_udf,
+    translate_relevance,
+)
+from graphkb_spark.kb import empty_kb, load_ontology_records, upsert_source
 from graphkb_spark.functions.hgvs import parse_variant_udf
 from graphkb_spark.operators import text as text_ops
 from graphkb_spark.operators.aggregate import (
@@ -505,6 +515,184 @@ def q_dnf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §7.2 KB slice + §2.8 domain normalizers + §2.7 set ops
+# --------------------------------------------------------------------------
+
+def q_kb_ontology_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.2 end-to-end KB slice: generic ontology loader
+    (region/nation as a 2-level SubClassOf vocabulary) -> terms + edges
+    with deterministic content-hash rids (hashRecordToId parity,
+    src/util.js:186-193; loader src/ontology/index.js:108-243)."""
+    t = _t(spark, sf_dir, "region", "nation")
+    recs_r = t["region"].select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("sourceId"),
+        F.lower("r_name").alias("name"),
+        F.lit(None).cast("array<string>").alias("subclassof"),
+    )
+    recs_n = t["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("sourceId"),
+        F.lower("n_name").alias("name"),
+        F.array(F.concat(F.lit("R"), F.col("n_regionkey"))).alias("subclassof"),
+    )
+    kb = empty_kb(spark)
+    kb = upsert_source(spark, kb, {"name": "tpch"})
+    kb = load_ontology_records(spark, kb, recs_r.unionByName(recs_n), "tpch")
+    parents = kb.edges.filter(F.col("edge_class") == "SubClassOf").select(
+        F.col("out_rid").alias("rid"), "in_rid"
+    )
+    pmap = kb.terms.select(F.col("rid").alias("in_rid"), F.col("sourceId").alias("parent_sid"))
+    return (
+        kb.terms.join(parents, "rid", "left")
+        .join(pmap, "in_rid", "left")
+        .select("sourceId", "name", "rid", "parent_sid")
+    )
+
+
+def q_oncokb_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: OncoKB variant-name parser over synthesized names covering
+    the protein-notation / exon-event / fusion-flip / vocabulary paths
+    (reference src/oncokb/index.js:131-193)."""
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = t["part"].select(
+        "p_partkey",
+        F.when(k % 4 == 0, F.concat(F.lit("G"), (k % 500 + 1).cast("string"), F.lit("D")))
+        .when(k % 4 == 1, F.concat(F.lit("exon "), (k % 30 + 1).cast("string"), F.lit(" deletion")))
+        .when(k % 4 == 2, F.lit("BCR-ABL1"))
+        .otherwise(F.lit("Truncating Mutations"))
+        .alias("variant_name"),
+        F.when(k % 4 == 2, F.lit("ABL1")).cast("string").alias("reference1"),
+    )
+    parsed = src.select(
+        "p_partkey",
+        "variant_name",
+        parse_oncokb_variant_name_udf("variant_name", "reference1").alias("v"),
+    )
+    return parsed.select(
+        "p_partkey",
+        "variant_name",
+        F.col("v.type").alias("vtype"),
+        F.col("v.reference2").alias("reference2"),
+        F.col("v.flipped").alias("flipped"),
+    )
+
+
+def q_docm_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: DOCM notation fixes — trailing-deletion and common-prefix
+    delins rewrites (reference src/docm/index.js:33-67)."""
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    n = (k % 800 + 1).cast("string")
+    src = t["part"].select(
+        "p_partkey",
+        F.when(k % 3 == 0, F.concat(F.lit("p.KK"), n, F.lit("-")))
+        .when(k % 3 == 1, F.concat(F.lit("p.DI"), n, F.lit("VM")))
+        .otherwise(F.concat(F.lit("p.G"), n, F.lit("D")))
+        .alias("variant"),
+    )
+    return src.select("p_partkey", "variant", fix_docm_variant_udf("variant").alias("fixed"))
+
+
+def q_citation_phase_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10/F11: abstract-citation parse + trial-phase canonicalizer +
+    year extraction, all JVM-side Column expressions."""
+    t = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = t["orders"].select(
+        "o_orderkey",
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("Abstract# "), k.cast("string"), F.lit(", ASCO 2014")),
+        ).otherwise(F.lit("no citation")).alias("citation"),
+        F.array(
+            F.concat(F.lit("PHASE"), (k % 3 + 1).cast("string")), F.lit("NA")
+        ).alias("phases"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("datestr"),
+    )
+    cit = parse_abstract_citation("citation")
+    return src.select(
+        "o_orderkey",
+        cit["abstractNumber"].alias("abstract_number"),
+        cit["source"].alias("abstract_source"),
+        cit["year"].alias("abstract_year"),
+        canonical_phases("phases").alias("phase"),
+        extract_year("datestr").alias("pub_year"),
+    )
+
+
+def q_relevance_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: relevance translation table as a broadcast lookup join
+    (reference's 320-line switch, src/civic/relevance.js:11-333)."""
+    t = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    et = F.element_at(
+        F.array(F.lit("PREDICTIVE"), F.lit("DIAGNOSTIC"), F.lit("PROGNOSTIC"),
+                F.lit("FUNCTIONAL")),
+        (k % 4 + 1).cast("int"),
+    )
+    sig = F.element_at(
+        F.array(F.lit("SENSITIVITYRESPONSE"), F.lit("RESISTANCE"), F.lit("POSITIVE"),
+                F.lit("POOR_OUTCOME"), F.lit("GAIN_OF_FUNCTION")),
+        (k % 5 + 1).cast("int"),
+    )
+    src = t["orders"].select(
+        "o_orderkey",
+        et.alias("evidence_type"),
+        F.when(k % 2 == 0, F.lit("SUPPORTS")).otherwise(F.lit("DOES_NOT_SUPPORT"))
+        .alias("direction"),
+        sig.alias("significance"),
+    )
+    return translate_relevance(src, spark).select(
+        "o_orderkey", "evidence_type", "direction", "significance", "relevance"
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operators: union / except (deprecation sweep J5 shape) /
+    intersect (cosmic retained ∩ reloaded shape) in one result."""
+    t = _t(spark, sf_dir, "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = t["orders"].filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    f_cust = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    u_minus_f = urgent.union(high).distinct().exceptAll(f_cust.distinct())
+    u_and_h = urgent.distinct().intersect(high.distinct())
+    return u_minus_f.withColumn("op", F.lit("union_except")).unionByName(
+        u_and_h.withColumn("op", F.lit("intersect"))
+    )
+
+
+def q_combo_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 sorted-combination naming: sort().join(' + ') for
+    combination therapy names (src/graphkb.js:700-701,
+    src/civic/therapy.js:168-169) -> per-order sorted distinct
+    flag+status combo string."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.concat("l_returnflag", "l_linestatus"))),
+                " + ",
+            ).alias("combo")
+        )
+    )
+
+
+def q_rollup_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 full shape: multi-level recurrence histogram as a native
+    ROLLUP (the reference hand-rolls 3 specificity levels,
+    src/cosmic/fusions.js:143-160) with a distinct-count threshold."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 50)
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text
 # --------------------------------------------------------------------------
 
@@ -695,6 +883,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_merge": q_incremental_merge,
         "stable_hash_id": q_stable_hash_id,
         "hgvs_parse": q_hgvs_parse,
+        "kb_ontology_load": q_kb_ontology_load,
+        "oncokb_names": q_oncokb_names,
+        "docm_fix": q_docm_fix,
+        "citation_phase_year": q_citation_phase_year,
+        "relevance_translate": q_relevance_translate,
+        "set_ops": q_set_ops,
+        "combo_naming": q_combo_naming,
+        "rollup_recurrence": q_rollup_recurrence,
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
         "dnf_expansion": q_dnf_expansion,
@@ -937,6 +1133,115 @@ def oracle_sql() -> dict[str, str]:
                    md5('{"n_name":"' || n_name || '","n_nationkey":' || n_nationkey || '}')
                      AS rid
             FROM nation
+        """,
+        "kb_ontology_load": """
+            WITH src AS (SELECT md5('{"cls":"Source","name":"tpch"}') AS srid),
+            recs AS (
+              SELECT 'R' || r_regionkey AS sourceId, lower(r_name) AS name,
+                     CAST(NULL AS VARCHAR) AS parent_sid
+              FROM region
+              UNION ALL
+              SELECT 'N' || n_nationkey, lower(n_name), 'R' || n_regionkey
+              FROM nation)
+            SELECT r.sourceId, r.name,
+                   md5('{"cls":"Vocabulary","name":"' || r.name
+                       || '","sourceId":"' || r.sourceId
+                       || '","source_rid":"' || (SELECT srid FROM src) || '"}') AS rid,
+                   r.parent_sid
+            FROM recs r
+        """,
+        "oncokb_names": """
+            SELECT p_partkey,
+                   CASE
+                     WHEN p_partkey % 4 = 0 THEN 'G' || (p_partkey % 500 + 1) || 'D'
+                     WHEN p_partkey % 4 = 1
+                       THEN 'exon ' || (p_partkey % 30 + 1) || ' deletion'
+                     WHEN p_partkey % 4 = 2 THEN 'BCR-ABL1'
+                     ELSE 'Truncating Mutations'
+                   END AS variant_name,
+                   CASE
+                     WHEN p_partkey % 4 = 0
+                       THEN 'p.g' || (p_partkey % 500 + 1) || 'd'
+                     WHEN p_partkey % 4 = 1 THEN 'e.' || (p_partkey % 30 + 1) || 'del'
+                     WHEN p_partkey % 4 = 2 THEN 'fusion'
+                     ELSE 'truncating'
+                   END AS vtype,
+                   CASE WHEN p_partkey % 4 = 2 THEN 'bcr' END AS reference2,
+                   CASE WHEN p_partkey % 4 = 2 THEN TRUE END AS flipped
+            FROM part
+        """,
+        "docm_fix": """
+            WITH src AS (
+              SELECT p_partkey, p_partkey % 800 + 1 AS n,
+                     CASE
+                       WHEN p_partkey % 3 = 0 THEN 'p.KK' || (p_partkey % 800 + 1) || '-'
+                       WHEN p_partkey % 3 = 1 THEN 'p.DI' || (p_partkey % 800 + 1) || 'VM'
+                       ELSE 'p.G' || (p_partkey % 800 + 1) || 'D'
+                     END AS variant
+              FROM part)
+            SELECT p_partkey, variant,
+                   CASE
+                     WHEN p_partkey % 3 = 0
+                       THEN 'p.K' || n || '_K' || (n + 1) || 'delKK'
+                     WHEN p_partkey % 3 = 1
+                       THEN 'p.D' || n || '_I' || (n + 1) || 'delDIinsVM'
+                     ELSE variant
+                   END AS fixed
+            FROM src
+        """,
+        "citation_phase_year": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN CAST(o_orderkey AS VARCHAR) END AS abstract_number,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'ASCO' END AS abstract_source,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 2014 END AS abstract_year,
+                   CAST(o_orderkey % 3 + 1 AS VARCHAR) AS phase,
+                   CAST(year(o_orderdate) AS INTEGER) AS pub_year
+            FROM orders
+        """,
+        "relevance_translate": f"""
+            WITH rel(evidence_type, direction, significance, relevance) AS (
+              VALUES {', '.join(
+                  '(' + ', '.join(repr(v) for v in row) + ')' for row in RELEVANCE_ROWS
+              )}),
+            src AS (
+              SELECT o_orderkey,
+                     ['PREDICTIVE', 'DIAGNOSTIC', 'PROGNOSTIC',
+                      'FUNCTIONAL'][o_orderkey % 4 + 1] AS evidence_type,
+                     CASE WHEN o_orderkey % 2 = 0 THEN 'SUPPORTS'
+                          ELSE 'DOES_NOT_SUPPORT' END AS direction,
+                     ['SENSITIVITYRESPONSE', 'RESISTANCE', 'POSITIVE', 'POOR_OUTCOME',
+                      'GAIN_OF_FUNCTION'][o_orderkey % 5 + 1] AS significance
+              FROM orders)
+            SELECT s.o_orderkey, s.evidence_type, s.direction, s.significance, r.relevance
+            FROM src s LEFT JOIN rel r
+              ON r.evidence_type = s.evidence_type AND r.direction = s.direction
+             AND r.significance = s.significance
+        """,
+        "set_ops": """
+            SELECT o_custkey, 'union_except' AS op FROM (
+              (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+               UNION
+               SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+              EXCEPT
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            UNION ALL
+            SELECT o_custkey, 'intersect' AS op FROM (
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              INTERSECT
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        """,
+        "combo_naming": """
+            SELECT l_orderkey,
+                   list_aggregate(list_sort(list_distinct(
+                       list(l_returnflag || l_linestatus))), 'string_agg', ' + ') AS combo
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "rollup_recurrence": """
+            SELECT l_returnflag, l_linestatus, count(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            HAVING count(DISTINCT l_suppkey) >= 50
         """,
         "hgvs_parse": """
             WITH src AS (

@@ -25,6 +25,16 @@ def stable_hash_id(*cols: str | Column) -> Column:
     return F.md5(F.to_json(F.struct(*[F.col(c).alias(c) for c in named])))
 
 
+def stable_hash_named(**named: str | Column) -> Column:
+    """``stable_hash_id`` for computed columns: each kwarg is a JSON
+    field; keys are sorted like json-stable-stringify."""
+    items = sorted(named.items())
+    fields = [
+        (F.col(c) if isinstance(c, str) else c).alias(k) for k, c in items
+    ]
+    return F.md5(F.to_json(F.struct(*fields)))
+
+
 def content_fingerprint(col: str, n: int = 64) -> Column:
     """xxhash64-based rolling-window document fingerprint: hash every
     ``n``-char shingle of the column, keep the min — a cheap 1-value
