@@ -159,6 +159,11 @@ def minhash_lsh_pairs(
                 num_hashes,
             ).alias("__sig"),
         )
+        # materialize once: the signature scan feeds BOTH the band join
+        # and the verify join — without persist the shingle+signature
+        # pipeline re-executes for every consumer (at cluster scale this
+        # is the standard "write signatures to a staging table" step)
+        .persist()
     )
     # band keys only — never shuffle the shingle arrays through the
     # 16-way band join; they are joined back for the verify step
@@ -217,6 +222,8 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
         .repartition(n_part, "__id")
         .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
+        # shingle sets feed the posting list AND two verify joins
+        .persist()
     )
     posting = base.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle"))
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -288,7 +295,13 @@ def simhash_near_dups(
     bit_count(xor)."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_part, id_col)
-    sh = simhash(df, text_col).select(F.col(id_col).alias("__id"), "simhash")
+    # persist: the signature table feeds both sides of the self-join;
+    # without it the Pandas-UDF lineage executes twice per block stage
+    sh = (
+        simhash(df, text_col)
+        .select(F.col(id_col).alias("__id"), "simhash")
+        .persist()
+    )
     chunks = sh.select(
         "__id",
         "simhash",

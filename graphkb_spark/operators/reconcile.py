@@ -81,7 +81,10 @@ def reconcile(
         s = s.withColumnRenamed(f"__z{tag}", f"__zs{tag}")
         for sk, nk in zip(s_key, n_key):
             cond = cond & F.col(sk).eqNullSafe(F.col(nk))
-        j = n.join(s, cond, "full_outer")
+        # persist: each pass's join fans out into 3 consumers (matched +
+        # two leftover streams) and later passes chain off the leftovers
+        # — without it pass-1 re-executes ~5x across the final union
+        j = n.join(s, cond, "full_outer").persist()
         matched = j.filter(F.col(f"n_{id_col}").isNotNull() & F.col(f"s_{id_col}").isNotNull())
         left_new = j.filter(F.col(f"s_{id_col}").isNull() & F.col(f"n_{id_col}").isNotNull()).select(
             *[F.col(c) for c in n.columns if not c.startswith("__z")]
@@ -92,7 +95,12 @@ def reconcile(
         return matched, left_new, left_old
 
     m1, ln1, lo1 = pair(st, nw, s_gk + ["s_k_strong"], n_gk + ["n_k_strong"], "1")
-    m2, ln2, lo2 = pair(lo1, ln1, s_gk + ["s_k_weak"], n_gk + ["n_k_weak"], "2")
+    if list(strong_key) == list(weak_key):
+        # pass 2 would re-run pass 1's exact join — skip it (common when
+        # the caller has no weaker content key than the strong one)
+        m2, ln2, lo2 = None, ln1, lo1
+    else:
+        m2, ln2, lo2 = pair(lo1, ln1, s_gk + ["s_k_weak"], n_gk + ["n_k_weak"], "2")
     m3, ln3, lo3 = pair(lo2, ln2, s_gk, n_gk, "3")
 
     def updates(m: DataFrame) -> DataFrame:
@@ -108,10 +116,7 @@ def reconcile(
     deletes = lo3.select(
         *[F.col(f"s_{c}").alias(c) for c in cols], F.lit("delete").alias(RECONCILE_ACTION)
     )
-    return (
-        updates(m1)
-        .unionByName(updates(m2))
-        .unionByName(updates(m3))
-        .unionByName(creates)
-        .unionByName(deletes)
-    )
+    out = updates(m1)
+    if m2 is not None:
+        out = out.unionByName(updates(m2))
+    return out.unionByName(updates(m3)).unionByName(creates).unionByName(deletes)
