@@ -679,6 +679,34 @@ def q_combo_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_therapy_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 therapy grouping (``resolveTherapies``
+    src/civic/therapy.js:19-50): SUBSTITUTES -> one group per therapy,
+    COMBINATION/SEQUENTIAL -> single sorted group, unknown multi ->
+    error row."""
+    from graphkb_spark.loaders.civic import group_therapies
+
+    t = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = t["orders"].select(
+        "o_orderkey",
+        F.when(k % 4 == 0, F.array(F.lit("tA"), F.lit("tB")))
+        .when(k % 4 == 1, F.array(F.lit("tC")))
+        .when(k % 4 == 2, F.array(F.lit("tB"), F.lit("tA")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("therapies"),
+        F.when(k % 4 == 0, F.lit("SUBSTITUTES"))
+        .when(k % 4 == 2, F.lit("COMBINATION"))
+        .alias("therapyInteractionType"),
+    )
+    out = group_therapies(src)
+    return out.select(
+        "o_orderkey",
+        F.concat_ws("+", "therapy_group").alias("group_name"),
+        F.col("_therapy_error").alias("err"),
+    )
+
+
 def q_rollup_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 full shape: multi-level recurrence histogram as a native
     ROLLUP (the reference hand-rolls 3 specificity levels,
@@ -890,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_translate": q_relevance_translate,
         "set_ops": q_set_ops,
         "combo_naming": q_combo_naming,
+        "therapy_grouping": q_therapy_grouping,
         "rollup_recurrence": q_rollup_recurrence,
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
@@ -1230,6 +1259,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
               INTERSECT
               SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        """,
+        "therapy_grouping": """
+            SELECT o_orderkey, t.g AS group_name, CAST(NULL AS VARCHAR) AS err
+            FROM orders, unnest(
+              CASE WHEN o_orderkey % 4 = 0 THEN ['tA', 'tB']
+                   WHEN o_orderkey % 4 = 1 THEN ['tC']
+                   WHEN o_orderkey % 4 = 2 THEN ['tA+tB']
+                   ELSE [''] END) AS t(g)
         """,
         "combo_naming": """
             SELECT l_orderkey,

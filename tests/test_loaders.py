@@ -1,0 +1,220 @@
+"""Loader pipeline tests (SURVEY §7.3/§7.6): ncit clean/dedup/route,
+oncotree version ladder + DeprecatedBy, civic statement sync, DAG
+runner. Fixture shapes mirror the reference's test/data samples."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphkb_spark.kb import empty_kb, upsert_source
+from graphkb_spark.loaders.civic import build_statements, group_therapies, sync_statements
+from graphkb_spark.loaders.ncit import clean_rows, dedup_names, load_ncit
+from graphkb_spark.loaders.oncotree import deprecated_by, load_oncotree
+from graphkb_spark.loaders.pipeline import DependencyError, Job, run_pipeline, topo_order
+
+NCIT_COLS = "id string, name string, synonyms string, parents string, definition string, semanticType string, conceptStatus string"
+
+
+@pytest.fixture(scope="module")
+def ncit_raw(spark):
+    return spark.createDataFrame(
+        [
+            ("C1", "melanoma", "mel|skin cancer", "C3", "a skin cancer",
+             "Neoplastic Process", "Active"),
+            ("C2", "imatinib", "gleevec", "", "tki drug",
+             "Pharmacologic Substance", "Active"),
+            ("C3", "skin disease", "", "", None, "Disease or Syndrome", "Active"),
+            # deprecated via retired parent
+            ("C4", "old term", "", "C85834", None, "Disease or Syndrome", "Active"),
+            # same name as C1 -> both demoted to sourceId-named
+            ("C5", "Melanoma", "", "C3", None, "Neoplastic Process", "Active"),
+            # unroutable semantic type -> quarantined
+            ("C6", "mystery", "", "", None, "Conceptual Entity", "Active"),
+            # obsolete concept status -> deprecated
+            ("C7", "gone", "", "", None, "Disease or Syndrome", "Obsolete_Concept"),
+        ],
+        NCIT_COLS,
+    )
+
+
+def test_ncit_clean_rows(spark, ncit_raw):
+    rows = {r.sourceId: r for r in clean_rows(ncit_raw).collect()}
+    assert rows["c1"].cls == "Disease" and rows["c1"].subclassof == ["c3"]
+    assert rows["c2"].cls == "Therapy" and rows["c2"].synonyms == ["gleevec"]
+    assert rows["c4"].deprecated is True and rows["c4"].subclassof == []
+    assert rows["c7"].deprecated is True
+    assert rows["c6"]._load_error is not None and "not implemented" in rows["c6"]._load_error
+    assert rows["c1"]._load_error is None
+
+
+def test_ncit_name_dedup(spark, ncit_raw):
+    cleaned = clean_rows(ncit_raw).filter(F.col("_load_error").isNull())
+    rows = {r.sourceId: r for r in dedup_names(cleaned).collect()}
+    # contested 'melanoma' -> both keep sourceId as name, name demoted to synonym
+    assert rows["c1"].name == "c1" and "melanoma" in rows["c1"].synonyms
+    assert rows["c5"].name == "c5" and "Melanoma" in rows["c5"].synonyms
+    assert rows["c2"].name == "imatinib"
+
+
+def test_ncit_full_load(spark, ncit_raw):
+    kb = empty_kb(spark)
+    kb = upsert_source(spark, kb, {"name": "ncit", "sort": 1})
+    kb, bad = load_ncit(spark, kb, ncit_raw)
+    assert bad.count() == 1
+    terms = kb.terms.collect()
+    mains = [t for t in terms if not t.alias]
+    aliases = [t for t in terms if t.alias]
+    assert len(mains) == 6  # 7 raw - 1 quarantined
+    assert len(aliases) == 5  # mel, skin cancer, gleevec, melanoma, Melanoma
+    by_class = {r["cls"]: r["n"] for r in
+                kb.terms.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_class["Therapy"] == 2  # imatinib + gleevec alias
+    edges = {r.edge_class for r in kb.edges.collect()}
+    assert edges == {"SubClassOf", "AliasOf"}
+    sub = kb.edges.filter(F.col("edge_class") == "SubClassOf").count()
+    assert sub == 2  # c1->c3, c5->c3 (c4's parent was retired-filtered)
+    assert kb.edges.filter(F.col("edge_class") == "AliasOf").count() == 5
+
+
+ONCO_COLS = "version string, code string, name string, parent string, history array<string>"
+
+
+@pytest.fixture(scope="module")
+def onco_records(spark):
+    return spark.createDataFrame(
+        [
+            ("2019_03_01", "mel", "Melanoma", "skin", []),
+            ("2019_03_01", "skin", "Skin", None, []),
+            ("2019_03_01", "gist", "GI Stromal Tumor", None, []),
+            # 2020: gist renamed -> gists (history carries old code)
+            ("2020_10_01", "mel", "Melanoma", "skin", []),
+            ("2020_10_01", "skin", "Skin", None, []),
+            ("2020_10_01", "gists", "GI Stromal Tumors", None, ["gist"]),
+        ],
+        ONCO_COLS,
+    )
+
+
+def test_oncotree_deprecated_by(spark, onco_records):
+    dep = deprecated_by(onco_records).collect()
+    assert len(dep) == 1
+    assert dep[0].old_code == "gist" and dep[0].new_code == "gists"
+    assert dep[0].version == "2020_10_01"
+
+
+def test_oncotree_load(spark, onco_records):
+    kb = empty_kb(spark)
+    kb = upsert_source(spark, kb, {"name": "oncotree", "sort": 2})
+    kb = load_oncotree(spark, kb, onco_records)
+    assert kb.terms.count() == 6
+    dep_edges = kb.edges.filter(F.col("edge_class") == "DeprecatedBy").collect()
+    assert len(dep_edges) == 1
+    rid = {r.sourceId: r.rid for r in kb.terms.collect()}
+    assert dep_edges[0].out_rid == rid["gist@2019_03_01"]
+    assert dep_edges[0].in_rid == rid["gists@2020_10_01"]
+    # SubClassOf within each version: mel->skin twice
+    assert kb.edges.filter(F.col("edge_class") == "SubClassOf").count() == 2
+
+
+EVID_COLS = (
+    "sourceId string, profile_expr string, therapies array<string>,"
+    " therapyInteractionType string, evidence_type string, direction string,"
+    " significance string, disease string"
+)
+
+
+@pytest.fixture(scope="module")
+def evidence(spark):
+    return spark.createDataFrame(
+        [
+            # 2 conditions x 2 substitute therapies = 4 candidates
+            ("EID1", "v1 AND (v2 OR v3)", ["dasatinib", "imatinib"], "SUBSTITUTES",
+             "PREDICTIVE", "SUPPORTS", "RESISTANCE", "cml"),
+            # combination -> single sorted group
+            ("EID2", "v9", ["trametinib", "dabrafenib"], "COMBINATION",
+             "PREDICTIVE", "SUPPORTS", "SENSITIVITYRESPONSE", "melanoma"),
+            # no therapy
+            ("EID3", "v5", [], None, "PROGNOSTIC", "SUPPORTS", "POOR_OUTCOME", "aml"),
+            # bad interaction type for 2 therapies -> quarantined
+            ("EID4", "v1", ["a", "b"], "WEIRD",
+             "PREDICTIVE", "SUPPORTS", "RESISTANCE", "x"),
+            # invalid profile -> quarantined
+            ("EID5", "v1 AND NOT v2", ["a"], None,
+             "PREDICTIVE", "SUPPORTS", "RESISTANCE", "y"),
+        ],
+        EVID_COLS,
+    )
+
+
+def test_group_therapies(spark, evidence):
+    out = group_therapies(evidence)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.sourceId, []).append(r.therapy_group)
+    assert sorted(got["EID1"]) == [["dasatinib"], ["imatinib"]]
+    assert got["EID2"] == [["dabrafenib", "trametinib"]]  # sorted combination
+    assert got["EID3"] == [[None]]
+    assert got["EID4"] == [None]  # error row
+
+
+def test_build_statements(spark, evidence):
+    out = build_statements(spark, evidence)
+    ok = out.filter(F.col("_error").isNull())
+    bad = out.filter(F.col("_error").isNotNull())
+    assert bad.filter(F.col("sourceId").isin("EID4", "EID5")).count() == bad.count()
+    rows = ok.filter(F.col("sourceId") == "EID1").collect()
+    assert len(rows) == 4  # 2 conjuncts x 2 therapies
+    conds = {tuple(r.conditions) for r in rows}
+    assert ("cml", "dasatinib", "v1", "v2") in conds
+    assert all(r.relevance == "resistance" for r in rows)
+    eid2 = ok.filter(F.col("sourceId") == "EID2").collect()
+    assert len(eid2) == 1
+    assert eid2[0].therapy == "dabrafenib + trametinib"
+    eid3 = ok.filter(F.col("sourceId") == "EID3").collect()
+    assert eid3[0].conditions == ["aml", "v5"]
+
+
+def test_sync_statements_actions(spark, evidence):
+    stored = spark.createDataFrame(
+        [
+            # exact match for one EID1 candidate -> update (keeps rid)
+            ("EID1", ["cml", "dasatinib", "v1", "v2"], "resistance", "rid_1"),
+            # stale statement -> delete
+            ("EID9", ["zzz"], "resistance", "rid_9"),
+        ],
+        "sourceId string, conditions array<string>, relevance string, rid string",
+    )
+    out = sync_statements(spark, stored, evidence)
+    acts = {r["_action"] for r in out.collect()}
+    assert acts == {"update", "create", "delete"}
+    upd = out.filter(F.col("_action") == "update").collect()
+    assert any(r.rid == "rid_1" and r.sourceId == "EID1" for r in upd)
+    dele = out.filter(F.col("_action") == "delete").collect()
+    assert len(dele) == 1 and dele[0].rid == "rid_9"
+    # EID2/EID3 are brand new -> creates
+    creates = out.filter(F.col("_action") == "create")
+    assert creates.filter(F.col("sourceId").isin("EID2", "EID3")).count() == 2
+
+
+def test_pipeline_topo_and_cycle():
+    ran = []
+
+    def mk(name):
+        def fn(state):
+            ran.append(name)
+            return state
+        return fn
+
+    jobs = {
+        "civic": Job("civic", mk("civic"), deps=("ncit", "vocab")),
+        "ncit": Job("ncit", mk("ncit"), deps=("vocab",)),
+        "vocab": Job("vocab", mk("vocab")),
+        "oncotree": Job("oncotree", mk("oncotree"), deps=("vocab",)),
+    }
+    _, order = run_pipeline(jobs, None)
+    assert order == ["vocab", "ncit", "oncotree", "civic"]
+    assert ran == order
+
+    with pytest.raises(DependencyError):
+        topo_order({"a": Job("a", mk("a"), deps=("b",)), "b": Job("b", mk("b"), deps=("a",))})
+    with pytest.raises(DependencyError):
+        topo_order({"a": Job("a", mk("a"), deps=("zzz",))})
