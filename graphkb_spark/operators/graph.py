@@ -48,6 +48,10 @@ def expand_neighbors(
             .join(visited.select("rid"), "rid", "left_anti")
             .withColumn("hop", F.lit(hop))
         )
+        # truncate lineage each hop: without this the plan doubles per
+        # iteration (hop k re-embeds every earlier hop's joins) — the
+        # standard checkpoint step of any iterative DataFrame algorithm
+        nxt = nxt.localCheckpoint(eager=False)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
