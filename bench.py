@@ -35,6 +35,11 @@ HEADLINE = [
     "sessionize",
     "incremental_merge",
     "graph_neighbors",
+    "kb_ontology_load",
+    "hgvs_parse",
+    "dnf_expansion",
+    "therapy_grouping",
+    "rollup_recurrence",
 ]
 
 

@@ -1,0 +1,42 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join splitting (enabled in the session factory) handles
+sort-merge skew at runtime; explicit salting is for the case AQE cannot
+fix — a *broadcast-ineligible* dimension joined on a key where a few
+values dominate (the reference's analog: one disease name carrying a
+large share of statements). Salting replicates the dimension rows R
+ways and scatters the fact rows across the replicas, so a hot key
+spreads over R tasks instead of one straggler.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact`` to ``dim`` on shared key columns with R-way
+    salting: fact rows get a deterministic salt in [0, R), dim rows are
+    exploded to all R salts; the join key becomes (key..., salt).
+
+    Deterministic (salt = xxhash64 of the full fact row mod R, not
+    random) so retried tasks land in the same bucket. Use for hot-key
+    joins where ``dim`` is too large to broadcast; cost is R-fold dim
+    replication — pick R ~ (hot-key rows / healthy-partition rows).
+    """
+    on = list(on)
+    f = fact.withColumn(SALT_COL, F.pmod(F.xxhash64(*fact.columns), F.lit(salt)))
+    d = dim.withColumn(SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = f.join(d, on + [SALT_COL], how)
+    return out.drop(SALT_COL)
