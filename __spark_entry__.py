@@ -707,6 +707,40 @@ def q_therapy_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spec_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: JSON-Schema-style validation filter with per-row error
+    accumulation (checkSpec src/util.js:201-214)."""
+    from graphkb_spark.operators.validate import SPEC_ERRORS_COL, check_spec
+
+    t = _t(spark, sf_dir, "orders")
+    spec = {
+        "price-cap": F.col("o_totalprice") < 300000,
+        "not-urgent": F.col("o_orderpriority") != "1-URGENT",
+        "date-present": F.col("o_orderdate").isNotNull(),
+    }
+    out = check_spec(t["orders"], spec)
+    return out.select(
+        "o_orderkey",
+        F.concat_ws(";", SPEC_ERRORS_COL).alias("errs"),
+        F.size(SPEC_ERRORS_COL).alias("n_errors"),
+    )
+
+
+def q_full_reload_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9.3: hash-id full-reload diff (cosmic resistance shape) —
+    original vs regenerated id sets -> keep/delete/create."""
+    from graphkb_spark.operators.validate import full_reload_diff
+
+    t = _t(spark, sf_dir, "orders")
+    original = t["orders"].filter(F.col("o_orderkey") % 3 != 0).select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("rid")
+    )
+    reloaded = t["orders"].filter(F.col("o_orderkey") % 5 != 0).select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("rid")
+    )
+    return full_reload_diff(original, reloaded)
+
+
 def q_rollup_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 full shape: multi-level recurrence histogram as a native
     ROLLUP (the reference hand-rolls 3 specificity levels,
@@ -919,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "combo_naming": q_combo_naming,
         "therapy_grouping": q_therapy_grouping,
+        "spec_validation": q_spec_validation,
+        "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
@@ -1267,6 +1303,37 @@ def oracle_sql() -> dict[str, str]:
                    WHEN o_orderkey % 4 = 1 THEN ['tC']
                    WHEN o_orderkey % 4 = 2 THEN ['tA+tB']
                    ELSE [''] END) AS t(g)
+        """,
+        "spec_validation": """
+            SELECT o_orderkey,
+                   coalesce(array_to_string(list_filter([
+                     CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE)
+                          THEN 'price-cap' END,
+                     CASE WHEN NOT coalesce(o_orderpriority <> '1-URGENT', FALSE)
+                          THEN 'not-urgent' END,
+                     CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE)
+                          THEN 'date-present' END
+                   ], x -> x IS NOT NULL), ';'), '') AS errs,
+                   len(list_filter([
+                     CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE)
+                          THEN 'price-cap' END,
+                     CASE WHEN NOT coalesce(o_orderpriority <> '1-URGENT', FALSE)
+                          THEN 'not-urgent' END,
+                     CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE)
+                          THEN 'date-present' END
+                   ], x -> x IS NOT NULL)) AS n_errors
+            FROM orders
+        """,
+        "full_reload_diff": """
+            WITH o AS (SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS rid
+                       FROM orders WHERE o_orderkey % 3 <> 0),
+            r AS (SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS rid
+                  FROM orders WHERE o_orderkey % 5 <> 0)
+            SELECT coalesce(o.rid, r.rid) AS rid,
+                   CASE WHEN o.rid IS NOT NULL AND r.rid IS NOT NULL THEN 'keep'
+                        WHEN o.rid IS NOT NULL THEN 'delete'
+                        ELSE 'create' END AS action
+            FROM o FULL OUTER JOIN r ON o.rid = r.rid
         """,
         "combo_naming": """
             SELECT l_orderkey,

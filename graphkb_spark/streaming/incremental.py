@@ -64,6 +64,63 @@ def sessionize(
     ).drop("__new")
 
 
+def streaming_upsert(
+    spark: SparkSession,
+    events: DataFrame,
+    on: Sequence[str] = ("user_id",),
+    cursor_col: str = "ts",
+    stage_dir: str | None = None,
+    query_name: str = "stream_upsert",
+) -> DataFrame:
+    """§2.10 idiom end-to-end as a real Structured Streaming query:
+    ``readStream`` over a parquet landing zone -> ``foreachBatch`` that
+    MERGEs each micro-batch into the target state by key, newest cursor
+    wins (the clinicaltrials --days cron re-expressed; in production the
+    target is a Delta table and this is ``DeltaTable.merge`` inside the
+    same foreachBatch).
+
+    Returns the final target state after draining all available input.
+    """
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events.write.mode("overwrite").parquet(stage_dir)
+
+    state = {"target": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(F.col(cursor_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["target"] is None:
+            state["target"] = latest.localCheckpoint(eager=True)
+        else:
+            # newest-cursor-wins across batches: micro-batch order is not
+            # event order (a late file can carry older rows), so the
+            # merge condition is the cursor, not mere difference
+            combined = state["target"].unionByName(latest)
+            w2 = Window.partitionBy(*[F.col(c) for c in on]).orderBy(
+                F.col(cursor_col).desc()
+            )
+            state["target"] = (
+                combined.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .localCheckpoint(eager=True)
+            )
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stage_dir)
+    q = stream.writeStream.foreachBatch(merge_batch).queryName(query_name).start()
+    q.processAllAvailable()
+    q.stop()
+    return state["target"]
+
+
 def streaming_windowed_counts(
     spark: SparkSession,
     events: DataFrame,

@@ -1,0 +1,61 @@
+"""P5 spec validation, §2.9.3 full-reload diff, §2.10 foreachBatch
+streaming MERGE."""
+
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.validate import (
+    SPEC_ERRORS_COL,
+    check_spec,
+    full_reload_diff,
+    split_valid,
+)
+from graphkb_spark.streaming.incremental import streaming_upsert
+
+
+def test_check_spec_and_split(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, None, 5.0), (3, "ok", -1.0), (4, None, -2.0)],
+        "id int, name string, score double",
+    )
+    spec = {
+        "name-required": F.col("name").isNotNull(),
+        "score-positive": F.col("score") > 0,
+    }
+    checked = {r.id: r[SPEC_ERRORS_COL] for r in check_spec(df, spec).collect()}
+    assert checked[1] == []
+    assert checked[2] == ["name-required"]
+    assert checked[3] == ["score-positive"]
+    assert sorted(checked[4]) == ["name-required", "score-positive"]
+    valid, bad = split_valid(df, spec)
+    assert {r.id for r in valid.collect()} == {1}
+    assert {r.id for r in bad.collect()} == {2, 3, 4}
+
+
+def test_full_reload_diff(spark):
+    original = spark.createDataFrame([("a",), ("b",), ("c",)], ["rid"])
+    reloaded = spark.createDataFrame([("b",), ("c",), ("d",)], ["rid"])
+    got = {r.rid: r.action for r in full_reload_diff(original, reloaded).collect()}
+    assert got == {"a": "delete", "b": "keep", "c": "keep", "d": "create"}
+    suppressed = {
+        r.rid: r.action
+        for r in full_reload_diff(original, reloaded, suppress_delete=True).collect()
+    }
+    assert suppressed["a"] == "keep-flagged"
+
+
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "login", 1.0),
+            (1, "2024-01-02 10:00:00", "click", 2.0),
+            (2, "2024-01-01 09:00:00", "login", 3.0),
+        ],
+        "user_id int, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_upsert(
+        spark, events, on=("user_id",), cursor_col="ts", stage_dir=str(tmp_path / "land")
+    )
+    rows = {r.user_id: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[1].event_type == "click"  # newest ts wins across micro-batches
+    assert rows[2].event_type == "login"
