@@ -173,6 +173,42 @@ def read_xlsx(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame
     return spark.createDataFrame(pdf)
 
 
+def extract_links(col, base_url: str | None = None):
+    """S16 HTML scrape: ``<a href>`` extraction as a pure Column
+    expression (reference parse5 DOM walk,
+    /root/reference/src/fdaApprovals/index.js:14-105). Returns
+    array<string> of hrefs; relative links get ``base_url`` prefixed.
+    JVM regexp — no Python, no DOM, good enough for the link-harvest
+    step the reference does before fetching article pages."""
+    c = F.col(col) if isinstance(col, str) else col
+    hrefs = F.regexp_extract_all(c, F.lit('<a[^>]*href="([^"#]+)"'), 1)
+    if base_url:
+        hrefs = F.transform(
+            hrefs,
+            lambda h: F.when(
+                h.startswith("http"), h
+            ).otherwise(F.concat(F.lit(base_url.rstrip("/") + "/"), F.regexp_replace(h, "^/", ""))),
+        )
+    return hrefs
+
+
+def html_to_text(col):
+    """S16 article-text extraction (html-to-text equivalent): strip
+    script/style blocks, tags, collapse entities+whitespace. Pure
+    Column regexp chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_script = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    no_tags = F.regexp_replace(no_script, r"<[^>]+>", " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+        ),
+        "&(nbsp|#160);",
+        " ",
+    )
+    return F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+
+
 def fetch_rest_batched(
     spark: SparkSession,
     ids: DataFrame,
