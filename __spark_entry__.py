@@ -863,6 +863,38 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text as opaque binary payloads
+    with kind routing -> mapInPandas feature extraction (decode stubbed
+    deterministically: dims derived from the sha256 digest, so the
+    oracle can verify the full Arrow round-trip)."""
+    from graphkb_spark.multimodal.binary import extract_features
+
+    t = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    media = t["documents"].select(
+        k.alias("media_id"),
+        F.when(k % 3 == 0, F.lit("image"))
+        .when(k % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "digest",
+        "width",
+        "height",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.col("decode_error").isNotNull().alias("has_error"),
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming-ish + graph
 # --------------------------------------------------------------------------
@@ -970,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "graph_neighbors": q_graph_neighbors,
@@ -1463,6 +1496,32 @@ def oracle_sql() -> dict[str, str]:
                               THEN n_stop / CAST(q_words AS DOUBLE) ELSE 0 END) * 5,
                               1.0) * 0.3, 6) AS q_score
             FROM feats
+        """,
+        "multimodal_features": """
+            WITH hx AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image'
+                          WHEN doc_id % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     octet_length(CAST(text AS BLOB)) AS n_bytes,
+                     sha256(text) AS digest
+              FROM documents),
+            b AS (
+              SELECT *,
+                     (instr('0123456789abcdef', substr(digest, 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(digest, 2, 1)) - 1) AS d0,
+                     (instr('0123456789abcdef', substr(digest, 3, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(digest, 4, 1)) - 1) AS d1,
+                     (instr('0123456789abcdef', substr(digest, 5, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(digest, 6, 1)) - 1) AS d2
+              FROM hx)
+            SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes, digest,
+                   CASE WHEN kind = 'image' THEN CAST(64 + d0 % 192 AS INT) END AS width,
+                   CASE WHEN kind = 'image' THEN CAST(64 + d1 % 192 AS INT) END AS height,
+                   CASE WHEN kind = 'audio' THEN round(0.5 + d2 / 16.0, 4) END
+                     AS duration_s,
+                   kind = 'video' AS has_error
+            FROM b
         """,
         "sessionize": """
             WITH gaps AS (

@@ -57,7 +57,9 @@ def _decode_image_stub(payload: bytes) -> dict:
 
 def _decode_audio_stub(payload: bytes) -> dict:
     d = hashlib.sha256(payload).digest()
-    return {"width": None, "height": None, "duration_s": round(0.5 + d[2] / 16.0, 3)}
+    # 0.5 + k/16 is binary-exact — no float rounding ambiguity between
+    # engines (Python rounds half-even, SQL engines half-away)
+    return {"width": None, "height": None, "duration_s": 0.5 + d[2] / 16.0}
 
 
 def _decode_video_stub(payload: bytes) -> dict:

@@ -59,3 +59,28 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     assert len(rows) == 2
     assert rows[1].event_type == "click"  # newest ts wins across micro-batches
     assert rows[2].event_type == "login"
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches
+    (one file per trigger -> 2 batches here)."""
+    from graphkb_spark.streaming.stateful import running_user_totals
+
+    schema = "user_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 11:00:00", 2.0),
+         (2, "2024-01-01 10:30:00", 5.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    b2 = spark.createDataFrame(
+        [(1, "2024-01-02 10:00:00", 4.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    land = str(tmp_path / "land")
+    b1.write.mode("overwrite").parquet(land)
+    b2.write.mode("append").parquet(land)
+    out = running_user_totals(spark, spark.read.schema(schema).parquet(land),
+                              stage_dir=str(tmp_path / "stage"))
+    rows = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    assert rows[1] == (3, 7.0)  # state carried across batches
+    assert rows[2] == (1, 5.0)
