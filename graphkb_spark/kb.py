@@ -54,11 +54,15 @@ class KnowledgeBase:
     sources: DataFrame
     terms: DataFrame
     edges: DataFrame
+    features: DataFrame | None = None
     counts: dict[str, dict[str, int]] = field(default_factory=dict)
 
     @property
     def tables(self) -> dict[str, DataFrame]:
-        return {"sources": self.sources, "terms": self.terms, "edges": self.edges}
+        out = {"sources": self.sources, "terms": self.terms, "edges": self.edges}
+        if self.features is not None:
+            out["features"] = self.features
+        return out
 
     def query(self, query: Mapping) -> DataFrame:
         """The reference's ``/query`` endpoint (src/graphkb.js:341-372)

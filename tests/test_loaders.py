@@ -218,3 +218,39 @@ def test_pipeline_topo_and_cycle():
         topo_order({"a": Job("a", mk("a"), deps=("b",)), "b": Job("b", mk("b"), deps=("a",))})
     with pytest.raises(DependencyError):
         topo_order({"a": Job("a", mk("a"), deps=("zzz",))})
+
+
+def test_feature_hierarchy(spark):
+    """J10: ensembl-style gene/transcript/protein ladders — versioned +
+    generic features, GeneralizationOf + ElementOf edges."""
+    from graphkb_spark.loaders.features import load_feature_hierarchy
+
+    rows = spark.createDataFrame(
+        [
+            ("ENSG1", "1", "ENST1", "2", "ENSP1", "1"),
+            ("ENSG1", "1", "ENST2", "1", None, None),  # non-coding transcript
+            ("ENSG1", "2", "ENST1", "2", "ENSP1", "1"),  # new gene version only
+        ],
+        "gene_id string, gene_version string, transcript_id string,"
+        " transcript_version string, protein_id string, protein_version string",
+    )
+    kb = empty_kb(spark)
+    kb = load_feature_hierarchy(spark, kb, rows, "ensembl")
+    feats = kb.features.collect()
+    by_bt = {}
+    for r in feats:
+        by_bt.setdefault(r.biotype, []).append((r.sourceId, r.sourceIdVersion))
+    # gene: 2 versioned + 1 generic; transcript: 2 versioned + 2 generic;
+    # protein: 1 versioned + 1 generic
+    assert sorted(by_bt["gene"], key=lambda t: (t[0], t[1] or "")) == [
+        ("ENSG1", None), ("ENSG1", "1"), ("ENSG1", "2")]
+    assert len(by_bt["transcript"]) == 4
+    assert len(by_bt["protein"]) == 2
+    edges = kb.edges.groupBy("edge_class").count().collect()
+    n = {r.edge_class: r["count"] for r in edges}
+    assert n["GeneralizationOf"] == 5  # 2 gene vers + 2 transcript vers + 1 protein
+    assert n["ElementOf"] == 3  # ENST1->ENSG1, ENST2->ENSG1, ENSP1->ENST1
+    # all edge endpoints resolve to existing features
+    rids = {r.rid for r in feats}
+    for e in kb.edges.collect():
+        assert e.out_rid in rids and e.in_rid in rids
