@@ -707,6 +707,42 @@ def q_therapy_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_normalizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/J8: the join-key normalizer family — case/space collapse,
+    disease-name cleanup (british spellings), publication-title keys,
+    gene-symbol suffix-1 equivalence, null-like cleanup."""
+    from graphkb_spark.functions.normalize import (
+        clean_disease_name,
+        gene_name_key,
+        norm_case_space,
+        norm_title,
+        null_like_to_null,
+    )
+
+    t = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    src = t["customer"].select(
+        "c_custkey",
+        F.concat(F.lit("  Acute  "), F.when(k % 2 == 0, F.lit("Leukaemia")).otherwise(
+            F.lit("Tumour")), F.lit("_Of Breast ")).alias("disease_raw"),
+        F.concat(F.lit("The <em>Title</em> No "), (k % 50).cast("string"), F.lit(".")).alias(
+            "title_raw"
+        ),
+        F.when(k % 3 == 0, F.lit("ABL1")).when(k % 3 == 1, F.lit("abl")).otherwise(
+            F.lit("ERBB21")).alias("gene_raw"),
+        F.when(k % 4 == 0, F.lit("None")).when(k % 4 == 1, F.lit(" ")).otherwise(
+            F.lit("real")).alias("nullish_raw"),
+    )
+    return src.select(
+        "c_custkey",
+        norm_case_space("disease_raw").alias("norm_space"),
+        clean_disease_name("disease_raw").alias("disease_key"),
+        norm_title("title_raw").alias("title_key"),
+        gene_name_key("gene_raw").alias("gene_key"),
+        null_like_to_null("nullish_raw").alias("nullish"),
+    )
+
+
 def q_spec_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: JSON-Schema-style validation filter with per-row error
     accumulation (checkSpec src/util.js:201-214)."""
@@ -985,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "combo_naming": q_combo_naming,
         "therapy_grouping": q_therapy_grouping,
+        "string_normalizers": q_string_normalizers,
         "spec_validation": q_spec_validation,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
@@ -1336,6 +1373,37 @@ def oracle_sql() -> dict[str, str]:
                    WHEN o_orderkey % 4 = 1 THEN ['tC']
                    WHEN o_orderkey % 4 = 2 THEN ['tA+tB']
                    ELSE [''] END) AS t(g)
+        """,
+        "string_normalizers": """
+            WITH src AS (
+              SELECT c_custkey,
+                     '  Acute  ' || CASE WHEN c_custkey % 2 = 0 THEN 'Leukaemia'
+                                         ELSE 'Tumour' END || '_Of Breast '
+                       AS disease_raw,
+                     'The <em>Title</em> No ' || (c_custkey % 50) || '.' AS title_raw,
+                     CASE WHEN c_custkey % 3 = 0 THEN 'ABL1'
+                          WHEN c_custkey % 3 = 1 THEN 'abl'
+                          ELSE 'ERBB21' END AS gene_raw,
+                     CASE WHEN c_custkey % 4 = 0 THEN 'None'
+                          WHEN c_custkey % 4 = 1 THEN ' '
+                          ELSE 'real' END AS nullish_raw
+              FROM customer)
+            SELECT c_custkey,
+                   regexp_replace(lower(trim(disease_raw)), '\\s+', ' ', 'g')
+                     AS norm_space,
+                   regexp_replace(regexp_replace(
+                     regexp_replace(lower(trim(regexp_replace(disease_raw, '_', ' ', 'g'))),
+                                    '\\s+', ' ', 'g'),
+                     'leukaemia', 'leukemia', 'g'), 'tumour', 'tumor', 'g')
+                     AS disease_key,
+                   regexp_replace(lower(trim(regexp_replace(title_raw, '</?em>', '', 'g'))),
+                                  '\\.$', '') AS title_key,
+                   regexp_replace(
+                     regexp_replace(lower(trim(gene_raw)), '\\s+', ' ', 'g'),
+                     '^([a-z]{3,})1$', '\\1') AS gene_key,
+                   CASE WHEN trim(nullish_raw) IN ('None', '') THEN NULL
+                        ELSE nullish_raw END AS nullish
+            FROM src
         """,
         "spec_validation": """
             SELECT o_orderkey,

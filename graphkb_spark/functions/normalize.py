@@ -48,7 +48,8 @@ def null_like_to_null(col: str | Column, extra: tuple[str, ...] = ("None",)) -> 
 def gene_name_key(col: str | Column) -> Column:
     """Gene-symbol compare key (reference: ``compareGeneNames``
     src/civic/variant.js:49-56 — abl == abl1 style suffix-1 equivalence).
-    Strips one trailing '1' when it is not preceded by another digit, so
-    'abl1' and 'abl' share a key while 'erbb21' keeps its digits."""
+    Strips one trailing '1' from an all-letter symbol, so 'abl1' and
+    'abl' share a key while 'erbb21' keeps its digits. Anchored capture
+    (no lookbehind) so the same regex runs on RE2 engines too."""
     c = norm_case_space(col)
-    return F.regexp_replace(c, r"(?<=[a-z]{3})1$", "")
+    return F.regexp_replace(c, r"^([a-z]{3,})1$", "$1")
