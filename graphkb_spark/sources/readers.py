@@ -173,6 +173,65 @@ def read_xlsx(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame
     return spark.createDataFrame(pdf)
 
 
+def paginate_skip_limit(fetch_page, limit: int = 1000):
+    """S9: skip/limit paging until a short page (reference
+    ``getRecords`` /root/reference/src/graphkb.js:341-372).
+    ``fetch_page(skip, limit) -> list`` ; yields records."""
+    skip = 0
+    while True:
+        page = fetch_page(skip, limit)
+        yield from page
+        if len(page) < limit:
+            return
+        skip += limit
+
+
+def paginate_cursor(fetch_page):
+    """S10/S11: cursor / pageToken paging (CIViC GraphQL ``after``
+    src/civic/evidenceItem.js:28-53; clinicaltrials ``nextPageToken``
+    src/clinicaltrialsgov/index.js:301-371).
+    ``fetch_page(cursor) -> (list, next_cursor | None)``."""
+    cursor = None
+    while True:
+        page, cursor = fetch_page(cursor)
+        yield from page
+        if cursor is None:
+            return
+
+
+def paginate_next_link(fetch_page, first_url: str):
+    """S12: next-link paging (DGIdb ``_meta.links.next``
+    src/dgidb/index.js:49-88). ``fetch_page(url) -> (list, next_url)``."""
+    url = first_url
+    while url:
+        page, url = fetch_page(url)
+        yield from page
+
+
+def paginate_offset_total(fetch_page, page_size: int = 100):
+    """S13: offset/total paging (ASCO solr ``start``/``numFound``
+    src/asco/index.js:71-100). ``fetch_page(start, rows) ->
+    (list, total)``."""
+    start = 0
+    total = None
+    while total is None or start < total:
+        page, total = fetch_page(start, page_size)
+        yield from page
+        start += page_size
+        if not page:
+            return
+
+
+def fetch_paginated(spark: SparkSession, records_iter, schema: T.StructType | None = None):
+    """Materialize a pagination generator into a DataFrame — pagination
+    runs on the driver (rate-limited external APIs, SURVEY §2.11 C5);
+    everything downstream is distributed."""
+    rows = list(records_iter)
+    if schema is not None:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows)
+
+
 def extract_links(col, base_url: str | None = None):
     """S16 HTML scrape: ``<a href>`` extraction as a pure Column
     expression (reference parse5 DOM walk,

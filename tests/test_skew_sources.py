@@ -122,3 +122,45 @@ def test_hgvs_protein_sub_roundtrip(ref, pos, alt):
 def test_hgvs_never_raises(s):
     out = parse_variant(s)
     assert (out["error"] is None) or isinstance(out["error"], str)
+
+
+def test_pagination_protocols(spark):
+    """S9-S13: the four pagination contracts drain whole result sets."""
+    from graphkb_spark.sources.readers import (
+        fetch_paginated,
+        paginate_cursor,
+        paginate_next_link,
+        paginate_offset_total,
+        paginate_skip_limit,
+    )
+
+    data = [{"id": i} for i in range(25)]
+
+    def by_skip(skip, limit):
+        return data[skip : skip + limit]
+
+    assert list(paginate_skip_limit(by_skip, limit=10)) == data
+
+    def by_cursor(cursor):
+        start = cursor or 0
+        page = data[start : start + 10]
+        nxt = start + 10 if start + 10 < len(data) else None
+        return page, nxt
+
+    assert list(paginate_cursor(by_cursor)) == data
+
+    def by_link(url):
+        start = int(url.rsplit("=", 1)[1])
+        page = data[start : start + 10]
+        nxt = f"x?start={start + 10}" if start + 10 < len(data) else None
+        return page, nxt
+
+    assert list(paginate_next_link(by_link, "x?start=0")) == data
+
+    def by_offset(start, rows):
+        return data[start : start + rows], len(data)
+
+    assert list(paginate_offset_total(by_offset, page_size=10)) == data
+
+    df = fetch_paginated(spark, paginate_skip_limit(by_skip, limit=7))
+    assert df.count() == 25 and df.columns == ["id"]
