@@ -150,3 +150,28 @@ def sync_statements(
         order=["__ck", "__wk"],
         id_col="rid",
     ).drop("__ck", "__wk")
+
+
+def apply_statement_actions(
+    stored: DataFrame, actions: DataFrame, delete_suppressed: bool = False
+) -> DataFrame:
+    """Apply a reconcile actions frame back onto the statements table —
+    the write half of §2.9.2 (reference src/civic/index.js:340-409:
+    create + update-if-changed + soft-delete, deletes suppressed when
+    the load had errors or flags say so).
+
+    Returns the new statements table: updates replace the stored row's
+    content under its rid, creates append, deletes drop (or stay when
+    ``delete_suppressed``).
+    """
+    keep_cols = [c for c in stored.columns]
+    upserts = actions.filter(F.col("_action").isin("update", "create")).select(keep_cols)
+    if delete_suppressed:
+        deleted_ids = actions.limit(0).select("rid")
+    else:
+        deleted_ids = actions.filter(F.col("_action") == "delete").select("rid")
+    survivors = (
+        stored.join(deleted_ids, "rid", "left_anti")
+        .join(upserts.select("rid"), "rid", "left_anti")  # replaced by update rows
+    )
+    return survivors.unionByName(upserts)

@@ -254,3 +254,27 @@ def test_feature_hierarchy(spark):
     rids = {r.rid for r in feats}
     for e in kb.edges.collect():
         assert e.out_rid in rids and e.in_rid in rids
+
+
+def test_apply_statement_actions(spark, evidence):
+    """§2.9.2 write half: reconcile actions applied back to the
+    statements table; deletes suppressible."""
+    from graphkb_spark.loaders.civic import apply_statement_actions
+
+    stored = spark.createDataFrame(
+        [
+            ("EID1", ["cml", "dasatinib", "v1", "v2"], "resistance", "rid_1"),
+            ("EID9", ["zzz"], "resistance", "rid_9"),
+        ],
+        "sourceId string, conditions array<string>, relevance string, rid string",
+    )
+    actions = sync_statements(spark, stored, evidence)
+    new_table = apply_statement_actions(stored, actions)
+    rows = {r.rid for r in new_table.collect()}
+    assert "rid_9" not in rows            # deleted
+    assert "rid_1" in rows                # updated in place (rid kept)
+    n_creates = actions.filter(F.col("_action") == "create").count()
+    assert new_table.count() == 1 + n_creates
+
+    suppressed = apply_statement_actions(stored, actions, delete_suppressed=True)
+    assert "rid_9" in {r.rid for r in suppressed.collect()}
