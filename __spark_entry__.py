@@ -536,7 +536,11 @@ def q_kb_ontology_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kb = empty_kb(spark)
     kb = upsert_source(spark, kb, {"name": "tpch"})
-    kb = load_ontology_records(spark, kb, recs_r.unionByName(recs_n), "tpch")
+    # collect_counts=False: the K6 counters are a separate action; the
+    # query path stays one lazy plan
+    kb = load_ontology_records(
+        spark, kb, recs_r.unionByName(recs_n), "tpch", collect_counts=False
+    )
     parents = kb.edges.filter(F.col("edge_class") == "SubClassOf").select(
         F.col("out_rid").alias("rid"), "in_rid"
     )
@@ -850,6 +854,23 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic-sample centroids, nprobe cells per
+    query, exact rerank within cells (rows-only — cell assignment is
+    sample-defined). nprobe/n_centroids = 1/2 here: the synthetic
+    embeddings are random (no cluster structure), so recall tracks the
+    probed fraction; real embedding corpora cluster and probe far less."""
+    from graphkb_spark.operators.similarity import ivf_topk
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the scale path; rows-only
     check — bucketing is hash-defined)."""
@@ -1035,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
+        "embedding_ivf": q_embedding_ivf,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "quality_score": q_quality_score,

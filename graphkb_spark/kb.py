@@ -107,6 +107,7 @@ def load_ontology_records(
     records: DataFrame,
     source_name: str,
     cls: str = "Vocabulary",
+    collect_counts: bool = True,
 ) -> KnowledgeBase:
     """Generic ontology loader (reference src/ontology/index.js:108-243).
 
@@ -168,11 +169,14 @@ def load_ontology_records(
         # upsertCheckExclude (/root/reference/src/ncit/index.js:385-387)
         exclude=["comment"],
     )
-    counts = {
-        r["_action"]: r["n"]
-        for r in merged_terms.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    kb.counts.setdefault(cls, {}).update(counts)
+    if collect_counts:
+        counts = {
+            r["_action"]: r["n"]
+            for r in merged_terms.groupBy("_action").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        kb.counts.setdefault(cls, {}).update(counts)
     kb.terms = merged_terms.drop("_action").select(
         [f.name for f in ONTOLOGY_TERM_SCHEMA.fields]
     )
