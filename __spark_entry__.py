@@ -1524,6 +1524,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, expr, unnest([conj1, conj2]) AS conditions
             FROM expanded
         """,
+        "ngram_jaccard": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM words)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
