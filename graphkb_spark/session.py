@@ -60,6 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     is a narrow projection — no shuffle, pushdown still applies to the
     untouched columns."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # the driver may hand us ITS OWN SparkSession without the legacy
+    # flag; it is a dynamic SQLConf, so set it here — without it any
+    # TIMESTAMP(NANOS) table fails with PARQUET_TYPE_ILLEGAL
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 
