@@ -55,6 +55,7 @@ class KnowledgeBase:
     terms: DataFrame
     edges: DataFrame
     features: DataFrame | None = None
+    statements: DataFrame | None = None
     counts: dict[str, dict[str, int]] = field(default_factory=dict)
 
     @property
@@ -62,6 +63,8 @@ class KnowledgeBase:
         out = {"sources": self.sources, "terms": self.terms, "edges": self.edges}
         if self.features is not None:
             out["features"] = self.features
+        if self.statements is not None:
+            out["statements"] = self.statements
         return out
 
     def query(self, query: Mapping) -> DataFrame:

@@ -58,3 +58,20 @@ def test_cli_load_and_query(spark, tmp_path, capsys):
     assert rc == 0
     rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
     assert rows == [{"sourceId": "t1", "name": "resistance"}]
+
+
+def test_kb_statements_roundtrip(spark, tmp_path):
+    """Statements table persists and is queryable through the DSL."""
+    kb = empty_kb(spark)
+    kb = upsert_source(spark, kb, {"name": "civic", "sort": 1})
+    kb.statements = spark.createDataFrame(
+        [("EID1", ["cml", "v1"], "resistance", "rid_1"),
+         ("EID2", ["aml"], "sensitivity", "rid_2")],
+        "sourceId string, conditions array<string>, relevance string, rid string",
+    )
+    save_kb(kb, str(tmp_path / "kb"))
+    kb2 = load_kb(spark, str(tmp_path / "kb"))
+    assert kb2.statements.count() == 2
+    out = kb2.query({"target": "statements", "filters": {"relevance": "resistance"},
+                     "returnProperties": ["sourceId", "rid"]})
+    assert [(r.sourceId, r.rid) for r in out.collect()] == [("EID1", "rid_1")]
