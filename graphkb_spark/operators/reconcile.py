@@ -12,9 +12,16 @@ batch against the stored rows:
    over an explicit ordering;
 4. unpaired new rows -> create; unpaired stored rows -> delete.
 
-Spark shape: three full-outer joins on progressively weaker keys, each
-hash-joined on the group key — no driver-side loops; the only shuffles
-are on (group_key, content_key) pairs.
+Spark shape — **join-free linear pipeline**: both sides are unioned
+once with a ``side`` tag; each matching tier is a pair of window
+functions over the co-partitioned union (positional rank within
+(group, key, side) + per-bucket counts of each side — a row is matched
+at tier *k* iff ``rank <= least(count_stored, count_new)`` in its
+bucket); a single final groupBy on the pairing key zips the matched
+stored/new rows together.  That is 1 exchange per tier plus 1 pairing
+aggregation — no full-outer joins, no persists, no plan fan-out — so
+the operator scales linearly in data volume and its shuffles are keyed
+by (group, content-digest), which inherits the group-key distribution.
 """
 
 from __future__ import annotations
@@ -25,24 +32,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RECONCILE_ACTION = "_action"
-
-
-def _prep(df: DataFrame, prefix: str, strong: Sequence[str], weak: Sequence[str]) -> DataFrame:
-    """Rename every column with ``prefix`` and add content-key digests —
-    explicit names avoid any self-join lineage ambiguity."""
-    out = df.select(
-        *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
-        F.md5(F.to_json(F.struct(*[F.col(c) for c in strong]))).alias(f"{prefix}k_strong"),
-        F.md5(F.to_json(F.struct(*[F.col(c) for c in weak]))).alias(f"{prefix}k_weak"),
-    )
-    return out
-
-
-def _rank(df: DataFrame, part: Sequence[str], order: Sequence[str], out: str) -> DataFrame:
-    w = Window.partitionBy(*[F.col(c) for c in part]).orderBy(
-        *[F.col(c).asc_nulls_last() for c in order]
-    )
-    return df.withColumn(out, F.row_number().over(w))
 
 
 def reconcile(
@@ -60,63 +49,83 @@ def reconcile(
     the new content).
 
     ``strong_key``/``weak_key`` are content keys *within* ``group_key``;
-    ``order`` makes positional pairing deterministic.
+    ``order`` makes positional pairing deterministic (``id_col`` is the
+    final tiebreaker).
     """
     cols = list(batch.columns)
-    st = _prep(stored, "s_", strong_key, weak_key)
-    nw = _prep(batch, "n_", strong_key, weak_key)
-    s_order = [f"s_{c}" for c in order]
-    n_order = [f"n_{c}" for c in order]
-    s_gk = [f"s_{c}" for c in group_key]
-    n_gk = [f"n_{c}" for c in group_key]
+    gcols = [F.col(c) for c in group_key]
+    order_cols = [F.col(c).asc_nulls_last() for c in order] + [F.col(id_col).asc_nulls_last()]
 
-    def pair(
-        st_df: DataFrame, nw_df: DataFrame, s_key: list[str], n_key: list[str], tag: str
-    ) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """Full-outer join on (key, positional rank); returns
-        (matched, leftover_new, leftover_stored)."""
-        s = _rank(st_df, s_key, s_order, f"__z{tag}")
-        n = _rank(nw_df, n_key, n_order, f"__z{tag}")
-        cond = F.col(f"__z{tag}") == F.col(f"__zs{tag}")
-        s = s.withColumnRenamed(f"__z{tag}", f"__zs{tag}")
-        for sk, nk in zip(s_key, n_key):
-            cond = cond & F.col(sk).eqNullSafe(F.col(nk))
-        # persist: each pass's join fans out into 3 consumers (matched +
-        # two leftover streams) and later passes chain off the leftovers
-        # — without it pass-1 re-executes ~5x across the final union
-        j = n.join(s, cond, "full_outer").persist()
-        matched = j.filter(F.col(f"n_{id_col}").isNotNull() & F.col(f"s_{id_col}").isNotNull())
-        left_new = j.filter(F.col(f"s_{id_col}").isNull() & F.col(f"n_{id_col}").isNotNull()).select(
-            *[F.col(c) for c in n.columns if not c.startswith("__z")]
-        )
-        left_old = j.filter(F.col(f"n_{id_col}").isNull() & F.col(f"s_{id_col}").isNotNull()).select(
-            *[F.col(c) for c in s.columns if not c.startswith("__z")]
-        )
-        return matched, left_new, left_old
+    def digest(keys: Sequence[str]) -> F.Column:
+        return F.md5(F.to_json(F.struct(*[F.col(c) for c in keys])))
 
-    m1, ln1, lo1 = pair(st, nw, s_gk + ["s_k_strong"], n_gk + ["n_k_strong"], "1")
-    if list(strong_key) == list(weak_key):
-        # pass 2 would re-run pass 1's exact join — skip it (common when
-        # the caller has no weaker content key than the strong one)
-        m2, ln2, lo2 = None, ln1, lo1
-    else:
-        m2, ln2, lo2 = pair(lo1, ln1, s_gk + ["s_k_weak"], n_gk + ["n_k_weak"], "2")
-    m3, ln3, lo3 = pair(lo2, ln2, s_gk, n_gk, "3")
-
-    def updates(m: DataFrame) -> DataFrame:
-        return m.select(
-            *[F.col(f"n_{c}").alias(c) for c in cols if c != id_col],
-            F.col(f"s_{id_col}").alias(id_col),
-            F.lit("update").alias(RECONCILE_ACTION),
-        )
-
-    creates = ln3.select(
-        *[F.col(f"n_{c}").alias(c) for c in cols], F.lit("create").alias(RECONCILE_ACTION)
+    u = stored.select(*cols, F.lit(0).alias("__side")).unionByName(
+        batch.select(*cols, F.lit(1).alias("__side"))
     )
-    deletes = lo3.select(
-        *[F.col(f"s_{c}").alias(c) for c in cols], F.lit("delete").alias(RECONCILE_ACTION)
+    u = u.withColumn("__tier", F.lit(None).cast("int")).withColumn(
+        "__pair", F.lit(None).cast("string")
     )
-    out = updates(m1)
-    if m2 is not None:
-        out = out.unionByName(updates(m2))
-    return out.unionByName(updates(m3)).unionByName(creates).unionByName(deletes)
+
+    # tier key columns; identical strong/weak keys would re-rank the
+    # pass-1 leftovers within the same buckets (each bucket's minority
+    # side is already exhausted), so the pass is skipped
+    tiers: list[tuple[int, F.Column]] = [(1, digest(strong_key))]
+    if list(strong_key) != list(weak_key):
+        tiers.append((2, digest(weak_key)))
+    tiers.append((3, F.lit("")))
+
+    for tier, key_col in tiers:
+        # matched rows get a NULL bucket key -> they fall out of every
+        # unmatched bucket and the window counts below see only live rows
+        u = u.withColumn("__k", F.when(F.col("__tier").isNull(), key_col))
+        w_side = Window.partitionBy(*gcols, "__k", "__side").orderBy(*order_cols)
+        w_key = Window.partitionBy(*gcols, "__k")
+        u = (
+            u.withColumn("__r", F.row_number().over(w_side))
+            .withColumn("__cs", F.count(F.when(F.col("__side") == 0, 1)).over(w_key))
+            .withColumn("__cn", F.count(F.when(F.col("__side") == 1, 1)).over(w_key))
+        )
+        newly = (
+            F.col("__tier").isNull()
+            & F.col("__k").isNotNull()
+            & (F.col("__r") <= F.least("__cs", "__cn"))
+        )
+        u = u.withColumn(
+            "__pair",
+            F.when(
+                newly,
+                F.concat_ws("", F.lit(str(tier)), *gcols, F.col("__k"), F.col("__r")),
+            ).otherwise(F.col("__pair")),
+        ).withColumn("__tier", F.when(newly, F.lit(tier)).otherwise(F.col("__tier")))
+
+    # unmatched rows pair with themselves (unique key per row+side)
+    u = u.withColumn(
+        "__pair",
+        F.coalesce(
+            F.col("__pair"),
+            F.concat_ws("", F.lit("u"), F.col("__side"), F.col(id_col)),
+        ),
+    )
+
+    paired = u.groupBy("__pair").agg(
+        F.max(F.when(F.col("__side") == 0, F.struct(*cols))).alias("__s"),
+        F.max(F.when(F.col("__side") == 1, F.struct(*cols))).alias("__n"),
+    )
+    has_s = F.col("__s").isNotNull()
+    has_n = F.col("__n").isNotNull()
+    # updates = new content + stored id; creates = new row; deletes = stored row
+    out_cols = [
+        (
+            F.when(has_s, F.col(f"__s.{c}")).otherwise(F.col(f"__n.{c}"))
+            if c == id_col
+            else F.when(has_n, F.col(f"__n.{c}")).otherwise(F.col(f"__s.{c}"))
+        ).alias(c)
+        for c in cols
+    ]
+    action = (
+        F.when(has_s & has_n, F.lit("update"))
+        .when(has_n, F.lit("create"))
+        .otherwise(F.lit("delete"))
+        .alias(RECONCILE_ACTION)
+    )
+    return paired.select(*out_cols, action)
