@@ -597,6 +597,94 @@ def q_docm_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select("p_partkey", "variant", fix_docm_variant_udf("variant").alias("fixed"))
 
 
+def q_hotspot_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cancerhotspots MAF loader (loaders/statements.py:load_cancerhotspots):
+    P4 row-skip predicates + the ``<chrom>:g.`` notation composer
+    (reference src/cancerhotspots/index.js:81-103,293-307) over a MAF
+    frame synthesized from ``part``."""
+    from graphkb_spark.loaders.statements import load_cancerhotspots
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    raw = t["part"].select(
+        k.alias("p_partkey"),
+        F.lit("GRCh38").alias("NCBI_Build"),
+        F.lit("c.1A>T").alias("HGVSc"),
+        (k % 22 + 1).cast("string").alias("Chromosome"),
+        F.element_at(
+            F.array(F.lit("pathogenic"), F.lit(""), F.lit("likely_benign"), F.lit("uncertain")),
+            (k % 4 + 1).cast("int"),
+        ).alias("CLIN_SIG"),
+        F.lit("").alias("dbSNP_RS"),
+        F.col("p_brand").alias("oncotree_detailed"),
+        k.cast("string").alias("Entrez_Gene_Id"),
+        F.when(k % 3 == 1, F.lit("MODERATE")).otherwise(F.lit("HIGH")).alias("IMPACT"),
+        F.concat(
+            F.lit("p.G"),
+            k.cast("string"),
+            F.when(k % 7 == 0, F.lit("=")).when(k % 7 == 1, F.lit("_splice")).otherwise(F.lit("D")),
+        ).alias("HGVSp_Short"),
+        F.element_at(
+            F.array(F.lit("G"), F.lit("-"), F.lit("GAA"), F.lit("A"), F.lit("C")),
+            (k % 5 + 1).cast("int"),
+        ).alias("Reference_Allele"),
+        k.cast("string").alias("Start_Position"),
+        (k + k % 3).cast("string").alias("End_Position"),
+        F.concat(F.lit("T"), k.cast("string")).alias("Transcript_ID"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("T"), F.lit("-"), F.lit("TG")), (k % 4 + 1).cast("int")
+        ).alias("Allele"),
+    )
+    out = load_cancerhotspots(raw)
+    # the header remap drops non-MAF columns (convertRowFields semantics)
+    # — recover the part key from the synthesized Entrez_Gene_Id
+    return out.select(
+        F.col("geneId").cast("long").alias("p_partkey"),
+        "chromosome",
+        "protein",
+        "genomic",
+        "protein_notation",
+        "relevance",
+        F.concat_ws("|", "conditions").alias("conds"),
+    )
+
+
+def q_oncokb_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OncoKB statement loader (loaders/statements.py:load_oncokb):
+    level->relevance regex, per-drug explode, pmid+abstract support
+    lists, error-row quarantine (reference src/oncokb/index.js:550-580)
+    over rows synthesized from ``part``."""
+    from graphkb_spark.loaders.statements import load_oncokb
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    raw = t["part"].select(
+        k.alias("p_partkey"),
+        F.col("p_type").alias("gene"),
+        F.concat(F.lit("V"), F.col("p_size").cast("string")).alias("variant"),
+        F.col("p_brand").alias("disease"),
+        F.element_at(
+            F.array(F.lit("1"), F.lit("2A"), F.lit("R1"), F.lit("r2"), F.lit("X9")),
+            (k % 5 + 1).cast("int"),
+        ).alias("level"),
+        F.concat(F.get(F.split("p_name", " "), 0), F.lit(", "), F.col("p_brand")).alias("drugs"),
+        F.concat(k.cast("string"), F.lit(","), (k + 1).cast("string")).alias("pmids"),
+        F.when(k % 2 == 0, F.concat(F.lit("Abst "), k.cast("string"), F.lit("; "))).alias(
+            "abstracts"
+        ),
+    )
+    out = load_oncokb(raw)
+    return out.select(
+        "p_partkey",
+        "gene",
+        "variant",
+        "relevance",
+        "drug",
+        F.concat_ws(";", "support").alias("support_str"),
+        "_error",
+    )
+
+
 def q_citation_phase_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10/F11: abstract-citation parse + trial-phase canonicalizer +
     year extraction, all JVM-side Column expressions."""
@@ -1037,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_ontology_load": q_kb_ontology_load,
         "oncokb_names": q_oncokb_names,
         "docm_fix": q_docm_fix,
+        "hotspot_load": q_hotspot_load,
+        "oncokb_statements": q_oncokb_statements,
         "citation_phase_year": q_citation_phase_year,
         "relevance_translate": q_relevance_translate,
         "set_ops": q_set_ops,
@@ -1326,6 +1416,80 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p_partkey % 4 = 2 THEN 'bcr' END AS reference2,
                    CASE WHEN p_partkey % 4 = 2 THEN TRUE END AS flipped
             FROM part
+        """,
+        "hotspot_load": """
+            WITH raw AS (
+              SELECT p_partkey,
+                     CAST(p_partkey % 22 + 1 AS VARCHAR) AS chromosome,
+                     (['pathogenic', '', 'likely_benign', 'uncertain'])[p_partkey % 4 + 1]
+                       AS clin_sig,
+                     p_brand AS disease_id,
+                     CASE WHEN p_partkey % 3 = 1 THEN 'MODERATE' ELSE 'HIGH' END AS impact,
+                     'p.G' || p_partkey
+                       || CASE WHEN p_partkey % 7 = 0 THEN '='
+                               WHEN p_partkey % 7 = 1 THEN '_splice'
+                               ELSE 'D' END AS protein,
+                     (['G', '-', 'GAA', 'A', 'C'])[p_partkey % 5 + 1] AS raw_ref,
+                     CAST(p_partkey AS VARCHAR) AS start_pos,
+                     CAST(p_partkey + p_partkey % 3 AS VARCHAR) AS stop_pos,
+                     'T' || p_partkey AS transcript,
+                     (['A', 'T', '-', 'TG'])[p_partkey % 4 + 1] AS raw_alt
+              FROM part),
+            kept AS (
+              SELECT *,
+                     CASE WHEN raw_ref = '-' THEN '' ELSE raw_ref END AS ref,
+                     CASE WHEN raw_alt = '-' THEN '' ELSE raw_alt END AS alt
+              FROM raw
+              WHERE lower(impact) = 'high'
+                AND clin_sig <> '' AND clin_sig NOT LIKE '%benign%'
+                AND protein NOT LIKE '%=' AND protein NOT LIKE '%\\_splice' ESCAPE '\\')
+            SELECT p_partkey, chromosome, protein,
+                   chromosome || ':g.' ||
+                   CASE
+                     WHEN len(ref) = 1 AND len(alt) = 1 THEN start_pos || ref || '>' || alt
+                     WHEN len(ref) > 0 AND len(alt) > 0
+                       THEN start_pos || '_' || stop_pos || 'del' || ref || 'ins' || alt
+                     WHEN len(ref) = 0 THEN start_pos || '_' || stop_pos || 'ins' || alt
+                     ELSE start_pos || '_' || stop_pos || 'del' || ref
+                   END AS genomic,
+                   transcript || ':' || protein AS protein_notation,
+                   'mutation hotspot' AS relevance,
+                   array_to_string(
+                     list_sort([transcript || ':' || protein, disease_id]), '|') AS conds
+            FROM kept
+        """,
+        "oncokb_statements": """
+            WITH raw AS (
+              SELECT p_partkey,
+                     lower(trim(p_type)) AS gene,
+                     'V' || p_size AS variant,
+                     (['1', '2A', 'R1', 'r2', 'X9'])[p_partkey % 5 + 1] AS level,
+                     string_split(p_name, ' ')[1] || ', ' || p_brand AS drugs,
+                     p_partkey || ',' || (p_partkey + 1) AS pmids,
+                     CASE WHEN p_partkey % 2 = 0 THEN 'Abst ' || p_partkey || '; ' END
+                       AS abstracts
+              FROM part),
+            rel AS (
+              SELECT *,
+                     CASE WHEN regexp_matches(lower(trim(level)), '^r[0-9]+$')
+                            THEN 'resistance'
+                          WHEN regexp_matches(lower(trim(level)), '^[0-9]+[a-z]?$')
+                            THEN 'sensitivity' END AS relevance,
+                     array_to_string(
+                       list_filter(
+                         list_transform(string_split(pmids, ','), x -> trim(x))
+                         || list_transform(string_split(coalesce(abstracts, ''), ';'),
+                                           x -> trim(x)),
+                         x -> x <> ''), ';') AS support_str
+              FROM raw)
+            SELECT p_partkey, gene, variant, relevance,
+                   lower(trim(u.drug)) AS drug,
+                   support_str,
+                   CASE WHEN relevance IS NULL
+                        THEN 'did not recognize evidence level (' || level || ')' END
+                     AS _error
+            FROM rel, unnest(string_split(drugs, ',')) AS u(drug)
+            WHERE len(lower(trim(u.drug))) > 0
         """,
         "docm_fix": """
             WITH src AS (

@@ -1,0 +1,460 @@
+"""Statement-loader family (SURVEY §7.5) — the reference's per-source
+statement pipelines re-expressed as batch DataFrame transforms.
+
+Each ``load_*`` takes the source's raw rows (already read via
+``sources.readers``) and returns statement-candidate / edge rows with
+per-row ``_error`` quarantine columns — row problems never fail the
+job (reference pushes them onto ``errorList``, e.g.
+/root/reference/src/cancerhotspots/index.js:316-321).
+
+Covered sources and their reference modules:
+
+- cancerhotspots — /root/reference/src/cancerhotspots/index.js
+- COSMIC resistance — /root/reference/src/cosmic/resistance.js
+- COSMIC fusions — /root/reference/src/cosmic/fusions.js
+- MOA — /root/reference/src/moa/index.js
+- OncoKB — /root/reference/src/oncokb/index.js
+- DGIdb — /root/reference/src/dgidb/index.js
+
+All of these were per-record awaited HTTP chains in the reference; here
+every lookup is a broadcast join and every per-row parse is Column
+algebra (no Python UDFs in this module), so each loader is a linear
+scan + a handful of narrow shuffles regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphkb_spark.functions.hashing import stable_hash_id, stable_hash_named
+
+# ---------------------------------------------------------------------------
+# cancerhotspots (MAF)
+# ---------------------------------------------------------------------------
+
+# convertRowFields HEADER, src/cancerhotspots/index.js:27-42
+CANCERHOTSPOTS_HEADER = {
+    "assembly": "NCBI_Build",
+    "cds": "HGVSc",
+    "chromosome": "Chromosome",
+    "clinSig": "CLIN_SIG",
+    "dbsnp": "dbSNP_RS",
+    "diseaseId": "oncotree_detailed",
+    "geneId": "Entrez_Gene_Id",
+    "impact": "IMPACT",
+    "protein": "HGVSp_Short",
+    "refSeq": "Reference_Allele",
+    "start": "Start_Position",
+    "stop": "End_Position",
+    "transcriptId": "Transcript_ID",
+    "untemplatedSeq": "Allele",
+}
+
+
+def _hotspot_genomic_notation() -> F.Column:
+    """``<chrom>:g....`` composer (src/cancerhotspots/index.js:81-103):
+    ``-`` alleles mean empty; 1:1 -> substitution, both present ->
+    delins, no ref -> insertion, no alt -> deletion."""
+    ref = F.when(F.col("refSeq") == "-", F.lit("")).otherwise(F.col("refSeq"))
+    alt = F.when(F.col("untemplatedSeq") == "-", F.lit("")).otherwise(F.col("untemplatedSeq"))
+    chrom = F.concat(F.col("chromosome"), F.lit(":g."))
+    start, stop = F.col("start"), F.col("stop")
+    return (
+        F.when(
+            (F.length(ref) == 1) & (F.length(alt) == 1),
+            F.concat(chrom, start, ref, F.lit(">"), alt),
+        )
+        .when(
+            (F.length(ref) > 0) & (F.length(alt) > 0),
+            F.concat(chrom, start, F.lit("_"), stop, F.lit("del"), ref, F.lit("ins"), alt),
+        )
+        .when(F.length(ref) == 0, F.concat(chrom, start, F.lit("_"), stop, F.lit("ins"), alt))
+        .otherwise(F.concat(chrom, start, F.lit("_"), stop, F.lit("del"), ref))
+    )
+
+
+def load_cancerhotspots(raw: DataFrame, relevance: str = "mutation hotspot") -> DataFrame:
+    """MAF rows -> hotspot statement candidates.
+
+    Row-skip predicates (src/cancerhotspots/index.js:293-307): keep only
+    ``IMPACT == HIGH`` rows with a non-empty, non-benign ``CLIN_SIG``;
+    drop synonymous (``p.…=``) and non-standard splice (``_splice``)
+    protein notations.  ``sourceId`` is the row content hash
+    (``createRowId``), giving the J4 incremental skip-set key.
+    """
+    df = raw.select(
+        *[F.col(src).alias(dst) for dst, src in CANCERHOTSPOTS_HEADER.items() if src in raw.columns]
+    )
+    df = df.filter(
+        (F.lower(F.col("impact")) == "high")
+        & (F.col("clinSig") != "")
+        & (~F.col("clinSig").contains("benign"))
+        & (~F.col("protein").endswith("="))
+        & (~F.col("protein").endswith("_splice"))
+    )
+    return (
+        df.withColumn("genomic", _hotspot_genomic_notation())
+        .withColumn(
+            "protein_notation",
+            F.concat(F.col("transcriptId"), F.lit(":"), F.col("protein")),
+        )
+        .withColumn(
+            "sourceId",
+            stable_hash_named(
+                chromosome="chromosome",
+                start="start",
+                stop="stop",
+                refSeq="refSeq",
+                untemplatedSeq="untemplatedSeq",
+                protein="protein",
+            ),
+        )
+        .withColumn("relevance", F.lit(relevance))
+        .withColumn(
+            "conditions",
+            F.array_sort(F.filter(F.array("protein_notation", "diseaseId"), lambda x: x.isNotNull())),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# COSMIC resistance
+# ---------------------------------------------------------------------------
+
+# convertRowFields HEADER, src/cosmic/resistance.js:25-38
+COSMIC_RESISTANCE_HEADER = {
+    "cds": "HGVSC",
+    "disease": "Histology Subtype 1",
+    "diseaseFamily": "Histology",
+    "gene": "Gene Name",
+    "genomic": "HGVSG",
+    "mutationId": "LEGACY_MUTATION_ID",
+    "protein": "HGVSP",
+    "pubmed": "Pubmed Id",
+    "sampleId": "Sample ID",
+    "sampleName": "Sample Name",
+    "therapy": "Drug Name",
+    "transcript": "Transcript",
+}
+
+
+def load_cosmic_resistance(raw: DataFrame, classification: DataFrame) -> DataFrame:
+    """COSMIC drug-resistance rows -> resistance statement candidates.
+
+    - header remap + ``p.?`` skip (src/cosmic/resistance.js:364-367);
+    - ``sourceId`` = whole-row content hash (``hashRecordToId`` with no
+      property subset, :360) — COSMIC has no stable row ids, which is
+      why the sink is the §2.9.3 full-reload diff
+      (``operators.validate.full_reload_diff``);
+    - histology -> NCIt code via the broadcast classification table
+      (``loadClassifications`` :301-315, J7).
+
+    ``classification`` columns: ``diseaseFamily``, ``disease``, ``ncit``.
+    """
+    df = raw.select(
+        *[
+            F.col(src).alias(dst)
+            for dst, src in COSMIC_RESISTANCE_HEADER.items()
+            if src in raw.columns
+        ]
+    )
+    df = df.withColumn("sourceId", stable_hash_id(*sorted(df.columns)))
+    df = df.filter(~F.col("protein").startswith("p.?"))
+    df = df.join(
+        F.broadcast(classification.select("diseaseFamily", "disease", "ncit")),
+        ["diseaseFamily", "disease"],
+        "left",
+    )
+    return (
+        df.withColumn("relevance", F.lit("resistance"))
+        .withColumn(
+            "conditions",
+            F.array_sort(
+                F.filter(
+                    F.array(
+                        F.concat_ws(":", "gene", "protein"),
+                        F.coalesce("ncit", "disease"),
+                        "therapy",
+                    ),
+                    lambda x: x.isNotNull() & (x != ""),
+                )
+            ),
+        )
+        .withColumn(
+            "_error",
+            F.when(F.col("therapy").isNull() | (F.col("therapy") == ""), "missing therapy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# COSMIC fusions (3-level recurrence rollup, SURVEY §2.5 A2)
+# ---------------------------------------------------------------------------
+
+
+def load_cosmic_fusions(raw: DataFrame, recurrence_threshold: int = 3) -> DataFrame:
+    """Fusion rows -> recurrent-fusion statement candidates.
+
+    The reference histograms each row at three specificity levels
+    (src/cosmic/fusions.js:152-160: [variant, diseaseFamily, disease],
+    [nonSpecificVariant, diseaseFamily, disease], [nonSpecificVariant])
+    and keeps groups with ``countDistinct(sampleId) >=
+    RECURRENCE_THRESHOLD`` (:21,199), suppressing a less-specific group
+    when a more-specific one already covers the same rows (:213-218).
+
+    ``raw`` columns: ``gene1``, ``exon1``, ``gene2``, ``exon2``,
+    ``sampleId``, ``disease``, ``diseaseFamily``, ``fusionId``.
+    """
+    df = raw.withColumn(
+        "variant",
+        F.concat(
+            F.lit("("),
+            F.col("gene1"),
+            F.lit(","),
+            F.col("gene2"),
+            F.lit("):fusion(e."),
+            F.col("exon1"),
+            F.lit(",e."),
+            F.col("exon2"),
+            F.lit(")"),
+        ),
+    ).withColumn(
+        "nonSpecificVariant",
+        F.concat(F.lit("("), F.col("gene1"), F.lit(","), F.col("gene2"), F.lit("):fusion")),
+    )
+    levels = [
+        (0, ["variant", "diseaseFamily", "disease"]),
+        (1, ["nonSpecificVariant", "diseaseFamily", "disease"]),
+        (2, ["nonSpecificVariant"]),
+    ]
+    outs = []
+    for lvl, keys in levels:
+        g = (
+            df.groupBy(*keys)
+            .agg(
+                F.countDistinct("sampleId").alias("n_samples"),
+                F.array_sort(F.collect_set("fusionId")).alias("fusion_ids"),
+            )
+            .filter(F.col("n_samples") >= recurrence_threshold)
+            .withColumn("level", F.lit(lvl))
+        )
+        for missing in {"variant", "nonSpecificVariant", "diseaseFamily", "disease"} - set(keys):
+            g = g.withColumn(missing, F.lit(None).cast("string"))
+        outs.append(
+            g.select(
+                "level",
+                "variant",
+                "nonSpecificVariant",
+                "diseaseFamily",
+                "disease",
+                "n_samples",
+                "fusion_ids",
+            )
+        )
+    allg = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    # suppression: drop a less-specific group whose fusion_ids are fully
+    # covered by the union of more-specific surviving groups — the
+    # reference checks "all rows already counted" (:213-218); group
+    # count is small post-threshold, so the coverage join broadcasts
+    specific = allg.filter(F.col("level") == 0).select(
+        F.explode("fusion_ids").alias("fid"), F.lit(1).alias("__cov0")
+    )
+    mid = allg.filter(F.col("level") == 1)
+    mid_cov = (
+        mid.select("level", "nonSpecificVariant", "diseaseFamily", "disease",
+                   F.explode("fusion_ids").alias("fid"))
+        .join(F.broadcast(specific.dropDuplicates(["fid"])), "fid", "left")
+        .groupBy("level", "nonSpecificVariant", "diseaseFamily", "disease")
+        .agg((F.count("*") == F.count("__cov0")).alias("__covered"))
+    )
+    mid = mid.join(
+        F.broadcast(mid_cov),
+        ["level", "nonSpecificVariant", "diseaseFamily", "disease"],
+        "left",
+    ).filter(~F.coalesce("__covered", F.lit(False))).drop("__covered")
+    cov01 = (
+        allg.filter(F.col("level") == 0)
+        .select(F.explode("fusion_ids").alias("fid"))
+        .unionByName(mid.select(F.explode("fusion_ids").alias("fid")))
+        .dropDuplicates(["fid"])
+        .withColumn("__cov", F.lit(1))
+    )
+    top = allg.filter(F.col("level") == 2)
+    top_cov = (
+        top.select("nonSpecificVariant", F.explode("fusion_ids").alias("fid"))
+        .join(F.broadcast(cov01), "fid", "left")
+        .groupBy("nonSpecificVariant")
+        .agg((F.count("*") == F.count("__cov")).alias("__covered"))
+    )
+    top = top.join(F.broadcast(top_cov), "nonSpecificVariant", "left").filter(
+        ~F.coalesce("__covered", F.lit(False))
+    ).drop("__covered")
+    kept = allg.filter(F.col("level") == 0).unionByName(mid).unionByName(top)
+    return (
+        kept.withColumn("relevance", F.lit("recurrent"))
+        .withColumn(
+            "conditions",
+            F.array_sort(
+                F.filter(
+                    F.array(
+                        F.coalesce("variant", "nonSpecificVariant"),
+                        # level-2 groups apply to 'cancer' generically
+                        F.coalesce("disease", F.lit("cancer")),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ),
+        )
+        .drop("fusion_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MOA
+# ---------------------------------------------------------------------------
+
+
+def load_moa(raw: DataFrame) -> DataFrame:
+    """MOA assertions -> statement candidates with the ``parseRelevance``
+    term extraction (src/moa/index.js:519-558) as Column algebra:
+
+    - both resistance+sensitivity true -> error row ("nonsensical");
+    - therapy_name gates resistance/sensitivity/"no sensitivity";
+    - favorable_prognosis 1/0 -> favourable/unfavourable prognosis;
+    - all-variants-pathogenic adds "pathogenic";
+    - no relevance at all -> error row.
+
+    One output row per (assertion x relevance term) via explode.
+
+    ``raw`` columns: ``sourceId``, ``therapy_name``,
+    ``therapy_resistance``/``therapy_sensitivity`` (boolean),
+    ``favorable_prognosis`` (int, nullable), ``variants``
+    array<struct<name:string, pathogenic:string>>, ``disease``.
+    """
+    both = (F.col("therapy_resistance") == True) & (F.col("therapy_sensitivity") == True)  # noqa: E712
+    ther = (
+        F.when(F.col("therapy_name").isNull(), F.array().cast("array<string>"))
+        .when(F.col("therapy_resistance") == True, F.array(F.lit("resistance")))  # noqa: E712
+        .when(F.col("therapy_sensitivity") == True, F.array(F.lit("sensitivity")))  # noqa: E712
+        .when(F.col("therapy_sensitivity") == False, F.array(F.lit("no sensitivity")))  # noqa: E712
+        .otherwise(F.array().cast("array<string>"))
+    )
+    prog = (
+        F.when(F.col("favorable_prognosis") == 1, F.array(F.lit("favourable prognosis")))
+        .when(F.col("favorable_prognosis") == 0, F.array(F.lit("unfavourable prognosis")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    patho = F.when(
+        (F.size("variants") > 0)
+        & (F.size(F.filter("variants", lambda v: v["pathogenic"] != "1.0")) == 0),
+        F.array(F.lit("pathogenic")),
+    ).otherwise(F.array().cast("array<string>"))
+    df = raw.withColumn("relevances", F.concat(ther, prog, patho)).withColumn(
+        "_error",
+        F.when(both, F.lit("nonsensical entry linked to both sensitivity and resistance")).when(
+            F.size("relevances") == 0, F.lit("statement has no relevance")
+        ),
+    )
+    return df.select(
+        "*", F.explode_outer(F.when(F.col("_error").isNull(), F.col("relevances"))).alias("relevance")
+    ).withColumn(
+        "conditions",
+        F.array_sort(
+            F.concat(
+                F.transform("variants", lambda v: v["name"]),
+                F.filter(F.array("disease", "therapy_name"), lambda x: x.isNotNull()),
+            )
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OncoKB
+# ---------------------------------------------------------------------------
+
+
+def load_oncokb(raw: DataFrame) -> DataFrame:
+    """OncoKB actionable rows -> statement candidates.
+
+    - evidence level -> relevance: ``^r\\d+$`` -> resistance,
+      ``^\\d+[a-z]?$`` -> sensitivity, else an error row
+      (src/oncokb/index.js:555-561);
+    - one statement per drug in the comma-separated ``drugs`` list,
+      lowercased/trimmed (:563-576, F15);
+    - ``support`` = pmids split on ',' plus abstracts split on ';'
+      (:551-552);
+    - ``sourceId`` = content hash of the expanded row
+      (``generateSourceId``, :538-541).
+
+    ``raw`` columns: ``gene``, ``variant``, ``disease``, ``level``,
+    ``drugs``, ``pmids``, ``abstracts``.
+    """
+    level = F.lower(F.trim(F.col("level")))
+    relevance = (
+        F.when(level.rlike("^r[0-9]+$"), F.lit("resistance"))
+        .when(level.rlike("^[0-9]+[a-z]?$"), F.lit("sensitivity"))
+    )
+    support = F.filter(
+        F.concat(
+            F.transform(F.split(F.coalesce("pmids", F.lit("")), ","), lambda x: F.trim(x)),
+            F.transform(F.split(F.coalesce("abstracts", F.lit("")), ";"), lambda x: F.trim(x)),
+        ),
+        lambda x: x != "",
+    )
+    df = (
+        raw.withColumn("relevance", relevance)
+        .withColumn("_error", F.when(relevance.isNull(), F.concat(F.lit("did not recognize evidence level ("), F.col("level"), F.lit(")"))))
+        .withColumn("support", support)
+        .withColumn("gene", F.lower(F.trim(F.col("gene"))))
+        .withColumn(
+            "drug",
+            F.explode_outer(
+                F.filter(
+                    F.transform(F.split(F.coalesce("drugs", F.lit("")), ","), lambda x: F.lower(F.trim(x))),
+                    lambda x: F.length(x) > 0,
+                )
+            ),
+        )
+    )
+    return df.withColumn(
+        "sourceId",
+        stable_hash_named(gene="gene", variant="variant", disease="disease", level="level", drug="drug"),
+    ).withColumn(
+        "conditions",
+        F.array_sort(
+            F.filter(
+                F.array(F.concat_ws(":", "gene", "variant"), "disease", "drug"),
+                lambda x: x.isNotNull() & (x != ""),
+            )
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DGIdb
+# ---------------------------------------------------------------------------
+
+
+def load_dgidb(raw: DataFrame) -> DataFrame:
+    """DGIdb interactions -> ``TargetOf`` edge rows
+    (src/dgidb/index.js:20-47): ``out`` = gene (by entrez id), ``in`` =
+    drug (by ChEMBL id, ``chembl:`` prefix stripped), ``actionType`` =
+    lowercased/trimmed/sorted ';'-join of the interaction types, and
+    the input ``id`` kept as the edge uuid.
+
+    ``raw`` columns: ``entrez_id``, ``concept_id``,
+    ``interaction_types`` array<string>, ``id``.
+    """
+    return raw.select(
+        F.col("entrez_id").cast("string").alias("out"),
+        F.regexp_replace(F.col("concept_id"), "^chembl:", "").alias("in"),
+        F.array_join(
+            F.array_sort(
+                F.transform("interaction_types", lambda x: F.lower(F.trim(x)))
+            ),
+            ";",
+        ).alias("actionType"),
+        F.col("id").alias("uuid"),
+        F.lit("TargetOf").alias("edge_class"),
+    )
