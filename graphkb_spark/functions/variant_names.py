@@ -371,3 +371,124 @@ def translate_relevance(df, spark, on=("evidence_type", "direction", "significan
     combinations get a null relevance (per-row quarantine downstream)."""
     dim = relevance_table(spark)
     return df.join(F.broadcast(dim), list(on), "left")
+
+
+# ---------------------------------------------------------------------------
+# CGI variant-combination preprocessing (reference
+# src/cancergenomeinterpreter/index.js:122-189 ``preprocessVariants``)
+# ---------------------------------------------------------------------------
+
+_CGI_PROT_LIST = re.compile(r"^(\w+) \(([A-Z0-9*,;]+)\)$")
+_CGI_SINGLE_POS = re.compile(r"^([A-Z])?(\d+)$")
+_CGI_POS_RANGE = re.compile(r"^(\d+)-(\d+)$")
+_CGI_GENE_TAIL = re.compile(r"^(\w+)\s+(.*)$")
+_CGI_EXON_EVT = re.compile(r"^exon (\d+) (insertion|deletion)s?$")
+_CGI_FUSION = re.compile(r"^([A-Za-z0-9.]+)-([A-Za-z0-9.]+) fusion$")
+
+CGI_COMBO_SCHEMA = T.StructType(
+    [
+        T.StructField("combinations", T.ArrayType(T.ArrayType(T.StringType()))),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def preprocess_cgi_variants(
+    biomarker: str, variant_class: str, protein: str
+) -> dict[str, Any]:
+    """One CGI biomarker -> condition-set combinations (variant names).
+
+    Mirrors the reference branch-for-branch: explicit protein column
+    short-circuits; otherwise each '+'-separated biomarker part expands
+    to protein lists / exon events / category variants / fusions, and
+    two-part biomarkers cross-product (:178-187). 3+ combinations and
+    unrecognized parts are per-row errors, never failures.
+    """
+    if (biomarker or "").count("+") >= 2:
+        return {"combinations": None,
+                "error": "Missing logic to process variant combinations of 3 or more"}
+    if (protein or "").strip():
+        return {"combinations": [[protein.replace(":", ":p.")]], "error": None}
+
+    levels: list[list[str]] = []
+    for part in re.split(r"\s*\+\s*", (biomarker or "").strip()):
+        names: list[str] = []
+        m = _CGI_PROT_LIST.match(part)
+        if m:
+            gene, tail = m.group(1), m.group(2)
+            for single in re.split(r"[,;]", tail):
+                hgvsp = f"p.{single}"
+                sm = _CGI_SINGLE_POS.match(single)
+                rm = _CGI_POS_RANGE.match(tail)
+                if sm:
+                    ref_aa = sm.group(1) or "?"
+                    hgvsp = f"p.{ref_aa}{sm.group(2)}{(variant_class or '').lower()}"
+                elif rm:
+                    hgvsp = f"p.(?{rm.group(1)}_?{rm.group(2)}){(variant_class or '').lower()}"
+                names.append(f"{gene}:{hgvsp}")
+            levels.append(names)
+            continue
+        fm = _CGI_FUSION.match(part)
+        if fm:
+            levels.append([f"({fm.group(1)},{fm.group(2)}):fusion"])
+            continue
+        gm = _CGI_GENE_TAIL.match(part)
+        if gm:
+            gene, tail = gm.group(1), gm.group(2)
+            em = _CGI_EXON_EVT.match(tail)
+            if em:
+                levels.append([f"{gene}:e.{em.group(1)}{em.group(2)[:3]}"])
+            else:
+                levels.append([f"{gene}:{tail.lower().strip()}"])
+            continue
+        return {"combinations": None, "error": f"unable to process variant ({part})"}
+
+    if len(levels) > 1:
+        combos = [[a, b] for a in levels[0] for b in levels[1]]
+    else:
+        combos = [[v] for v in levels[0]]
+    return {"combinations": combos, "error": None}
+
+
+@F.pandas_udf(CGI_COMBO_SCHEMA)
+def preprocess_cgi_variants_udf(
+    biomarkers: pd.Series, classes: pd.Series, proteins: pd.Series
+) -> pd.DataFrame:
+    rows = [
+        preprocess_cgi_variants(b, c, p)
+        for b, c, p in zip(biomarkers, classes, proteins)
+    ]
+    return pd.DataFrame(rows)
+
+
+# known-typo fix tables, src/cancergenomeinterpreter/index.js:39-70
+CGI_RELEVANCE_MAPPING = {
+    "increased toxicity (myelosupression)": "increased toxicity (myelosuppression)",
+    "no responsive": "no response",
+    "resistant": "resistance",
+    "responsive": "response",
+}
+CGI_DISEASE_MAPPING = {
+    "any cancer type": "cancer",
+    "billiary tract": "Biliary tract cancer",
+    "cervix squamous cell": "cervix squamous cell carcinoma",
+    "endometrium": "endometrial cancer",
+    "gastrointestinal stromal": "gastrointestinal stromal tumor",
+    "head an neck": "head and neck cancer",
+    "head an neck squamous": "head and neck squamous cell carcinoma",
+    "lung squamous cell": "lung squamous cell carcinoma",
+    "malignant peripheral nerve sheat tumor": "malignant peripheral nerve sheath tumor",
+    "ovary": "ovarian cancer",
+    "thymic": "thymic tumor",
+}
+CGI_THERAPY_MAPPING = {
+    "MEK inhibitor (alone or in combination)": "mek inhibitor",
+    "egfr tk inhibitor": "egfr tyrosine kinase inhibitor",
+    "egfr tk inhibitors": "egfr tyrosine kinase inhibitor",
+    "flourouracil": "fluorouracil",
+    "fluvestrant": "fulvestrant",
+    "jak inhibitors (alone or in combination)": "jak inhibitor",
+    "mek inhibitors (alone or in combination)": "mek inhibitor",
+    "tensirolimus": "temsirolimus",
+    "trastuzumab deruxtecan-nxki": "fam-trastuzumab deruxtecan-nxki",
+}

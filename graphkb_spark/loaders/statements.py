@@ -458,3 +458,144 @@ def load_dgidb(raw: DataFrame) -> DataFrame:
         F.col("id").alias("uuid"),
         F.lit("TargetOf").alias("edge_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CGI (cancergenomeinterpreter)
+# ---------------------------------------------------------------------------
+
+# convertRowFields HEADER, src/cancergenomeinterpreter/index.js:20-36
+CGI_HEADER = {
+    "alteration": "Alteration",
+    "biomarker": "Biomarker",
+    "cds": "cDNA",
+    "disease": "Primary Tumor type full name",
+    "drug": "Drug",
+    "drugFamily": "Drug family",
+    "evidence": "Source",
+    "evidenceLevel": "Evidence level",
+    "gene": "Gene",
+    "genomic": "gDNA",
+    "relevance": "Association",
+    "reviewData": "Curation date",
+    "reviewer": "Curator",
+    "transcript": "transcript",
+    "variantClass": "Alteration type",
+}
+
+
+def _mapping_expr(mapping: dict[str, str], col: F.Column) -> F.Column:
+    """Small fix-table lookup as a literal map (F6 family; the tables
+    are known-typo fixes of ~10 entries so a create_map literal beats a
+    broadcast join — zero shuffle, pure codegen)."""
+    if not mapping:
+        return col
+    pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    m = F.create_map(*pairs)
+    return F.coalesce(m.getItem(col), col)
+
+
+def load_cgi(raw: DataFrame) -> DataFrame:
+    """CGI biomarker rows -> statement candidates.
+
+    - header remap (:20-36) + known-typo fix tables for relevance /
+      disease / therapy (:39-70) applied as literal-map lookups;
+    - ``;``-split disease explode (:553, F15);
+    - variant-combination expansion via ``preprocess_cgi_variants_udf``
+      (F2-family UDF) with per-row errors, one statement candidate per
+      (combination x disease) (:540-560).
+    """
+    from graphkb_spark.functions.variant_names import (
+        CGI_DISEASE_MAPPING,
+        CGI_RELEVANCE_MAPPING,
+        CGI_THERAPY_MAPPING,
+        preprocess_cgi_variants_udf,
+    )
+
+    # `protein` is read off the row outside the HEADER map in the
+    # reference (preprocessVariants destructures row.protein) — pass it
+    # through the remap when present
+    df = raw.select(
+        *[F.col(src).alias(dst) for dst, src in CGI_HEADER.items() if src in raw.columns],
+        *([F.col("protein")] if "protein" in raw.columns else [F.lit("").alias("protein")]),
+    )
+    df = (
+        df.withColumn(
+            "relevance",
+            _mapping_expr(CGI_RELEVANCE_MAPPING, F.lower(F.trim(F.col("relevance")))),
+        )
+        .withColumn("therapy", _mapping_expr(CGI_THERAPY_MAPPING, F.lower(F.trim(F.col("drug")))))
+        .withColumn("__v", preprocess_cgi_variants_udf("biomarker", "variantClass", "protein"))
+        .withColumn("_error", F.col("__v.error"))
+        .select("*", F.explode(F.split(F.col("disease"), ";")).alias("disease_single"))
+        .withColumn(
+            "disease_single",
+            _mapping_expr(CGI_DISEASE_MAPPING, F.lower(F.trim(F.col("disease_single")))),
+        )
+    )
+    # explode_outer keeps error rows (combinations NULL) as quarantine rows
+    df = df.select("*", F.explode_outer("__v.combinations").alias("condition_set")).drop("__v")
+    return df.withColumn(
+        "conditions",
+        F.array_sort(
+            F.concat(
+                F.coalesce(F.col("condition_set"), F.array().cast("array<string>")),
+                F.filter(
+                    F.array("disease_single", "therapy"),
+                    lambda x: x.isNotNull() & (x != ""),
+                ),
+            )
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# clinicaltrials.gov
+# ---------------------------------------------------------------------------
+
+
+def load_clinicaltrials(raw: DataFrame) -> DataFrame:
+    """Trial records -> ClinicalTrial evidence rows
+    (src/clinicaltrialsgov/index.js:37-110,156-185).
+
+    - title = officialTitle else briefTitle;
+    - ``sourceIdVersion`` = lastUpdatePosted — the §2.10 incremental
+      change cursor (:59);
+    - phases canonicalized (F10, ``canonical_phases``);
+    - consensus country/city across the trial's locations (A5): one
+      distinct lowercased value -> keep, any disagreement -> NULL
+      (country disagreement also nulls the city).  The reference loops
+      per trial; here it is pure array algebra over the ``locations``
+      column — no shuffle at all.
+
+    ``raw`` columns: ``nctId``, ``officialTitle``, ``briefTitle``,
+    ``overallStatus``, ``lastUpdatePosted``, ``startDate``,
+    ``completionDate``, ``conditions`` array<string>, ``phases``
+    array<string>, ``locations`` array<struct<city,country>>.
+    """
+    from graphkb_spark.functions.variant_names import canonical_phases
+
+    def consensus(field: str) -> F.Column:
+        vals = F.array_distinct(
+            F.filter(
+                F.transform("locations", lambda x: F.lower(x[field])),
+                lambda v: v.isNotNull(),
+            )
+        )
+        return F.when(F.size(vals) == 1, F.get(vals, 0))
+
+    country = consensus("country")
+    return raw.select(
+        F.col("nctId").alias("sourceId"),
+        F.col("lastUpdatePosted").alias("sourceIdVersion"),
+        F.coalesce("officialTitle", "briefTitle").alias("name"),
+        F.coalesce("officialTitle", "briefTitle").alias("displayName"),
+        F.concat(F.lit("https://www.clinicaltrials.gov/study/"), "nctId").alias("url"),
+        F.col("overallStatus").alias("recruitmentStatus"),
+        "startDate",
+        "completionDate",
+        F.col("conditions").alias("diseases"),
+        canonical_phases("phases").alias("phase"),
+        country.alias("country"),
+        F.when(country.isNotNull(), consensus("city")).alias("city"),
+    )

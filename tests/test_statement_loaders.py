@@ -178,3 +178,78 @@ def test_dgidb_edges(spark):
         "out": "1956", "in": "CHEMBL553", "actionType": "antagonist;inhibitor",
         "uuid": "uuid-1", "edge_class": "TargetOf",
     }
+
+
+def test_cgi_variant_combinations(spark):
+    from graphkb_spark.loaders.statements import load_cgi
+
+    rows = [
+        Row(**{
+            "Alteration": "a", "Biomarker": "KRAS (G12,G13)", "cDNA": "c",
+            "Primary Tumor type full name": "Any cancer type", "Drug": "Responsive drug",
+            "Drug family": "f", "Source": "PMID:1", "Evidence level": "A", "Gene": "KRAS",
+            "gDNA": "g", "Association": "Resistant", "Curation date": "d", "Curator": "c",
+            "transcript": "t", "Alteration type": "MUT", "protein": "",
+        }),
+        Row(**{
+            "Alteration": "a", "Biomarker": "BCR-ABL1 fusion + EGFR amplification", "cDNA": "c",
+            "Primary Tumor type full name": "Ovary;Endometrium", "Drug": "fluvestrant",
+            "Drug family": "f", "Source": "PMID:2", "Evidence level": "A", "Gene": "BCR",
+            "gDNA": "g", "Association": "Responsive", "Curation date": "d", "Curator": "c",
+            "transcript": "t", "Alteration type": "FUS", "protein": "",
+        }),
+        Row(**{
+            "Alteration": "a", "Biomarker": "A + B + C", "cDNA": "c",
+            "Primary Tumor type full name": "thymic", "Drug": "x", "Drug family": "f",
+            "Source": "PMID:3", "Evidence level": "A", "Gene": "A", "gDNA": "g",
+            "Association": "Responsive", "Curation date": "d", "Curator": "c",
+            "transcript": "t", "Alteration type": "MUT", "protein": "",
+        }),
+    ]
+    out = load_cgi(spark.createDataFrame(rows).withColumn("protein", F.lit("")))
+    ok = out.filter(F.col("_error").isNull()).collect()
+    errs = out.filter(F.col("_error").isNotNull()).collect()
+    # row 1: 2 protein variants x 1 disease; relevance typo fixed
+    r1 = [r for r in ok if r["gene"] == "KRAS"]
+    assert {tuple(r["condition_set"]) for r in r1} == {("KRAS:p.G12mut",), ("KRAS:p.G13mut",)}
+    assert all(r["relevance"] == "resistance" for r in r1)
+    assert all(r["disease_single"] == "cancer" for r in r1)
+    # row 2: 1x1 combination across two diseases; therapy + disease typo maps
+    r2 = [r for r in ok if r["gene"] == "BCR"]
+    assert len(r2) == 2
+    assert sorted(r["disease_single"] for r in r2) == ["endometrial cancer", "ovarian cancer"]
+    assert all(r["therapy"] == "fulvestrant" for r in r2)
+    assert all(r["condition_set"] == ["(BCR,ABL1):fusion", "EGFR:amplification"] for r in r2)
+    assert all("(BCR,ABL1):fusion" in r["conditions"] for r in r2)
+    # row 3: 3-way combination -> quarantined
+    assert len(errs) == 1 and "3 or more" in errs[0]["_error"]
+
+
+def test_clinicaltrials_consensus_and_phases(spark):
+    from graphkb_spark.loaders.statements import load_clinicaltrials
+
+    rows = [
+        Row(nctId="NCT1", officialTitle="Official", briefTitle="Brief",
+            overallStatus="RECRUITING", lastUpdatePosted="2024-01-02",
+            startDate="2020-01-01", completionDate=None,
+            conditions=["cancer"], phases=["PHASE1/PHASE2"],
+            locations=[Row(city="Vancouver", country="Canada"),
+                       Row(city="Toronto", country="CANADA")]),
+        Row(nctId="NCT2", officialTitle=None, briefTitle="B2",
+            overallStatus="COMPLETED", lastUpdatePosted="2024-02-03",
+            startDate=None, completionDate="2023-12-31",
+            conditions=["melanoma"], phases=["EARLY_PHASE1"],
+            locations=[Row(city="Paris", country="France"),
+                       Row(city="Boston", country="USA")]),
+    ]
+    out = {r["sourceId"]: r.asDict() for r in load_clinicaltrials(spark.createDataFrame(rows)).collect()}
+    n1 = out["NCT1"]
+    assert n1["name"] == "Official"
+    assert n1["phase"] == "1/2"
+    assert n1["country"] == "canada" and n1["city"] is None  # cities disagree
+    assert n1["sourceIdVersion"] == "2024-01-02"
+    n2 = out["NCT2"]
+    assert n2["name"] == "B2"
+    assert n2["phase"] == "1"
+    assert n2["country"] is None and n2["city"] is None  # countries disagree
+    assert n2["url"].endswith("/NCT2")
