@@ -599,3 +599,190 @@ def load_clinicaltrials(raw: DataFrame) -> DataFrame:
         country.alias("country"),
         F.when(country.isNotNull(), consensus("city")).alias("city"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DOCM (src/docm/index.js)
+# ---------------------------------------------------------------------------
+
+
+def _docm_genomic_notation() -> F.Column:
+    """buildGenomicVariant (src/docm/index.js:70-89) — keyed on
+    ``variant_type``: SNV substitution; DEL (span-aware); INS; anything
+    else delins."""
+    chrom = F.col("chromosome")
+    start = F.col("start").cast("string")
+    stop = F.col("stop").cast("string")
+    ref, alt = F.col("reference"), F.col("variant")
+    span = F.when(F.col("start") == F.col("stop"), start).otherwise(
+        F.concat(start, F.lit("_"), stop)
+    )
+    body = (
+        F.when(F.col("variant_type") == "SNV", F.concat(start, ref, F.lit(">"), alt))
+        .when(F.col("variant_type") == "DEL", F.concat(span, F.lit("del"), ref))
+        .when(
+            F.col("variant_type") == "INS",
+            F.concat(start, F.lit("_"), stop, F.lit("ins"), alt),
+        )
+        .otherwise(F.concat(span, F.lit("del"), ref, F.lit("ins"), alt))
+    )
+    return F.concat(chrom, F.lit(":g."), body)
+
+
+def load_docm(raw: DataFrame) -> DataFrame:
+    """DOCM variant records -> statement candidates.
+
+    Reference flow (src/docm/index.js:94-238): protein notation is
+    repaired by ``parseDocmVariant`` (F4, :33-67) and parsed; the
+    genomic form composes from (chromosome, start, stop, reference,
+    variant, variant_type) and links genomic -(Infers)-> protein
+    (:155-162); relevance is always 'recurrent' (KBDEV-1050, :182);
+    one statement per disease, but only diseases with exactly one tag
+    (:189-193 skip), keyed doid + pubmed id; statement sourceId is the
+    record's ``hgvs``; subject = the disease (:208-219).
+
+    Input columns: hgvs, amino_acid, gene, chromosome,
+    reference_version, start, stop, reference, variant, variant_type,
+    diseases (array<struct<doid,source_pubmed_id,tags:array<string>>>).
+    """
+    from graphkb_spark.functions.variant_names import fix_docm_variant_udf
+
+    base = raw.select(
+        "hgvs",
+        "gene",
+        F.lower(F.trim(F.col("reference_version"))).alias("assembly"),
+        fix_docm_variant_udf(F.col("amino_acid")).alias("protein_notation"),
+        _docm_genomic_notation().alias("genomic_notation"),
+        F.col("chromosome"),
+        F.explode_outer("diseases").alias("disease_rec"),
+    )
+    keep = F.size(F.coalesce(F.col("disease_rec.tags"), F.array())) == 1
+    return base.select(
+        "hgvs",
+        "gene",
+        "assembly",
+        "protein_notation",
+        "genomic_notation",
+        "chromosome",
+        F.concat(F.lit("doid:"), F.col("disease_rec.doid").cast("string")).alias(
+            "disease_doid"
+        ),
+        F.col("disease_rec.source_pubmed_id").cast("string").alias("pubmed_id"),
+        F.lit("recurrent").alias("relevance"),
+        F.lit("not required").alias("reviewStatus"),
+        F.col("hgvs").alias("sourceId"),
+        F.when(~keep, F.lit("skip: disease tag count != 1")).alias("_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CGL (src/cgl/index.js)
+# ---------------------------------------------------------------------------
+
+
+def _cgl_genomic_notation() -> F.Column:
+    """loadGenomicVariant notation builder (src/cgl/index.js:103-151):
+    1:1 -> substitution; otherwise the shared first base is stripped
+    and the remainder becomes ins / del / delins with span checks; a
+    ref/alt first-base mismatch on a multi-base change is a row error
+    (reference throws :111-113) signalled here by NULL."""
+    pos = F.col("pos_CGL").cast("string")
+    start = F.split_part(pos, F.lit("_"), F.lit(1)).cast("long")
+    end_raw = F.nullif(F.split_part(pos, F.lit("_"), F.lit(2)), F.lit("")).cast("long")
+    ref, alt = F.col("ref"), F.col("alt")
+    sub = F.concat(F.lit("g."), pos, ref, F.lit(">"), alt)
+    r, a = F.substring(ref, 2, 1 << 20), F.substring(alt, 2, 1 << 20)
+    ins_end = F.coalesce(end_raw, start + 1)
+    del_end = F.coalesce(end_raw, start + F.length(r) - 1)
+    span = F.when(
+        del_end == start, F.lit("")
+    ).otherwise(F.concat(F.lit("_"), del_end.cast("string")))
+    multi = (
+        F.when(
+            F.length(r) == 0,
+            F.concat(
+                F.lit("g."), start.cast("string"), F.lit("_"),
+                ins_end.cast("string"), F.lit("ins"), r,
+            ),
+        )
+        .when(
+            F.length(a) == 0,
+            F.when(
+                (F.length(r) > 1) & (F.length(r) != del_end - start + 1),
+                F.lit(None).cast("string"),
+            ).otherwise(
+                F.concat(F.lit("g."), start.cast("string"), span, F.lit("del"), r)
+            ),
+        )
+        .otherwise(
+            F.when(
+                (F.length(r) > 1) & (F.length(r) != del_end - start + 1),
+                F.lit(None).cast("string"),
+            ).otherwise(
+                F.concat(
+                    F.lit("g."), start.cast("string"), span,
+                    F.lit("del"), r, F.lit("ins"), a,
+                )
+            )
+        )
+    )
+    return (
+        F.when(
+            (F.length(ref) == 1) & (F.length(alt) == 1), sub
+        )
+        .when(F.substring(ref, 1, 1) != F.substring(alt, 1, 1), F.lit(None))
+        .otherwise(multi)
+    )
+
+
+def load_cgl(raw: DataFrame) -> DataFrame:
+    """CGL TSV -> statement candidates (src/cgl/index.js:180-291).
+
+    Three variant forms per row: cds from (transcript, coding_hgvs)
+    with the transcript resolved unversioned-or-versioned (:20-42);
+    protein from (gene, protein_hgvs) after stripping ``p.(...)``
+    parens and mapping trailing ``*`` to ``Ter`` for non-fs (:62-73);
+    genomic from (chr_CGL, pos_CGL, ref, alt).  Infers chain cds ->
+    protein and genomic -> (cds else protein) (:229-263); statement
+    uses the most-protein-ward form, relevance 'pathogenic', subject =
+    disease 'cancer', sourceId = record hash (:207, F7).
+    """
+    protein_fixed = F.regexp_replace(
+        F.regexp_replace(F.col("protein_hgvs"), r"^p\.\(", "p."), r"\)$", ""
+    )
+    protein_notation = F.when(
+        F.col("protein_hgvs").isNull() | (F.col("protein_hgvs") == ""), F.lit(None)
+    ).otherwise(
+        F.when(
+            protein_fixed.contains("fs"), protein_fixed
+        ).otherwise(F.regexp_replace(protein_fixed, r"\*$", "Ter"))
+    )
+    bad_cds = F.col("coding_hgvs").isNotNull() & ~F.col("coding_hgvs").startswith("c.")
+    bad_prot = protein_notation.isNotNull() & ~protein_notation.startswith("p.")
+    genomic = _cgl_genomic_notation()
+    return raw.select(
+        stable_hash_id(*sorted(raw.columns)).alias("sourceId"),
+        F.split_part(F.col("transcript"), F.lit("."), F.lit(1)).alias("transcript_id"),
+        F.nullif(
+            F.split_part(F.col("transcript"), F.lit("."), F.lit(2)), F.lit("")
+        ).alias("transcript_version"),
+        F.when(~bad_cds, F.col("coding_hgvs")).alias("cds_notation"),
+        "gene",
+        F.when(~bad_prot, protein_notation).alias("protein_notation"),
+        F.col("chr_CGL").alias("chromosome"),
+        genomic.alias("genomic_notation"),
+        F.lit("hg19").alias("assembly"),
+        F.lit("pathogenic").alias("relevance"),
+        F.lit("cancer").alias("subject_disease"),
+        F.lit("reviewed by Clinical Molecular Geneticist at CGL").alias("description"),
+        F.when(
+            bad_cds, F.concat(F.lit("invalid HGVSc notation ("), F.col("coding_hgvs"), F.lit(")"))
+        )
+        .when(bad_prot, F.concat(F.lit("invalid HGVSp notation ("), F.col("protein_hgvs"), F.lit(")")))
+        .when(
+            F.col("ref").isNotNull() & F.col("alt").isNotNull() & genomic.isNull()
+            & (F.length("ref") > 0) & (F.length("alt") > 0),
+            F.lit("unexpected ref vs alt combination"),
+        )
+        .alias("_error"),
+    )
