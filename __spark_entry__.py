@@ -1091,6 +1091,369 @@ def q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# gene / therapy dimension loaders (loaders/genes.py)
+# --------------------------------------------------------------------------
+
+def q_entrez_gene_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entrez gene esummary -> Feature rows with spec-quarantine
+    (loaders/genes.py:parse_entrez_genes; reference
+    src/entrez/gene.js:30-46)."""
+    from graphkb_spark.loaders.genes import parse_entrez_genes
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    raw = t["part"].select(
+        F.when(k % 10 == 0, F.concat(F.lit("x"), k.cast("string")))
+        .otherwise(k.cast("string"))
+        .alias("uid"),
+        F.concat(F.lit("G"), k.cast("string")).alias("name"),
+        F.concat(F.lit("desc "), k.cast("string")).alias("description"),
+        F.when(k % 2 == 0, F.concat(F.lit("sum "), k.cast("string"))).alias("summary"),
+    )
+    return parse_entrez_genes(raw)
+
+
+def q_dbsnp_docsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbSNP docsum HGVS mining: split tags, descending sort, first
+    NM_/NP_ match (loaders/genes.py:parse_dbsnp_records; reference
+    src/entrez/snp.js:119-128) — pure JVM array algebra."""
+    from graphkb_spark.loaders.genes import parse_dbsnp_records
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    docsum = F.when(k % 4 == 0, F.lit("GENE=X;LEN=1")).otherwise(
+        F.concat(
+            F.lit("GENE=X;HGVS=NC_"), ks, F.lit(":g.5A&gt;T,NM_"), ks,
+            F.lit(":c."), ks, F.lit("T&gt;A,NP_"), ks, F.lit(":p.V"), ks,
+            F.lit("E;LEN=1"),
+        )
+    )
+    raw = t["part"].select(
+        ks.alias("uid"),
+        k.alias("snp_id"),
+        F.lit("2024/01/01").alias("updatedate"),
+        docsum.alias("docsum"),
+        F.array().cast("array<string>").alias("genes"),
+    )
+    return parse_dbsnp_records(raw).select(
+        "sourceId", "name", "hgvs_cds", "hgvs_protein", "infers_notation"
+    )
+
+
+def q_hgnc_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HGNC loader: current + deprecated prev-symbol + alias satellite
+    Feature rows with the ORF display rule (loaders/genes.py:load_hgnc;
+    reference src/hgnc/index.js:40-152)."""
+    from graphkb_spark.loaders.genes import load_hgnc
+
+    t = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    raw = t["customer"].select(
+        F.concat(F.lit("HGNC:"), ks).alias("hgnc_id"),
+        F.concat(
+            F.lit("Gene"), ks, F.when(k % 6 == 0, F.lit("ORF7")).otherwise(F.lit(""))
+        ).alias("symbol"),
+        F.concat(F.lit("long "), ks).alias("name"),
+        F.lit("2024-01-01").alias("date_modified"),
+        F.lit(None).cast("string").alias("ensembl_gene_id"),
+        F.lit(None).cast("string").alias("entrez_id"),
+        F.when(k % 3 == 0, F.array(F.concat(F.lit("Prev"), ks)))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("prev_symbol"),
+        F.when(k % 4 == 0, F.array(F.concat(F.lit("Al"), ks)))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("alias_symbol"),
+    )
+    feats = load_hgnc(raw)["features"]
+    return feats.select(
+        "name",
+        "sourceId",
+        "deprecated",
+        "displayName",
+        F.col("dependency").isNotNull().alias("has_dep"),
+        "sourceIdVersion",
+    )
+
+
+def q_refseq_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefSeq versioned/generic Feature ladder (loaders/genes.py:
+    load_refseq over the J10 hierarchy transform; reference
+    src/refseq/index.js:55-146)."""
+    from graphkb_spark.loaders.genes import load_refseq
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    raw = t["part"].select(
+        F.concat(F.lit("NM_"), ks, F.lit("."), (k % 9 + 1).cast("string")).alias("RNA"),
+        ks.alias("GeneID"),
+        F.when(
+            k % 3 != 0,
+            F.concat(F.lit("NP_"), ks, F.lit("."), (k % 5 + 1).cast("string")),
+        ).alias("Protein"),
+    )
+    kb = load_refseq(spark, empty_kb(spark), raw)
+    return kb.features.select("biotype", "sourceId", "sourceIdVersion")
+
+
+def q_fda_srs_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDA-SRS UNII therapies: name/id skip predicate + broadcast NCIt
+    resolution with per-row miss errors (loaders/genes.py:load_fda_srs;
+    reference src/fdaSrs/index.js:52-99)."""
+    from graphkb_spark.loaders.genes import load_fda_srs
+
+    t = _t(spark, sf_dir, "supplier", "nation")
+    k = F.col("s_suppkey")
+    raw = t["supplier"].select(
+        F.concat(F.lit("U"), k.cast("string")).alias("UNII"),
+        F.when(k % 7 != 0, F.concat(F.lit("drug"), k.cast("string"))).alias("PT"),
+        F.when(k % 2 == 0, F.concat(F.lit("C"), (k % 40).cast("string"))).alias("NCIT"),
+        F.lit(None).cast("string").alias("PUBCHEM"),
+    )
+    ncit = t["nation"].select(
+        F.concat(F.lit("ncit-"), F.col("n_nationkey").cast("string")).alias("rid"),
+        F.concat(F.lit("C"), F.col("n_nationkey").cast("string")).alias("sourceId"),
+    )
+    return load_fda_srs(raw, ncit)["therapies"].select("sourceId", "name", "_error")
+
+
+def q_chembl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChEMBL therapies: molformula name fallback, bracketed upper-id
+    displayName, usan-stem parent rows (loaders/genes.py:
+    parse_chembl_records; reference src/chembl/index.js:49-99)."""
+    from graphkb_spark.loaders.genes import parse_chembl_records
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    raw = t["part"].select(
+        F.concat(
+            F.when(k % 2 == 0, F.lit("CHEMBL")).otherwise(F.lit("chembl")), ks
+        ).alias("molecule_chembl_id"),
+        F.when(k % 3 != 0, F.concat(F.lit("drug"), ks)).alias("pref_name"),
+        F.concat(F.lit("C"), ks, F.lit("H2")).alias("full_molformula"),
+        F.when(k % 5 == 0, F.concat(F.lit("stem"), (k % 3).cast("string"))).alias(
+            "usan_stem_definition"
+        ),
+    )
+    return parse_chembl_records(raw)["therapies"].select(
+        "sourceId", "name", "displayName", "molecularFormula", "comment"
+    )
+
+
+# --------------------------------------------------------------------------
+# paper-supplement / curated-content loaders (loaders/papers.py)
+# --------------------------------------------------------------------------
+
+def q_asco_abstracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCO abstracts: fill-score duplicate collapse (W4) + Abstract
+    record shaping (loaders/papers.py:load_asco_abstracts; reference
+    src/asco/index.js:42-68,154-166)."""
+    from graphkb_spark.loaders.papers import load_asco_abstracts
+
+    t = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    g = (k / 2).cast("long")
+    gs = g.cast("string")
+    filled = k % 2 == 1
+    raw = t["customer"].select(
+        F.concat(F.lit("a"), k.cast("string")).alias("id"),
+        gs.alias("AbstID"),
+        (g % 7 + 2010).cast("string").alias("Year"),
+        F.concat(F.lit("M"), (g % 5).cast("string")).alias("Meeting"),
+        F.concat(F.lit("t"), gs).alias("Title"),
+        F.concat(F.lit("f"), gs).alias("FirstAuthor"),
+        F.when(filled, F.concat(F.lit("auth"), gs)).alias("AuthorString"),
+        F.when(filled, F.concat(F.lit("u"), gs)).alias("url"),
+    )
+    return load_asco_abstracts(raw).select(
+        "abstractNumber", "authors", "displayName", "meeting", "name",
+        "sourceId", "url", "year",
+    )
+
+
+def q_fda_approvals_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDA approval announcements: consensus-or-null year over all
+    dated lines (A5) + CuratedContent shaping (loaders/papers.py:
+    load_fda_approvals; reference src/fdaApprovals/index.js:88-121)."""
+    from graphkb_spark.loaders.papers import load_fda_approvals
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    y = (k % 20 + 2000).cast("string")
+    content = (
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("On May 4, "), y, F.lit(" x. Approved May 5, "), y, F.lit(".")),
+        )
+        .when(k % 3 == 1, F.lit("On Jan 1, 2020 x. Later Dec 2, 2019."))
+        .otherwise(F.lit("nothing dated here"))
+    )
+    raw = t["part"].select(
+        F.concat(F.lit("/"), k.cast("string")).alias("link"),
+        F.concat(F.lit("T"), k.cast("string")).alias("title"),
+        content.alias("content"),
+    )
+    return load_fda_approvals(raw).select("sourceId", "name", "displayName", "url", "year")
+
+
+def q_pmc_fusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMC4468049 kinase fusions: partner-side subject pick, fusion
+    displayName, same-kinase skip (loaders/papers.py:
+    load_pmc4468049_fusions; reference src/PMC4468049/index.js:180-227)."""
+    from graphkb_spark.loaders.papers import load_pmc4468049_fusions
+
+    t = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    raw = t["supplier"].select(
+        F.concat(F.lit("A"), ks).alias("geneA"),
+        F.concat(F.lit("B"), ks).alias("geneB"),
+        F.when(k % 2 == 0, F.lit("yes")).otherwise(F.lit("no")).alias("kinaseA"),
+        F.when(k % 3 == 0, F.lit("yes")).otherwise(F.lit("no")).alias("kinaseB"),
+        k.alias("break1"),
+        (k + 1).alias("break2"),
+        F.concat(F.lit("d"), ks).alias("disease"),
+    )
+    return load_pmc4468049_fusions(raw).select(
+        "geneA", "geneB", "subject_gene", "variant_displayName",
+        "break1Repr", "relevance", "_error",
+    )
+
+
+def q_pmc_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMC4232638 functional-impact supplement: non-neutral filter,
+    kinase/TP53 relevance rules, PMID list parsing (loaders/papers.py:
+    load_pmc4232638; reference src/PMC4232638/index.js:58-111)."""
+    from graphkb_spark.loaders.papers import load_pmc4232638
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    no, yes = F.lit("no "), F.lit("yes")
+    raw = t["part"].select(
+        F.concat(F.lit("g"), ks).alias("gene"),
+        F.concat(F.lit("V"), (k % 700 + 1).cast("string"), F.lit("E")).alias("aa_change"),
+        F.when(k % 5 == 0, F.lit("neutral")).otherwise(F.lit("non-neutral")).alias(
+            "functional_classification"
+        ),
+        F.when(k % 4 == 0, F.lit("Oncogene")).otherwise(F.lit("TSG")).alias("type"),
+        F.when(k % 2 == 0, F.lit("123, 456 (note)")).alias("pmids"),
+        F.when(k % 4 == 0, yes).otherwise(no).alias("kinase"),
+        F.when(k % 4 == 1, yes).otherwise(no).alias("tp53_gof"),
+        F.when(k % 4 >= 1, yes).otherwise(no).alias("tp53_lof"),
+        F.when(k % 4 == 2, yes).otherwise(no).alias("tp53_dominant_negative"),
+    )
+    out = load_pmc4232638(raw)
+    return out.select(
+        "gene",
+        "variant_notation",
+        "relevance",
+        F.array_join("evidence_pmids", ",").alias("evidence"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DOCM / CGL statement loaders (loaders/statements.py)
+# --------------------------------------------------------------------------
+
+def q_docm_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCM loader: F4 protein repair, genomic composer keyed on
+    variant_type, per-disease explode with single-tag skip
+    (loaders/statements.py:load_docm; reference
+    src/docm/index.js:33-89,182-219)."""
+    from graphkb_spark.loaders.statements import load_docm
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    n = (k % 700 + 1).cast("string")
+    vt = F.element_at(
+        F.array(F.lit("SNV"), F.lit("DEL"), F.lit("INS"), F.lit("COMPLEX")),
+        (k % 4 + 1).cast("int"),
+    )
+    raw = t["part"].select(
+        F.concat(F.lit("h"), ks).alias("hgvs"),
+        F.when(k % 3 == 0, F.concat(F.lit("p.KK"), n, F.lit("-")))
+        .otherwise(F.concat(F.lit("p.G"), n, F.lit("D")))
+        .alias("amino_acid"),
+        F.concat(F.lit("g"), ks).alias("gene"),
+        (k % 22 + 1).cast("string").alias("chromosome"),
+        F.lit("GRCh37").alias("reference_version"),
+        k.alias("start"),
+        (k + k % 2).alias("stop"),
+        F.lit("A").alias("reference"),
+        F.lit("T").alias("variant"),
+        vt.alias("variant_type"),
+        F.array(
+            F.struct(
+                (k % 50).alias("doid"),
+                k.alias("source_pubmed_id"),
+                F.when(k % 5 == 0, F.array(F.lit("a"), F.lit("b")))
+                .otherwise(F.array(F.lit("t")))
+                .alias("tags"),
+            )
+        ).alias("diseases"),
+    )
+    return load_docm(raw).select(
+        "hgvs", "protein_notation", "genomic_notation", "disease_doid",
+        "pubmed_id", "relevance", "_error",
+    )
+
+
+def q_cgl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CGL loader: cds/protein/genomic triple with `p.(...)` cleanup,
+    `*`->Ter for non-fs, first-base-mismatch errors
+    (loaders/statements.py:load_cgl; reference src/cgl/index.js:44-170)."""
+    from graphkb_spark.loaders.statements import load_cgl
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    n = (k % 700 + 1).cast("string")
+    prot = (
+        F.when(k % 4 == 0, F.concat(F.lit("p.(R"), n, F.lit("H)")))
+        .when(k % 4 == 1, F.concat(F.lit("p.L"), n, F.lit("*")))
+        .when(k % 4 == 2, F.concat(F.lit("p.L"), n, F.lit("fs*3")))
+    )
+    pos = (
+        F.when(k % 3 == 0, F.lit("100"))
+        .when(k % 3 == 1, F.lit("100_101"))
+        .otherwise(F.lit("5"))
+    )
+    ref = (
+        F.when(k % 3 == 0, F.lit("C"))
+        .when(k % 3 == 1, F.lit("TAG"))
+        .otherwise(F.lit("AC"))
+    )
+    alt = (
+        F.when(k % 3 == 0, F.lit("T"))
+        .when(k % 3 == 1, F.lit("T"))
+        .otherwise(F.lit("GT"))
+    )
+    raw = t["part"].select(
+        F.concat(F.lit("NM_"), ks, F.lit("."), (k % 9 + 1).cast("string")).alias(
+            "transcript"
+        ),
+        F.when(k % 11 != 0, F.concat(F.lit("c."), ks, F.lit("A>G")))
+        .otherwise(F.lit("x.1del"))
+        .alias("coding_hgvs"),
+        F.concat(F.lit("g"), ks).alias("gene"),
+        prot.alias("protein_hgvs"),
+        (k % 22 + 1).cast("string").alias("chr_CGL"),
+        pos.alias("pos_CGL"),
+        ref.alias("ref"),
+        alt.alias("alt"),
+    )
+    return load_cgl(raw).select(
+        "transcript_id", "transcript_version", "cds_notation",
+        "protein_notation", "genomic_notation", "_error",
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -1155,6 +1518,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "graph_neighbors": q_graph_neighbors,
+        "entrez_gene_load": q_entrez_gene_load,
+        "dbsnp_docsum": q_dbsnp_docsum,
+        "hgnc_load": q_hgnc_load,
+        "refseq_ladder": q_refseq_ladder,
+        "fda_srs_load": q_fda_srs_load,
+        "chembl_load": q_chembl_load,
+        "asco_abstracts": q_asco_abstracts,
+        "fda_approvals_year": q_fda_approvals_year,
+        "pmc_fusions": q_pmc_fusions,
+        "pmc_functional": q_pmc_functional,
+        "docm_load": q_docm_load,
+        "cgl_load": q_cgl_load,
     }
 
 
@@ -1841,5 +2216,167 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "entrez_gene_load": """
+            SELECT 'Feature' AS cls, 'gene' AS biotype,
+                   CASE WHEN p_partkey%10=0 THEN 'x'||p_partkey
+                        ELSE CAST(p_partkey AS VARCHAR) END AS sourceId,
+                   'G'||p_partkey AS name,
+                   'G'||p_partkey AS displayName,
+                   'desc '||p_partkey AS longName,
+                   CASE WHEN p_partkey%2=0 THEN 'sum '||p_partkey END AS description,
+                   'https://www.ncbi.nlm.nih.gov/gene/' ||
+                     CASE WHEN p_partkey%10=0 THEN 'x'||p_partkey
+                          ELSE CAST(p_partkey AS VARCHAR) END AS url,
+                   CASE WHEN p_partkey%10=0
+                        THEN 'spec: uid (^\\d+$) and name are required' END AS _error
+            FROM part
+        """,
+        "dbsnp_docsum": """
+            WITH src AS (
+              SELECT p_partkey AS k,
+                     CASE WHEN p_partkey%4=0 THEN 'GENE=X;LEN=1'
+                          ELSE 'GENE=X;HGVS=NC_'||p_partkey||':g.5A&gt;T,NM_'||p_partkey
+                               ||':c.'||p_partkey||'T&gt;A,NP_'||p_partkey
+                               ||':p.V'||p_partkey||'E;LEN=1' END AS docsum
+              FROM part),
+            nots AS (
+              SELECT k, list_sort(string_split(regexp_replace(
+                       list_filter(string_split(replace(docsum,'&gt;','>'),';'),
+                                   x -> x LIKE 'HGVS=%')[1],
+                       '^HGVS=',''),','),'DESC') AS notations
+              FROM src)
+            SELECT CAST(k AS VARCHAR) AS sourceId,
+                   'rs'||k AS name,
+                   list_filter(notations, x -> regexp_matches(x,'^NM_\\d+.*:c\\..*'))[1] AS hgvs_cds,
+                   list_filter(notations, x -> regexp_matches(x,'^NP_\\d+.*:p\\..*'))[1] AS hgvs_protein,
+                   coalesce(
+                     list_filter(notations, x -> regexp_matches(x,'^NM_\\d+.*:c\\..*'))[1],
+                     list_filter(notations, x -> regexp_matches(x,'^NP_\\d+.*:p\\..*'))[1]
+                   ) AS infers_notation
+            FROM nots
+        """,
+        "hgnc_load": """
+            WITH c AS (SELECT c_custkey AS k FROM customer),
+            sym AS (SELECT k, 'Gene'||k||CASE WHEN k%6=0 THEN 'ORF7' ELSE '' END AS symbol
+                    FROM c)
+            SELECT symbol AS name, 'HGNC:'||k AS sourceId, FALSE AS deprecated,
+                   replace(upper(symbol),'ORF','orf') AS displayName,
+                   FALSE AS has_dep, '2024-01-01' AS sourceIdVersion
+            FROM sym
+            UNION ALL
+            SELECT 'Prev'||k, 'HGNC:'||k, TRUE, 'PREV'||k, TRUE, NULL
+            FROM c WHERE k%3=0
+            UNION ALL
+            SELECT 'Al'||k, 'HGNC:'||k, FALSE, 'AL'||k, TRUE, NULL
+            FROM c WHERE k%4=0
+        """,
+        "refseq_ladder": """
+            WITH p AS (SELECT p_partkey AS k FROM part)
+            SELECT 'gene' AS biotype, CAST(k AS VARCHAR) AS sourceId,
+                   CAST(NULL AS VARCHAR) AS sourceIdVersion FROM p
+            UNION ALL SELECT 'transcript', 'NM_'||k, CAST(k%9+1 AS VARCHAR) FROM p
+            UNION ALL SELECT 'transcript', 'NM_'||k, NULL FROM p
+            UNION ALL SELECT 'protein', 'NP_'||k, CAST(k%5+1 AS VARCHAR) FROM p WHERE k%3<>0
+            UNION ALL SELECT 'protein', 'NP_'||k, NULL FROM p WHERE k%3<>0
+        """,
+        "fda_srs_load": """
+            SELECT 'U'||s_suppkey AS sourceId, 'drug'||s_suppkey AS name,
+                   CASE WHEN s_suppkey%2=0 AND s_suppkey%40>=25
+                        THEN 'ncit therapy not found: C'||(s_suppkey%40) END AS _error
+            FROM supplier WHERE s_suppkey%7<>0
+        """,
+        "chembl_load": """
+            WITH p AS (SELECT p_partkey AS k FROM part),
+            d AS (SELECT k,
+                    CASE WHEN k%2=0 THEN 'CHEMBL' ELSE 'chembl' END || k AS id,
+                    CASE WHEN k%3<>0 THEN 'drug'||k ELSE 'C'||k||'H2' END AS name,
+                    'C'||k||'H2' AS mol
+                  FROM p)
+            SELECT id AS sourceId, name, name||' ['||upper(id)||']' AS displayName,
+                   mol AS molecularFormula, CAST(NULL AS VARCHAR) AS comment
+            FROM d
+            UNION ALL
+            SELECT DISTINCT 'stem'||(k%3), 'stem'||(k%3), 'stem'||(k%3),
+                   CAST(NULL AS VARCHAR), 'usan stem definition'
+            FROM p WHERE k%5=0
+        """,
+        "asco_abstracts": """
+            WITH c AS (SELECT c_custkey AS k FROM customer),
+            g AS (SELECT k//2 AS g, MAX(k%2) AS has_odd FROM c GROUP BY k//2)
+            SELECT CAST(g AS VARCHAR) AS abstractNumber,
+                   CASE WHEN has_odd=1 THEN 'auth'||g END AS authors,
+                   'M'||(g%5)||' (abstract '||g||')' AS displayName,
+                   'M'||(g%5) AS meeting,
+                   't'||g AS name,
+                   'a'||(2*g+has_odd) AS sourceId,
+                   CASE WHEN has_odd=1 THEN 'u'||g END AS url,
+                   CAST(2010+g%7 AS INTEGER) AS year
+            FROM g
+        """,
+        "fda_approvals_year": """
+            SELECT '/'||p_partkey AS sourceId, 'T'||p_partkey AS name,
+                   'T'||p_partkey AS displayName,
+                   'https://www.fda.gov/'||p_partkey AS url,
+                   CASE WHEN p_partkey%3=0
+                        THEN CAST(2000+p_partkey%20 AS INTEGER) END AS year
+            FROM part
+        """,
+        "pmc_fusions": """
+            WITH s AS (SELECT s_suppkey AS k,
+                   CASE WHEN s_suppkey%2=0 THEN 'yes' ELSE 'no' END AS ka,
+                   CASE WHEN s_suppkey%3=0 THEN 'yes' ELSE 'no' END AS kb
+                 FROM supplier)
+            SELECT 'A'||k AS geneA, 'B'||k AS geneB,
+                   CASE WHEN ka='yes' THEN 'A'||k ELSE 'B'||k END AS subject_gene,
+                   '(A'||k||',B'||k||'):fusion(g.'||k||',g.'||(k+1)||')' AS variant_displayName,
+                   'g.'||k AS break1Repr,
+                   'likely gain of function' AS relevance,
+                   CASE WHEN ka=kb THEN 'skipping: cannot determine kinase partner' END AS _error
+            FROM s
+        """,
+        "pmc_functional": """
+            WITH p AS (SELECT p_partkey AS k FROM part
+                       WHERE p_partkey%5<>0 AND p_partkey%4<>1)
+            SELECT 'g'||k AS gene,
+                   'p.V'||(k%700+1)||'E' AS variant_notation,
+                   CASE WHEN k%4=0 THEN 'likely gain of function'
+                        WHEN k%4=2 THEN 'dominant negative'
+                        ELSE 'loss of function' END AS relevance,
+                   '25348012' || CASE WHEN k%2=0 THEN ',123,456' ELSE '' END AS evidence
+            FROM p
+        """,
+        "docm_load": """
+            WITH p AS (SELECT p_partkey AS k FROM part)
+            SELECT 'h'||k AS hgvs,
+                   CASE WHEN k%3=0 THEN 'p.K'||(k%700+1)||'_K'||(k%700+2)||'delKK'
+                        ELSE 'p.G'||(k%700+1)||'D' END AS protein_notation,
+                   (k%22+1) || ':g.' ||
+                   CASE WHEN k%4=0 THEN k||'A>T'
+                        WHEN k%4=1 THEN CASE WHEN k%2=0 THEN k||'delA'
+                                             ELSE k||'_'||(k+1)||'delA' END
+                        WHEN k%4=2 THEN k||'_'||(k+k%2)||'insT'
+                        ELSE CASE WHEN k%2=0 THEN k||'delAinsT'
+                                  ELSE k||'_'||(k+1)||'delAinsT' END
+                   END AS genomic_notation,
+                   'doid:'||(k%50) AS disease_doid,
+                   CAST(k AS VARCHAR) AS pubmed_id,
+                   'recurrent' AS relevance,
+                   CASE WHEN k%5=0 THEN 'skip: disease tag count != 1' END AS _error
+            FROM p
+        """,
+        "cgl_load": """
+            WITH p AS (SELECT p_partkey AS k FROM part)
+            SELECT 'NM_'||k AS transcript_id,
+                   CAST(k%9+1 AS VARCHAR) AS transcript_version,
+                   CASE WHEN k%11<>0 THEN 'c.'||k||'A>G' END AS cds_notation,
+                   CASE WHEN k%4=0 THEN 'p.R'||(k%700+1)||'H'
+                        WHEN k%4=1 THEN 'p.L'||(k%700+1)||'Ter'
+                        WHEN k%4=2 THEN 'p.L'||(k%700+1)||'fs*3' END AS protein_notation,
+                   CASE WHEN k%3=0 THEN 'g.100C>T'
+                        WHEN k%3=1 THEN 'g.100_101delAG' END AS genomic_notation,
+                   CASE WHEN k%11=0 THEN 'invalid HGVSc notation (x.1del)'
+                        WHEN k%3=2 THEN 'unexpected ref vs alt combination' END AS _error
+            FROM p
         """,
     }
