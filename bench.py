@@ -40,6 +40,8 @@ HEADLINE = [
     "dnf_expansion",
     "therapy_grouping",
     "rollup_recurrence",
+    "docm_load",
+    "hgnc_load",
 ]
 
 
@@ -57,9 +59,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        # best-of-2: single-JVM local runs are GC/JIT noisy; the min is
+        # one untimed warm-up: first touch of an Arrow-UDF/codegen path
+        # costs seconds regardless of data size and would otherwise land
+        # inside a timed trial
+        spark.catalog.clearCache()
+        fn(spark, sf_dir).count()
+        # best-of-3: single-JVM local runs are GC/JIT noisy; the min is
         # the stable measure of the plan itself
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
