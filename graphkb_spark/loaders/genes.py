@@ -365,3 +365,232 @@ def parse_chembl_records(raw: DataFrame) -> dict[str, DataFrame]:
         F.lit("chembl").alias("source_rid"),
     )
     return {"therapies": therapies.unionByName(parents), "edges": edges}
+
+
+# ---------------------------------------------------------------------------
+# entrez nucleotide / refseq esummary (src/entrez/refseq.js:24-63,74-108)
+# ---------------------------------------------------------------------------
+
+
+def parse_entrez_refseq(raw: DataFrame, versioned: bool = True) -> DataFrame:
+    """Refseq/nucleotide esummary records -> Feature rows.
+
+    Spec (src/entrez/refseq.js:24-35): ``accessionversion`` must match
+    ``^N[A-Z]_\\d+\\.\\d+$`` and ``biomol`` one of genomic/rna/peptide/
+    mRNA.  biotype mapping (:44-50): genomic -> chromosome, peptide ->
+    protein, else transcript; chromosomes take ``subname`` as name
+    (:58-60).  When ``versioned`` is False the reference strips the
+    version and longName for ids requested without one (:96-106).
+    """
+    acc = F.col("accessionversion")
+    bad = (
+        acc.isNull()
+        | ~acc.rlike(r"^N[A-Z]_\d+\.\d+$")
+        | ~F.col("biomol").isin("genomic", "rna", "peptide", "mRNA")
+        | F.col("title").isNull()
+    )
+    biotype = (
+        F.when(F.col("biomol") == "genomic", F.lit("chromosome"))
+        .when(F.col("biomol") == "peptide", F.lit("protein"))
+        .otherwise(F.lit("transcript"))
+    )
+    sid = F.split_part(acc, F.lit("."), F.lit(1))
+    ver = F.split_part(acc, F.lit("."), F.lit(2))
+    return raw.select(
+        F.lit("Feature").alias("cls"),
+        biotype.alias("biotype"),
+        sid.alias("sourceId"),
+        (F.nullif(ver, F.lit("")) if versioned else F.lit(None).cast("string")).alias(
+            "sourceIdVersion"
+        ),
+        (F.upper(acc) if versioned else F.upper(sid)).alias("displayName"),
+        (F.col("title") if versioned else F.lit(None).cast("string")).alias("longName"),
+        F.when(biotype == "chromosome", F.col("subname")).alias("name"),
+        F.when(
+            bad, F.lit("spec: accessionversion (^N[A-Z]_\\d+\\.\\d+$) / biomol / title")
+        ).alias("_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GSC therapeutic ontology (src/gscTherapeuticOntology.js)
+# ---------------------------------------------------------------------------
+
+GSC_THERAPY_HEADER = {  # src/gscTherapeuticOntology.js:13-20
+    "alias": "alias",
+    "drugbank": "DrugBankID",
+    "grandparent1": "Class_2",
+    "grandparent2": "Class_3_pathway",
+    "name": "source",
+    "parent": "Class_1",
+}
+
+_GSC_TAGS = {  # src/gscTherapeuticOntology.js:22-26
+    "parent": "specific drug class",
+    "grandparent1": "general drug class",
+    "grandparent2": "pathway drug class",
+}
+
+
+def _gsc_clean(col: F.Column) -> F.Column:
+    # trim().toLowerCase().replace(/\binhibitors\b/, 'inhibitor'),
+    # src/gscTherapeuticOntology.js:157-159
+    return F.regexp_replace(F.lower(F.trim(col)), r"\binhibitors\b", "inhibitor")
+
+
+def load_gsc_therapeutic_ontology(
+    raw: DataFrame,
+    external_therapies: DataFrame,
+    source_name: str = "gsc therapeutic ontology",
+) -> dict[str, DataFrame]:
+    """BCGSC custom drug-class ontology TSV -> Therapy rows + edges.
+
+    Reference flow (src/gscTherapeuticOntology.js:29-200): every name
+    column is cleaned (lower/trim, inhibitors -> inhibitor); the drug
+    and each alias resolve against DrugBank-then-ChEMBL by name and are
+    created under this source only on miss, tagged with ``subsets``
+    naming which class columns they equal (:33-76); the three class
+    columns always become own-source Therapy rows cross-referenced to
+    same-name DrugBank records (:80-133); edges: alias -(AliasOf)->
+    drug, drug -(SubClassOf)-> parent, parent -(SubClassOf)->
+    grandparent1 and grandparent2 — both grandparents hang off the
+    parent (:181-200) — self-links skipped.
+
+    ``external_therapies`` needs (name, rid, priority) with lower
+    priority preferred (0=drugbank, 1=chembl, J3 cascade order); it is
+    dimension-sized and broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    cols = {dst: _gsc_clean(F.col(src)) for dst, src in GSC_THERAPY_HEADER.items()}
+    rows = raw.select(*[c.alias(n) for n, c in cols.items()])
+
+    # best external match per cleaned name (drugbank beats chembl)
+    w = Window.partitionBy("name").orderBy("priority")
+    ext = F.broadcast(
+        external_therapies.select(
+            _gsc_clean(F.col("name")).alias("name"), "rid", "priority"
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("name", F.col("rid").alias("ext_rid"))
+    )
+
+    def tags_for(name_col: F.Column):
+        return F.filter(
+            F.array(
+                *[
+                    F.when(name_col == F.col(slot), F.lit(tag))
+                    for slot, tag in _GSC_TAGS.items()
+                ]
+            ),
+            lambda t: t.isNotNull(),
+        )
+
+    def own_rid(name_col: F.Column) -> F.Column:
+        return stable_hash_named(
+            cls=F.lit("Therapy"), name=name_col, source=F.lit(source_name)
+        )
+
+    # drug + aliases: resolve-or-create (getDrugOrAdd, :33-76)
+    drugs = (
+        rows.select(
+            F.explode(
+                F.array_union(
+                    F.array(F.col("name")),
+                    F.filter(
+                        F.split(F.coalesce(F.col("alias"), F.lit("")), r"\s*,\s*"),
+                        lambda t: (t != "") & (t != F.col("name")),
+                    ),
+                )
+            ).alias("term"),
+            "parent", "grandparent1", "grandparent2",
+        )
+        .filter(F.col("term") != "")
+        .withColumn("subsets", tags_for(F.col("term")))
+    )
+    drugs = drugs.join(ext.withColumnRenamed("name", "term"), "term", "left")
+    created_drugs = (
+        drugs.filter(F.col("ext_rid").isNull())
+        .select(
+            own_rid(F.col("term")).alias("rid"),
+            F.lit("Therapy").alias("cls"),
+            F.col("term").alias("name"),
+            F.col("term").alias("sourceId"),
+            F.array_sort("subsets").alias("subsets"),
+            F.lit(source_name).alias("source_name"),
+        )
+        .dropDuplicates(["rid"])
+    )
+
+    # classes are always own-source rows (addDrugClass, :80-110)
+    classes = None
+    for slot in ("parent", "grandparent1", "grandparent2"):
+        c = rows.filter(F.col(slot).isNotNull() & (F.col(slot) != "")).select(
+            own_rid(F.col(slot)).alias("rid"),
+            F.lit("Therapy").alias("cls"),
+            F.col(slot).alias("name"),
+            F.col(slot).alias("sourceId"),
+            F.array_sort(tags_for(F.col(slot))).alias("subsets"),
+            F.lit(source_name).alias("source_name"),
+        )
+        classes = c if classes is None else classes.unionByName(c)
+    classes = classes.dropDuplicates(["rid"])
+
+    resolved = rows.join(ext, "name", "left").withColumn(
+        "drug_rid", F.coalesce(F.col("ext_rid"), own_rid(F.col("name")))
+    )
+    edges = None
+    # drug -> parent, parent -> grandparent1/2 (SubClassOf, :181-200)
+    for out_col, in_col in (
+        ("drug_rid", "parent"),
+        ("parent", "grandparent1"),
+        ("parent", "grandparent2"),
+    ):
+        out_rid = F.col(out_col) if out_col == "drug_rid" else own_rid(F.col(out_col))
+        e = (
+            resolved.filter(F.col(in_col).isNotNull() & (F.col(in_col) != ""))
+            .select(
+                out_rid.alias("out_rid"),
+                own_rid(F.col(in_col)).alias("in_rid"),
+                F.lit("SubClassOf").alias("edge_class"),
+                F.lit(source_name).alias("source_rid"),
+            )
+            .filter(F.col("out_rid") != F.col("in_rid"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    # alias -(AliasOf)-> drug (:176-180)
+    alias_edges = (
+        resolved.select(
+            F.col("drug_rid"),
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("alias"), F.lit("")), r"\s*,\s*"),
+                    lambda t: (t != "") & (t != F.col("name")),
+                )
+            ).alias("term"),
+        )
+        .join(ext.withColumnRenamed("name", "term"), "term", "left")
+        .select(
+            F.coalesce(F.col("ext_rid"), own_rid(F.col("term"))).alias("out_rid"),
+            F.col("drug_rid").alias("in_rid"),
+            F.lit("AliasOf").alias("edge_class"),
+            F.lit(source_name).alias("source_rid"),
+        )
+    )
+    # class -(CrossReferenceOf)-> same-name external match (:113-133)
+    xref_edges = (
+        classes.join(ext.withColumnRenamed("name", "cname"),
+                     classes["name"] == F.col("cname"), "inner")
+        .select(
+            F.col("rid").alias("out_rid"),
+            F.col("ext_rid").alias("in_rid"),
+            F.lit("CrossReferenceOf").alias("edge_class"),
+            F.lit(source_name).alias("source_rid"),
+        )
+    )
+    return {
+        "therapies": created_drugs.unionByName(classes).dropDuplicates(["rid"]),
+        "edges": edges.unionByName(alias_edges).unionByName(xref_edges)
+        .dropDuplicates(["out_rid", "in_rid", "edge_class"]),
+    }

@@ -338,3 +338,80 @@ def test_load_cgl(spark):
     mismatch = out["G3"]
     assert mismatch["genomic_notation"] is None
     assert "ref vs alt" in mismatch["_error"]
+
+
+# ---------------------------------------------------------------------------
+# entrez refseq esummary + GSC therapeutic ontology
+# ---------------------------------------------------------------------------
+
+
+def test_parse_entrez_refseq(spark):
+    from graphkb_spark.loaders.genes import parse_entrez_refseq
+
+    df = spark.createDataFrame(
+        [
+            ("NM_000546.5", "rna", "tp53 transcript", None),
+            ("NP_000537.3", "peptide", "tp53 protein", None),
+            ("NC_000017.11", "genomic", "chr 17", "17"),
+            ("bogus", "rna", "x", None),
+        ],
+        "accessionversion string, biomol string, title string, subname string",
+    )
+    out = {r["sourceId"]: r for r in rows(parse_entrez_refseq(df))}
+    assert out["NM_000546"]["biotype"] == "transcript"
+    assert out["NM_000546"]["sourceIdVersion"] == "5"
+    assert out["NM_000546"]["displayName"] == "NM_000546.5"
+    assert out["NP_000537"]["biotype"] == "protein"
+    assert out["NC_000017"]["biotype"] == "chromosome"
+    assert out["NC_000017"]["name"] == "17"
+    assert out["bogus"]["_error"] is not None
+    # unversioned request mode strips version + longName (refseq.js:96-106)
+    unv = {r["sourceId"]: r for r in rows(parse_entrez_refseq(df, versioned=False))}
+    assert unv["NM_000546"]["sourceIdVersion"] is None
+    assert unv["NM_000546"]["displayName"] == "NM_000546"
+    assert unv["NM_000546"]["longName"] is None
+
+
+def test_load_gsc_therapeutic_ontology(spark):
+    from graphkb_spark.loaders.genes import load_gsc_therapeutic_ontology
+
+    raw = spark.createDataFrame(
+        [
+            ("Vemurafenib", "raf inhibitors", "kinase inhibitor",
+             "mapk pathway", "DB0001", "PLX4032, vemurafenib"),
+            # drug that IS its own specific class -> subsets tag, no self edge
+            ("raf inhibitor", "raf inhibitor", "kinase inhibitor",
+             "mapk pathway", None, ""),
+        ],
+        "source string, Class_1 string, Class_2 string, "
+        "Class_3_pathway string, DrugBankID string, alias string",
+    )
+    ext = spark.createDataFrame(
+        [Row(name="Vemurafenib", rid="db-vem", priority=0),
+         Row(name="vemurafenib", rid="ch-vem", priority=1)]
+    )
+    out = load_gsc_therapeutic_ontology(raw, ext)
+    ther = {t["name"]: t for t in rows(out["therapies"])}
+    # resolved drug is NOT re-created; alias + classes are
+    assert "vemurafenib" not in ther
+    assert "plx4032" in ther
+    # 'inhibitors' -> 'inhibitor' cleaning applied to class names
+    assert ther["raf inhibitor"]["subsets"] == ["specific drug class"]
+    assert ther["kinase inhibitor"]["subsets"] == ["general drug class"]
+    assert ther["mapk pathway"]["subsets"] == ["pathway drug class"]
+    edges = rows(out["edges"])
+    by_cls = {}
+    for e in edges:
+        by_cls.setdefault(e["edge_class"], []).append(e)
+    # drugbank match (priority 0) beats chembl for the drug rid
+    alias_edge = by_cls["AliasOf"][0]
+    assert alias_edge["in_rid"] == "db-vem"
+    sub_pairs = {(e["out_rid"], e["in_rid"]) for e in by_cls["SubClassOf"]}
+    raf_rid = ther["raf inhibitor"]["rid"]
+    kin_rid = ther["kinase inhibitor"]["rid"]
+    mapk_rid = ther["mapk pathway"]["rid"]
+    assert ("db-vem", raf_rid) in sub_pairs          # drug -> parent
+    assert (raf_rid, kin_rid) in sub_pairs           # parent -> grandparent1
+    assert (raf_rid, mapk_rid) in sub_pairs          # parent -> grandparent2
+    # self-link suppressed for the drug==parent row
+    assert (raf_rid, raf_rid) not in sub_pairs
