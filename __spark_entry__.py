@@ -1355,6 +1355,71 @@ def q_pmc_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entrez_refseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entrez nucleotide/refseq esummary parse: biomol -> biotype,
+    accession split, chromosome subname (loaders/genes.py:
+    parse_entrez_refseq; reference src/entrez/refseq.js:24-63)."""
+    from graphkb_spark.loaders.genes import parse_entrez_refseq
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    raw = t["part"].select(
+        F.when(k % 10 == 0, F.lit("bogus"))
+        .otherwise(
+            F.concat(
+                F.element_at(
+                    F.array(F.lit("NM_"), F.lit("NP_"), F.lit("NC_")),
+                    (k % 3 + 1).cast("int"),
+                ),
+                ks, F.lit("."), (k % 7 + 1).cast("string"),
+            )
+        )
+        .alias("accessionversion"),
+        F.element_at(
+            F.array(F.lit("rna"), F.lit("peptide"), F.lit("genomic")),
+            (k % 3 + 1).cast("int"),
+        ).alias("biomol"),
+        F.concat(F.lit("title "), ks).alias("title"),
+        F.when(k % 3 == 2, (k % 22 + 1).cast("string")).alias("subname"),
+    )
+    return parse_entrez_refseq(raw)
+
+
+def q_gsc_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSC therapeutic-ontology loader: name cleaning (inhibitors ->
+    inhibitor), drugbank/chembl resolve-or-create, class subsets tags
+    (loaders/genes.py:load_gsc_therapeutic_ontology; reference
+    src/gscTherapeuticOntology.js:29-110,157-159)."""
+    from graphkb_spark.loaders.genes import load_gsc_therapeutic_ontology
+
+    t = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    raw = t["supplier"].select(
+        F.concat(F.lit("Drug"), ks).alias("source"),
+        F.concat(F.lit("class"), (k % 10).cast("string"), F.lit(" inhibitors")).alias(
+            "Class_1"
+        ),
+        F.concat(F.lit("family"), (k % 5).cast("string")).alias("Class_2"),
+        F.concat(F.lit("pathway"), (k % 3).cast("string")).alias("Class_3_pathway"),
+        F.lit(None).cast("string").alias("DrugBankID"),
+        F.when(k % 4 == 0, F.concat(F.lit("Alias"), ks)).otherwise(F.lit("")).alias(
+            "alias"
+        ),
+    )
+    # every 2nd drug resolves against the external dim (drugbank wins)
+    ext = t["supplier"].filter(k % 2 == 0).select(
+        F.concat(F.lit("drug"), ks).alias("name"),
+        F.concat(F.lit("db-"), ks).alias("rid"),
+        F.lit(0).alias("priority"),
+    )
+    out = load_gsc_therapeutic_ontology(raw, ext)
+    return out["therapies"].select(
+        "name", "sourceId", F.array_join("subsets", "|").alias("subsets")
+    )
+
+
 # --------------------------------------------------------------------------
 # DOCM / CGL statement loaders (loaders/statements.py)
 # --------------------------------------------------------------------------
@@ -1530,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmc_functional": q_pmc_functional,
         "docm_load": q_docm_load,
         "cgl_load": q_cgl_load,
+        "entrez_refseq": q_entrez_refseq,
+        "gsc_ontology": q_gsc_ontology,
     }
 
 
@@ -2378,5 +2445,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN k%11=0 THEN 'invalid HGVSc notation (x.1del)'
                         WHEN k%3=2 THEN 'unexpected ref vs alt combination' END AS _error
             FROM p
+        """,
+        "entrez_refseq": """
+            WITH p AS (SELECT p_partkey AS k FROM part)
+            SELECT 'Feature' AS cls,
+                   CASE WHEN k%3=0 THEN 'transcript'
+                        WHEN k%3=1 THEN 'protein'
+                        ELSE 'chromosome' END AS biotype,
+                   CASE WHEN k%10=0 THEN 'bogus'
+                        ELSE CASE WHEN k%3=0 THEN 'NM_' WHEN k%3=1 THEN 'NP_'
+                             ELSE 'NC_' END || k END AS sourceId,
+                   CASE WHEN k%10=0 THEN NULL
+                        ELSE CAST(k%7+1 AS VARCHAR) END AS sourceIdVersion,
+                   CASE WHEN k%10=0 THEN 'BOGUS'
+                        ELSE CASE WHEN k%3=0 THEN 'NM_' WHEN k%3=1 THEN 'NP_'
+                             ELSE 'NC_' END || k || '.' || (k%7+1) END AS displayName,
+                   'title '||k AS longName,
+                   CASE WHEN k%3=2 THEN CAST(k%22+1 AS VARCHAR) END AS name,
+                   CASE WHEN k%10=0
+                        THEN 'spec: accessionversion (^N[A-Z]_\\d+\\.\\d+$) / biomol / title'
+                   END AS _error
+            FROM p
+        """,
+        "gsc_ontology": """
+            WITH s AS (SELECT s_suppkey AS k FROM supplier)
+            SELECT 'drug'||k AS name, 'drug'||k AS sourceId, '' AS subsets
+            FROM s WHERE k%2=1
+            UNION ALL
+            SELECT 'alias'||k, 'alias'||k, '' FROM s WHERE k%4=0
+            UNION ALL
+            SELECT DISTINCT 'class'||(k%10)||' inhibitor', 'class'||(k%10)||' inhibitor',
+                   'specific drug class' FROM s
+            UNION ALL
+            SELECT DISTINCT 'family'||(k%5), 'family'||(k%5), 'general drug class' FROM s
+            UNION ALL
+            SELECT DISTINCT 'pathway'||(k%3), 'pathway'||(k%3), 'pathway drug class' FROM s
         """,
     }
