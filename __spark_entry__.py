@@ -903,12 +903,21 @@ def q_dedup_fillscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 signatures — not
-    SQL-expressible; driver records the rows-only check; exact-Jaccard
-    verification happens inside the operator)."""
+    """MinHash+LSH near-dup pairs with seeded-md5 signatures: the full
+    pipeline (shingle -> 32 seeded-md5 minima -> 16 bands of 2 ->
+    band-bucket candidate join -> exact-Jaccard verify) is replicated
+    verbatim by the DuckDB oracle, so banding soundness is checked, not
+    just the verified pairs. (hasher='xxhash64' is the raw-throughput
+    production default; same plan shape.)"""
     t = _t(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
-        t["documents"], "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.6
+        t["documents"],
+        "text",
+        "doc_id",
+        num_hashes=32,
+        bands=16,
+        jaccard_threshold=0.6,
+        hasher="md5",
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -922,7 +931,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (bit-vote Pandas UDF + chunk blocking)."""
+    """SimHash near-dup pairs: md5-hex bit-vote signature in pure
+    Column algebra (JVM codegen, no Python) + 4x16-bit chunk blocking;
+    the DuckDB oracle recomputes the identical signature and blocking."""
     t = _t(spark, sf_dir, "documents")
     return simhash_near_dups(t["documents"], "text", "doc_id", max_hamming=3)
 
@@ -943,11 +954,12 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic-sample centroids, nprobe cells per
-    query, exact rerank within cells (rows-only — cell assignment is
-    sample-defined). nprobe/n_centroids = 1/2 here: the synthetic
-    embeddings are random (no cluster structure), so recall tracks the
-    probed fraction; real embedding corpora cluster and probe far less."""
+    """IVF-style ANN: md5-of-id ordered centroid sample, nprobe cells
+    per query, exact rerank within cells. The DuckDB oracle replicates
+    centroid choice, cell assignment, probing, and rerank exactly.
+    nprobe/n_centroids = 1/2 here: the synthetic embeddings are random
+    (no cluster structure), so recall tracks the probed fraction; real
+    embedding corpora cluster and probe far less."""
     from graphkb_spark.operators.similarity import ivf_topk
 
     t = _t(spark, sf_dir, "embeddings")
@@ -960,11 +972,14 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path; rows-only
-    check — bucketing is hash-defined)."""
+    """LSH-bucketed approximate top-k (the scale path): ternary
+    (Achlioptas sparse random projection) bucket signature with
+    md5-seeded weights — the DuckDB oracle recomputes the identical
+    buckets and rerank, so the approximation itself is verified."""
     t = _t(spark, sf_dir, "embeddings")
-    queries = t["embeddings"].filter(F.col("vec_id") < 5)
-    out = lsh_topk(t["embeddings"], queries, k=5, n_planes=6)
+    emb = t["embeddings"].withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, k=5, n_planes=6)
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     )
@@ -998,8 +1013,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (xxhash64 min-shingle; not
-    SQL-expressible -> rows-only check)."""
+    """Rolling-hash document fingerprint: min over 32-char shingles of
+    the first-16-hex md5 — a 1-value MinHash, fully replicated by the
+    DuckDB oracle."""
     from graphkb_spark.functions.hashing import content_fingerprint
 
     t = _t(spark, sf_dir, "documents")
@@ -2276,6 +2292,163 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, e.vec_id AS neighbor_id,
                      list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # Full replication of the seeded-md5 MinHash+LSH pipeline:
+        # signatures, banding, candidate join, exact-Jaccard verify —
+        # proves banding soundness, not just the verified pairs.
+        "minhash_lsh": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM words),
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            mh AS (
+              SELECT doc_id, i,
+                     min(substr(md5(i::VARCHAR || '|' || shingle), 1, 16)) AS h
+              FROM ex, generate_series(0, 31) g(i)
+              GROUP BY doc_id, i),
+            sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), ',')) AS bhash
+              FROM sig, generate_series(0, 15) g(b)),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+            jac AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+            SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.6
+        """,
+        # Identical md5-hex bit-vote SimHash signature + chunk blocking.
+        "simhash": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+            toks AS (SELECT doc_id, md5(t) AS hx FROM tok),
+            votes AS (
+              SELECT doc_id, j,
+                     SUM(CASE WHEN CAST(floor((instr('0123456789abcdef',
+                                substr(hx, CAST(floor(j/4) AS INT) + 1, 1)) - 1)
+                                / pow(2, 3 - (j % 4))) AS INT) % 2 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM toks, generate_series(0, 63) g(j)
+              GROUP BY doc_id, j),
+            chunks AS (
+              SELECT doc_id, CAST(floor(j/16) AS INT) AS chunk,
+                     CAST(SUM(CASE WHEN v > 0
+                                   THEN CAST(pow(2, 15 - (j % 16)) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS ckey
+              FROM votes GROUP BY doc_id, CAST(floor(j/16) AS INT)),
+            sig AS (SELECT doc_id, list(ckey ORDER BY chunk) AS cs
+                    FROM chunks GROUP BY doc_id),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM chunks x JOIN chunks y
+                ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id),
+            ham AS (
+              SELECT id_a, id_b,
+                     bit_count(xor(a.cs[1], b.cs[1])) + bit_count(xor(a.cs[2], b.cs[2]))
+                   + bit_count(xor(a.cs[3], b.cs[3])) + bit_count(xor(a.cs[4], b.cs[4]))
+                       AS hamming
+              FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b)
+            SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+            FROM ham WHERE hamming <= 3
+        """,
+        # min-over-shingles md5 fingerprint, replicated verbatim.
+        "fingerprint": """
+            SELECT doc_id,
+                   list_aggregate(
+                     list_transform(generate_series(1, greatest(1, length(text) - 31)),
+                                    i -> substr(md5(substr(text, i, 32)), 1, 16)),
+                     'min') AS fingerprint
+            FROM documents
+        """,
+        # Ternary sparse-random-projection LSH: identical md5-seeded
+        # weights, buckets, and exact rerank.
+        "embedding_lsh": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            dots AS (
+              SELECT vec_id, p,
+                     list_dot_product(v, list_transform(range(len(v)),
+                       d -> CAST(CASE WHEN (instr('0123456789abcdef',
+                                   substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) < 4
+                                 THEN -1.0
+                                 WHEN (instr('0123456789abcdef',
+                                   substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) < 8
+                                 THEN 1.0
+                                 ELSE 0.0 END AS DOUBLE))) AS dp
+              FROM e, generate_series(0, 5) g(p)),
+            buck AS (
+              SELECT vec_id,
+                     SUM(CASE WHEN dp >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                       AS bucket
+              FROM dots GROUP BY vec_id),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                  FROM e JOIN buck USING (vec_id) WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket
+                  FROM e JOIN buck USING (vec_id)),
+            scored AS (
+              SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+              FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # IVF: md5-ordered centroid sample, nearest-cell assignment,
+        # nprobe=4 probing, exact rerank — all replicated.
+        "embedding_ivf": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+            ca AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cid AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                   c.cid ASC) AS rn
+                FROM e, cents c) WHERE rn = 1),
+            qp AS (
+              SELECT query_id, cell FROM (
+                SELECT e.vec_id AS query_id, c.cid AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                   c.cid ASC) AS rn
+                FROM e, cents c WHERE e.vec_id < 5) WHERE rn <= 4),
+            scored AS (
+              SELECT DISTINCT qp.query_id, ca.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.v, n.v) AS sim
+              FROM qp JOIN ca USING (cell)
+                   JOIN e q ON q.vec_id = qp.query_id
+                   JOIN e n ON n.vec_id = ca.vec_id
+              WHERE ca.vec_id <> qp.query_id),
             ranked AS (
               SELECT query_id, neighbor_id, sim,
                      row_number() OVER (PARTITION BY query_id

@@ -36,12 +36,14 @@ def stable_hash_named(**named: str | Column) -> Column:
 
 
 def content_fingerprint(col: str, n: int = 64) -> Column:
-    """xxhash64-based rolling-window document fingerprint: hash every
-    ``n``-char shingle of the column, keep the min — a cheap 1-value
-    MinHash usable as a near-dup prefilter. JVM-side only (higher-order
-    array functions), no UDF."""
+    """md5-based rolling-window document fingerprint: hash every
+    ``n``-char shingle of the column to its first 16 md5 hex chars,
+    keep the lexicographic min (== numeric min at fixed hex width) — a
+    cheap 1-value MinHash usable as a near-dup prefilter. JVM-side only
+    (higher-order array functions), no UDF, and ANSI-SQL-replicable so
+    an external oracle can verify the signature exactly."""
     shingles = F.expr(
         f"transform(sequence(1, greatest(1, length({col}) - {n} + 1)),"
-        f" i -> xxhash64(substring({col}, i, {n})))"
+        f" i -> substring(md5(substring({col}, i, {n})), 1, 16))"
     )
     return F.array_min(shingles)

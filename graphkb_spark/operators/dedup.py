@@ -145,6 +145,30 @@ def shingle_hashes(col: str | Column, shingle_n: int = 3) -> Column:
     )
 
 
+def minhash_signature_md5(shingles: str | Column, num_hashes: int = 32) -> Column:
+    """Seeded-md5 MinHash signature (array<string> of 16-hex-char minima).
+
+    hash_i(s) = substr(md5(i || '|' || s), 1, 16); fixed-width hex means
+    the lexicographic minimum equals the numeric minimum, so the whole
+    signature is pure ANSI SQL — an external engine (the DuckDB oracle)
+    can replicate it bit-for-bit.  Use this hasher when signatures must
+    be auditable; the xxhash64+numpy path is the raw-throughput default.
+    Pass a *materialized* array<string> column (HOF lambdas re-evaluate
+    expression arguments per element)."""
+    sh = F.col(shingles) if isinstance(shingles, str) else shingles
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit("|"), s)), 1, 16
+                ),
+            )
+        ),
+    )
+
+
 def minhash_signature(col: str | Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
     """MinHash signature as array<bigint> of length ``num_hashes``."""
     return minhash_signature_from_hashes(shingle_hashes(col, shingle_n), num_hashes)
@@ -158,6 +182,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    hasher: str = "xxhash64",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with
     exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a<id_b.
@@ -165,26 +191,36 @@ def minhash_lsh_pairs(
     Plan: signature scan (no shuffle) -> explode bands -> shuffle on
     (band, hash) -> within-bucket self-join -> distinct pairs ->
     broadcast-free verify join back to shingle sets.
+
+    ``hasher``: ``"xxhash64"`` (numpy Arrow-batched affine family — the
+    throughput default) or ``"md5"`` (seeded-md5 hex minima — every
+    stage ANSI-SQL-replicable, so an external oracle can verify the
+    exact candidate set and banding, not just the verified pairs).
+    ``num_partitions``: pre-join spread of the signature computation;
+    defaults to ``defaultParallelism`` locally — on a cluster leave it
+    None and let AQE size the exchanges instead.
     """
     rows_per_band = num_hashes // bands
-    sig_udf = _np_minhash_udf(num_hashes)
     # The words array is computed BEFORE the repartition: the Exchange
     # is a hard projection boundary, so downstream shingle lambdas read
     # a materialized attribute (expressions referenced inside a HOF
     # lambda re-evaluate per element). The repartition also spreads the
     # interpreted HOF work across all cores when the source is one file.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    base = (
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
         .repartition(n_part, "__id")
         .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
-        .select(
-            "__id",
-            "__sh",
-            sig_udf(
-                F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
-            ).alias("__sig"),
-        )
+    )
+    if hasher == "md5":
+        sig = minhash_signature_md5("__sh", num_hashes)
+        band_hash = lambda band_slice: F.md5(F.concat_ws(",", band_slice))  # noqa: E731
+    else:
+        sig_udf = _np_minhash_udf(num_hashes)
+        sig = sig_udf(F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))))
+        band_hash = lambda band_slice: F.xxhash64(F.concat_ws(",", band_slice))  # noqa: E731
+    base = (
+        shingled.select("__id", "__sh", sig.alias("__sig"))
         # materialize once: the signature scan feeds BOTH the band join
         # and the verify join — without persist the shingle+signature
         # pipeline re-executes for every consumer (at cluster scale this
@@ -200,8 +236,8 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("__sig", b * rows_per_band + 1, rows_per_band))
+                    band_hash(
+                        F.slice("__sig", b * rows_per_band + 1, rows_per_band)
                     ).alias("bhash"),
                 ),
             )
@@ -236,14 +272,15 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join with prefix filtering
     (PPJoin-style): a pair with jaccard >= t must share a shingle among
-    each side's floor((1-t)*|set|)+1 *globally rarest* shingles, so
+    each side's n - ceil(t*n) + 1 *globally rarest* shingles, so
     only those prefix postings generate candidates. Exact (no recall
     loss), and the candidate join is keyed on rare shingles — the
     hot-shingle quadratic bucket never forms at scale."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
         .repartition(n_part, "__id")
@@ -261,7 +298,15 @@ def ngram_jaccard_pairs(
             )
         ),
     )
-    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("__n")).cast("int") + F.lit(1)
+    # integral prefix bound: n - ceil(t*n) + 1. Computing it as
+    # floor((1-t)*n)+1 loses pairs when t*n is integral (float rounding:
+    # 0.7*10 = 6.999... -> floor 6 where the exact prefix is 8); the
+    # epsilon inside ceil guards the same artifact on the other side.
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
     prefix = ranked.filter(F.col("__rk") <= prefix_len).select("__id", "shingle")
     cand = (
         prefix.alias("x")
@@ -287,75 +332,85 @@ def ngram_jaccard_pairs(
     return out
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over pre-hashed token arrays (Arrow-batched)."""
-    import numpy as np
+def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash as 4 x 16-bit chunk columns (c0..c3), entirely in
+    JVM Column algebra over md5 token hashes — no Python in the path,
+    and every step (md5 -> hex-nibble -> bit-vote -> chunk pack) is
+    ANSI-SQL so an external oracle replicates the signature exactly.
 
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, arr in enumerate(tokens):
-        if arr is None or len(arr) == 0:
-            continue
-        h = np.asarray(arr, dtype=np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
-    return pd.Series(out)
-
-
-def simhash(df: DataFrame, text_col: str, alias: str = "simhash") -> DataFrame:
-    """SimHash signature column: token hashes JVM-side, bit-vote in a
-    vectorized Pandas UDF."""
-    toks = F.transform(words(text_col), lambda w: F.xxhash64(w))
-    return df.withColumn(alias, _simhash64(toks))
+    Bit convention: token hash = first 16 hex chars of md5(token); bit
+    j (0..63, MSB-first across the hex string) lives in chunk j//16
+    with weight 2^(15 - j%16). A doc votes +1/-1 per token per bit;
+    bit set iff the vote sum is > 0. Docs with no tokens are dropped
+    (no signature). One shuffle (the groupBy); 64 sums partial-agg
+    map-side, so only 64 ints per doc cross the wire."""
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("__t")
+    ).select("__id", F.md5("__t").alias("__h"))
+    vote_aggs = []
+    for j in range(64):
+        nib = F.conv(F.substring("__h", j // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.floor(nib / F.lit(2 ** (3 - j % 4))).cast("int") % 2
+        vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    votes = tok.groupBy("__id").agg(*vote_aggs)
+    chunk_cols = []
+    for c in range(4):
+        expr = F.lit(0)
+        for jj in range(16):
+            j = c * 16 + jj
+            expr = expr + F.when(F.col(f"v{j}") > 0, F.lit(2 ** (15 - jj))).otherwise(
+                F.lit(0)
+            )
+        chunk_cols.append(expr.cast("bigint").alias(f"c{c}"))
+    return votes.select("__id", *chunk_cols)
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 4 x 16-bit chunks (a pair within
     hamming distance 3 must agree on at least one chunk), verify with
-    bit_count(xor)."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    bit_count(xor) summed over the chunks."""
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_part, id_col)
     # persist: the signature table feeds both sides of the self-join;
-    # without it the Pandas-UDF lineage executes twice per block stage
-    sh = (
-        simhash(df, text_col)
-        .select(F.col(id_col).alias("__id"), "simhash")
-        .persist()
-    )
+    # without it the signature lineage executes twice per block stage
+    sh = simhash_chunks(df, text_col, id_col).persist()
     chunks = sh.select(
         "__id",
-        "simhash",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ckey"),
-                    )
+                    F.struct(F.lit(i).alias("chunk"), F.col(f"c{i}").alias("ckey"))
                     for i in range(4)
                 ]
             )
-        ).alias("c"),
-    ).select("__id", "simhash", "c.chunk", "c.ckey")
+        ).alias("b"),
+    ).select("__id", "c0", "c1", "c2", "c3", "b.chunk", "b.ckey")
     a = chunks.select(
-        "chunk", "ckey", F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a")
+        "chunk", "ckey", F.col("__id").alias("id_a"),
+        *[F.col(f"c{i}").alias(f"a{i}") for i in range(4)],
     )
     b = chunks.select(
-        "chunk", "ckey", F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b")
+        "chunk", "ckey", F.col("__id").alias("id_b"),
+        *[F.col(f"c{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
     )
     return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -71,21 +71,35 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplane_sig(vec: Column | str, n_planes: int, dim: int) -> Column:
-    """Deterministic random-hyperplane signature: plane (p, d) weight is
-    a hash-derived value in [-1, 1]; bit p = sign(dot(vec, plane_p)).
+def _ternary_sig(vec: Column | str, n_planes: int) -> Column:
+    """Deterministic sparse random projection signature (Achlioptas-style
+    ternary weights): plane (p, d) weight is -1 / +1 / 0 with probability
+    1/4 / 1/4 / 1/2, derived from the first md5 hex nibble of "p_d" —
+    bit p = sign(dot(vec, plane_p)).
 
-    Produces an int bucket key. Pure JVM expression tree."""
+    Produces an int bucket key. Pure JVM expression tree; the dimension
+    is read per-row from ``size(vec)`` (no driver-side job), and because
+    every step is ANSI SQL (md5 + arithmetic) an external oracle can
+    replicate the bucketing exactly."""
     vec = F.col(vec) if isinstance(vec, str) else vec
     bits = []
     for p in range(n_planes):
-        # weight_d = (xxhash64(p*dim+d) mod 2001 - 1000) / 1000
+
+        def weight(d: Column, p: int = p) -> Column:
+            nib = F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{p}_"), d.cast("string"))), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            return (
+                F.when(nib < 4, F.lit(-1.0)).when(nib < 8, F.lit(1.0)).otherwise(F.lit(0.0))
+            )
+
         dot = F.aggregate(
             F.zip_with(
                 vec,
-                F.sequence(F.lit(p * dim), F.lit(p * dim + dim - 1)),
-                lambda v, i: v
-                * ((F.pmod(F.xxhash64(i), F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)),
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, d: v * weight(d),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -104,25 +118,24 @@ def lsh_topk(
     id_col: str = "vec_id",
     k: int = 10,
     n_planes: int = 8,
-    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus and queries by hyperplane
+    """Approximate top-k: bucket corpus and queries by sparse-projection
     signature, equi-join on the bucket, exact re-rank inside.
 
     At 100 TB the corpus is hashed once (scan + narrow ops), the join
     shuffles only on the small bucket key, and the window reranks
-    within (query, bucket) candidates."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    within (query, bucket) candidates. Size ``n_planes`` so the mean
+    bucket occupancy (corpus_rows / 2^n_planes) fits a rerank window:
+    ~24 planes for 10^9 vectors, 8 for toy scale."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _hyperplane_sig(vec_col, n_planes, dim).alias("__bucket"),
+        _ternary_sig(vec_col, n_planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _hyperplane_sig(vec_col, n_planes, dim).alias("__bucket"),
+        _ternary_sig(vec_col, n_planes).alias("__bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "__bucket")
@@ -151,7 +164,10 @@ def ivf_topk(
     and reranks exactly within them."""
     cents = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .withColumn("__h", F.xxhash64(F.col("cid")))
+        # md5-of-id ordering: deterministic (reproducible across runs /
+        # stage retries) AND ANSI-SQL so the oracle picks the same
+        # centroid sample; physical plan is TakeOrderedAndProject
+        .withColumn("__h", F.md5(F.col("cid").cast("string")))
         .orderBy("__h")
         .limit(n_centroids)
         .drop("__h")
