@@ -541,13 +541,15 @@ def q_kb_ontology_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     kb = load_ontology_records(
         spark, kb, recs_r.unionByName(recs_n), "tpch", collect_counts=False
     )
+    # ontology term/edge sets are small by nature (NCIt ~170k rows is
+    # the largest in the reference) — broadcast the parent-lookup side
     parents = kb.edges.filter(F.col("edge_class") == "SubClassOf").select(
         F.col("out_rid").alias("rid"), "in_rid"
     )
     pmap = kb.terms.select(F.col("rid").alias("in_rid"), F.col("sourceId").alias("parent_sid"))
     return (
-        kb.terms.join(parents, "rid", "left")
-        .join(pmap, "in_rid", "left")
+        kb.terms.join(F.broadcast(parents), "rid", "left")
+        .join(F.broadcast(pmap), "in_rid", "left")
         .select("sourceId", "name", "rid", "parent_sid")
     )
 

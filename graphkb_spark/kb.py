@@ -74,10 +74,12 @@ class KnowledgeBase:
 
 
 def empty_kb(spark: SparkSession) -> KnowledgeBase:
+    from graphkb_spark.operators.merge import mark_known_empty
+
     return KnowledgeBase(
-        sources=spark.createDataFrame([], SOURCE_SCHEMA),
-        terms=spark.createDataFrame([], ONTOLOGY_TERM_SCHEMA),
-        edges=spark.createDataFrame([], EDGE_SCHEMA),
+        sources=mark_known_empty(spark.createDataFrame([], SOURCE_SCHEMA)),
+        terms=mark_known_empty(spark.createDataFrame([], ONTOLOGY_TERM_SCHEMA)),
+        edges=mark_known_empty(spark.createDataFrame([], EDGE_SCHEMA)),
     )
 
 
@@ -188,32 +190,48 @@ def load_ontology_records(
         # edges point at rids of rows in THIS batch (ontology files are
         # self-contained, like the reference's data/*.json); both edge
         # ends resolve through the same sourceId -> rid map, so the rid
-        # hash expression lives in exactly one place
+        # hash expression lives in exactly one place.
+        # SINGLE-PASS explode: all edge columns are stacked into one
+        # (edge_class, targets) struct array and exploded once, so an
+        # N-edge-class record set costs ONE scan + 2 broadcast joins —
+        # not N scans each with their own joins and a union cascade.
         key_map = terms.select(F.col("sourceId").alias("__sid"), "rid")
-        new_edges = None
-        for c in edge_cols:
-            e = (
-                norm.select(
-                    F.col("sourceId").cast("string").alias("__from_sid"),
-                    F.explode(F.col(c)).alias("__to_sid"),
-                    F.lit(canonical_edge_class(c)).alias("edge_class"),
-                    F.col("__source_rid").alias("source_rid"),
-                )
-                .join(
-                    F.broadcast(
-                        key_map.withColumnsRenamed({"__sid": "__from_sid", "rid": "out_rid"})
-                    ),
-                    "__from_sid",
-                )
-                .join(
-                    F.broadcast(
-                        key_map.withColumnsRenamed({"__sid": "__to_sid", "rid": "in_rid"})
-                    ),
-                    "__to_sid",
-                )
-                .select([f.name for f in EDGE_SCHEMA.fields])
+        new_edges = (
+            norm.select(
+                F.col("sourceId").cast("string").alias("__from_sid"),
+                F.col("__source_rid").alias("source_rid"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(canonical_edge_class(c)).alias("edge_class"),
+                                F.col(c).cast("array<string>").alias("targets"),
+                            )
+                            for c in edge_cols
+                        ]
+                    )
+                ).alias("__e"),
             )
-            new_edges = e if new_edges is None else new_edges.unionByName(e)
+            .select(
+                "__from_sid",
+                "source_rid",
+                F.col("__e.edge_class").alias("edge_class"),
+                F.explode("__e.targets").alias("__to_sid"),
+            )
+            .join(
+                F.broadcast(
+                    key_map.withColumnsRenamed({"__sid": "__from_sid", "rid": "out_rid"})
+                ),
+                "__from_sid",
+            )
+            .join(
+                F.broadcast(
+                    key_map.withColumnsRenamed({"__sid": "__to_sid", "rid": "in_rid"})
+                ),
+                "__to_sid",
+            )
+            .select([f.name for f in EDGE_SCHEMA.fields])
+        )
         merged_edges = merge_upsert(
             kb.edges, new_edges, ["out_rid", "in_rid", "edge_class"]
         )

@@ -82,30 +82,47 @@ def extract_features(media: DataFrame) -> DataFrame:
     semantics, like every parser in this engine) — a corrupt file must
     never kill a 100 TB job."""
 
+    def safe(decoder):
+        def decode(payload: bytes) -> dict:
+            try:
+                return decoder(payload)
+            except (NotImplementedError, ValueError, OSError) as exc:
+                return {"decode_error": str(exc)[:200]}
+
+        return decode
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"] or b""
-                base = {
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
-                    "n_bytes": len(payload),
-                    "digest": hashlib.sha256(payload).hexdigest(),
-                    "width": None,
-                    "height": None,
-                    "duration_s": None,
-                    "decode_error": None,
+            n = len(pdf)
+            payload = pdf["payload"].map(lambda p: b"" if p is None else p)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": payload.map(len).astype("int64").to_numpy(),
+                    "digest": payload.map(
+                        lambda p: hashlib.sha256(p).hexdigest()
+                    ).to_numpy(),
                 }
-                try:
-                    decoder = DECODERS.get(r["kind"])
-                    if decoder is None:
-                        raise ValueError(f"unknown media kind {r['kind']!r}")
-                    base.update(decoder(payload))
-                except (NotImplementedError, ValueError, OSError) as exc:
-                    base["decode_error"] = str(exc)[:200]
-                rows.append(base)
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            )
+            # object dtype keeps None (not NaN) so Arrow maps cleanly to
+            # nullable int/double columns
+            for c in ("width", "height", "duration_s", "decode_error"):
+                out[c] = pd.Series([None] * n, dtype=object)
+            # per-kind columnar dispatch: one .map pass per media kind in
+            # the batch (no per-row DataFrame row construction)
+            for kind in pd.unique(out["kind"]):
+                mask = (out["kind"] == kind).to_numpy()
+                decoder = DECODERS.get(kind)
+                if decoder is None:
+                    out.loc[mask, "decode_error"] = f"unknown media kind {kind!r}"
+                    continue
+                decoded = payload[mask].map(safe(decoder)).tolist()
+                for c in ("width", "height", "duration_s", "decode_error"):
+                    out.loc[mask, c] = pd.Series(
+                        [d.get(c) for d in decoded], dtype=object
+                    ).to_numpy()
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 

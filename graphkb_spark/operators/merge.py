@@ -29,6 +29,29 @@ from pyspark.sql import functions as F
 ACTION_COL = "_action"
 
 
+def mark_known_empty(df: DataFrame) -> DataFrame:
+    """Tag a DataFrame the caller *knows* is empty (e.g. a fresh KB
+    table) so MERGE can skip the full-outer join against it."""
+    df._gkb_known_empty = True  # type: ignore[attr-defined]
+    return df
+
+
+def _known_empty(df: DataFrame) -> bool:
+    """True iff the caller tagged ``df`` empty (``mark_known_empty``) or
+    the optimizer can already prove it (an empty LocalRelation) — the
+    plan check runs no job. Lets MERGE short-circuit the full-outer
+    join on the common load-from-scratch path (an empty in-memory KB
+    table); a parquet-backed table never matches (emptiness unknowable
+    without a scan) and takes the normal path."""
+    if getattr(df, "_gkb_known_empty", False):
+        return True
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - py4j edge
+        return False
+    return plan.strip().startswith("LocalRelation <empty>")
+
+
 def _norm_equal(tcol: Column, scol: Column, dtype: str) -> Column:
     """Null-safe normalized equality for change detection.
 
@@ -72,6 +95,21 @@ def merge_upsert(
     dtypes = dict(source.dtypes)
     data_cols = [c for c in source.columns if c not in on]
     tgt_extra = [c for c in target.columns if c not in source.columns]
+
+    if _known_empty(target):
+        # empty target => every source row is a create; skip the
+        # full-outer join entirely (drops 2 exchanges + an SMJ per
+        # merge on the load-from-scratch path)
+        tgt_types = dict(target.dtypes)
+        out = source.select(
+            *on,
+            *data_cols,
+            *[F.lit(None).cast(tgt_types[c]).alias(c) for c in tgt_extra],
+            F.lit("create").alias(ACTION_COL),
+        )
+        if soft_delete_col is not None and soft_delete_col not in out.columns:
+            out = out.withColumn(soft_delete_col, F.lit(False))
+        return out
 
     t = target.select([F.col(c).alias(f"__t_{c}") for c in target.columns])
     s = source.select([F.col(c).alias(f"__s_{c}") for c in source.columns])

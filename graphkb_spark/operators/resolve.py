@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 RESOLVE_ERROR_COL = "_resolve_error"
 
 
+def _stable_row_key(df: DataFrame, row_key: Sequence[str] | None, rid: str) -> DataFrame:
+    """Attach a retry-stable surrogate row key.
+
+    ``monotonically_increasing_id`` is NOT stable under stage retry /
+    lost-executor recompute — a retried upstream stage can reassign ids
+    between a window and a later join-back, mispairing rows at cluster
+    scale. Instead: a content hash of ``row_key`` (a caller-declared
+    unique key — zero extra shuffles), or, when no unique key is known,
+    a hash of ALL columns plus a row_number disambiguator among
+    identical rows (one extra shuffle; identical rows are
+    interchangeable, so any assignment among them yields the same
+    result — retry-safe by construction)."""
+    if row_key:
+        key = F.md5(F.to_json(F.struct(*[F.col(c).alias(c) for c in row_key])))
+        return df.withColumn(rid, key)
+    key = F.md5(F.to_json(F.struct(*[F.col(c).alias(c) for c in df.columns])))
+    df = df.withColumn("__content_key", key)
+    dup = F.row_number().over(Window.partitionBy("__content_key").orderBy(F.lit(1)))
+    return (
+        df.withColumn("__dup", dup)
+        .withColumn(rid, F.concat_ws("#", "__content_key", "__dup"))
+        .drop("__content_key", "__dup")
+    )
+
+
 def preference_order(
     source_rank: str = "source_sort",
 ) -> list[Column]:
@@ -53,6 +78,7 @@ def resolve_unique(
     prefer: Sequence[Column | str],
     broadcast_dim: bool = True,
     strict: bool = True,
+    row_key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Batch ``getUniqueRecordBy``: join ``left`` to dimension ``dim``,
     keep the single best match per left row by ``prefer`` ordering, and
@@ -61,14 +87,17 @@ def resolve_unique(
     ``on``: join keys — list of shared names, or {left_col: dim_col}.
     ``strict``: require a strict winner (tie on the full ``prefer`` key
     -> 'ambiguous'), mirroring src/graphkb.js:410-413.
+    ``row_key``: columns that uniquely identify a left row — pass it
+    when known: the surrogate key is then a pure content hash (stable
+    under stage retry, no extra shuffle). Without it, identical rows
+    are disambiguated with one extra row_number shuffle.
 
     Plan shape: broadcast hash join (dim tables are small) followed by a
-    single window over the left row id — one shuffle on the surrogate
-    row key only if the join was not broadcast.
+    single window over the stable row key.
     """
     rid = "__resolve_rid"
     hit = "__dim_hit"
-    lft = left.withColumn(rid, F.monotonically_increasing_id())
+    lft = _stable_row_key(left, row_key, rid)
     dimh = dim.withColumn(hit, F.lit(True))
     pairs = on.items() if isinstance(on, dict) else [(k, k) for k in on]
     cond = None
@@ -112,35 +141,84 @@ def resolve_unique(
 def cascade_resolve(
     left: DataFrame,
     dim: DataFrame,
-    levels: Sequence[tuple[Column, Sequence[Column | str]]],
+    levels: Sequence[Column | tuple[Column, Sequence[Column | str]]],
     select: Sequence[str],
+    prefer: Sequence[Column | str] = (),
     broadcast_dim: bool = True,
 ) -> DataFrame:
-    """Fallback-cascade join (reference J3): try each (condition,
-    preference) level in order; first level that matches wins.
+    """Fallback-cascade join (reference J3): try each join condition in
+    order; the first level that matches wins, ties within a level broken
+    by the shared ``prefer`` comparator (the reference uses ONE
+    comparator — ``orderPreferredOntologyTerms`` — across all retries,
+    src/graphkb.js:427-478).
 
-    ``levels``: [(join_condition(left, dim) as Column, prefer_order)].
+    ``levels``: join conditions, best-first. (Legacy ``(cond, prefer)``
+    tuples are accepted; the first tuple's prefer becomes the shared
+    comparator.)
     ``select``: dim columns to attach (prefixed ``resolved_``).
 
-    Implemented as one join per level + ``coalesce`` across levels —
-    each level is a broadcast join, so a K-level cascade is K map-side
-    joins, not K shuffles.
+    ONE-SHUFFLE plan: every level is a map-side broadcast join producing
+    candidate rows tagged with their level rank; the untouched left rows
+    ride along as a sentinel level; a single window
+    ``first(col) over (partition by row-content order by level, prefer)``
+    annotates the winner onto the sentinel rows. No join-back, no
+    surrogate-id round trip (retry-stable: the partition key is a
+    content hash, and identical left rows — which share a key — receive
+    identical resolutions while keeping their multiplicity, because
+    exactly the sentinel rows are returned).
     """
-    rid = "__cascade_rid"
-    out = left.withColumn(rid, F.monotonically_increasing_id())
-    hit_cols: dict[str, list[str]] = {c: [] for c in select}
-    for i, (cond, prefer) in enumerate(levels):
-        right = F.broadcast(dim) if broadcast_dim else dim
-        matched = out.join(right, cond, "left")
-        order = [c if isinstance(c, Column) else F.col(c) for c in prefer]
-        w = Window.partitionBy(rid).orderBy(*order)
-        matched = matched.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-        keep = [matched[c].alias(f"__lvl{i}_{c}") for c in select]
-        lvl = matched.select(matched[rid], *keep)
-        out = out.join(lvl, rid, "left")
-        for c in select:
-            hit_cols[c].append(f"__lvl{i}_{c}")
+    conds: list[Column] = []
+    order: list[Column | str] = list(prefer)
+    for lvl in levels:
+        if isinstance(lvl, tuple):
+            cond, lvl_prefer = lvl
+            conds.append(cond)
+            if not order:
+                order = list(lvl_prefer)
+        else:
+            conds.append(lvl)
+    order_cols = [c if isinstance(c, Column) else F.col(c) for c in order]
+
+    key = "__cascade_key"
+    left_cols = left.columns
+    keyed = left.withColumn(
+        key, F.md5(F.to_json(F.struct(*[F.col(c).alias(c) for c in left_cols])))
+    )
+    sentinel = len(conds)
+    # carry every non-colliding dim column through the union so the
+    # shared prefer ordering may reference any of them (column pruning
+    # drops the unused ones from the physical plan)
+    dim_types = dict(dim.dtypes)
+    carry = [c for c in dim.columns if c not in left_cols]
+    right = F.broadcast(dim) if broadcast_dim else dim
+
+    def lvl_df(i: int, cond: Column) -> DataFrame:
+        return keyed.join(right, cond, "inner").select(
+            key,
+            *left_cols,
+            F.lit(i).alias("__lvl"),
+            *[F.col(c) for c in carry],
+        )
+
+    base = keyed.select(
+        key,
+        *left_cols,
+        F.lit(sentinel).alias("__lvl"),
+        *[F.lit(None).cast(dim_types[c]).alias(c) for c in carry],
+    )
+    cand = base
+    for i, cond in enumerate(conds):
+        cand = cand.unionByName(lvl_df(i, cond))
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__lvl").asc(), *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = cand
     for c in select:
-        out = out.withColumn(f"resolved_{c}", F.coalesce(*[F.col(h) for h in hit_cols[c]]))
-    drop = [h for hs in hit_cols.values() for h in hs] + [rid]
-    return out.drop(*drop)
+        out = out.withColumn(f"resolved_{c}", F.first(F.col(c)).over(w))
+    return (
+        out.filter(F.col("__lvl") == sentinel)
+        .select(*left_cols, *[F.col(f"resolved_{c}") for c in select])
+    )
