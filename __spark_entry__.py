@@ -1853,7 +1853,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.sourceId, r.name,
                    md5('{"cls":"Vocabulary","name":"' || r.name
                        || '","sourceId":"' || r.sourceId
-                       || '","source_rid":"' || (SELECT srid FROM src) || '"}') AS rid,
+                       || '","sourceIdVersion":null,"source_rid":"'
+                       || (SELECT srid FROM src) || '"}') AS rid,
                    r.parent_sid
             FROM recs r
         """,

@@ -13,6 +13,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# json-stable-stringify serializes null fields ({"a":null}); Spark's
+# to_json drops them by default, which would make ids diverge from
+# reference hashRecordToId whenever a picked property is null (e.g.
+# sourceIdVersion: null). Remaining caveats vs the reference: JSON
+# number formatting and string escaping must agree (they do for the
+# ASCII ids/names used as natural keys).
+_JSON_OPTS = {"ignoreNullFields": "false"}
+
+
 def stable_hash_id(*cols: str | Column) -> Column:
     """md5 over the key-sorted JSON of the named columns.
 
@@ -22,7 +31,7 @@ def stable_hash_id(*cols: str | Column) -> Column:
     named = sorted(c for c in cols if isinstance(c, str))
     if len(named) != len(cols):
         raise ValueError("stable_hash_id takes column *names* so it can key-sort them")
-    return F.md5(F.to_json(F.struct(*[F.col(c).alias(c) for c in named])))
+    return F.md5(F.to_json(F.struct(*[F.col(c).alias(c) for c in named]), _JSON_OPTS))
 
 
 def stable_hash_named(**named: str | Column) -> Column:
@@ -32,7 +41,7 @@ def stable_hash_named(**named: str | Column) -> Column:
     fields = [
         (F.col(c) if isinstance(c, str) else c).alias(k) for k, c in items
     ]
-    return F.md5(F.to_json(F.struct(*fields)))
+    return F.md5(F.to_json(F.struct(*fields), _JSON_OPTS))
 
 
 def content_fingerprint(col: str, n: int = 64) -> Column:

@@ -383,9 +383,14 @@ def parse_entrez_refseq(raw: DataFrame, versioned: bool = True) -> DataFrame:
     version and longName for ids requested without one (:96-106).
     """
     acc = F.col("accessionversion")
+    # NB: biomol.isNull() is required — three-valued logic makes
+    # ~isin(...) NULL (not True) for a NULL biomol, which would let the
+    # row through quarantine; the reference spec lists biomol required
+    # (src/entrez/refseq.js:24-35)
     bad = (
         acc.isNull()
         | ~acc.rlike(r"^N[A-Z]_\d+\.\d+$")
+        | F.col("biomol").isNull()
         | ~F.col("biomol").isin("genomic", "rna", "peptide", "mRNA")
         | F.col("title").isNull()
     )
@@ -465,7 +470,8 @@ def load_gsc_therapeutic_ontology(
     cols = {dst: _gsc_clean(F.col(src)) for dst, src in GSC_THERAPY_HEADER.items()}
     rows = raw.select(*[c.alias(n) for n, c in cols.items()])
 
-    # best external match per cleaned name (drugbank beats chembl)
+    # best external match per cleaned name (drugbank beats chembl);
+    # ext_priority kept so class xrefs can restrict to DrugBank matches
     w = Window.partitionBy("name").orderBy("priority")
     ext = F.broadcast(
         external_therapies.select(
@@ -473,7 +479,7 @@ def load_gsc_therapeutic_ontology(
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("name", F.col("rid").alias("ext_rid"))
+        .select("name", F.col("rid").alias("ext_rid"), F.col("priority").alias("ext_priority"))
     )
 
     def tags_for(name_col: F.Column):
@@ -541,15 +547,22 @@ def load_gsc_therapeutic_ontology(
         "drug_rid", F.coalesce(F.col("ext_rid"), own_rid(F.col("name")))
     )
     edges = None
-    # drug -> parent, parent -> grandparent1/2 (SubClassOf, :181-200)
+    # drug -> parent, parent -> grandparent1/2 (SubClassOf, :181-200).
+    # The grandparent legs hang off the parent, so they require a
+    # non-empty parent (the reference links grandparents only inside
+    # `if (parent)`, :185-205) — otherwise own_rid('') would produce
+    # edges out of a Therapy node that is never created.
     for out_col, in_col in (
         ("drug_rid", "parent"),
         ("parent", "grandparent1"),
         ("parent", "grandparent2"),
     ):
+        keep = F.col(in_col).isNotNull() & (F.col(in_col) != "")
+        if out_col != "drug_rid":
+            keep = keep & F.col(out_col).isNotNull() & (F.col(out_col) != "")
         out_rid = F.col(out_col) if out_col == "drug_rid" else own_rid(F.col(out_col))
         e = (
-            resolved.filter(F.col(in_col).isNotNull() & (F.col(in_col) != ""))
+            resolved.filter(keep)
             .select(
                 out_rid.alias("out_rid"),
                 own_rid(F.col(in_col)).alias("in_rid"),
@@ -578,10 +591,13 @@ def load_gsc_therapeutic_ontology(
             F.lit(source_name).alias("source_rid"),
         )
     )
-    # class -(CrossReferenceOf)-> same-name external match (:113-133)
+    # class -(CrossReferenceOf)-> same-name external match (:113-133);
+    # the reference restricts this lookup to DrugBank-source records
+    # (priority 0), not the combined drugbank+chembl dimension
     xref_edges = (
         classes.join(ext.withColumnRenamed("name", "cname"),
                      classes["name"] == F.col("cname"), "inner")
+        .filter(F.col("ext_priority") == 0)
         .select(
             F.col("rid").alias("out_rid"),
             F.col("ext_rid").alias("in_rid"),
@@ -589,8 +605,31 @@ def load_gsc_therapeutic_ontology(
             F.lit(source_name).alias("source_rid"),
         )
     )
+    all_edges = edges.unionByName(alias_edges).unionByName(xref_edges)
+    # drug -(CrossReferenceOf)-> DrugBank record keyed by DBxxxxx
+    # sourceId (:213-239) — only when the external dimension carries a
+    # sourceId column; self-links skipped
+    if "sourceId" in external_therapies.columns:
+        db_by_sid = F.broadcast(
+            external_therapies.filter(F.col("priority") == 0).select(
+                F.upper(F.col("sourceId")).alias("__dbid"),
+                F.col("rid").alias("__db_rid"),
+            )
+        )
+        db_edges = (
+            resolved.filter(F.upper(F.col("drugbank")).rlike(r"^DB\d+$"))
+            .join(db_by_sid, F.upper(F.col("drugbank")) == F.col("__dbid"), "inner")
+            .select(
+                F.col("drug_rid").alias("out_rid"),
+                F.col("__db_rid").alias("in_rid"),
+                F.lit("CrossReferenceOf").alias("edge_class"),
+                F.lit(source_name).alias("source_rid"),
+            )
+            .filter(F.col("out_rid") != F.col("in_rid"))
+        )
+        all_edges = all_edges.unionByName(db_edges)
     return {
         "therapies": created_drugs.unionByName(classes).dropDuplicates(["rid"]),
-        "edges": edges.unionByName(alias_edges).unionByName(xref_edges)
+        "edges": all_edges
         .dropDuplicates(["out_rid", "in_rid", "edge_class"]),
     }

@@ -415,3 +415,33 @@ def test_load_gsc_therapeutic_ontology(spark):
     assert (raf_rid, mapk_rid) in sub_pairs          # parent -> grandparent2
     # self-link suppressed for the drug==parent row
     assert (raf_rid, raf_rid) not in sub_pairs
+
+
+def test_gsc_drugbank_id_xref_and_empty_parent(spark):
+    """DBxxxxx-keyed CrossReferenceOf edges + no dangling grandparent
+    edges when parent is empty (src/gscTherapeuticOntology.js:185-239)."""
+    from graphkb_spark.loaders.genes import load_gsc_therapeutic_ontology
+
+    raw = spark.createDataFrame(
+        [
+            # unresolved drug with a DrugBankID -> xref edge to DB record
+            ("NovelDrug", None, "kinase inhibitor", None, "DB0042", ""),
+            # null biomol-equivalent: bad DrugBankID format -> no xref
+            ("OtherDrug", "some class", None, None, "XX99", ""),
+        ],
+        "source string, Class_1 string, Class_2 string, "
+        "Class_3_pathway string, DrugBankID string, alias string",
+    )
+    ext = spark.createDataFrame(
+        [Row(name="unrelated", rid="db-42", priority=0, sourceId="DB0042"),
+         Row(name="unrelated2", rid="ch-1", priority=1, sourceId="CHEMBL1")]
+    )
+    out = load_gsc_therapeutic_ontology(raw, ext)
+    edges = out["edges"].collect()
+    xrefs = [e for e in edges if e["edge_class"] == "CrossReferenceOf"]
+    assert len(xrefs) == 1 and xrefs[0]["in_rid"] == "db-42"
+    # NovelDrug has NO parent: its grandparent1 must not produce a
+    # dangling parent->grandparent edge
+    sub = [e for e in edges if e["edge_class"] == "SubClassOf"]
+    created = {t["name"]: t["rid"] for t in out["therapies"].collect()}
+    assert all(e["out_rid"] in set(created.values()) | {"db-42"} for e in sub)
