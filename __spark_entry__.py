@@ -139,6 +139,45 @@ def q_filter_dsl_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_dsl_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``neighbors: n`` in the query envelope (reference /query body,
+    src/graphkb.js:341-372): filtered records plus every record within
+    n undirected hops over the edges table, hop distance in ``_hop``.
+    Seed = nation_0; hop 1 = its region; hop 2 = the region's
+    other nations."""
+    t = _t(spark, sf_dir, "region", "nation")
+    terms = (
+        t["nation"]
+        .select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("rid"),
+            F.lower("n_name").alias("name"),
+        )
+        .unionByName(
+            t["region"].select(
+                F.concat(F.lit("R"), F.col("r_regionkey")).alias("rid"),
+                F.lower("r_name").alias("name"),
+            )
+        )
+    )
+    edges = t["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("out_rid"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("in_rid"),
+        F.lit("ElementOf").alias("edge_class"),
+        F.lit(None).cast("string").alias("source_rid"),
+    )
+    return run_query(
+        {"terms": terms, "edges": edges},
+        {
+            "target": "terms",
+            "filters": {"name": "nation_0"},
+            "neighbors": 2,
+            "returnProperties": ["rid", "name", "_hop"],
+            "orderBy": ["rid"],
+        },
+        keys={"terms": "rid"},
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.4 joins
 # --------------------------------------------------------------------------
@@ -1551,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_dsl_nested": q_filter_dsl_nested,
         "filter_dsl_subquery": q_filter_dsl_subquery,
         "filter_dsl_pagination": q_filter_dsl_pagination,
+        "filter_dsl_neighbors": q_filter_dsl_neighbors,
         "top1_per_group": q_top1_per_group,
         "fallback_cascade": q_fallback_cascade,
         "anti_join_incremental": q_anti_join_incremental,
@@ -1648,6 +1688,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
             ORDER BY c_custkey LIMIT 100 OFFSET 50
+        """,
+        # neighbors: 2 — fixed-hop undirected BFS over the synthesized
+        # nation->region edges, replicated as two explicit hop joins
+        "filter_dsl_neighbors": """
+            WITH v AS (
+              SELECT 'N' || n_nationkey AS rid, lower(n_name) AS name FROM nation
+              UNION ALL
+              SELECT 'R' || r_regionkey, lower(r_name) FROM region),
+            e AS (
+              SELECT 'N' || n_nationkey AS src, 'R' || n_regionkey AS dst FROM nation
+              UNION ALL
+              SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation),
+            seed AS (SELECT rid FROM v WHERE name = 'nation_0'),
+            h1 AS (
+              SELECT DISTINCT e.dst AS rid FROM seed JOIN e ON e.src = seed.rid
+              WHERE e.dst NOT IN (SELECT rid FROM seed)),
+            h2 AS (
+              SELECT DISTINCT e.dst AS rid FROM h1 JOIN e ON e.src = h1.rid
+              WHERE e.dst NOT IN (SELECT rid FROM seed)
+                AND e.dst NOT IN (SELECT rid FROM h1)),
+            closure AS (
+              SELECT rid, 0 AS _hop FROM seed
+              UNION ALL SELECT rid, 1 FROM h1
+              UNION ALL SELECT rid, 2 FROM h2)
+            SELECT v.rid, v.name, c._hop
+            FROM closure c JOIN v USING (rid)
+            ORDER BY v.rid
         """,
         "top1_per_group": """
             WITH ranked AS (

@@ -29,11 +29,18 @@ Grammar (one dict per node):
 - multiple keys in one dict are an implicit AND (mirrors
   ``convertRecordToQueryFilters``).
 
-Query envelope: ``{"target": tbl, "filters": node,
+Query envelope: ``{"target": tbl, "filters": node, "neighbors": n,
 "returnProperties": [...], "orderBy": [...], "orderByDirection":
 "ASC|DESC", "skip": n, "limit": n}`` (reference src/graphkb.js:341-372).
 ``skip`` requires a total order — we require ``orderBy`` with it so
 pagination is deterministic under distributed execution.
+
+``neighbors: n`` (the reference's graph-neighborhood serialization
+depth) is re-expressed set-wise: the result is the filtered records
+PLUS every record of the target table within ``n`` undirected hops of
+them over the ``edges`` table, each annotated with its hop distance in
+``_hop`` (0 = direct match). Requires an ``edges`` table and a
+registered key for the target.
 """
 
 from __future__ import annotations
@@ -193,6 +200,25 @@ def run_query(
     if target not in tables:
         raise FilterDSLError(f"unknown target {target!r}")
     df = compile_filters(tables[target], query.get("filters"), tables, keys)
+
+    neighbors = int(query.get("neighbors", 0) or 0)
+    if neighbors:
+        if "edges" not in tables:
+            raise FilterDSLError("neighbors expansion requires an 'edges' table")
+        pk = (keys or {}).get(target)
+        if pk is None:
+            raise FilterDSLError(
+                f"neighbors expansion requires a registered key for {target!r}"
+            )
+        from graphkb_spark.operators.graph import expand_neighbors
+
+        closure = expand_neighbors(
+            df, tables["edges"], pk, n=neighbors, directed=False
+        ).withColumnsRenamed({"rid": pk, "hop": "_hop"})
+        # re-attach full records for the closure; the frontier BFS is
+        # checkpointed per hop inside expand_neighbors, and this join is
+        # broadcastable whenever the neighborhood is small
+        df = tables[target].join(closure, pk)
 
     order_by = query.get("orderBy")
     direction = str(query.get("orderByDirection", "ASC")).upper()

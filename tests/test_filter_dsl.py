@@ -84,3 +84,31 @@ def test_skip_without_order_rejected(tables):
 def test_unknown_operator_rejected(tables):
     with pytest.raises(FilterDSLError):
         compile_filters(tables["people"], {"age": {"operator": "BETWEEN", "value": 1}})
+
+
+def test_neighbors_envelope(spark, tables):
+    """neighbors: n expands the filtered set over the edges table with
+    hop distances (reference /query body src/graphkb.js:341-372)."""
+    edges = spark.createDataFrame(
+        [("p1", "p2", "KnowsOf", None), ("p2", "p3", "KnowsOf", None),
+         ("p3", "p4", "KnowsOf", None)],
+        "out_rid string, in_rid string, edge_class string, source_rid string",
+    )
+    people = spark.createDataFrame(
+        [("p1", "alice"), ("p2", "bob"), ("p3", "carol"), ("p4", "dave")],
+        ["rid", "name"],
+    )
+    t = {"people": people, "edges": edges}
+    out = run_query(
+        t,
+        {"target": "people", "filters": {"name": "alice"}, "neighbors": 2,
+         "returnProperties": ["rid", "name", "_hop"]},
+        keys={"people": "rid"},
+    ).collect()
+    hops = {r.rid: r._hop for r in out}
+    assert hops == {"p1": 0, "p2": 1, "p3": 2}
+
+
+def test_neighbors_requires_edges_and_key(spark, tables):
+    with pytest.raises(FilterDSLError):
+        run_query(tables, {"target": "people", "neighbors": 1})
