@@ -593,6 +593,79 @@ def q_kb_ontology_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch addVariant (kb.load_variants; reference
+    src/graphkb.js:631-660): gene-prefixed notations -> typed
+    PositionalVariant rows (position structs, feature/vocabulary rid
+    links, content-hash rids) + Infers edges from cds/genomic/exonic
+    forms to the protein form of the same gene group (reference
+    src/cosmic/resistance.js:102-107)."""
+    from graphkb_spark.kb import load_variants
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    g = (k % 50).cast("int")
+    b = (F.floor(k / F.lit(50)).cast("int") % 5).cast("int")
+    n = g * 10 + b + 1
+    gs, ns = g.cast("string"), n.cast("string")
+    notation = (
+        F.when(b == 0, F.concat(F.lit("G"), gs, F.lit(":p.G"), ns, F.lit("D")))
+        .when(b == 1, F.concat(F.lit("G"), gs, F.lit(":e."), ns, F.lit("del")))
+        .when(b == 2, F.concat(F.lit("G"), gs, F.lit(":c."), ns, F.lit("A>G")))
+        .when(
+            b == 3,
+            F.concat(
+                F.lit("G"), gs, F.lit(":g."), ns, F.lit("_"), (n + 2).cast("string"),
+                F.lit("del"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("(GA"), gs, F.lit(",GB"), gs, F.lit("):fusion(e.1,e.3)"))
+        )
+    )
+    grp = F.when(b < 4, F.concat(F.lit("G"), gs)).otherwise(F.concat(F.lit("F"), gs))
+    notes = t["part"].select(grp.alias("grp"), notation.alias("notation"))
+    gd = t["part"].select(g.alias("g")).distinct()
+    feats = None
+    for p in ("G", "GA", "GB"):
+        f = gd.select(
+            F.concat(F.lit(p), F.col("g").cast("string")).alias("name"),
+            F.concat(F.lit("f-"), F.lit(p), F.col("g").cast("string")).alias("rid"),
+        )
+        feats = f if feats is None else feats.unionByName(f)
+    vocab = spark.createDataFrame(
+        [(v, f"v-{v}") for v in
+         ("missense", "deletion", "substitution", "fusion")],
+        "name string, rid string",
+    )
+    out = load_variants(
+        notes, "variant-demo", features=feats, vocabulary=vocab, group_col="grp"
+    )
+    inf = out["edges"].select(
+        F.col("out_rid").alias("rid"), F.col("in_rid").alias("infers_rid")
+    )
+    return (
+        out["variants"]
+        .join(inf, "rid", "left")
+        .select(
+            "rid",
+            "displayName",
+            "cls",
+            "type_rid",
+            "reference1_rid",
+            "reference2_rid",
+            F.col("break1_start.cls").alias("b1_cls"),
+            F.col("break1_start.pos").alias("b1_pos"),
+            F.col("break1_start.ref_aa").alias("b1_ref_aa"),
+            F.col("break2_start.cls").alias("b2_cls"),
+            F.col("break2_start.pos").alias("b2_pos"),
+            "ref_seq",
+            "alt_seq",
+            "infers_rid",
+        )
+    )
+
+
 def q_oncokb_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: OncoKB variant-name parser over synthesized names covering
     the protein-notation / exon-event / fusion-flip / vocabulary paths
@@ -1609,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_hash_id": q_stable_hash_id,
         "hgvs_parse": q_hgvs_parse,
         "kb_ontology_load": q_kb_ontology_load,
+        "variant_load": q_variant_load,
         "oncokb_names": q_oncokb_names,
         "docm_fix": q_docm_fix,
         "hotspot_load": q_hotspot_load,
@@ -1924,6 +1998,50 @@ def oracle_sql() -> dict[str, str]:
                        || (SELECT srid FROM src) || '"}') AS rid,
                    r.parent_sid
             FROM recs r
+        """,
+        # full replica of batch addVariant over synthesized notations:
+        # same branch algebra, same content-hash rids, same Infers links
+        "variant_load": """
+            WITH src AS (
+              SELECT DISTINCT CAST(p_partkey % 50 AS INT) AS g,
+                     CAST(CAST(floor(p_partkey / 50) AS INT) % 5 AS INT) AS b
+              FROM part),
+            rows_ AS (
+              SELECT g, b, g*10 + b + 1 AS n,
+                CASE b
+                  WHEN 0 THEN 'G'||g||':p.G'||(g*10 + b + 1)||'D'
+                  WHEN 1 THEN 'G'||g||':e.'||(g*10 + b + 1)||'del'
+                  WHEN 2 THEN 'G'||g||':c.'||(g*10 + b + 1)||'A>G'
+                  WHEN 3 THEN 'G'||g||':g.'||(g*10 + b + 1)||'_'||(g*10 + b + 3)||'del'
+                  ELSE '(GA'||g||',GB'||g||'):fusion(e.1,e.3)'
+                END AS notation
+              FROM src)
+            SELECT
+              md5('{"cls":"PositionalVariant","displayName":"' || notation
+                  || '","source":"variant-demo"}') AS rid,
+              notation AS displayName,
+              'PositionalVariant' AS cls,
+              CASE b WHEN 0 THEN 'v-missense' WHEN 1 THEN 'v-deletion'
+                     WHEN 2 THEN 'v-substitution' WHEN 3 THEN 'v-deletion'
+                     ELSE 'v-fusion' END AS type_rid,
+              CASE WHEN b < 4 THEN 'f-G'||g ELSE 'f-GA'||g END AS reference1_rid,
+              CASE WHEN b = 4 THEN 'f-GB'||g END AS reference2_rid,
+              CASE b WHEN 0 THEN 'ProteinPosition' WHEN 1 THEN 'ExonicPosition'
+                     WHEN 2 THEN 'CdsPosition' WHEN 3 THEN 'GenomicPosition'
+                     ELSE 'ExonicPosition' END AS b1_cls,
+              CASE WHEN b = 4 THEN 1 ELSE n END AS b1_pos,
+              CASE WHEN b = 0 THEN 'G' END AS b1_ref_aa,
+              CASE WHEN b = 3 THEN 'GenomicPosition'
+                   WHEN b = 4 THEN 'ExonicPosition' END AS b2_cls,
+              CASE WHEN b = 3 THEN n + 2 WHEN b = 4 THEN 3 END AS b2_pos,
+              CASE WHEN b = 2 THEN 'A' END AS ref_seq,
+              CASE WHEN b = 2 THEN 'G' END AS alt_seq,
+              CASE WHEN b IN (1, 2, 3) THEN
+                md5('{"cls":"PositionalVariant","displayName":"G' || g
+                    || ':p.G' || (g*10 + 1)
+                    || 'D","source":"variant-demo"}')
+              END AS infers_rid
+            FROM rows_
         """,
         "oncokb_names": """
             SELECT p_partkey,

@@ -32,6 +32,7 @@ from graphkb_spark.core.schemas import (
     EDGE_SCHEMA,
     ONTOLOGY_TERM_SCHEMA,
     SOURCE_SCHEMA,
+    VARIANT_ROW_SCHEMA,
     canonical_edge_class,
 )
 from graphkb_spark.functions.hashing import stable_hash_id, stable_hash_named
@@ -55,6 +56,7 @@ class KnowledgeBase:
     terms: DataFrame
     edges: DataFrame
     features: DataFrame | None = None
+    variants: DataFrame | None = None
     statements: DataFrame | None = None
     counts: dict[str, dict[str, int]] = field(default_factory=dict)
 
@@ -63,6 +65,8 @@ class KnowledgeBase:
         out = {"sources": self.sources, "terms": self.terms, "edges": self.edges}
         if self.features is not None:
             out["features"] = self.features
+        if self.variants is not None:
+            out["variants"] = self.variants
         if self.statements is not None:
             out["statements"] = self.statements
         return out
@@ -280,3 +284,155 @@ def get_vocabulary_term(
         prefer=preference_order(),
         strict=True,
     ).drop("__match_name")
+
+
+# ---------------------------------------------------------------------------
+# variants table: batch addVariant (/root/reference/src/graphkb.js:631-660)
+# ---------------------------------------------------------------------------
+
+_POSITION_CLASS_MAP = None  # built lazily from hgvs.PREFIX_CLASS
+
+
+def load_variants(
+    notations: DataFrame,
+    source_name: str,
+    features: DataFrame | None = None,
+    vocabulary: DataFrame | None = None,
+    notation_col: str = "notation",
+    group_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """Batch ``addVariant`` (/root/reference/src/graphkb.js:631-660):
+    parse each notation, resolve its references and type, and emit typed
+    ``VARIANT_ROW_SCHEMA`` rows plus Infers edges between alternate
+    representations — replacing the reference's per-variant POSTs with
+    one scan + three broadcast joins.
+
+    - ``notations``: a DataFrame with ``notation_col`` (gene-prefixed
+      HGVS-like strings) and optional passthrough columns.
+    - ``features``: (name, rid) dimension for reference1/reference2
+      resolution (case-insensitive); unresolved references land in
+      ``_error`` (the reference throws per record — here per-row
+      quarantine).
+    - ``vocabulary``: (name, rid) dimension for the variant-type link
+      (``getVocabularyTerm``); unresolved types land in ``_error``.
+    - ``group_col``: when given, every non-protein variant in a group
+      gets an ``Infers`` edge to the group's protein variant — the
+      alternate-representation links of
+      /root/reference/src/cosmic/resistance.js:102-107 (protein <- cds
+      <- genomic chains) and src/entrez/snp.js:132-158.
+
+    rid is the content hash of (cls, displayName=the normalized
+    notation, source) — identical notations dedupe to one row, and
+    edges referencing the rid can be built in the same batch.
+    """
+    from graphkb_spark.functions.hgvs import PREFIX_CLASS, parse_variant_udf
+
+    src_rid = source_rid(source_name)
+    keep = [c for c in notations.columns if c != notation_col]
+    flat = notations.select(
+        *keep,
+        F.col(notation_col).alias("__notation"),
+        parse_variant_udf(F.col(notation_col)).alias("__v"),
+    ).select(*keep, "__notation", "__v.*")
+
+    pos_cls = F.create_map(
+        *[F.lit(x) for kv in PREFIX_CLASS.items() for x in kv]
+    )[F.col("prefix")]
+
+    def pos_struct(start_col: str) -> Column:
+        return F.when(
+            F.col(start_col).isNotNull(),
+            F.struct(
+                pos_cls.alias("cls"),
+                F.col(start_col).alias("pos"),
+                (F.col("ref_aa") if start_col == "break1_start" else F.lit(None))
+                .cast("string")
+                .alias("ref_aa"),
+            ),
+        )
+
+    out = flat.select(
+        *keep,
+        "__notation",
+        "error",
+        F.lit("PositionalVariant").alias("cls"),
+        F.col("variant_type"),
+        F.col("reference1"),
+        F.col("reference2"),
+        pos_struct("break1_start").alias("break1_start"),
+        pos_struct("break2_start").alias("break2_start"),
+        F.col("ref_seq"),
+        F.col("alt_seq"),
+        F.col("prefix"),
+    )
+
+    def resolve(dim: DataFrame | None, name_col: str, out_col: str, what: str):
+        nonlocal out
+        if dim is None:
+            out = out.withColumn(out_col, F.lit(None).cast("string"))
+            return None
+        d = F.broadcast(
+            dim.select(
+                F.lower(F.col("name")).alias(f"__k_{out_col}"),
+                F.col("rid").alias(out_col),
+            ).dropDuplicates([f"__k_{out_col}"])
+        )
+        out = out.join(
+            d, F.lower(F.col(name_col)).eqNullSafe(F.col(f"__k_{out_col}")), "left"
+        ).drop(f"__k_{out_col}")
+        return F.when(
+            F.col(name_col).isNotNull() & F.col(out_col).isNull(),
+            F.concat(F.lit(f"{what} not found: "), F.col(name_col)),
+        )
+
+    errs = [
+        resolve(features, "reference1", "reference1_rid", "reference1"),
+        resolve(features, "reference2", "reference2_rid", "reference2"),
+        resolve(vocabulary, "variant_type", "type_rid", "variant type"),
+    ]
+    out = out.withColumn(
+        "_error", F.coalesce(F.col("error"), *[e for e in errs if e is not None])
+    )
+
+    rows = out.withColumn(
+        "rid",
+        stable_hash_named(
+            cls="cls", displayName="__notation", source=F.lit(source_name)
+        ),
+    ).withColumn("displayName", F.col("__notation")).withColumn(
+        "source_rid", src_rid
+    )
+
+    variants = (
+        rows.filter(F.col("_error").isNull())
+        .select([f.name for f in VARIANT_ROW_SCHEMA.fields])
+        .dropDuplicates(["rid"])
+    )
+    quarantine = rows.filter(F.col("_error").isNotNull()).select(
+        *keep, F.col("__notation").alias(notation_col), "_error"
+    )
+
+    edges = None
+    if group_col is not None:
+        proteins = (
+            rows.filter((F.col("_error").isNull()) & (F.col("prefix") == "p"))
+            .select(F.col(group_col).alias("__g"), F.col("rid").alias("__p_rid"))
+            .dropDuplicates(["__g"])
+        )
+        edges = (
+            rows.filter((F.col("_error").isNull()) & (F.col("prefix") != "p"))
+            .select(F.col(group_col).alias("__g"), F.col("rid").alias("out_rid"))
+            .join(F.broadcast(proteins), "__g")
+            .select(
+                "out_rid",
+                F.col("__p_rid").alias("in_rid"),
+                F.lit("Infers").alias("edge_class"),
+                src_rid.alias("source_rid"),
+            )
+            .filter(F.col("out_rid") != F.col("in_rid"))
+            .dropDuplicates(["out_rid", "in_rid"])
+        )
+    result = {"variants": variants, "errors": quarantine}
+    if edges is not None:
+        result["edges"] = edges
+    return result

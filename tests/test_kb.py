@@ -107,3 +107,39 @@ def test_update_detected_on_changed_description(spark, kb):
     assert kb2.counts["Vocabulary"].get("update", 0) == 1
     row = kb2.terms.filter(F.col("sourceId") == "v5").collect()[0]
     assert row.description == "CHANGED"
+
+
+def test_load_variants_typed_rows_and_infers(spark):
+    """Batch addVariant (src/graphkb.js:631-660): typed position
+    structs, reference/vocabulary resolution with per-row quarantine,
+    Infers edges to the protein form (src/cosmic/resistance.js:102-107)."""
+    from pyspark.sql import Row
+
+    from graphkb_spark.kb import load_variants
+
+    notes = spark.createDataFrame(
+        [("r1", "KRAS:p.G12D"), ("r1", "KRAS:c.35G>A"),
+         ("r2", "(BCR,ABL1):fusion(e.13,e.3)"),
+         ("r3", "BAD:!!"), ("r4", "NOPE:p.G1D")],
+        "grp string, notation string",
+    )
+    feats = spark.createDataFrame(
+        [Row(name="KRAS", rid="f-kras"), Row(name="BCR", rid="f-bcr"),
+         Row(name="ABL1", rid="f-abl1")]
+    )
+    vocab = spark.createDataFrame(
+        [Row(name=n, rid=f"v-{n}") for n in ("missense", "substitution", "fusion")]
+    )
+    out = load_variants(notes, "t", features=feats, vocabulary=vocab, group_col="grp")
+    v = {r["displayName"]: r for r in out["variants"].collect()}
+    assert v["KRAS:p.G12D"]["break1_start"].asDict() == {
+        "cls": "ProteinPosition", "pos": 12, "ref_aa": "G"}
+    assert v["KRAS:p.G12D"]["type_rid"] == "v-missense"
+    assert v["(BCR,ABL1):fusion(e.13,e.3)"]["reference2_rid"] == "f-abl1"
+    errs = {r["notation"]: r["_error"] for r in out["errors"].collect()}
+    assert "unparseable" in errs["BAD:!!"]
+    assert errs["NOPE:p.G1D"] == "reference1 not found: NOPE"
+    edges = out["edges"].collect()
+    assert len(edges) == 1 and edges[0]["edge_class"] == "Infers"
+    assert edges[0]["in_rid"] == v["KRAS:p.G12D"]["rid"]
+    assert edges[0]["out_rid"] == v["KRAS:c.35G>A"]["rid"]
