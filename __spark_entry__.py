@@ -1648,6 +1648,137 @@ def q_cgl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CIViC evidence sync (reference src/civic/index.js:67-500
+    composed with publication.js:30-77, disease.js:12-36,
+    evidenceLevel.js:30-56): synthesized evidence items flow through
+    publication resolution (PMID broadcast join + ASCO titlesMatch with
+    exactly-one enforcement), DOID/name disease resolution,
+    evidence-level get-or-create (stable-hash rids), relevance
+    translation, profile-DNF expansion, therapy grouping, and the final
+    conditions/content-key statement build — per-row quarantine
+    throughout, never failures."""
+    from graphkb_spark.loaders.civic import (
+        build_statements,
+        get_or_create_evidence_levels,
+        resolve_diseases,
+        resolve_publications,
+    )
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    k = F.col("o_orderkey")
+    aid = (k % 400).cast("int")
+    vs = (k % 97).cast("string")
+    v2 = (k % 97 + 1).cast("string")
+    ev = (
+        t["orders"]
+        .filter(k % 3 == 0)
+        .join(F.broadcast(t["nation"]), (k % 25) == F.col("n_nationkey"))
+        .select(
+            k.alias("k"),
+            F.concat(F.lit("EID"), k.cast("string")).alias("sourceId"),
+            F.when(k % 4 == 0, F.lit("PUBMED"))
+            .when((k % 4).isin(1, 2), F.lit("ASCO"))
+            .otherwise(F.lit("OTHER"))
+            .alias("source_type"),
+            F.col("o_custkey").alias("citation_id"),
+            aid.alias("asco_abstract_id"),
+            (F.lit(2010) + aid % 10 + F.when(k % 13 == 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("int")
+            .alias("publication_year"),
+            F.concat(F.lit("Abstract "), aid.cast("string"), F.lit(".")).alias(
+                "source_title"
+            ),
+            F.when(
+                k % 5 != 0,
+                F.concat(
+                    F.lit("https://meetings.asco.org/abstracts/asco-"),
+                    aid.cast("string"),
+                ),
+            ).alias("source_url"),
+            F.element_at(
+                F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("D"), F.lit("E")),
+                (k % 5 + 1).cast("int"),
+            ).alias("evidence_level"),
+            F.when(k % 7 != 0, (k % 5 + 1).cast("int")).alias("evidence_rating"),
+            F.when(k % 11 == 10, F.concat(F.lit("mystery-"), k.cast("string")))
+            .otherwise(F.col("n_name"))
+            .alias("disease"),
+            F.when((k % 2 == 0) & (k % 11 != 10), (k % 25).cast("int")).alias("doid"),
+            F.when(k % 9 == 0, F.concat(F.lit("V"), vs, F.lit(" AND V"), v2))
+            .when(k % 9 == 3, F.concat(F.lit("V"), vs, F.lit(" OR V"), v2))
+            .otherwise(F.concat(F.lit("V"), vs))
+            .alias("profile_expr"),
+            F.when(k % 4 == 0, F.array(F.lit("tA"), F.lit("tB")))
+            .when(k % 4 == 1, F.array(F.lit("tC")))
+            .when(k % 4 == 2, F.array(F.lit("tB"), F.lit("tA")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("therapies"),
+            F.when(k % 4 == 0, F.lit("SUBSTITUTES"))
+            .when(k % 4 == 2, F.lit("COMBINATION"))
+            .alias("therapyInteractionType"),
+            F.element_at(
+                F.array(
+                    F.lit("PREDICTIVE"), F.lit("DIAGNOSTIC"), F.lit("PROGNOSTIC"),
+                    F.lit("FUNCTIONAL"),
+                ),
+                (k % 4 + 1).cast("int"),
+            ).alias("evidence_type"),
+            F.when(k % 2 == 0, F.lit("SUPPORTS"))
+            .otherwise(F.lit("DOES_NOT_SUPPORT"))
+            .alias("direction"),
+            F.element_at(
+                F.array(
+                    F.lit("SENSITIVITYRESPONSE"), F.lit("RESISTANCE"),
+                    F.lit("POSITIVE"), F.lit("POOR_OUTCOME"),
+                    F.lit("GAIN_OF_FUNCTION"),
+                ),
+                (k % 5 + 1).cast("int"),
+            ).alias("significance"),
+        )
+    )
+    pm = t["customer"].filter(F.col("c_custkey") % 10 != 7).select(
+        F.col("c_custkey").alias("sourceId"),
+        F.concat(F.lit("pm_"), F.col("c_custkey").cast("string")).alias("rid"),
+    )
+    a = F.col("abstract_id")
+    ab_base = spark.range(400).select(
+        F.col("id").cast("int").alias("abstract_id")
+    ).select(
+        "abstract_id",
+        (F.lit(2010) + a % 10).cast("int").alias("year"),
+        F.concat(F.lit("Abstract "), a.cast("string")).alias("name"),
+        F.concat(F.lit("asco-"), a.cast("string")).alias("sourceId"),
+        F.concat(F.lit("ab_"), a.cast("string")).alias("rid"),
+    )
+    abstracts = ab_base.unionByName(
+        ab_base.filter(a % 50 == 3).withColumn(
+            "rid", F.concat(F.lit("ab2_"), a.cast("string"))
+        )
+    )
+    diseases = t["nation"].select(
+        F.concat(F.lit("doid:"), F.col("n_nationkey").cast("string")).alias("sourceId"),
+        F.col("n_name").alias("name"),
+        F.concat(F.lit("dis_"), F.col("n_nationkey").cast("string")).alias("rid"),
+    )
+    ev = resolve_publications(ev, pm, abstracts)
+    ev = resolve_diseases(ev, diseases)
+    ev, _levels = get_or_create_evidence_levels(ev, None)
+    out = build_statements(spark, ev)
+    return out.select(
+        "k",
+        "source_type",
+        "publication_rid",
+        "disease_rid",
+        "evidence_level_rid",
+        "relevance",
+        "therapy",
+        F.concat_ws("|", "conditions").alias("conditions_str"),
+        "content_key",
+        F.col("_error").alias("err"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1727,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmc_functional": q_pmc_functional,
         "docm_load": q_docm_load,
         "cgl_load": q_cgl_load,
+        "civic_sync": q_civic_sync,
         "entrez_refseq": q_entrez_refseq,
         "gsc_ontology": q_gsc_ontology,
     }
@@ -2841,5 +2973,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'family'||(k%5), 'family'||(k%5), 'general drug class' FROM s
             UNION ALL
             SELECT DISTINCT 'pathway'||(k%3), 'pathway'||(k%3), 'pathway drug class' FROM s
+        """,
+        # full replica of the CIViC sync composition: publication / disease /
+        # evidence-level resolution + relevance + DNF + therapy grouping +
+        # conditions/content-key build, with identical md5 stable-hash ids
+        "civic_sync": """
+            WITH rel(evidence_type, direction, significance, relevance) AS (
+              VALUES """ + ", ".join(
+                "(" + ", ".join(repr(v) for v in row) + ")" for row in RELEVANCE_ROWS
+            ) + """),
+            ab_base AS (
+              SELECT CAST(i AS INT) AS abstract_id,
+                     CAST(2010 + i % 10 AS INT) AS year,
+                     'Abstract ' || i AS name,
+                     'asco-' || i AS sourceId,
+                     'ab_' || i AS rid
+              FROM range(400) t(i)),
+            abstracts AS (
+              SELECT * FROM ab_base
+              UNION ALL
+              SELECT abstract_id, year, name, sourceId, 'ab2_' || abstract_id
+              FROM ab_base WHERE abstract_id % 50 = 3),
+            pm AS (
+              SELECT c_custkey, 'pm_' || c_custkey AS rid
+              FROM customer WHERE c_custkey % 10 <> 7),
+            ev AS (
+              SELECT o_orderkey AS k,
+                     'EID' || o_orderkey AS sourceId,
+                     CASE WHEN o_orderkey % 4 = 0 THEN 'PUBMED'
+                          WHEN o_orderkey % 4 IN (1, 2) THEN 'ASCO'
+                          ELSE 'OTHER' END AS source_type,
+                     o_custkey AS citation_id,
+                     CAST(o_orderkey % 400 AS INT) AS aid,
+                     CAST(2010 + (o_orderkey % 400) % 10
+                          + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS INT)
+                       AS pub_year,
+                     CASE WHEN o_orderkey % 5 <> 0
+                          THEN 'https://meetings.asco.org/abstracts/asco-'
+                               || (o_orderkey % 400) END AS source_url,
+                     ['A','B','C','D','E'][o_orderkey % 5 + 1] AS lvl_letter,
+                     CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey % 5 + 1 END AS rating,
+                     CASE WHEN o_orderkey % 11 = 10 THEN 'mystery-' || o_orderkey
+                          ELSE n.n_name END AS disease,
+                     o_orderkey % 97 AS v,
+                     ['PREDICTIVE','DIAGNOSTIC','PROGNOSTIC','FUNCTIONAL'][o_orderkey % 4 + 1]
+                       AS evidence_type,
+                     CASE WHEN o_orderkey % 2 = 0 THEN 'SUPPORTS'
+                          ELSE 'DOES_NOT_SUPPORT' END AS direction,
+                     ['SENSITIVITYRESPONSE','RESISTANCE','POSITIVE','POOR_OUTCOME',
+                      'GAIN_OF_FUNCTION'][o_orderkey % 5 + 1] AS significance
+              FROM orders o JOIN nation n ON n.n_nationkey = o.o_orderkey % 25
+              WHERE o_orderkey % 3 = 0),
+            asco_match AS (
+              SELECT e.k, a.rid AS ab_rid
+              FROM ev e JOIN abstracts a
+                ON e.source_type = 'ASCO'
+               AND e.aid = a.abstract_id
+               AND e.pub_year = a.year
+               AND (e.source_url IS NULL OR contains(e.source_url, a.sourceId))),
+            asco_agg AS (
+              SELECT k, count(*) AS n_asco, min(ab_rid) AS ab_rid
+              FROM asco_match GROUP BY k),
+            staged AS (
+              SELECT e.*,
+                     CASE WHEN e.source_type = 'PUBMED' THEN p.rid END AS pm_rid,
+                     coalesce(a.n_asco, 0) AS n_asco, a.ab_rid,
+                     lower(e.lvl_letter || coalesce(CAST(e.rating AS VARCHAR), ''))
+                       AS lvl
+              FROM ev e
+              LEFT JOIN pm p ON e.source_type = 'PUBMED' AND e.citation_id = p.c_custkey
+              LEFT JOIN asco_agg a ON e.k = a.k),
+            resolved AS (
+              SELECT s.*,
+                     CASE WHEN source_type = 'PUBMED' AND pm_rid IS NULL
+                            THEN 'PMID ' || citation_id || ' is not available'
+                          WHEN source_type = 'ASCO' AND n_asco = 0
+                            THEN 'failed to select the relevant abstract (' || aid || ')'
+                          WHEN source_type = 'ASCO' AND n_asco > 1
+                            THEN 'too many choices for abstract (' || aid || ')'
+                          WHEN source_type NOT IN ('PUBMED', 'ASCO')
+                            THEN 'unable to process non-pubmed/non-asco evidence type ('
+                                 || source_type || ')'
+                     END AS pub_error,
+                     coalesce(pm_rid, ab_rid) AS publication_rid,
+                     CASE WHEN k % 11 <> 10 THEN 'dis_' || (k % 25) END AS disease_rid,
+                     CASE WHEN k % 11 = 10 THEN 'disease not found: mystery-' || k
+                     END AS disease_error,
+                     md5('{"cls":"EvidenceLevel","name":"' || lvl
+                         || '","source":"civic"}') AS evidence_level_rid
+              FROM staged s),
+            expanded AS (
+              SELECT s.*, r.relevance, t.therapy, c.condition_set
+              FROM resolved s
+              LEFT JOIN rel r ON r.evidence_type = s.evidence_type
+                             AND r.direction = s.direction
+                             AND r.significance = s.significance,
+                   unnest(CASE WHEN s.k % 4 = 0 THEN ['tA', 'tB']
+                               WHEN s.k % 4 = 1 THEN ['tC']
+                               WHEN s.k % 4 = 2 THEN ['tA + tB']
+                               ELSE [CAST(NULL AS VARCHAR)] END) AS t(therapy),
+                   unnest(CASE WHEN s.k % 9 = 0 THEN [['V' || s.v, 'V' || (s.v + 1)]]
+                               WHEN s.k % 9 = 3 THEN [['V' || s.v], ['V' || (s.v + 1)]]
+                               ELSE [['V' || s.v]] END) AS c(condition_set)),
+            final AS (
+              SELECT *,
+                     list_sort(list_concat(condition_set,
+                       list_filter([therapy, disease_rid], x -> x IS NOT NULL)))
+                       AS conditions
+              FROM expanded)
+            SELECT k, source_type, publication_rid, disease_rid, evidence_level_rid,
+                   relevance, therapy,
+                   array_to_string(conditions, '|') AS conditions_str,
+                   md5('{"conditions":["' || array_to_string(conditions, '","')
+                       || '"],"relevance":'
+                       || CASE WHEN relevance IS NULL THEN 'null'
+                               ELSE '"' || relevance || '"' END
+                       || ',"sourceId":"' || sourceId || '"}') AS content_key,
+                   coalesce(pub_error, disease_error,
+                            CASE WHEN relevance IS NULL
+                                 THEN 'untranslatable relevance' END) AS err
+            FROM final
         """,
     }

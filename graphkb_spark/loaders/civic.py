@@ -35,6 +35,257 @@ from graphkb_spark.operators.reconcile import reconcile
 
 THERAPY_ERR = "unsupported therapy interaction type for multi-therapy statement"
 
+# evidence level / rating descriptions (reference
+# /root/reference/src/civic/evidenceLevel.js:1-20 VOCAB)
+EVIDENCE_LEVEL_VOCAB = {
+    "1": "Claim is not supported well by experimental evidence.",
+    "2": "Evidence is not well supported by experimental data.",
+    "3": "Evidence is convincing, but not supported by a breadth of experiments.",
+    "4": "Strong, well supported evidence.",
+    "5": "Strong, well supported evidence from a lab or journal with respected academic standing.",
+    "A": "Proven/consensus association in human medicine.",
+    "B": "Clinical trial or other primary patient data supports association.",
+    "C": "Individual case reports from clinical journals.",
+    "D": "In vivo or in vitro models support association.",
+    "E": "Indirect evidence.",
+}
+EVIDENCE_LEVEL_URL = "https://docs.civicdb.org/en/latest/model/evidence.html"
+
+
+def norm_title(col) -> F.Column:
+    """``titlesMatch`` normalization (reference
+    /root/reference/src/civic/publication.js:17-21): case/trailing
+    period/formatting-tag insensitive."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(c)), r"\.$", ""), r"</?(em|i|bold)>", ""
+    )
+
+
+def resolve_publications(
+    evidence: DataFrame,
+    pubmed: DataFrame,
+    abstracts: DataFrame,
+) -> DataFrame:
+    """Batch ``getPublication`` (reference
+    /root/reference/src/civic/publication.js:30-77).
+
+    Evidence columns used: ``source_type`` (PUBMED|ASCO|other),
+    ``citation_id`` (pmid), ``asco_abstract_id``, ``publication_year``,
+    ``source_title``, ``source_url``.
+    ``pubmed``: (sourceId, rid); ``abstracts``: (abstract_id, year,
+    name, sourceId, rid).
+
+    PUBMED rows broadcast-join on pmid; ASCO rows join on abstract id,
+    filter to the matching year, then to title/url agreement
+    (``titlesMatch``) and require exactly one survivor — 0 or >1 and
+    the non-pubmed/non-asco types land in ``_pub_error`` (per-row
+    quarantine where the reference throws).
+    """
+    pm = F.broadcast(
+        pubmed.select(
+            F.col("sourceId").cast("string").alias("__pmid"),
+            F.col("rid").alias("__pm_rid"),
+        ).dropDuplicates(["__pmid"])
+    )
+    ev = evidence.join(
+        pm, (F.col("source_type") == "PUBMED")
+        & (F.col("citation_id").cast("string") == F.col("__pmid")), "left"
+    ).drop("__pmid")
+
+    ab = F.broadcast(
+        abstracts.select(
+            F.col("abstract_id").cast("string").alias("__aid"),
+            F.col("year").cast("int").alias("__ayear"),
+            norm_title(F.col("name")).alias("__aname"),
+            F.col("sourceId").cast("string").alias("__asid"),
+            F.col("rid").alias("__ab_rid"),
+        )
+    )
+    asco_cond = (
+        (F.col("source_type") == "ASCO")
+        & (F.col("asco_abstract_id").cast("string") == F.col("__aid"))
+        & (F.col("publication_year").cast("int") == F.col("__ayear"))
+        & (
+            F.col("source_url").isNull()
+            | F.col("source_url").contains(F.col("__asid"))
+        )
+        & (norm_title(F.col("source_title")) == F.col("__aname"))
+    )
+    ev = ev.join(ab, asco_cond, "left")
+    # exactly-one check per evidence row: count matches via a groupBy on
+    # the evidence natural key would re-shuffle; instead the broadcast
+    # join fans out rows, so count with a window over the row key
+    from pyspark.sql import Window
+
+    key = F.md5(F.to_json(F.struct(*[F.col(c) for c in evidence.columns])))
+    ev = ev.withColumn("__k", key)
+    w = Window.partitionBy("__k")
+    ev = ev.withColumn("__n_asco", F.count("__ab_rid").over(w))
+    err = (
+        F.when(
+            (F.col("source_type") == "PUBMED") & F.col("__pm_rid").isNull(),
+            F.concat(F.lit("PMID "), F.col("citation_id").cast("string"),
+                     F.lit(" is not available")),
+        )
+        .when(
+            (F.col("source_type") == "ASCO") & (F.col("__n_asco") == 0),
+            F.concat(F.lit("failed to select the relevant abstract ("),
+                     F.col("asco_abstract_id").cast("string"), F.lit(")")),
+        )
+        .when(
+            (F.col("source_type") == "ASCO") & (F.col("__n_asco") > 1),
+            F.concat(F.lit("too many choices for abstract ("),
+                     F.col("asco_abstract_id").cast("string"), F.lit(")")),
+        )
+        .when(
+            ~F.col("source_type").isin("PUBMED", "ASCO"),
+            F.concat(F.lit("unable to process non-pubmed/non-asco evidence type ("),
+                     F.col("source_type"), F.lit(")")),
+        )
+    )
+    out = (
+        ev.withColumn("_pub_error", err)
+        .withColumn("publication_rid", F.coalesce("__pm_rid", "__ab_rid"))
+        # ASCO fan-out rows collapse back to one row per evidence item
+        # (after the exactly-one check the survivors are identical)
+        .withColumn(
+            "__rn",
+            F.row_number().over(w.orderBy(F.col("publication_rid").asc_nulls_last())),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__pm_rid", "__ab_rid", "__aid", "__ayear", "__aname", "__asid",
+              "__k", "__n_asco", "__rn")
+    )
+    return out
+
+
+def get_or_create_evidence_levels(
+    evidence: DataFrame,
+    existing: DataFrame | None,
+    source_name: str = "civic",
+    source_display: str = "CIViC",
+) -> tuple[DataFrame, DataFrame]:
+    """Batch ``getEvidenceLevel`` (reference
+    /root/reference/src/civic/evidenceLevel.js:30-56): level key =
+    lower(evidenceLevel + evidenceRating); existing records (by
+    sourceId=name=level under the civic source) are reused, the rest
+    are created with the VOCAB descriptions.
+
+    Returns (evidence + ``evidence_level_rid``, new level rows to
+    upsert). The reference's per-level cache IS the broadcast join.
+    """
+    desc_map = F.create_map(
+        *[F.lit(x) for kv in EVIDENCE_LEVEL_VOCAB.items() for x in kv]
+    )
+    lvl = F.lower(
+        F.concat(
+            F.col("evidence_level").cast("string"),
+            F.coalesce(F.col("evidence_rating").cast("string"), F.lit("")),
+        )
+    )
+    ev = evidence.withColumn("__lvl", lvl)
+    created = (
+        ev.select(
+            "__lvl",
+            F.col("evidence_level").cast("string").alias("__el"),
+            F.col("evidence_rating").cast("string").alias("__er"),
+        )
+        .dropDuplicates(["__lvl"])
+        .select(
+            stable_hash_named(
+                cls=F.lit("EvidenceLevel"), name="__lvl", source=F.lit(source_name)
+            ).alias("rid"),
+            F.lit("EvidenceLevel").alias("cls"),
+            F.col("__lvl").alias("sourceId"),
+            F.col("__lvl").alias("name"),
+            F.concat(F.lit(source_display), F.lit(" "), F.upper("__lvl")).alias(
+                "displayName"
+            ),
+            F.concat_ws(
+                " ", desc_map[F.col("__el")], desc_map[F.coalesce("__er", F.lit(""))]
+            ).alias("description"),
+            F.lit(EVIDENCE_LEVEL_URL).alias("url"),
+        )
+    )
+    if existing is not None:
+        ex = F.broadcast(
+            existing.select(
+                F.col("name").alias("__ex_name"), F.col("rid").alias("__ex_rid")
+            ).dropDuplicates(["__ex_name"])
+        )
+        created = created.join(
+            ex, created["name"] == F.col("__ex_name"), "left_anti"
+        )
+        ev = ev.join(ex, ev["__lvl"] == F.col("__ex_name"), "left").withColumn(
+            "evidence_level_rid",
+            F.coalesce(
+                F.col("__ex_rid"),
+                stable_hash_named(
+                    cls=F.lit("EvidenceLevel"), name="__lvl", source=F.lit(source_name)
+                ),
+            ),
+        ).drop("__ex_name", "__ex_rid")
+    else:
+        ev = ev.withColumn(
+            "evidence_level_rid",
+            stable_hash_named(
+                cls=F.lit("EvidenceLevel"), name="__lvl", source=F.lit(source_name)
+            ),
+        )
+    return ev.drop("__lvl"), created
+
+
+def resolve_diseases(evidence: DataFrame, diseases: DataFrame) -> DataFrame:
+    """Batch ``getDisease`` (reference
+    /root/reference/src/civic/disease.js:12-36): DOID rows match
+    ``sourceId = 'doid:<doid>'`` under the disease-ontology source,
+    the rest match by name; best match by the preference comparator.
+
+    ``diseases`` columns: ``sourceId``, ``name``, ``rid`` + the
+    preference columns (``deprecated``/``alias``/... may be absent —
+    ties then resolve by rid). Unmatched rows get ``_disease_error``.
+    """
+    from pyspark.sql import Window
+
+    has_doid = F.col("doid").isNotNull()
+    dim_cols = [
+        F.lower(F.col("sourceId")).alias("__d_sid"),
+        F.lower(F.col("name")).alias("__d_name"),
+        F.col("rid").alias("__d_rid"),
+    ]
+    if "deprecated" in diseases.columns:
+        dim_cols.append(F.coalesce(F.col("deprecated"), F.lit(False)).alias("__d_dep"))
+    d = F.broadcast(diseases.select(*dim_cols))
+    cond = F.when(
+        has_doid,
+        F.concat(F.lit("doid:"), F.col("doid").cast("string")) == F.col("__d_sid"),
+    ).otherwise(F.lower(F.col("disease")) == F.col("__d_name"))
+    ev = evidence.withColumn(
+        "__k", F.md5(F.to_json(F.struct(*[F.col(c) for c in evidence.columns])))
+    )
+    joined = ev.join(d, cond & F.col("disease").isNotNull(), "left")
+    prefer = (
+        [F.col("__d_dep").asc()] if "deprecated" in diseases.columns else []
+    ) + [F.col("__d_rid").asc_nulls_last()]
+    w = Window.partitionBy("__k").orderBy(*prefer)
+    out = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "_disease_error",
+            F.when(
+                F.col("disease").isNotNull() & F.col("__d_rid").isNull(),
+                F.concat(F.lit("disease not found: "), F.col("disease")),
+            ),
+        )
+        .withColumn("disease_rid", F.col("__d_rid"))
+    )
+    drop = ["__k", "__rn", "__d_rid", "__d_sid", "__d_name"]
+    if "deprecated" in diseases.columns:
+        drop.append("__d_dep")
+    return out.drop(*drop)
+
 
 def group_therapies(
     df: DataFrame,
@@ -88,18 +339,27 @@ def build_statements(
         F.size(F.filter("therapy_group", lambda x: x.isNotNull())) > 0,
         F.array_join(F.array_sort("therapy_group"), " + "),
     )
+    # resolved disease rid (resolve_diseases stage) is preferred in the
+    # conditions set; pipelines without the stage keep the raw name
+    disease_cond = (
+        F.col("disease_rid") if "disease_rid" in ther.columns else F.col("disease")
+    )
     out = ther.withColumn("therapy", combo_name).withColumn(
         "conditions",
         F.array_sort(
             F.concat(
                 F.coalesce(F.col("condition_set"), F.array()),
-                F.filter(F.array("therapy", "disease"), lambda x: x.isNotNull()),
+                F.filter(F.array(F.col("therapy"), disease_cond), lambda x: x.isNotNull()),
             )
         ),
     )
+    stage_errors = [
+        F.col(c) for c in ("_pub_error", "_disease_error") if c in ther.columns
+    ]
     out = out.withColumn(
         "_error",
         F.coalesce(
+            *stage_errors,
             F.col("_therapy_error"),
             F.when(F.col("condition_set").isNull(), F.lit("invalid profile expression")),
             F.when(F.col("relevance").isNull(), F.lit("untranslatable relevance")),

@@ -278,3 +278,94 @@ def test_apply_statement_actions(spark, evidence):
 
     suppressed = apply_statement_actions(stored, actions, delete_suppressed=True)
     assert "rid_9" in {r.rid for r in suppressed.collect()}
+
+
+def test_resolve_publications(spark):
+    """Batch getPublication (src/civic/publication.js:30-77): PMID
+    broadcast join, ASCO titlesMatch with exactly-one enforcement,
+    per-row quarantine for unknown types."""
+    from graphkb_spark.loaders.civic import resolve_publications
+
+    ev = spark.createDataFrame(
+        [
+            ("E1", "PUBMED", "1", None, None, None, None),
+            ("E2", "PUBMED", "99", None, None, None, None),
+            ("E3", "ASCO", None, "10", 2020, "My <em>Abstract</em> Ten.",
+             "https://x/asco-10"),
+            ("E4", "ASCO", None, "11", 1999, "Abstract Eleven", None),
+            ("E5", "ASCO", None, "12", 2021, "Abstract Twelve", None),
+            ("E6", "WEB", None, None, None, None, None),
+        ],
+        "sourceId string, source_type string, citation_id string, "
+        "asco_abstract_id string, publication_year int, source_title string, "
+        "source_url string",
+    )
+    pubmed = spark.createDataFrame([("1", "pm_1")], "sourceId string, rid string")
+    abstracts = spark.createDataFrame(
+        [
+            ("10", 2020, "my abstract ten", "asco-10", "ab_10"),
+            ("11", 2020, "Abstract Eleven", "asco-11", "ab_11"),
+            ("12", 2021, "Abstract Twelve.", "asco-12", "ab_12"),
+            ("12", 2021, "abstract twelve", "asco-12b", "ab_12b"),
+        ],
+        "abstract_id string, year int, name string, sourceId string, rid string",
+    )
+    rows = {r.sourceId: r for r in resolve_publications(ev, pubmed, abstracts).collect()}
+    assert len(rows) == 6  # one row per evidence item, fan-out collapsed
+    assert rows["E1"].publication_rid == "pm_1" and rows["E1"]._pub_error is None
+    assert "PMID 99 is not available" in rows["E2"]._pub_error
+    assert rows["E3"].publication_rid == "ab_10" and rows["E3"]._pub_error is None
+    assert "failed to select" in rows["E4"]._pub_error  # year mismatch
+    assert "too many choices" in rows["E5"]._pub_error  # duplicate abstracts
+    assert "non-pubmed/non-asco" in rows["E6"]._pub_error
+
+
+def test_get_or_create_evidence_levels(spark):
+    """Batch getEvidenceLevel (src/civic/evidenceLevel.js:30-56):
+    level key = lower(level+rating), existing reused, rest created with
+    VOCAB descriptions."""
+    from graphkb_spark.loaders.civic import get_or_create_evidence_levels
+
+    ev = spark.createDataFrame(
+        [("E1", "A", 3), ("E2", "B", None), ("E3", "A", 3)],
+        "sourceId string, evidence_level string, evidence_rating int",
+    )
+    existing = spark.createDataFrame(
+        [("a3", "EL_a3")], "name string, rid string"
+    )
+    out, created = get_or_create_evidence_levels(ev, existing)
+    rows = {r.sourceId: r for r in out.collect()}
+    assert rows["E1"].evidence_level_rid == "EL_a3"
+    assert rows["E3"].evidence_level_rid == "EL_a3"
+    assert rows["E2"].evidence_level_rid is not None
+    new = {r.name: r for r in created.collect()}
+    assert set(new) == {"b"}  # a3 existed; only b is created
+    assert "Clinical trial" in new["b"].description
+    assert new["b"].displayName == "CIViC B"
+
+
+def test_resolve_diseases(spark):
+    """Batch getDisease (src/civic/disease.js:12-36): DOID rows match
+    sourceId doid:<n>, the rest by name; unmatched quarantined."""
+    from graphkb_spark.loaders.civic import resolve_diseases
+
+    ev = spark.createDataFrame(
+        [
+            ("E1", "melanoma", 123),       # doid match
+            ("E2", "Skin Cancer", None),   # name match (case-insensitive)
+            ("E3", "no such disease", None),
+        ],
+        "sourceId string, disease string, doid int",
+    )
+    diseases = spark.createDataFrame(
+        [
+            ("doid:123", "melanoma", "d_mel"),
+            ("doid:456", "skin cancer", "d_skin"),
+        ],
+        "sourceId string, name string, rid string",
+    )
+    rows = {r.sourceId: r for r in resolve_diseases(ev, diseases).collect()}
+    assert rows["E1"].disease_rid == "d_mel" and rows["E1"]._disease_error is None
+    assert rows["E2"].disease_rid == "d_skin"
+    assert rows["E3"].disease_rid is None
+    assert "disease not found" in rows["E3"]._disease_error
