@@ -192,9 +192,36 @@ CIVIC_NORM_SCHEMA = T.ArrayType(
             T.StructField("variant", T.StringType()),
             T.StructField("positional", T.BooleanType()),
             T.StructField("error", T.StringType()),
+            T.StructField("link", T.StringType()),
         ]
     )
 )
+
+# hardcoded CIViC-name -> notation fixes (reference
+# /root/reference/src/civic/variant.js:20-40 SUBS)
+_CIVIC_SUBS = {
+    "E746_T751>I": "E746_T751delinsI",
+    "EML4-ALK C1156Y-L1196M": "EML4-ALK and C1156Y and L1196M",
+    "EML4-ALK C1156Y-L1198F": "EML4-ALK and C1156Y and L1198F",
+    "EML4-ALK G1202R-L1196M": "EML4-ALK and G1202R and L1196M",
+    "EML4-ALK G1202R-L1198F": "EML4-ALK and G1202R and L1198F",
+    "EML4-ALK L1196M-L1198F": "EML4-ALK and L1196M and L1198F",
+    "EML4-ALK T1151INST": "EML4-ALK and T1151_?1152insT",
+    "Ex19 del L858R": "e.19del and L858R",
+    "G12/G13": "p.(G12_G13)mut",
+    "K558NP": "K558delKinsNP",
+    "T1151insT": "T1151_?1152insT",
+    "V600E AMPLIFICATION": "V600E and AMPLIFICATION",
+    "V600E+V600M": "V600E and V600M",
+    "V600_K601>E": "V600_K601delVKinsE",
+    "del 755-759": "?755_?759del",
+    "di842-843vm": "D842_I843delDIinsVM",
+    "mutations": "mutation",
+    "p.193_196dupSTSC (c.577_588dupAGCACCAGCTGC)":
+        "p.S193_C196dupSTSC (c.577_588dupAGCACCAGCTGC)",
+    "p26.3-25.3 11mb del": "y.p26.3_p25.3del",
+}
+_CIVIC_NOT_IMPLEMENTED = {"Non-V600", "P-Loop Mutation"}
 
 _CIVIC_CATEGORIES = {
     "loss-of-function",
@@ -205,23 +232,67 @@ _CIVIC_CATEGORIES = {
     "mutation",
 }
 _TRANSLOCATION = re.compile(r"^t\(([^;()]+);([^;()]+)\)\(([^;()]+);([^;()]+)\)$", re.I)
-_EXON_RANGE_CIVIC = re.compile(r"^exon (\d+)(?:-(\d+))? (deletion|insertion|mutation)s?$", re.I)
-_GENE_FUSION_CIVIC = re.compile(r"^([a-z0-9]+)-([a-z0-9]+)(?:\s+fusion)?$", re.I)
+_PROTEIN_CDS = re.compile(r"^(p\.)?([a-z*]\d+\S*)\s+\((c\.[^)]+)\)$", re.I)
+_DEPRECATED_CDS = re.compile(r"^c\.(\d+)([acgt][acgt]+)>([acgt][acgt]+)$")
+_INTRON_EXON_CIVIC = re.compile(
+    r"^(intron|exon)\s+(\d+)(?:-(\d+))?\s+(mutation|deletion|frameshift|insertion)s?$",
+    re.I,
+)
+_GENE_FUSION_CIVIC = re.compile(r"^([a-z][^-\s]*)(-|::)([a-z][^-\s]*)\s*(\S+)?$", re.I)
+_FUSION_EXONS_A = re.compile(r"^e(\d+)-e(\d+)$")
+_FUSION_EXONS_B = re.compile(r"^[a-z](\d+);[a-z](\d+)$")
+_SINGLE_GENE_FUSION = re.compile(r"^[a-z][^-\s]*\s+fusions?$", re.I)
+_SPACED_CDS = re.compile(r"^\s*c\.\d+\s*[a-z]\s*>[a-z]\s*$", re.I)
+_CATEGORY_MUTATION = re.compile(r"^((delete?rious)|promoter)\s+mutation$", re.I)
+_SPLICING_ALTERATION = re.compile(r"^(splicing\s+alteration)\s+\((c\..*)\)$", re.I)
+_PHOS_SPLICE = re.compile(
+    r"^([a-z]\d+)\s+(phosphorylation|splice site)(\s+mutation)?$", re.I
+)
+_FUSION_PLUS_MUT = re.compile(r"^(\w+\s+fusion)\s+([a-z]\d+\S+)$", re.I)
+_TRAILING_MUTATION = re.compile(r"^(.*)\s+mutations?$")
+
+
+def _rec(**kw: Any) -> dict[str, Any]:
+    base = {"reference1": None, "reference2": None, "variant": None,
+            "positional": False, "error": None, "link": None}
+    base.update(kw)
+    return base
+
+
+def _same_gene(a: str, b: str) -> bool:
+    """abl == abl1 equivalence when matching the annotated gene
+    (reference compareGeneNames, src/civic/variant.js:49-57)."""
+    eq = {"abl", "abl1"}
+    a, b = a.lower(), b.lower()
+    return a == b or ({a, b} <= eq)
 
 
 def normalize_civic_variant(name: str, gene: str) -> list[dict[str, Any]]:
-    """One CIViC variant name -> list of normalized variant records
-    (conjunctions split on '+'/';' into multiple records)."""
+    """One CIViC variant name -> list of normalized variant records.
+
+    Full branch mirror of the reference ``normalizeGeneVariant``
+    (/root/reference/src/civic/variant.js:67-257): hardcoded SUBS
+    fixes, conjunction split, category names, translocations, combined
+    protein+cds (cds emitted as a ``link='inferredBy'`` record),
+    intron/exon events, gene fusions with exon tails, single-gene
+    fusions, spaced cds, promoter/deleterious/domain categories,
+    splicing alteration (category emitted as ``link='infers'``),
+    phosphorylation / splice-site positions, fusion+resistance pairs,
+    '<gene> mutation', then parser fallback (bare then p.-prefixed)
+    and finally a category record — errors are per-row quarantine
+    where the reference throws."""
     if name is None:
-        return [{"reference1": gene, "reference2": None, "variant": None,
-                 "positional": False, "error": "null variant name"}]
+        return [_rec(reference1=gene, error="null variant name")]
+    if name in _CIVIC_NOT_IMPLEMENTED:
+        return [_rec(reference1=(gene or "").lower().strip(),
+                     error=f"unable to process CIViC variant {gene} {name}")]
     gene = (gene or "").lower().strip()
-    n = name.replace(" + ", " and ").replace("; ", " and ").lower().strip()
+    raw = _CIVIC_SUBS.get(name, name)
+    n = raw.replace(" + ", " and ").replace("; ", " and ").lower().strip()
 
     if " / " in n:
-        return [{"reference1": gene, "reference2": None, "variant": None,
-                 "positional": False,
-                 "error": f"/ has ambiguous meaning in CIViC ({n})"}]
+        return [_rec(reference1=gene,
+                     error=f"/ has ambiguous meaning in CIViC ({n})")]
     if " and " in n:
         out: list[dict[str, Any]] = []
         for part in n.split(" and "):
@@ -229,43 +300,101 @@ def normalize_civic_variant(name: str, gene: str) -> list[dict[str, Any]]:
         return out
 
     if n in _CIVIC_CATEGORIES:
-        return [{"reference1": gene, "reference2": None,
-                 "variant": n.replace("-", " "), "positional": False, "error": None}]
+        return [_rec(reference1=gene, variant=n.replace("-", " "))]
 
     m = _TRANSLOCATION.match(n)
     if m:
-        return [{"reference1": m.group(1), "reference2": m.group(2),
-                 "variant": f"translocation({m.group(3)}, {m.group(4)})",
-                 "positional": True, "error": None}]
+        return [_rec(reference1=m.group(1), reference2=m.group(2),
+                     variant=f"translocation({m.group(3)}, {m.group(4)})",
+                     positional=True)]
 
-    m = _EXON_RANGE_CIVIC.match(n)
+    m = _PROTEIN_CDS.match(n)
     if m:
-        start, end, evt = m.group(1), m.group(2), m.group(3)[:3]
-        rng = f"{start}_{end}" if end else start
-        return [{"reference1": gene, "reference2": None, "variant": f"e.{rng}{evt}",
-                 "positional": True, "error": None}]
+        protein, cds = m.group(2), m.group(3)
+        dm = _DEPRECATED_CDS.match(cds)
+        if dm and len(dm.group(2)) == len(dm.group(3)):
+            pos, ref, alt = int(dm.group(1)), dm.group(2), dm.group(3)
+            cds = f"c.{pos}_{pos + len(ref) - 1}del{ref}ins{alt}"
+        return [
+            _rec(reference1=gene, variant=f"p.{protein}", positional=True),
+            _rec(reference1=gene, variant=cds, positional=True,
+                 link="inferredBy"),
+        ]
+
+    m = _INTRON_EXON_CIVIC.match(n)
+    if m:
+        prefix = "e" if m.group(1) == "exon" else "i"
+        rng = f"{m.group(2)}_{m.group(3)}" if m.group(3) else m.group(2)
+        evt = "fs" if m.group(4) == "frameshift" else m.group(4)[:3]
+        return [_rec(reference1=gene, variant=f"{prefix}.{rng}{evt}",
+                     positional=True)]
 
     m = _GENE_FUSION_CIVIC.match(n)
-    if m and parse_variant(f"p.{n}")["error"] is not None:
-        g1, g2 = m.group(1), m.group(2)
-        # abl == abl1 equivalence when matching the annotated gene
-        def same(a: str, b: str) -> bool:
-            eq = {"abl", "abl1"}
-            return a == b or ({a, b} <= eq)
-        if same(g1, gene) or same(g2, gene) or not gene:
-            return [{"reference1": g1, "reference2": g2, "variant": "fusion",
-                     "positional": False, "error": None}]
+    if m:
+        g1, g2, tail = m.group(1), m.group(3), m.group(4)
+        rest: dict[str, Any] = {"variant": "fusion", "positional": False}
+        recurse = None
+        if tail:
+            em = _FUSION_EXONS_A.match(tail) or _FUSION_EXONS_B.match(tail)
+            if em:
+                rest = {"variant": f"fusion(e.{em.group(1)},e.{em.group(2)})",
+                        "positional": True}
+            else:
+                recurse = tail
+        if recurse is not None:
+            return (
+                normalize_civic_variant(f"{g1}-{g2}", gene)
+                + normalize_civic_variant(recurse, gene)
+            )
+        if _same_gene(g1, gene):
+            return [_rec(reference1=gene, reference2=g2, **rest)]
+        if _same_gene(g2, gene):
+            return [_rec(reference1=g1, reference2=gene, **rest)]
+        return [_rec(reference1=gene,
+                     error=f"linked gene name ({gene}) does not match either "
+                           f"fusion partner ({g1}, {g2}) for ({name})")]
 
-    parsed = parse_variant(f"p.{n}")
-    if parsed["error"] is None:
-        return [{"reference1": gene, "reference2": None, "variant": f"p.{n}",
-                 "positional": True, "error": None}]
-    parsed = parse_variant(n)
-    if parsed["error"] is None:
-        return [{"reference1": gene, "reference2": None, "variant": n,
-                 "positional": True, "error": None}]
-    return [{"reference1": gene, "reference2": None, "variant": None,
-             "positional": False, "error": f"unparseable CIViC variant: {name[:80]}"}]
+    if _SINGLE_GENE_FUSION.match(n):
+        return [_rec(reference1=gene, variant="fusion")]
+
+    if _SPACED_CDS.match(n):
+        return [_rec(reference1=gene, variant=re.sub(r"\s+", "", n),
+                     positional=True)]
+
+    if _CATEGORY_MUTATION.match(n) or "domain" in n:
+        return [_rec(reference1=gene, variant=n)]
+
+    m = _SPLICING_ALTERATION.match(n)
+    if m:
+        return [
+            _rec(reference1=gene, variant=m.group(2), positional=True),
+            _rec(reference1=gene, variant=m.group(1), link="infers"),
+        ]
+
+    m = _PHOS_SPLICE.match(n)
+    if m:
+        suffix = "phos" if m.group(2) == "phosphorylation" else "spl"
+        return [_rec(reference1=gene, variant=f"p.{m.group(1)}{suffix}",
+                     positional=True)]
+
+    m = _FUSION_PLUS_MUT.match(n)
+    if m:
+        return (
+            normalize_civic_variant(m.group(1), gene)
+            + normalize_civic_variant(m.group(2), gene)
+        )
+
+    m = _TRAILING_MUTATION.match(n)
+    if m and _same_gene(m.group(1), gene):
+        return [_rec(reference1=gene, variant="mutation")]
+
+    if parse_variant(n)["error"] is None:
+        return [_rec(reference1=gene, variant=n, positional=True)]
+    if parse_variant(f"p.{n}")["error"] is None:
+        return [_rec(reference1=gene, variant=f"p.{n}", positional=True)]
+    # reference falls back to a category variant with the raw name as
+    # the type (src/civic/variant.js:255-257)
+    return [_rec(reference1=gene, variant=n)]
 
 
 @F.pandas_udf(CIVIC_NORM_SCHEMA)

@@ -73,20 +73,114 @@ def test_civic_translocation():
     out = normalize_civic_variant("t(9;22)(q34;q11)", "BCR")
     assert out == [
         {"reference1": "9", "reference2": "22",
-         "variant": "translocation(q34, q11)", "positional": True, "error": None}
+         "variant": "translocation(q34, q11)", "positional": True, "error": None,
+         "link": None}
     ]
 
 
 def test_civic_fusion_and_slash_error():
+    # matching partner is replaced by the annotated gene (reference
+    # test: BCR-ABL w/ ABL1 -> reference2 abl1)
     out = normalize_civic_variant("BCR-ABL", "ABL1")
-    assert out[0]["variant"] == "fusion" and out[0]["reference2"] == "abl"
+    assert out[0]["variant"] == "fusion" and out[0]["reference2"] == "abl1"
+    assert out[0]["reference1"] == "bcr"
     bad = normalize_civic_variant("one / two", "X")
     assert bad[0]["error"] is not None
+
+
+def test_civic_fusion_partner_mismatch_is_error():
+    out = normalize_civic_variant("EML4-ALK", "KRAS")
+    assert out[0]["error"] is not None and "fusion partner" in out[0]["error"]
 
 
 def test_civic_exon_range():
     out = normalize_civic_variant("exon 9-11 deletion", "KIT")
     assert out[0]["variant"] == "e.9_11del"
+
+
+def test_civic_intron_and_frameshift():
+    assert normalize_civic_variant("intron 3 mutation", "MET")[0]["variant"] == "i.3mut"
+    assert (
+        normalize_civic_variant("EXON 12 FRAMESHIFT", "GENE")[0]["variant"] == "e.12fs"
+    )
+
+
+def test_civic_phosphorylation_and_splice_site():
+    out = normalize_civic_variant("Y1234 phosphorylation", "GENE")
+    assert out == [
+        {"reference1": "gene", "reference2": None, "variant": "p.y1234phos",
+         "positional": True, "error": None, "link": None}
+    ]
+    out = normalize_civic_variant("F10 splice site mutation", "GENE")
+    assert out[0]["variant"] == "p.f10spl" and out[0]["positional"]
+
+
+def test_civic_fusion_with_resistance_mutation():
+    # reference test 'ALK FUSION G1202R' -> category fusion + p.g1202r
+    out = normalize_civic_variant("ALK FUSION G1202R", "ALK")
+    assert len(out) == 2
+    assert out[0]["variant"] == "fusion" and not out[0]["positional"]
+    assert out[1]["variant"] == "p.g1202r" and out[1]["positional"]
+
+
+def test_civic_exon_pair_fusions():
+    # 'EWSR1-FLI1 e7-e6' and 'EML4-ALK E20;A20' -> positional fusion
+    out = normalize_civic_variant("EWSR1-FLI1 e7-e6", "FLI1")
+    assert out == [
+        {"reference1": "ewsr1", "reference2": "fli1",
+         "variant": "fusion(e.7,e.6)", "positional": True, "error": None,
+         "link": None}
+    ]
+    out = normalize_civic_variant("EML4-ALK E20;A20", "ALK")
+    assert out[0]["variant"] == "fusion(e.20,e.20)" and out[0]["positional"]
+    # '::' separator variant of the same notation
+    out = normalize_civic_variant("EML4::ALK E20;A20", "EML4")
+    assert out[0]["variant"] == "fusion(e.20,e.20)"
+    assert out[0]["reference1"] == "eml4" and out[0]["reference2"] == "alk"
+
+
+def test_civic_fusion_with_trailing_mutations_splits():
+    # SUBS fix: 'EML4-ALK G1202R-L1198F' -> fusion + two protein muts
+    out = normalize_civic_variant("EML4-ALK G1202R-L1198F", "ALK")
+    assert [r["variant"] for r in out] == ["fusion", "p.g1202r", "p.l1198f"]
+
+
+def test_civic_protein_plus_cds():
+    # combined notation: protein primary + cds as inferredBy link;
+    # deprecated multi-base cds substitution rewritten to delins
+    out = normalize_civic_variant("S111C (c.330CA>TT)", "NTRK1")
+    assert out[0]["variant"] == "p.s111c" and out[0]["link"] is None
+    assert out[1]["variant"] == "c.330_331delcainstt"
+    assert out[1]["link"] == "inferredBy" and out[1]["positional"]
+    out = normalize_civic_variant("E46* (c.136G>T)", "ALK")
+    assert out[0]["variant"] == "p.e46*"
+    assert out[1]["variant"] == "c.136g>t" and out[1]["link"] == "inferredBy"
+
+
+def test_civic_splicing_alteration():
+    out = normalize_civic_variant("Splicing alteration (c.463+2T>C)", "GENE")
+    assert out[0]["variant"] == "c.463+2t>c" and out[0]["positional"]
+    assert out[1]["variant"] == "splicing alteration" and out[1]["link"] == "infers"
+
+
+def test_civic_category_fallbacks():
+    # single-gene fusion, domain, deleterious, trailing '<gene> mutation',
+    # and the final category fallback (reference returns a category
+    # variant, never throws)
+    assert normalize_civic_variant("NRG1 fusions", "NRG1")[0]["variant"] == "fusion"
+    out = normalize_civic_variant("DNA BINDING DOMAIN MUTATION", "NTRK1")
+    assert out[0]["variant"] == "dna binding domain mutation"
+    assert normalize_civic_variant("DELETRIOUS MUTATION", "G")[0]["variant"] == \
+        "deletrious mutation"
+    assert normalize_civic_variant("NTRK1 mutations", "NTRK1")[0]["variant"] == \
+        "mutation"
+    assert normalize_civic_variant("UNDEREXPRESSION", "NTRK1")[0]["variant"] == \
+        "underexpression"
+
+
+def test_civic_spaced_cds_and_not_implemented():
+    assert normalize_civic_variant("c.123 G>T", "ABL1")[0]["variant"] == "c.123g>t"
+    assert normalize_civic_variant("Non-V600", "BRAF")[0]["error"] is not None
 
 
 def test_citation_phase_year_columns(spark):
