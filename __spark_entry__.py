@@ -464,24 +464,31 @@ def q_stable_hash_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hgvs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: HGVS parser UDF over synthetic notation built from lineitem
-    (protein sub / cds sub / exon del grammar paths)."""
+    """F1: HGVS parser UDF over synthetic notation built from lineitem —
+    protein sub / cds sub (plain + intronic offset) / exon del /
+    intron mut / cytoband range del / uncertain protein-range grammar
+    paths (functions/hgvs.py)."""
     t = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber") % 7
+    pk = F.col("l_partkey")
+    n5 = (pk % 500 + 1).cast("string")
+    n9 = (pk % 900 + 1).cast("string")
+    n20 = (pk % 20 + 1).cast("string")
+    n30 = (pk % 30 + 1).cast("string")
+    cb1 = F.concat(F.lit("p"), n30, F.lit("."), (pk % 9 + 1).cast("string"))
+    cb2 = F.concat(F.lit("p"), n20, F.lit("."), (pk % 7 + 1).cast("string"))
     src = t["lineitem"].select(
         "l_orderkey",
         "l_linenumber",
-        F.when(
-            F.col("l_linenumber") % 3 == 0,
-            F.concat(F.lit("p.G"), (F.col("l_partkey") % 500 + 1).cast("string"), F.lit("D")),
-        )
-        .when(
-            F.col("l_linenumber") % 3 == 1,
-            F.concat(
-                F.lit("c."), (F.col("l_partkey") % 900 + 1).cast("string"), F.lit("A>T")
-            ),
-        )
+        F.when(ln == 0, F.concat(F.lit("p.G"), n5, F.lit("D")))
+        .when(ln == 1, F.concat(F.lit("c."), n9, F.lit("A>T")))
+        .when(ln == 2, F.concat(F.lit("e."), n20, F.lit("del")))
+        .when(ln == 3, F.concat(F.lit("c."), n9, F.lit("+2A>G")))
+        .when(ln == 4, F.concat(F.lit("i."), n30, F.lit("mut")))
+        .when(ln == 5, F.concat(F.lit("y."), cb1, F.lit("_"), cb2, F.lit("del")))
         .otherwise(
-            F.concat(F.lit("e."), (F.col("l_partkey") % 20 + 1).cast("string"), F.lit("del"))
+            F.concat(F.lit("p.(G"), n5, F.lit("_G"), (pk % 500 + 2).cast("string"),
+                     F.lit(")mut"))
         )
         .alias("notation"),
     )
@@ -495,6 +502,9 @@ def q_hgvs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.prefix").alias("prefix"),
         F.col("v.variant_type").alias("variant_type"),
         F.col("v.break1_start").alias("break1_start"),
+        F.col("v.break1_repr").alias("break1_repr"),
+        F.col("v.break2_repr").alias("break2_repr"),
+        F.col("v.uncertain").cast("int").alias("uncertain"),
     )
 
 
@@ -2415,25 +2425,49 @@ def oracle_sql() -> dict[str, str]:
         "hgvs_parse": """
             WITH src AS (
               SELECT l_orderkey, l_linenumber,
-                     CASE
-                       WHEN l_linenumber % 3 = 0
-                         THEN 'p.G' || (l_partkey % 500 + 1) || 'D'
-                       WHEN l_linenumber % 3 = 1
-                         THEN 'c.' || (l_partkey % 900 + 1) || 'A>T'
-                       ELSE 'e.' || (l_partkey % 20 + 1) || 'del'
+                     l_linenumber % 7 AS b, l_partkey AS pk,
+                     'p' || (l_partkey % 30 + 1) || '.' || (l_partkey % 9 + 1) AS cb1,
+                     'p' || (l_partkey % 20 + 1) || '.' || (l_partkey % 7 + 1) AS cb2
+              FROM lineitem),
+            m AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE b
+                       WHEN 0 THEN 'p.G' || (pk % 500 + 1) || 'D'
+                       WHEN 1 THEN 'c.' || (pk % 900 + 1) || 'A>T'
+                       WHEN 2 THEN 'e.' || (pk % 20 + 1) || 'del'
+                       WHEN 3 THEN 'c.' || (pk % 900 + 1) || '+2A>G'
+                       WHEN 4 THEN 'i.' || (pk % 30 + 1) || 'mut'
+                       WHEN 5 THEN 'y.' || cb1 || '_' || cb2 || 'del'
+                       ELSE 'p.(G' || (pk % 500 + 1) || '_G' || (pk % 500 + 2) || ')mut'
                      END AS notation,
-                     CASE WHEN l_linenumber % 3 = 0 THEN 'p'
-                          WHEN l_linenumber % 3 = 1 THEN 'c' ELSE 'e' END AS prefix,
-                     CASE WHEN l_linenumber % 3 = 0 THEN 'missense'
-                          WHEN l_linenumber % 3 = 1 THEN 'substitution'
-                          ELSE 'deletion' END AS variant_type,
-                     CASE WHEN l_linenumber % 3 = 0 THEN l_partkey % 500 + 1
-                          WHEN l_linenumber % 3 = 1 THEN l_partkey % 900 + 1
-                          ELSE l_partkey % 20 + 1 END AS break1_start
-              FROM lineitem)
+                     CASE b WHEN 0 THEN 'p' WHEN 1 THEN 'c' WHEN 2 THEN 'e'
+                            WHEN 3 THEN 'c' WHEN 4 THEN 'i' WHEN 5 THEN 'y'
+                            ELSE 'p' END AS prefix,
+                     CASE b WHEN 0 THEN 'missense' WHEN 1 THEN 'substitution'
+                            WHEN 2 THEN 'deletion' WHEN 3 THEN 'substitution'
+                            WHEN 4 THEN 'mutation' WHEN 5 THEN 'deletion'
+                            ELSE 'mutation' END AS variant_type,
+                     CASE b WHEN 0 THEN pk % 500 + 1 WHEN 1 THEN pk % 900 + 1
+                            WHEN 2 THEN pk % 20 + 1 WHEN 3 THEN pk % 900 + 1
+                            WHEN 4 THEN pk % 30 + 1 WHEN 5 THEN NULL
+                            ELSE pk % 500 + 1 END AS break1_start,
+                     CASE b WHEN 3 THEN (pk % 900 + 1) || '+2'
+                            WHEN 5 THEN cb1
+                            ELSE CAST(
+                              CASE b WHEN 0 THEN pk % 500 + 1
+                                     WHEN 1 THEN pk % 900 + 1
+                                     WHEN 2 THEN pk % 20 + 1
+                                     WHEN 4 THEN pk % 30 + 1
+                                     ELSE pk % 500 + 1 END AS VARCHAR)
+                     END AS break1_repr,
+                     CASE b WHEN 5 THEN cb2
+                            WHEN 6 THEN CAST(pk % 500 + 2 AS VARCHAR) END AS break2_repr,
+                     CASE b WHEN 6 THEN 1 END AS uncertain
+              FROM src)
             SELECT l_orderkey, l_linenumber, notation, prefix, variant_type,
-                   CAST(break1_start AS INTEGER) AS break1_start
-            FROM src
+                   CAST(break1_start AS INTEGER) AS break1_start,
+                   break1_repr, break2_repr, CAST(uncertain AS INTEGER) AS uncertain
+            FROM m
         """,
         "explode_expansion": """
             SELECT t.type_word, count(*) AS n

@@ -30,6 +30,27 @@ from graphkb_spark.functions.hgvs import parse_variant
                               "break2_start": 3}),
         ("(EWSR1,FLI1):fusion(e.7,e.6)", {"reference1": "EWSR1", "reference2": "FLI1",
                                           "variant_type": "fusion"}),
+        # extended grammar: cytoband / intronic / uncertain / ext / spl / phos
+        ("translocation(q34, q11)", {"prefix": "y", "variant_type": "translocation",
+                                     "break1_repr": "q34", "break2_repr": "q11"}),
+        ("y.p26.3_p25.3del", {"prefix": "y", "variant_type": "deletion",
+                              "break1_repr": "p26.3", "break2_repr": "p25.3"}),
+        ("i.3mut", {"prefix": "i", "variant_type": "mutation", "break1_start": 3}),
+        ("e.12fs", {"prefix": "e", "variant_type": "frameshift", "break1_start": 12}),
+        ("p.X1010spl", {"variant_type": "splice-site", "break1_start": 1010}),
+        ("p.Y1234phos", {"variant_type": "phosphorylation", "break1_start": 1234}),
+        ("p.(G12_G13)mut", {"variant_type": "mutation", "break1_start": 12,
+                            "break2_start": 13, "uncertain": True}),
+        ("p.(E55_K60)fs", {"variant_type": "frameshift", "uncertain": True}),
+        ("p.(E55_K60)*", {"variant_type": "truncating", "break1_start": 55,
+                          "break2_start": 60, "uncertain": True}),
+        ("p.?755_?759del", {"variant_type": "deletion", "break1_start": 755,
+                            "break2_start": 759, "uncertain": True}),
+        ("p.T1151_?1152insT", {"variant_type": "insertion", "alt_seq": "T",
+                               "uncertain": True}),
+        ("p.*807ext*101", {"variant_type": "extension", "break1_start": 807}),
+        ("c.463+2T>C", {"prefix": "c", "variant_type": "substitution",
+                        "break1_start": 463, "break1_repr": "463+2"}),
     ],
 )
 def test_parse_ok(notation, expect):
