@@ -978,6 +978,55 @@ def q_spec_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spec_validation_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 declarative form: an ajv-style JSON-Schema document (nested
+    object properties, enum, pattern, numeric bounds, array items)
+    compiled to Column predicates (compile_json_spec; reference spec
+    documents e.g. src/civic/specs.json, src/entrez/refseq.js:24-35)."""
+    from graphkb_spark.operators.validate import SPEC_ERRORS_COL, check_json_spec
+
+    t = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = t["orders"].select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("total"),
+            F.when(k % 7 != 0, F.col("o_orderstatus")).alias("status"),
+        ).alias("meta"),
+        F.when(
+            k % 11 != 5,
+            F.array(
+                F.concat(F.lit("T"), (k % 5).cast("string")),
+                F.concat(F.lit("T"), ((k + 1) % 5).cast("string")),
+            ),
+        ).alias("tags"),
+    )
+    schema = {
+        "properties": {
+            "o_orderkey": {"type": "integer"},
+            "meta": {
+                "type": "object",
+                "properties": {
+                    "priority": {"enum": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                          "4-NOT SPECIFIED", "5-LOW"]},
+                    "total": {"type": "number", "maximum": 300000},
+                    "status": {"type": ["null", "string"], "pattern": "^[OF]$"},
+                },
+                "required": ["priority"],
+            },
+            "tags": {"type": ["null", "array"], "items": {"pattern": "^T[0-3]$"}},
+        },
+        "required": ["o_orderkey"],
+    }
+    out = check_json_spec(src, schema)
+    return out.select(
+        "o_orderkey",
+        F.concat_ws(";", SPEC_ERRORS_COL).alias("errs"),
+        F.size(SPEC_ERRORS_COL).alias("n_errors"),
+    )
+
+
 def q_full_reload_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9.3: hash-id full-reload diff (cosmic resistance shape) —
     original vs regenerated id sets -> keep/delete/create."""
@@ -1835,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "therapy_grouping": q_therapy_grouping,
         "string_normalizers": q_string_normalizers,
         "spec_validation": q_spec_validation,
+        "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
         "explode_expansion": q_explode_expansion,
@@ -2378,6 +2428,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(nullish_raw) IN ('None', '') THEN NULL
                         ELSE nullish_raw END AS nullish
             FROM src
+        """,
+        # replica of the compiled JSON-Schema predicates in document
+        # order: meta.total maximum, meta.status pattern, tags[] pattern
+        "spec_validation_nested": """
+            WITH checks AS (
+              SELECT o_orderkey,
+                     list_filter([
+                       CASE WHEN o_totalprice > 300000
+                            THEN '#/meta/total: above maximum 300000' END,
+                       CASE WHEN o_orderkey % 7 <> 0
+                                  AND NOT regexp_matches(o_orderstatus, '^[OF]$')
+                            THEN '#/meta/status: pattern ^[OF]$ unmatched' END,
+                       CASE WHEN o_orderkey % 11 <> 5
+                                  AND o_orderkey % 5 IN (3, 4)
+                            THEN '#/tags[]: element pattern unmatched' END
+                     ], x -> x IS NOT NULL) AS errs_list
+              FROM orders)
+            SELECT o_orderkey,
+                   coalesce(array_to_string(errs_list, ';'), '') AS errs,
+                   CAST(len(errs_list) AS INTEGER) AS n_errors
+            FROM checks
         """,
         "spec_validation": """
             SELECT o_orderkey,

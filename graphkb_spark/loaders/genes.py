@@ -382,18 +382,26 @@ def parse_entrez_refseq(raw: DataFrame, versioned: bool = True) -> DataFrame:
     (:58-60).  When ``versioned`` is False the reference strips the
     version and longName for ids requested without one (:96-106).
     """
+    from graphkb_spark.operators.validate import compile_json_spec
+
     acc = F.col("accessionversion")
-    # NB: biomol.isNull() is required — three-valued logic makes
-    # ~isin(...) NULL (not True) for a NULL biomol, which would let the
-    # row through quarantine; the reference spec lists biomol required
-    # (src/entrez/refseq.js:24-35)
-    bad = (
-        acc.isNull()
-        | ~acc.rlike(r"^N[A-Z]_\d+\.\d+$")
-        | F.col("biomol").isNull()
-        | ~F.col("biomol").isin("genomic", "rna", "peptide", "mRNA")
-        | F.col("title").isNull()
-    )
+    # declarative replica of the reference recordSpec
+    # (src/entrez/refseq.js:24-35) compiled to Column predicates;
+    # required + pattern/enum covers the null cases three-valued logic
+    # would otherwise let through quarantine
+    spec = {
+        "properties": {
+            "accessionversion": {"type": "string",
+                                 "pattern": r"^N[A-Z]_\d+\.\d+$"},
+            "biomol": {"enum": ["genomic", "rna", "peptide", "mRNA"]},
+            "title": {"type": "string"},
+        },
+        "required": ["accessionversion", "biomol", "title"],
+    }
+    compiled = compile_json_spec(spec, raw.schema)
+    bad = compiled[0][1]
+    for _, pred in compiled[1:]:
+        bad = bad | pred
     biotype = (
         F.when(F.col("biomol") == "genomic", F.lit("chromosome"))
         .when(F.col("biomol") == "peptide", F.lit("protein"))

@@ -1,23 +1,38 @@
 """Schema/spec validation with per-row quarantine (SURVEY §2.3 P5).
 
 The reference validates every parsed record against a JSON Schema (ajv)
-before processing (``checkSpec`` /root/reference/src/util.js:201-214)
-and collects failures into error lists instead of aborting
+before processing (``checkSpec`` /root/reference/src/util.js:201-214,
+spec documents like /root/reference/src/civic/specs.json) and collects
+failures into error lists instead of aborting
 (/root/reference/src/civic/evidenceItem.js:94-110).
 
-Spark-first: a spec is a mapping column -> Column predicate; violations
-accumulate into an ``array<string>`` error column built from pure
-``when`` expressions — the whole validation is one codegen'd
-projection, and the valid/quarantine split is two filters off the same
-scan (Catalyst collapses them into the read).
+Spark-first, two layers:
+
+- ``check_spec`` — a spec is a mapping column -> Column predicate;
+  violations accumulate into an ``array<string>`` error column built
+  from pure ``when`` expressions.
+- ``compile_json_spec``/``check_json_spec`` — a declarative
+  JSON-Schema-style document (the ajv subset the reference uses:
+  ``type`` incl. ``"null"``, ``enum``, ``required``, ``pattern``,
+  ``minimum``/``maximum``, nested ``properties``, array ``items``)
+  compiled into the same Column predicates. Structural ``type`` checks
+  run at compile time against the DataFrame schema (parquet typing
+  makes them static); value checks (required/enum/pattern/bounds)
+  become runtime predicates.
+
+Either way the whole validation is one codegen'd projection, and the
+valid/quarantine split is two filters off the same scan (Catalyst
+collapses them into the read).
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping
+from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SPEC_ERRORS_COL = "_spec_errors"
 
@@ -38,6 +53,184 @@ def split_valid(df: DataFrame, spec: Mapping[str, Column]) -> tuple[DataFrame, D
     """(valid rows, quarantined rows) — quarantine keeps the error list
     for the K5 error sink."""
     checked = check_spec(df, spec)
+    return (
+        checked.filter(F.size(SPEC_ERRORS_COL) == 0).drop(SPEC_ERRORS_COL),
+        checked.filter(F.size(SPEC_ERRORS_COL) > 0),
+    )
+
+
+class SpecCompileError(ValueError):
+    """The spec document contradicts the DataFrame's static schema —
+    an authoring error (every row would fail), not a data error."""
+
+
+_JSON_TYPE_OK = {
+    "string": (T.StringType,),
+    "number": (T.DoubleType, T.FloatType, T.DecimalType, T.LongType, T.IntegerType,
+               T.ShortType, T.ByteType),
+    "integer": (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    "boolean": (T.BooleanType,),
+    "object": (T.StructType,),
+    "array": (T.ArrayType,),
+}
+
+
+def _static_type_check(path: str, node: Mapping[str, Any], dtype: T.DataType) -> None:
+    types = node.get("type")
+    if types is None:
+        return
+    if isinstance(types, str):
+        types = [types]
+    concrete = [t for t in types if t != "null"]
+    if not concrete:
+        return
+    if not any(isinstance(dtype, _JSON_TYPE_OK[t]) for t in concrete
+               if t in _JSON_TYPE_OK):
+        raise SpecCompileError(
+            f"{path}: spec type {concrete} incompatible with column type "
+            f"{dtype.simpleString()}"
+        )
+
+
+def compile_json_spec(
+    schema: Mapping[str, Any],
+    dtype: T.StructType,
+    value: Column | None = None,
+    path: str = "#",
+) -> list[tuple[str, Column]]:
+    """Compile a JSON-Schema-style document into
+    ``[(message, violation_predicate)]`` pairs over a row.
+
+    ``value`` is the Column holding the current object (None = the row
+    itself, properties are plain columns). Semantics follow ajv where
+    Spark can express them: a null value passes ``type``/``enum``/
+    ``pattern`` checks (absent ~ null in a flat row) and only
+    ``required`` enforces presence — matching how the reference's spec
+    documents pair nullable fields with ``["null", X]`` types and
+    mandatory ones with ``required`` lists.
+    """
+    out: list[tuple[str, Column]] = []
+    props: Mapping[str, Any] = schema.get("properties", {})
+    required = set(schema.get("required", []))
+    field_types = {f.name: f.dataType for f in dtype.fields}
+
+    for name in required:
+        if name not in props and name not in field_types:
+            raise SpecCompileError(f"{path}: required property '{name}' undeclared")
+
+    for name, node in props.items():
+        if name not in field_types:
+            raise SpecCompileError(f"{path}: property '{name}' not in schema "
+                                   f"({', '.join(sorted(field_types))})")
+        child_dtype = field_types[name]
+        child_path = f"{path}/{name}"
+        v = F.col(name) if value is None else value.getField(name)
+        _static_type_check(child_path, node, child_dtype)
+
+        if name in required:
+            out.append((f"{child_path}: required", v.isNull()))
+        if "enum" in node:
+            allowed = [e for e in node["enum"] if e is not None]
+            out.append((
+                f"{child_path}: not in enum",
+                v.isNotNull() & ~v.isin(allowed),
+            ))
+        if "pattern" in node:
+            out.append((
+                f"{child_path}: pattern {node['pattern']} unmatched",
+                v.isNotNull() & ~v.rlike(node["pattern"]),
+            ))
+        if "minimum" in node:
+            out.append((f"{child_path}: below minimum {node['minimum']}",
+                        v.isNotNull() & (v < F.lit(node["minimum"]))))
+        if "maximum" in node:
+            out.append((f"{child_path}: above maximum {node['maximum']}",
+                        v.isNotNull() & (v > F.lit(node["maximum"]))))
+        if "properties" in node:
+            if not isinstance(child_dtype, T.StructType):
+                raise SpecCompileError(f"{child_path}: nested properties on "
+                                       f"non-struct {child_dtype.simpleString()}")
+            out.extend(compile_json_spec(node, child_dtype, v, child_path))
+        if "items" in node:
+            if not isinstance(child_dtype, T.ArrayType):
+                raise SpecCompileError(f"{child_path}: items on non-array "
+                                       f"{child_dtype.simpleString()}")
+            out.extend(
+                _compile_items(node["items"], child_dtype.elementType, v,
+                               f"{child_path}[]")
+            )
+    return out
+
+
+def _compile_items(
+    node: Mapping[str, Any], elem_type: T.DataType, arr: Column, path: str
+) -> list[tuple[str, Column]]:
+    """Array-element checks: any element violating flags the row (one
+    message per rule, existence-quantified — stays in Column algebra
+    via ``F.exists``)."""
+    out: list[tuple[str, Column]] = []
+
+    def any_elem(pred) -> Column:
+        return arr.isNotNull() & F.exists(arr, pred)
+
+    if "enum" in node:
+        allowed = [e for e in node["enum"] if e is not None]
+        out.append((f"{path}: element not in enum",
+                    any_elem(lambda x: x.isNotNull() & ~x.isin(allowed))))
+    if "pattern" in node:
+        out.append((f"{path}: element pattern unmatched",
+                    any_elem(lambda x: x.isNotNull() & ~x.rlike(node["pattern"]))))
+    if "properties" in node:
+        if not isinstance(elem_type, T.StructType):
+            raise SpecCompileError(f"{path}: element properties on non-struct "
+                                   f"{elem_type.simpleString()}")
+        props = node["properties"]
+        required = set(node.get("required", []))
+        field_types = {f.name: f.dataType for f in elem_type.fields}
+        # closure factories: F.exists requires single-parameter lambdas
+        # (default-arg capture would read as a 2-arg lambda to Spark)
+        def _null_check(n):
+            return lambda x: x.getField(n).isNull()
+
+        def _enum_check(n, allowed):
+            return lambda x: x.getField(n).isNotNull() & ~x.getField(n).isin(allowed)
+
+        def _pattern_check(n, p):
+            return lambda x: x.getField(n).isNotNull() & ~x.getField(n).rlike(p)
+
+        for name, child in props.items():
+            if name not in field_types:
+                raise SpecCompileError(f"{path}: element property '{name}' missing")
+            _static_type_check(f"{path}/{name}", child, field_types[name])
+            if name in required:
+                out.append((f"{path}/{name}: required",
+                            any_elem(_null_check(name))))
+            if "enum" in child:
+                allowed = [e for e in child["enum"] if e is not None]
+                out.append((f"{path}/{name}: not in enum",
+                            any_elem(_enum_check(name, allowed))))
+            if "pattern" in child:
+                out.append((f"{path}/{name}: pattern unmatched",
+                            any_elem(_pattern_check(name, child["pattern"]))))
+    return out
+
+
+def check_json_spec(df: DataFrame, schema: Mapping[str, Any]) -> DataFrame:
+    """``check_spec`` for a declarative JSON-Schema document: compile
+    against ``df``'s static schema, annotate with ``_spec_errors``."""
+    compiled = compile_json_spec(schema, df.schema)
+    parts = [F.when(pred, F.lit(msg)) for msg, pred in compiled]
+    if not parts:
+        return df.withColumn(SPEC_ERRORS_COL, F.array().cast("array<string>"))
+    errors = F.filter(F.array(*parts), lambda e: e.isNotNull())
+    return df.withColumn(SPEC_ERRORS_COL, errors)
+
+
+def split_valid_json(
+    df: DataFrame, schema: Mapping[str, Any]
+) -> tuple[DataFrame, DataFrame]:
+    """``split_valid`` for a JSON-Schema document."""
+    checked = check_json_spec(df, schema)
     return (
         checked.filter(F.size(SPEC_ERRORS_COL) == 0).drop(SPEC_ERRORS_COL),
         checked.filter(F.size(SPEC_ERRORS_COL) > 0),

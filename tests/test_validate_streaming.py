@@ -1,6 +1,7 @@
 """P5 spec validation, §2.9.3 full-reload diff, §2.10 foreachBatch
 streaming MERGE."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphkb_spark.operators.validate import (
@@ -84,3 +85,91 @@ def test_stateful_running_totals(spark, tmp_path):
     rows = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
     assert rows[1] == (3, 7.0)  # state carried across batches
     assert rows[2] == (1, 5.0)
+
+
+def test_json_spec_compiler(spark):
+    """P5 declarative layer: ajv-subset JSON-Schema document compiled
+    to Column predicates (nested properties, enum, pattern, bounds,
+    required, array items)."""
+    from graphkb_spark.operators.validate import (
+        SpecCompileError,
+        check_json_spec,
+        split_valid_json,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ("A", 10.0, "ok"), ["T1", "T2"]),
+            (2, ("Z", 10.0, "ok"), ["T1"]),          # enum violation
+            (3, ("A", 99.0, "ok"), ["T1"]),          # above maximum
+            (4, ("A", 10.0, None), ["bad tag"]),     # item pattern violation
+            (5, (None, 10.0, "ok"), None),           # required (nested) violation
+        ],
+        "id int, meta struct<kind string, score double, note string>, "
+        "tags array<string>",
+    )
+    schema = {
+        "properties": {
+            "id": {"type": "integer"},
+            "meta": {
+                "type": "object",
+                "properties": {
+                    "kind": {"enum": ["A", "B"]},
+                    "score": {"type": "number", "maximum": 50},
+                    "note": {"type": ["null", "string"]},
+                },
+                "required": ["kind"],
+            },
+            "tags": {"type": ["null", "array"], "items": {"pattern": "^T\\d$"}},
+        },
+        "required": ["id"],
+    }
+    rows = {r.id: list(r._spec_errors) for r in check_json_spec(df, schema).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["#/meta/kind: not in enum"]
+    assert rows[3] == ["#/meta/score: above maximum 50"]
+    assert rows[4] == ["#/tags[]: element pattern unmatched"]
+    assert rows[5] == ["#/meta/kind: required"]  # null tags pass
+
+    valid, quarantined = split_valid_json(df, schema)
+    assert {r.id for r in valid.collect()} == {1}
+    assert quarantined.count() == 4
+
+    # authoring errors are compile-time, not per-row
+    with pytest.raises(SpecCompileError):
+        check_json_spec(df, {"properties": {"nope": {"type": "string"}}})
+    with pytest.raises(SpecCompileError):
+        check_json_spec(df, {"properties": {"id": {"type": "string"}}})
+
+
+def test_json_spec_array_of_structs(spark):
+    """items with object properties: required + enum existence checks
+    over array elements stay in Column algebra."""
+    from graphkb_spark.operators.validate import check_json_spec
+
+    df = spark.createDataFrame(
+        [
+            (1, [("v1", "Gene")]),
+            (2, [("v2", None)]),          # element required violation
+            (3, [("v3", "Banana")]),      # element enum violation
+        ],
+        "id int, variants array<struct<name string, typename string>>",
+    )
+    schema = {
+        "properties": {
+            "variants": {
+                "type": "array",
+                "items": {
+                    "properties": {
+                        "name": {"type": "string"},
+                        "typename": {"enum": ["Gene", "Factor", "Fusion"]},
+                    },
+                    "required": ["typename"],
+                },
+            },
+        },
+    }
+    rows = {r.id: list(r._spec_errors) for r in check_json_spec(df, schema).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["#/variants[]/typename: required"]
+    assert rows[3] == ["#/variants[]/typename: not in enum"]
