@@ -62,6 +62,24 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
     return load_tables(spark, sf_dir, *names)
 
 
+def _registry_values() -> str:
+    """SOURCE_REGISTRY rendered as DuckDB VALUES rows matching
+    SOURCE_SCHEMA (name, displayName, url, usage, version, sort)."""
+    from graphkb_spark.sources.registry import SOURCE_REGISTRY
+
+    def lit(v):
+        return "CAST(NULL AS VARCHAR)" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for rec in SOURCE_REGISTRY.values():
+        vals = [lit(rec.get(f)) for f in ("name", "displayName", "url", "usage")]
+        vals.append("CAST(NULL AS VARCHAR)")  # version: unset in the registry
+        s = rec.get("sort")
+        vals.append("CAST(NULL AS INTEGER)" if s is None else str(s))
+        rows.append("(" + ", ".join(vals) + ")")
+    return ", ".join(rows)
+
+
 # --------------------------------------------------------------------------
 # §3.3 filter DSL (the reference's /query language)
 # --------------------------------------------------------------------------
@@ -1838,6 +1856,17 @@ def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 static config-as-source: the bundled source registry (the
+    reference's src/sources.js records incl. the sort ranks feeding the
+    J2 preference comparator) seeded into a KB in one batch upsert."""
+    from graphkb_spark.kb import empty_kb
+    from graphkb_spark.sources.registry import seed_sources
+
+    kb = seed_sources(spark, empty_kb(spark))
+    return kb.sources
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1919,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docm_load": q_docm_load,
         "cgl_load": q_cgl_load,
         "civic_sync": q_civic_sync,
+        "source_registry": q_source_registry,
         "entrez_refseq": q_entrez_refseq,
         "gsc_ontology": q_gsc_ontology,
     }
@@ -3078,6 +3108,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'family'||(k%5), 'family'||(k%5), 'general drug class' FROM s
             UNION ALL
             SELECT DISTINCT 'pathway'||(k%3), 'pathway'||(k%3), 'pathway drug class' FROM s
+        """,
+        "source_registry": """
+            WITH r(name, "displayName", url, usage, version, sort) AS (
+              VALUES """ + _registry_values() + """)
+            SELECT md5('{"cls":"Source","name":"' || name || '"}') AS rid,
+                   name, "displayName", url, usage, version, sort
+            FROM r
         """,
         # full replica of the CIViC sync composition: publication / disease /
         # evidence-level resolution + relevance + DNF + therapy grouping +

@@ -143,3 +143,20 @@ def test_load_variants_typed_rows_and_infers(spark):
     assert len(edges) == 1 and edges[0]["edge_class"] == "Infers"
     assert edges[0]["in_rid"] == v["KRAS:p.G12D"]["rid"]
     assert edges[0]["out_rid"] == v["KRAS:c.35G>A"]["rid"]
+
+
+def test_source_registry_seed(spark):
+    """Bundled source registry (src/sources.js) seeds in one batch and
+    carries the sort ranks the preference comparator uses."""
+    from graphkb_spark.kb import empty_kb
+    from graphkb_spark.sources.registry import SOURCE_REGISTRY, seed_sources
+
+    kb = seed_sources(spark, empty_kb(spark))
+    rows = {r.name: r for r in kb.sources.collect()}
+    assert len(rows) == len(SOURCE_REGISTRY) == 39
+    assert rows["civic"].sort == 4 and rows["civic"].displayName == "CIViC"
+    assert rows["oncotree"].sort == 0
+    assert rows["chembl"].sort == 1
+    # idempotent: re-seeding changes nothing
+    kb = seed_sources(spark, kb)
+    assert kb.sources.count() == 39
