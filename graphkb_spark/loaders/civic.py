@@ -76,11 +76,18 @@ def resolve_publications(
     ``pubmed``: (sourceId, rid); ``abstracts``: (abstract_id, year,
     name, sourceId, rid).
 
-    PUBMED rows broadcast-join on pmid; ASCO rows join on abstract id,
-    filter to the matching year, then to title/url agreement
-    (``titlesMatch``) and require exactly one survivor — 0 or >1 and
-    the non-pubmed/non-asco types land in ``_pub_error`` (per-row
+    PUBMED rows broadcast-join on pmid; ASCO rows broadcast-join the
+    abstracts grouped per id into a candidate array, then filter the
+    candidates per row with the year/url/title (``titlesMatch``)
+    predicates as a higher-order ``F.filter`` — exactly-one is a
+    ``size()`` on the filtered array. 0 or >1 survivors and the
+    non-pubmed/non-asco types land in ``_pub_error`` (per-row
     quarantine where the reference throws).
+
+    Scale shape: the evidence table is NEVER exchanged — both dims are
+    broadcast, candidate counting happens inside the row (no fan-out
+    join + window collapse), so the whole stage is map-side at any
+    corpus size.
     """
     pm = F.broadcast(
         pubmed.select(
@@ -96,32 +103,35 @@ def resolve_publications(
     ab = F.broadcast(
         abstracts.select(
             F.col("abstract_id").cast("string").alias("__aid"),
-            F.col("year").cast("int").alias("__ayear"),
-            norm_title(F.col("name")).alias("__aname"),
-            F.col("sourceId").cast("string").alias("__asid"),
-            F.col("rid").alias("__ab_rid"),
+            F.struct(
+                F.col("year").cast("int").alias("year"),
+                norm_title(F.col("name")).alias("name_norm"),
+                F.col("sourceId").cast("string").alias("sid"),
+                F.col("rid").alias("rid"),
+            ).alias("__cand"),
         )
+        .groupBy("__aid")
+        .agg(F.collect_list("__cand").alias("__cands"))
     )
-    asco_cond = (
-        (F.col("source_type") == "ASCO")
-        & (F.col("asco_abstract_id").cast("string") == F.col("__aid"))
-        & (F.col("publication_year").cast("int") == F.col("__ayear"))
-        & (
-            F.col("source_url").isNull()
-            | F.col("source_url").contains(F.col("__asid"))
-        )
-        & (norm_title(F.col("source_title")) == F.col("__aname"))
-    )
-    ev = ev.join(ab, asco_cond, "left")
-    # exactly-one check per evidence row: count matches via a groupBy on
-    # the evidence natural key would re-shuffle; instead the broadcast
-    # join fans out rows, so count with a window over the row key
-    from pyspark.sql import Window
-
-    key = F.md5(F.to_json(F.struct(*[F.col(c) for c in evidence.columns])))
-    ev = ev.withColumn("__k", key)
-    w = Window.partitionBy("__k")
-    ev = ev.withColumn("__n_asco", F.count("__ab_rid").over(w))
+    ev = ev.join(
+        ab, F.col("asco_abstract_id").cast("string") == F.col("__aid"), "left"
+    ).drop("__aid")
+    title_norm = norm_title(F.col("source_title"))
+    matched = F.when(
+        F.col("source_type") == "ASCO",
+        F.filter(
+            F.coalesce(F.col("__cands"), F.array()),
+            lambda c: (F.col("publication_year").cast("int") == c.getField("year"))
+            & (
+                F.col("source_url").isNull()
+                | F.col("source_url").contains(c.getField("sid"))
+            )
+            & (title_norm == c.getField("name_norm")),
+        ),
+    ).otherwise(F.array().cast("array<struct<year:int,name_norm:string,sid:string,rid:string>>"))
+    ev = ev.withColumn("__matched", matched).withColumn(
+        "__n_asco", F.size("__matched")
+    ).withColumn("__ab_rid", F.array_min(F.transform("__matched", lambda c: c.getField("rid"))))
     err = (
         F.when(
             (F.col("source_type") == "PUBMED") & F.col("__pm_rid").isNull(),
@@ -144,20 +154,11 @@ def resolve_publications(
                      F.col("source_type"), F.lit(")")),
         )
     )
-    out = (
+    return (
         ev.withColumn("_pub_error", err)
         .withColumn("publication_rid", F.coalesce("__pm_rid", "__ab_rid"))
-        # ASCO fan-out rows collapse back to one row per evidence item
-        # (after the exactly-one check the survivors are identical)
-        .withColumn(
-            "__rn",
-            F.row_number().over(w.orderBy(F.col("publication_rid").asc_nulls_last())),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__pm_rid", "__ab_rid", "__aid", "__ayear", "__aname", "__asid",
-              "__k", "__n_asco", "__rn")
+        .drop("__pm_rid", "__ab_rid", "__cands", "__matched", "__n_asco")
     )
-    return out
 
 
 def get_or_create_evidence_levels(
@@ -245,46 +246,69 @@ def resolve_diseases(evidence: DataFrame, diseases: DataFrame) -> DataFrame:
     ``diseases`` columns: ``sourceId``, ``name``, ``rid`` + the
     preference columns (``deprecated``/``alias``/... may be absent —
     ties then resolve by rid). Unmatched rows get ``_disease_error``.
+
+    Scale shape: the preference comparator is applied DIM-side (best
+    record per sourceId / per name, a window over the small broadcast
+    dimension), so both lookups are 1:1 broadcast equi-joins — no
+    fan-out, no window over the evidence table, and no nested-loop
+    join from an OR-shaped condition. The evidence table is never
+    exchanged.
     """
     from pyspark.sql import Window
 
-    has_doid = F.col("doid").isNotNull()
-    dim_cols = [
-        F.lower(F.col("sourceId")).alias("__d_sid"),
-        F.lower(F.col("name")).alias("__d_name"),
-        F.col("rid").alias("__d_rid"),
-    ]
-    if "deprecated" in diseases.columns:
-        dim_cols.append(F.coalesce(F.col("deprecated"), F.lit(False)).alias("__d_dep"))
-    d = F.broadcast(diseases.select(*dim_cols))
-    cond = F.when(
-        has_doid,
-        F.concat(F.lit("doid:"), F.col("doid").cast("string")) == F.col("__d_sid"),
-    ).otherwise(F.lower(F.col("disease")) == F.col("__d_name"))
-    ev = evidence.withColumn(
-        "__k", F.md5(F.to_json(F.struct(*[F.col(c) for c in evidence.columns])))
+    has_dep = "deprecated" in diseases.columns
+    dep = (
+        F.coalesce(F.col("deprecated"), F.lit(False))
+        if has_dep
+        else F.lit(False)
     )
-    joined = ev.join(d, cond & F.col("disease").isNotNull(), "left")
-    prefer = (
-        [F.col("__d_dep").asc()] if "deprecated" in diseases.columns else []
-    ) + [F.col("__d_rid").asc_nulls_last()]
-    w = Window.partitionBy("__k").orderBy(*prefer)
-    out = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+    base = diseases.select(
+        F.lower(F.col("sourceId")).alias("__key_sid"),
+        F.lower(F.col("name")).alias("__key_name"),
+        F.col("rid").alias("__d_rid"),
+        dep.alias("__d_dep"),
+    )
+
+    def best_per(key: str, out_col: str):
+        w = Window.partitionBy(key).orderBy(
+            F.col("__d_dep").asc(), F.col("__d_rid").asc_nulls_last()
+        )
+        return F.broadcast(
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(key), F.col("__d_rid").alias(out_col))
+        )
+
+    by_sid = best_per("__key_sid", "__rid_by_sid")
+    by_name = best_per("__key_name", "__rid_by_name")
+
+    has_doid = F.col("doid").isNotNull()
+    ev = (
+        evidence.join(
+            by_sid,
+            F.concat(F.lit("doid:"), F.col("doid").cast("string"))
+            == F.col("__key_sid"),
+            "left",
+        )
+        .drop("__key_sid")
+        .join(by_name, F.lower(F.col("disease")) == F.col("__key_name"), "left")
+        .drop("__key_name")
+    )
+    rid = F.when(
+        F.col("disease").isNotNull(),
+        F.when(has_doid, F.col("__rid_by_sid")).otherwise(F.col("__rid_by_name")),
+    )
+    return (
+        ev.withColumn("disease_rid", rid)
         .withColumn(
             "_disease_error",
             F.when(
-                F.col("disease").isNotNull() & F.col("__d_rid").isNull(),
+                F.col("disease").isNotNull() & rid.isNull(),
                 F.concat(F.lit("disease not found: "), F.col("disease")),
             ),
         )
-        .withColumn("disease_rid", F.col("__d_rid"))
+        .drop("__rid_by_sid", "__rid_by_name")
     )
-    drop = ["__k", "__rn", "__d_rid", "__d_sid", "__d_name"]
-    if "deprecated" in diseases.columns:
-        drop.append("__d_dep")
-    return out.drop(*drop)
 
 
 def group_therapies(
