@@ -653,14 +653,18 @@ def q_variant_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = F.when(b < 4, F.concat(F.lit("G"), gs)).otherwise(F.concat(F.lit("F"), gs))
     notes = t["part"].select(grp.alias("grp"), notation.alias("notation"))
-    gd = t["part"].select(g.alias("g")).distinct()
-    feats = None
-    for p in ("G", "GA", "GB"):
-        f = gd.select(
-            F.concat(F.lit(p), F.col("g").cast("string")).alias("name"),
-            F.concat(F.lit("f-"), F.lit(p), F.col("g").cast("string")).alias("rid"),
+    # feature dim: gene ids are p_partkey % 50 = the full 0..49 range —
+    # build it scan-free (a part-table distinct here would replicate the
+    # scan+agg subtree once per broadcast consumer)
+    feats = (
+        spark.range(50)
+        .select(F.explode(F.array(F.lit("G"), F.lit("GA"), F.lit("GB"))).alias("p"),
+                F.col("id").cast("string").alias("g"))
+        .select(
+            F.concat("p", "g").alias("name"),
+            F.concat(F.lit("f-"), F.col("p"), F.col("g")).alias("rid"),
         )
-        feats = f if feats is None else feats.unionByName(f)
+    )
     vocab = spark.createDataFrame(
         [(v, f"v-{v}") for v in
          ("missense", "deletion", "substitution", "fusion")],

@@ -402,6 +402,12 @@ def load_variants(
     ).withColumn("displayName", F.col("__notation")).withColumn(
         "source_rid", src_rid
     )
+    # fan-out point: variants, the protein dimension, and the edge
+    # out-side all read this frame — without a persist each consumer
+    # re-runs the parse UDF + resolution joins (3-4x the whole pipeline
+    # in one plan; Catalyst only reuses identical exchange subtrees,
+    # and the consumers filter differently before any exchange)
+    rows = rows.persist()
 
     variants = (
         rows.filter(F.col("_error").isNull())
