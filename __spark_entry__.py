@@ -1860,6 +1860,120 @@ def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_statement_variant_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement conditions carrying typed variant rids (reference
+    src/docm/index.js:155-219: addVariant per protein+genomic form,
+    genomic -Infers-> protein, statement conditions reference the
+    protein variant rid): the DOCM loader output flows through batch
+    load_variants and the statements join back against the variants
+    table and Infers edges — variant_found / infers_ok prove rid
+    agreement between the content-hash in the statement path and the
+    variants table."""
+    from graphkb_spark.kb import load_variants
+    from graphkb_spark.loaders.statements import load_docm
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    n = (k % 700 + 1).cast("string")
+    vt = F.element_at(
+        F.array(F.lit("SNV"), F.lit("DEL"), F.lit("INS"), F.lit("COMPLEX")),
+        (k % 4 + 1).cast("int"),
+    )
+    raw = t["part"].select(
+        F.concat(F.lit("h"), ks).alias("hgvs"),
+        F.when(k % 3 == 0, F.concat(F.lit("p.KK"), n, F.lit("-")))
+        .otherwise(F.concat(F.lit("p.G"), n, F.lit("D")))
+        .alias("amino_acid"),
+        F.concat(F.lit("g"), ks).alias("gene"),
+        (k % 22 + 1).cast("string").alias("chromosome"),
+        F.lit("GRCh37").alias("reference_version"),
+        k.alias("start"),
+        (k + k % 2).alias("stop"),
+        F.lit("A").alias("reference"),
+        F.lit("T").alias("variant"),
+        vt.alias("variant_type"),
+        F.array(
+            F.struct(
+                (k % 50).alias("doid"),
+                k.alias("source_pubmed_id"),
+                F.when(k % 5 == 0, F.array(F.lit("a"), F.lit("b")))
+                .otherwise(F.array(F.lit("t")))
+                .alias("tags"),
+            )
+        ).alias("diseases"),
+    )
+    valid = load_docm(raw).filter(F.col("_error").isNull()).persist()
+    prot_note = F.concat("gene", F.lit(":"), "protein_notation")
+    notes = valid.select(
+        F.col("hgvs").alias("grp"), prot_note.alias("notation")
+    ).unionByName(
+        valid.select(F.col("hgvs").alias("grp"),
+                     F.col("genomic_notation").alias("notation"))
+    )
+    feats = t["part"].select(
+        F.concat(F.lit("g"), ks).alias("name"),
+        F.concat(F.lit("f-g"), ks).alias("rid"),
+    ).unionByName(
+        spark.range(1, 23).select(
+            F.col("id").cast("string").alias("name"),
+            F.concat(F.lit("f-c"), F.col("id").cast("string")).alias("rid"),
+        )
+    )
+    # 'indel' deliberately missing: COMPLEX genomic forms quarantine,
+    # exercising the unresolved-vocabulary path (their Infers edge is
+    # then absent -> infers_ok false)
+    vocab = spark.createDataFrame(
+        [(v, f"v-{v}") for v in ("missense", "deletion", "substitution", "insertion")],
+        "name string, rid string",
+    )
+    out = load_variants(
+        notes, "docm-demo", features=feats, vocabulary=vocab, group_col="grp"
+    )
+    from graphkb_spark.functions.hashing import stable_hash_named
+
+    st = valid.select(
+        F.col("hgvs").alias("sourceId"),
+        "disease_doid",
+        "relevance",
+        stable_hash_named(
+            cls=F.lit("PositionalVariant"),
+            displayName=prot_note,
+            source=F.lit("docm-demo"),
+        ).alias("variant_rid"),
+        stable_hash_named(
+            cls=F.lit("PositionalVariant"),
+            displayName=F.col("genomic_notation"),
+            source=F.lit("docm-demo"),
+        ).alias("genomic_rid"),
+    )
+    vt_dim = out["variants"].select(F.col("rid").alias("variant_rid")).withColumn(
+        "__vf", F.lit(True)
+    )
+    ed = out["edges"].select(
+        F.col("out_rid").alias("genomic_rid"),
+        F.col("in_rid").alias("variant_rid"),
+        F.lit(True).alias("__inf"),
+    )
+    st = (
+        st.join(vt_dim, "variant_rid", "left")
+        .join(ed, ["genomic_rid", "variant_rid"], "left")
+        .select(
+            "sourceId",
+            "variant_rid",
+            "genomic_rid",
+            "disease_doid",
+            "relevance",
+            F.coalesce("__vf", F.lit(False)).alias("variant_found"),
+            F.coalesce("__inf", F.lit(False)).alias("infers_ok"),
+            F.concat_ws(
+                "|", F.array_sort(F.array("variant_rid", "disease_doid"))
+            ).alias("conditions_str"),
+        )
+    )
+    return st
+
+
 def q_source_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2 static config-as-source: the bundled source registry (the
     reference's src/sources.js records incl. the sort ranks feeding the
@@ -1953,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cgl_load": q_cgl_load,
         "civic_sync": q_civic_sync,
         "source_registry": q_source_registry,
+        "statement_variant_link": q_statement_variant_link,
         "entrez_refseq": q_entrez_refseq,
         "gsc_ontology": q_gsc_ontology,
     }
@@ -3112,6 +3227,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'family'||(k%5), 'family'||(k%5), 'general drug class' FROM s
             UNION ALL
             SELECT DISTINCT 'pathway'||(k%3), 'pathway'||(k%3), 'pathway drug class' FROM s
+        """,
+        # full rid-algebra replica of statements -> load_variants linking:
+        # same content hashes, COMPLEX genomic forms quarantined (no
+        # 'indel' vocabulary) so their Infers edge is absent
+        "statement_variant_link": """
+            WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 5 <> 0),
+            built AS (
+              SELECT k,
+                     'h' || k AS sourceId,
+                     'g' || k || ':' ||
+                     CASE WHEN k%3=0 THEN 'p.K'||(k%700+1)||'_K'||(k%700+2)||'delKK'
+                          ELSE 'p.G'||(k%700+1)||'D' END AS prot_note,
+                     (k%22+1) || ':g.' ||
+                     CASE WHEN k%4=0 THEN k||'A>T'
+                          WHEN k%4=1 THEN CASE WHEN k%2=0 THEN k||'delA'
+                                               ELSE k||'_'||(k+1)||'delA' END
+                          WHEN k%4=2 THEN k||'_'||(k+k%2)||'insT'
+                          ELSE CASE WHEN k%2=0 THEN k||'delAinsT'
+                                    ELSE k||'_'||(k+1)||'delAinsT' END
+                     END AS gen_note,
+                     'doid:'||(k%50) AS disease_doid
+              FROM p),
+            hashed AS (
+              SELECT *,
+                     md5('{"cls":"PositionalVariant","displayName":"' || prot_note
+                         || '","source":"docm-demo"}') AS variant_rid,
+                     md5('{"cls":"PositionalVariant","displayName":"' || gen_note
+                         || '","source":"docm-demo"}') AS genomic_rid
+              FROM built)
+            SELECT sourceId, variant_rid, genomic_rid, disease_doid,
+                   'recurrent' AS relevance,
+                   TRUE AS variant_found,
+                   k % 4 <> 3 AS infers_ok,
+                   array_to_string(list_sort([variant_rid, disease_doid]), '|')
+                     AS conditions_str
+            FROM hashed
         """,
         "source_registry": """
             WITH r(name, "displayName", url, usage, version, sort) AS (
