@@ -1125,6 +1125,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact n-gram Jaccard pairs collapsed into
+    canonical groups by iterative min-label propagation (the
+    canonical-doc step after pair generation; operators/dedup.py
+    connected_components). Iterative DataFrame algorithm — per-round
+    convergence actions are part of the operator's contract."""
+    from graphkb_spark.operators.dedup import connected_components
+
+    t = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", shingle_n=3, threshold=0.8
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        t["documents"].select("doc_id"),
+        id_col="doc_id",
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: md5-hex bit-vote signature in pure
     Column algebra (JVM codegen, no Python) + 4x16-bit chunk blocking;
@@ -2041,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fillscore": q_dedup_fillscore,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
@@ -2744,6 +2764,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        # transitive closure of the near-dup pair graph via recursive
+        # CTE; component label = min reachable doc_id (matches the
+        # min-label-propagation fixpoint exactly)
+        "dedup_components": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM words),
+            pairs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            edges AS (
+              SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+            reach(n, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.lab)
+            SELECT n AS node, min(lab) AS comp FROM reach GROUP BY n
         """,
         "dedup_fillscore": """
             WITH ranked AS (

@@ -414,3 +414,61 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERING: collapse a similarity-pair list into
+    canonical groups — ``(node, component)`` where component is the
+    minimum id reachable through the pair graph (singletons map to
+    themselves). The canonical-doc-per-cluster step every large-scale
+    dedup pipeline needs after pair generation (minhash/simhash/ngram).
+
+    Min-label propagation: comp(n) <- min(comp(n), min over neighbors
+    comp(m)) until fixpoint. Each iteration is one aggregation over the
+    (undirected) edge list + a join back to the labels — 2 shuffles per
+    round, O(graph diameter) rounds, and near-dup graphs are
+    short-diameter (dup clusters are dense). Labels are
+    ``localCheckpoint``-ed every round to truncate the growing lineage
+    (the standard Spark iterative-algorithm discipline); the per-round
+    convergence count is a driver action on an aggregated frame, not a
+    data collect.
+    """
+    a, b = pair_cols
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    comp = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(comp, edges["v"] == comp["node"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("__nc"))
+        )
+        nxt = (
+            comp.join(neighbor_min, comp["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("__nc"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("__nc") < F.col("comp")).alias("__changed"),
+            )
+        )
+        nxt = nxt.localCheckpoint()
+        changed = nxt.filter(F.col("__changed")).limit(1).count()
+        comp = nxt.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp

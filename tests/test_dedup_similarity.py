@@ -103,3 +103,16 @@ def test_lsh_and_ivf_return_ranked_neighbors(spark, vectors):
         out = fn(vectors, vectors.filter("vec_id = 0"), k=2, **kwargs).collect()
         assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
         assert len(out) <= 2
+
+
+def test_connected_components(spark):
+    """Near-dup clustering: min-label propagation over the pair graph;
+    singletons map to themselves, chains collapse to the min id."""
+    from graphkb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 1)], "id_a int, id_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 8, 9]], "id int")
+    out = {r.node: r.comp for r in connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5, 9: 9}
