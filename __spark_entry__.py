@@ -1144,6 +1144,37 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus curation: hash-Bernoulli per-language
+    rates (downsample en, keep low-resource langs) + per-(lang,
+    source) top-3 cap by length (operators/sampling.py). Same doc
+    lands in the same split on every run — sampling is md5-keyed,
+    never rand()."""
+    from graphkb_spark.operators.sampling import stratified_sample, stratum_cap
+
+    t = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        t["documents"], "doc_id", "lang",
+        rates={"en": 25, "de": 50, "es": 50, "fr": 50}, default_rate=100,
+    )
+    capped = stratum_cap(
+        sampled, ["lang", "source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()], k=3,
+    )
+    return capped.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring against a term set — corpus df/idf +
+    length-normalized tf, all Column algebra
+    (operators/sampling.py:bm25_scores)."""
+    from graphkb_spark.operators.sampling import bm25_scores
+
+    t = _t(spark, sf_dir, "documents")
+    return bm25_scores(t["documents"], "text", "doc_id",
+                       terms=["spark", "merge", "stream"])
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: md5-hex bit-vote signature in pure
     Column algebra (JVM codegen, no Python) + 4x16-bit chunk blocking;
@@ -2061,6 +2092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "stratified_sample": q_stratified_sample,
+        "bm25_scores": q_bm25_scores,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
@@ -2764,6 +2797,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "stratified_sample": """
+            WITH sampled AS (
+              SELECT doc_id, lang, source, n_chars
+              FROM documents
+              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                    < CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50
+                                WHEN 'es' THEN 50 WHEN 'fr' THEN 50 ELSE 100 END),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY lang, source
+                                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM sampled)
+            SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn <= 3
+        """,
+        "bm25_scores": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), x -> x <> '') AS w
+              FROM documents),
+            stats AS (SELECT count(*) AS N, avg(len(w)) AS avgdl FROM w),
+            tf AS (
+              SELECT doc_id, t, count(*) AS tf, max(len(w)) AS dl
+              FROM w, unnest(w.w) AS u(t)
+              WHERE t IN ('spark', 'merge', 'stream')
+              GROUP BY doc_id, t),
+            dfq AS (SELECT t, count(*) AS df_ FROM tf GROUP BY t)
+            SELECT doc_id,
+                   round(sum(
+                     ln(1 + (N - df_ + 0.5) / (df_ + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 4) AS bm25
+            FROM tf JOIN dfq USING (t) CROSS JOIN stats
+            GROUP BY doc_id
         """,
         # transitive closure of the near-dup pair graph via recursive
         # CTE; component label = min reachable doc_id (matches the

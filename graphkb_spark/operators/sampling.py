@@ -1,0 +1,113 @@
+"""Deterministic sampling + relevance scoring for training-data
+curation (SURVEY LLM-pipeline family).
+
+Large-scale corpus curation needs repeatable sampling: the same doc
+must land in the same split on every run, across retries and cluster
+sizes — so sampling is keyed on a content/id hash, never ``rand()``.
+Per-stratum rates (e.g. downsample English, keep low-resource
+languages) and per-(stratum) caps (top-k per domain by quality) are the
+two standard shapes. BM25 gives corpus-statistics relevance scoring
+against a term set (idf from document frequency, length-normalized tf).
+
+All pure Column algebra: the hash bucket is md5-prefix arithmetic
+(ANSI-SQL replicable, so oracles can verify the exact selected set),
+caps are windows, BM25 is two aggregations — no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.dedup import words
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket 0..buckets-1 from the md5 of the value —
+    stable under retries, repartitioning, and engine (first 8 hex chars
+    as an int, same in any md5 implementation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, int],
+    default_rate: int = 100,
+) -> DataFrame:
+    """Keep a deterministic ``rates[stratum]``% of each stratum
+    (hash-Bernoulli on the id). Unlisted strata keep ``default_rate``%.
+    One scan, zero shuffles — the filter pushes to the read."""
+    rate = F.lit(default_rate)
+    for key, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == key, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(id_col)) < rate)
+
+
+def stratum_cap(
+    df: DataFrame,
+    strata: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per stratum in ``order`` (per-domain /
+    per-source caps). One shuffle on the strata keys; Spark pushes a
+    WindowGroupLimit so only k rows per group survive the partial
+    sort."""
+    w = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of each document against a term set.
+
+    idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)); tf is
+    length-normalized by dl/avgdl. Two aggregations (per-(doc, term)
+    tf, then per-doc sum) + one corpus-stats scalar broadcast; docs
+    containing no query term are omitted (score 0).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), words(text_col).alias("__w")
+    ).select("__id", F.size("__w").alias("__dl"), F.explode("__w").alias("__t"))
+    tf = (
+        toks.filter(F.col("__t").isin(list(terms)))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl"))
+    )
+    stats = df.select(F.size(words(text_col)).alias("__dl")).agg(
+        F.count(F.lit(1)).alias("__N"), F.avg("__dl").alias("__avgdl")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("__tf")
+        * (k1 + 1)
+        / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+    )

@@ -116,3 +116,55 @@ def test_connected_components(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 8, 9]], "id int")
     out = {r.node: r.comp for r in connected_components(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_stratified_sample_and_cap(spark):
+    """Deterministic hash sampling: md5-keyed buckets (stable across
+    runs/engines), per-stratum rates, per-stratum top-k cap."""
+    from graphkb_spark.operators.sampling import (
+        hash_bucket,
+        stratified_sample,
+        stratum_cap,
+    )
+    import pyspark.sql.functions as F
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh", i * 10) for i in range(40)],
+        "id int, lang string, size int",
+    )
+    out = stratified_sample(df, "id", "lang", rates={"en": 30}, default_rate=100)
+    got = {r.id for r in out.collect()}
+    for i in range(40):
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        expect = bucket < (30 if i % 2 == 0 else 100)
+        assert (i in got) == expect, (i, bucket)
+    # determinism: second run identical
+    assert {r.id for r in out.collect()} == got
+
+    capped = stratum_cap(df, ["lang"], [F.col("size").desc()], k=2)
+    rows = capped.collect()
+    assert len(rows) == 4
+    assert {r.id for r in rows if r.lang == "en"} == {38, 36}
+    assert {r.id for r in rows if r.lang == "zh"} == {39, 37}
+
+
+def test_bm25_scores(spark):
+    """BM25: rarer terms weigh more; longer docs are length-penalized;
+    docs without any query term are omitted."""
+    from graphkb_spark.operators.sampling import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark query table"),
+            (2, "spark table row value line batch window merge"),
+            (3, "table row value"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.bm25 for r in
+            bm25_scores(df, "text", "doc_id", ["spark", "merge"]).collect()}
+    assert set(rows) == {1, 2}          # doc 3 has no query term
+    assert rows[1] > 0 and rows[2] > 0
+    # doc 2 matches the rarer term 'merge' as well -> higher total
+    assert rows[2] > rows[1]
