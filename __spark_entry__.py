@@ -1779,16 +1779,16 @@ def q_cgl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end CIViC evidence sync (reference src/civic/index.js:67-500
-    composed with publication.js:30-77, disease.js:12-36,
-    evidenceLevel.js:30-56): synthesized evidence items flow through
-    publication resolution (PMID broadcast join + ASCO titlesMatch with
-    exactly-one enforcement), DOID/name disease resolution,
-    evidence-level get-or-create (stable-hash rids), relevance
-    translation, profile-DNF expansion, therapy grouping, and the final
-    conditions/content-key statement build — per-row quarantine
-    throughout, never failures."""
+def _civic_statement_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthesis + resolution pipeline behind the civic_sync
+    queries: evidence items flow through publication resolution (PMID
+    broadcast join + ASCO titlesMatch with exactly-one enforcement),
+    DOID/name disease resolution, evidence-level get-or-create
+    (stable-hash rids), relevance translation, profile-DNF expansion,
+    therapy grouping, and the conditions/content-key statement build —
+    per-row quarantine throughout (reference src/civic/index.js:67-500
+    with publication.js:30-77, disease.js:12-36,
+    evidenceLevel.js:30-56)."""
     from graphkb_spark.loaders.civic import (
         build_statements,
         get_or_create_evidence_levels,
@@ -1895,7 +1895,14 @@ def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = resolve_publications(ev, pm, abstracts)
     ev = resolve_diseases(ev, diseases)
     ev, _levels = get_or_create_evidence_levels(ev, None)
-    out = build_statements(spark, ev)
+    return build_statements(spark, ev)
+
+
+def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CIViC evidence resolve->expand pipeline (see
+    _civic_statement_candidates); the reconcile write-half is
+    civic_sync_reconcile."""
+    out = _civic_statement_candidates(spark, sf_dir)
     return out.select(
         "k",
         "source_type",
@@ -1907,6 +1914,48 @@ def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "conditions").alias("conditions_str"),
         "content_key",
         F.col("_error").alias("err"),
+    )
+
+
+def q_civic_sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full resolve->expand->reconcile loop (reference
+    src/civic/index.js:340-409): statement candidates diffed against a
+    stored table — stored rows matching on the conditions content key
+    become updates (stored rid kept), new content creates, stored
+    tombstones with no counterpart delete."""
+    from graphkb_spark.loaders.civic import sync_statements
+
+    cand = (
+        _civic_statement_candidates(spark, sf_dir)
+        .filter(F.col("_error").isNull())
+        .select("k", "sourceId",
+                F.col("conditions").cast("array<string>").alias("conditions"),
+                "relevance", "content_key")
+        .persist()
+    )
+    stored = cand.filter(F.col("k") % 2 == 0).select(
+        "sourceId",
+        "conditions",
+        "relevance",
+        F.concat(F.lit("st_"), "content_key").alias("rid"),
+    ).unionByName(
+        cand.filter(F.col("k") % 2 == 0)
+        .select("sourceId")
+        .distinct()
+        .select(
+            "sourceId",
+            F.array(F.concat(F.lit("ZZZ"), F.col("sourceId"))).alias("conditions"),
+            F.lit("tombstone").alias("relevance"),
+            F.concat(F.lit("del_"), F.col("sourceId")).alias("rid"),
+        )
+    )
+    actions = sync_statements(spark, stored, candidates=cand)
+    return actions.select(
+        "sourceId",
+        F.concat_ws("|", "conditions").alias("conditions_str"),
+        "relevance",
+        "rid",
+        F.col("_action").alias("action"),
     )
 
 
@@ -2119,11 +2168,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docm_load": q_docm_load,
         "cgl_load": q_cgl_load,
         "civic_sync": q_civic_sync,
+        "civic_sync_reconcile": q_civic_sync_reconcile,
         "source_registry": q_source_registry,
         "statement_variant_link": q_statement_variant_link,
         "entrez_refseq": q_entrez_refseq,
         "gsc_ontology": q_gsc_ontology,
     }
+
+
+def _civic_pipeline_ctes() -> str:
+    """The civic_sync oracle's shared CTE pipeline (evidence synthesis,
+    publication/disease/evidence-level resolution, relevance, therapy
+    and DNF expansion) up to the ``final`` CTE — consumers append
+    their own closing SELECT (and optionally more CTEs)."""
+    return """
+        WITH rel(evidence_type, direction, significance, relevance) AS (
+          VALUES """ + ", ".join(
+            "(" + ", ".join(repr(v) for v in row) + ")" for row in RELEVANCE_ROWS
+        ) + """),
+        ab_base AS (
+          SELECT CAST(i AS INT) AS abstract_id,
+                 CAST(2010 + i % 10 AS INT) AS year,
+                 'Abstract ' || i AS name,
+                 'asco-' || i AS sourceId,
+                 'ab_' || i AS rid
+          FROM range(400) t(i)),
+        abstracts AS (
+          SELECT * FROM ab_base
+          UNION ALL
+          SELECT abstract_id, year, name, sourceId, 'ab2_' || abstract_id
+          FROM ab_base WHERE abstract_id % 50 = 3),
+        pm AS (
+          SELECT c_custkey, 'pm_' || c_custkey AS rid
+          FROM customer WHERE c_custkey % 10 <> 7),
+        ev AS (
+          SELECT o_orderkey AS k,
+                 'EID' || o_orderkey AS sourceId,
+                 CASE WHEN o_orderkey % 4 = 0 THEN 'PUBMED'
+                      WHEN o_orderkey % 4 IN (1, 2) THEN 'ASCO'
+                      ELSE 'OTHER' END AS source_type,
+                 o_custkey AS citation_id,
+                 CAST(o_orderkey % 400 AS INT) AS aid,
+                 CAST(2010 + (o_orderkey % 400) % 10
+                      + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS INT)
+                   AS pub_year,
+                 CASE WHEN o_orderkey % 5 <> 0
+                      THEN 'https://meetings.asco.org/abstracts/asco-'
+                           || (o_orderkey % 400) END AS source_url,
+                 ['A','B','C','D','E'][o_orderkey % 5 + 1] AS lvl_letter,
+                 CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey % 5 + 1 END AS rating,
+                 CASE WHEN o_orderkey % 11 = 10 THEN 'mystery-' || o_orderkey
+                      ELSE n.n_name END AS disease,
+                 o_orderkey % 97 AS v,
+                 ['PREDICTIVE','DIAGNOSTIC','PROGNOSTIC','FUNCTIONAL'][o_orderkey % 4 + 1]
+                   AS evidence_type,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'SUPPORTS'
+                      ELSE 'DOES_NOT_SUPPORT' END AS direction,
+                 ['SENSITIVITYRESPONSE','RESISTANCE','POSITIVE','POOR_OUTCOME',
+                  'GAIN_OF_FUNCTION'][o_orderkey % 5 + 1] AS significance
+          FROM orders o JOIN nation n ON n.n_nationkey = o.o_orderkey % 25
+          WHERE o_orderkey % 3 = 0),
+        asco_match AS (
+          SELECT e.k, a.rid AS ab_rid
+          FROM ev e JOIN abstracts a
+            ON e.source_type = 'ASCO'
+           AND e.aid = a.abstract_id
+           AND e.pub_year = a.year
+           AND (e.source_url IS NULL OR contains(e.source_url, a.sourceId))),
+        asco_agg AS (
+          SELECT k, count(*) AS n_asco, min(ab_rid) AS ab_rid
+          FROM asco_match GROUP BY k),
+        staged AS (
+          SELECT e.*,
+                 CASE WHEN e.source_type = 'PUBMED' THEN p.rid END AS pm_rid,
+                 coalesce(a.n_asco, 0) AS n_asco, a.ab_rid,
+                 lower(e.lvl_letter || coalesce(CAST(e.rating AS VARCHAR), ''))
+                   AS lvl
+          FROM ev e
+          LEFT JOIN pm p ON e.source_type = 'PUBMED' AND e.citation_id = p.c_custkey
+          LEFT JOIN asco_agg a ON e.k = a.k),
+        resolved AS (
+          SELECT s.*,
+                 CASE WHEN source_type = 'PUBMED' AND pm_rid IS NULL
+                        THEN 'PMID ' || citation_id || ' is not available'
+                      WHEN source_type = 'ASCO' AND n_asco = 0
+                        THEN 'failed to select the relevant abstract (' || aid || ')'
+                      WHEN source_type = 'ASCO' AND n_asco > 1
+                        THEN 'too many choices for abstract (' || aid || ')'
+                      WHEN source_type NOT IN ('PUBMED', 'ASCO')
+                        THEN 'unable to process non-pubmed/non-asco evidence type ('
+                             || source_type || ')'
+                 END AS pub_error,
+                 coalesce(pm_rid, ab_rid) AS publication_rid,
+                 CASE WHEN k % 11 <> 10 THEN 'dis_' || (k % 25) END AS disease_rid,
+                 CASE WHEN k % 11 = 10 THEN 'disease not found: mystery-' || k
+                 END AS disease_error,
+                 md5('{"cls":"EvidenceLevel","name":"' || lvl
+                     || '","source":"civic"}') AS evidence_level_rid
+          FROM staged s),
+        expanded AS (
+          SELECT s.*, r.relevance, t.therapy, c.condition_set
+          FROM resolved s
+          LEFT JOIN rel r ON r.evidence_type = s.evidence_type
+                         AND r.direction = s.direction
+                         AND r.significance = s.significance,
+               unnest(CASE WHEN s.k % 4 = 0 THEN ['tA', 'tB']
+                           WHEN s.k % 4 = 1 THEN ['tC']
+                           WHEN s.k % 4 = 2 THEN ['tA + tB']
+                           ELSE [CAST(NULL AS VARCHAR)] END) AS t(therapy),
+               unnest(CASE WHEN s.k % 9 = 0 THEN [['V' || s.v, 'V' || (s.v + 1)]]
+                           WHEN s.k % 9 = 3 THEN [['V' || s.v], ['V' || (s.v + 1)]]
+                           ELSE [['V' || s.v]] END) AS c(condition_set)),
+        final AS (
+          SELECT *,
+                 list_sort(list_concat(condition_set,
+                   list_filter([therapy, disease_rid], x -> x IS NOT NULL)))
+                   AS conditions
+          FROM expanded)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3393,110 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         # full replica of the CIViC sync composition: publication / disease /
         # evidence-level resolution + relevance + DNF + therapy grouping +
         # conditions/content-key build, with identical md5 stable-hash ids
-        "civic_sync": """
-            WITH rel(evidence_type, direction, significance, relevance) AS (
-              VALUES """ + ", ".join(
-                "(" + ", ".join(repr(v) for v in row) + ")" for row in RELEVANCE_ROWS
-            ) + """),
-            ab_base AS (
-              SELECT CAST(i AS INT) AS abstract_id,
-                     CAST(2010 + i % 10 AS INT) AS year,
-                     'Abstract ' || i AS name,
-                     'asco-' || i AS sourceId,
-                     'ab_' || i AS rid
-              FROM range(400) t(i)),
-            abstracts AS (
-              SELECT * FROM ab_base
-              UNION ALL
-              SELECT abstract_id, year, name, sourceId, 'ab2_' || abstract_id
-              FROM ab_base WHERE abstract_id % 50 = 3),
-            pm AS (
-              SELECT c_custkey, 'pm_' || c_custkey AS rid
-              FROM customer WHERE c_custkey % 10 <> 7),
-            ev AS (
-              SELECT o_orderkey AS k,
-                     'EID' || o_orderkey AS sourceId,
-                     CASE WHEN o_orderkey % 4 = 0 THEN 'PUBMED'
-                          WHEN o_orderkey % 4 IN (1, 2) THEN 'ASCO'
-                          ELSE 'OTHER' END AS source_type,
-                     o_custkey AS citation_id,
-                     CAST(o_orderkey % 400 AS INT) AS aid,
-                     CAST(2010 + (o_orderkey % 400) % 10
-                          + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS INT)
-                       AS pub_year,
-                     CASE WHEN o_orderkey % 5 <> 0
-                          THEN 'https://meetings.asco.org/abstracts/asco-'
-                               || (o_orderkey % 400) END AS source_url,
-                     ['A','B','C','D','E'][o_orderkey % 5 + 1] AS lvl_letter,
-                     CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey % 5 + 1 END AS rating,
-                     CASE WHEN o_orderkey % 11 = 10 THEN 'mystery-' || o_orderkey
-                          ELSE n.n_name END AS disease,
-                     o_orderkey % 97 AS v,
-                     ['PREDICTIVE','DIAGNOSTIC','PROGNOSTIC','FUNCTIONAL'][o_orderkey % 4 + 1]
-                       AS evidence_type,
-                     CASE WHEN o_orderkey % 2 = 0 THEN 'SUPPORTS'
-                          ELSE 'DOES_NOT_SUPPORT' END AS direction,
-                     ['SENSITIVITYRESPONSE','RESISTANCE','POSITIVE','POOR_OUTCOME',
-                      'GAIN_OF_FUNCTION'][o_orderkey % 5 + 1] AS significance
-              FROM orders o JOIN nation n ON n.n_nationkey = o.o_orderkey % 25
-              WHERE o_orderkey % 3 = 0),
-            asco_match AS (
-              SELECT e.k, a.rid AS ab_rid
-              FROM ev e JOIN abstracts a
-                ON e.source_type = 'ASCO'
-               AND e.aid = a.abstract_id
-               AND e.pub_year = a.year
-               AND (e.source_url IS NULL OR contains(e.source_url, a.sourceId))),
-            asco_agg AS (
-              SELECT k, count(*) AS n_asco, min(ab_rid) AS ab_rid
-              FROM asco_match GROUP BY k),
-            staged AS (
-              SELECT e.*,
-                     CASE WHEN e.source_type = 'PUBMED' THEN p.rid END AS pm_rid,
-                     coalesce(a.n_asco, 0) AS n_asco, a.ab_rid,
-                     lower(e.lvl_letter || coalesce(CAST(e.rating AS VARCHAR), ''))
-                       AS lvl
-              FROM ev e
-              LEFT JOIN pm p ON e.source_type = 'PUBMED' AND e.citation_id = p.c_custkey
-              LEFT JOIN asco_agg a ON e.k = a.k),
-            resolved AS (
-              SELECT s.*,
-                     CASE WHEN source_type = 'PUBMED' AND pm_rid IS NULL
-                            THEN 'PMID ' || citation_id || ' is not available'
-                          WHEN source_type = 'ASCO' AND n_asco = 0
-                            THEN 'failed to select the relevant abstract (' || aid || ')'
-                          WHEN source_type = 'ASCO' AND n_asco > 1
-                            THEN 'too many choices for abstract (' || aid || ')'
-                          WHEN source_type NOT IN ('PUBMED', 'ASCO')
-                            THEN 'unable to process non-pubmed/non-asco evidence type ('
-                                 || source_type || ')'
-                     END AS pub_error,
-                     coalesce(pm_rid, ab_rid) AS publication_rid,
-                     CASE WHEN k % 11 <> 10 THEN 'dis_' || (k % 25) END AS disease_rid,
-                     CASE WHEN k % 11 = 10 THEN 'disease not found: mystery-' || k
-                     END AS disease_error,
-                     md5('{"cls":"EvidenceLevel","name":"' || lvl
-                         || '","source":"civic"}') AS evidence_level_rid
-              FROM staged s),
-            expanded AS (
-              SELECT s.*, r.relevance, t.therapy, c.condition_set
-              FROM resolved s
-              LEFT JOIN rel r ON r.evidence_type = s.evidence_type
-                             AND r.direction = s.direction
-                             AND r.significance = s.significance,
-                   unnest(CASE WHEN s.k % 4 = 0 THEN ['tA', 'tB']
-                               WHEN s.k % 4 = 1 THEN ['tC']
-                               WHEN s.k % 4 = 2 THEN ['tA + tB']
-                               ELSE [CAST(NULL AS VARCHAR)] END) AS t(therapy),
-                   unnest(CASE WHEN s.k % 9 = 0 THEN [['V' || s.v, 'V' || (s.v + 1)]]
-                               WHEN s.k % 9 = 3 THEN [['V' || s.v], ['V' || (s.v + 1)]]
-                               ELSE [['V' || s.v]] END) AS c(condition_set)),
-            final AS (
-              SELECT *,
-                     list_sort(list_concat(condition_set,
-                       list_filter([therapy, disease_rid], x -> x IS NOT NULL)))
-                       AS conditions
-              FROM expanded)
+        "civic_sync": _civic_pipeline_ctes() + """
             SELECT k, source_type, publication_rid, disease_rid, evidence_level_rid,
                    relevance, therapy,
                    array_to_string(conditions, '|') AS conditions_str,
@@ -3509,5 +3568,36 @@ def oracle_sql() -> dict[str, str]:
                             CASE WHEN relevance IS NULL
                                  THEN 'untranslatable relevance' END) AS err
             FROM final
+        """,
+        # the reconcile write-half on the same pipeline: stored rows are
+        # the even-k candidates (strong-key matches -> update keeping the
+        # stored rid) plus per-source tombstones (no counterpart -> delete);
+        # odd-k candidates have no stored row -> create
+        "civic_sync_reconcile": _civic_pipeline_ctes() + """
+            , scored AS (
+              SELECT k, sourceId, conditions, relevance,
+                     md5('{"conditions":["' || array_to_string(conditions, '","')
+                         || '"],"relevance":'
+                         || CASE WHEN relevance IS NULL THEN 'null'
+                                 ELSE '"' || relevance || '"' END
+                         || ',"sourceId":"' || sourceId || '"}') AS content_key,
+                     coalesce(pub_error, disease_error,
+                              CASE WHEN relevance IS NULL
+                                   THEN 'untranslatable relevance' END) AS err
+              FROM final),
+            cand AS (
+              SELECT DISTINCT k, sourceId, conditions, relevance, content_key
+              FROM scored WHERE err IS NULL)
+            SELECT sourceId, array_to_string(conditions, '|') AS conditions_str,
+                   relevance, 'st_' || content_key AS rid, 'update' AS action
+            FROM cand WHERE k % 2 = 0
+            UNION ALL
+            SELECT sourceId, array_to_string(conditions, '|'), relevance,
+                   content_key, 'create'
+            FROM cand WHERE k % 2 = 1
+            UNION ALL
+            SELECT DISTINCT sourceId, 'ZZZ' || sourceId, 'tombstone',
+                   'del_' || sourceId, 'delete'
+            FROM cand WHERE k % 2 = 0
         """,
     }

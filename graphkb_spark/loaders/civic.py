@@ -402,15 +402,24 @@ def build_statements(
 def sync_statements(
     spark: SparkSession,
     stored: DataFrame,
-    evidence: DataFrame,
+    evidence: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Full sync: build candidates from evidence, reconcile against the
-    stored statements per sourceId (J9 3-pass), emit actions.
+    """Full sync: build candidates from evidence (or take prebuilt
+    ``candidates`` from a pipeline that already ran the resolve
+    stages), reconcile against the stored statements per sourceId (J9
+    3-pass), emit actions.
 
     ``stored`` columns: ``sourceId``, ``conditions`` array<string>,
     ``relevance``, ``rid``.
     """
-    cand = build_statements(spark, evidence).filter(F.col("_error").isNull())
+    if candidates is None:
+        candidates = build_statements(spark, evidence)
+    cand = (
+        candidates.filter(F.col("_error").isNull())
+        if "_error" in candidates.columns
+        else candidates
+    )
     batch = cand.select(
         "sourceId",
         F.col("conditions").cast("array<string>").alias("conditions"),
