@@ -158,3 +158,42 @@ def streaming_windowed_counts(
     return spark.sql(
         f"SELECT window.start AS window_start, event_type, n, total_value FROM {query_name}"
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    events: DataFrame,
+    key_cols: Sequence[str] = ("user_id", "event_id"),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    query_name: str = "stream_dedup",
+    stage_dir: str | None = None,
+):
+    """Streaming exact dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the ingestion-side guard
+    against at-least-once sources replaying rows.
+
+    Scale shape: dedup state is BOUNDED — keys expire once the
+    watermark passes them, unlike a streaming ``dropDuplicates`` whose
+    state grows without limit. Replays inside the horizon (the
+    realistic failure mode: a retried producer batch) collapse to one
+    row; replays older than the watermark are assumed already
+    compacted downstream by the batch exact-dedup pass.
+    """
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

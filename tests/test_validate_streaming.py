@@ -173,3 +173,26 @@ def test_json_spec_array_of_structs(spark):
     assert rows[1] == []
     assert rows[2] == ["#/variants[]/typename: required"]
     assert rows[3] == ["#/variants[]/typename: not in enum"]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replays inside the watermark
+    horizon collapse to one row; state stays bounded by the horizon."""
+    from graphkb_spark.streaming.incremental import streaming_dedup
+
+    base = spark.createDataFrame(
+        [
+            (1, "e1", "2024-01-01 10:00:00"),
+            (1, "e2", "2024-01-01 10:05:00"),
+            (2, "e3", "2024-01-01 10:10:00"),
+        ],
+        "user_id int, event_id string, ts_s string",
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    replayed = base.unionByName(base)  # at-least-once source replays all
+    out = streaming_dedup(
+        spark, replayed, key_cols=("user_id", "event_id"),
+        query_name="t_stream_dedup", stage_dir=str(tmp_path / "stage"),
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    assert {(r.user_id, r.event_id) for r in rows} == {(1, "e1"), (1, "e2"), (2, "e3")}
