@@ -1230,6 +1230,25 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of the embedding column
+    (operators/similarity.py:quantize_embeddings): per-vector scale,
+    integer norm of the quantized vector, max dequantization error —
+    the 4x-smaller candidate-generation representation for ANN."""
+    from graphkb_spark.operators.similarity import quantize_embeddings
+
+    t = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(t["embeddings"], "embedding")
+    return out.select(
+        "vec_id",
+        F.round("qscale", 6).alias("qscale"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, q: acc + q.cast("long") * q
+        ).alias("qnorm"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword-marker argmax (JVM-side heuristic)."""
     t = _t(spark, sf_dir, "documents")
@@ -2143,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "stratified_sample": q_stratified_sample,
         "bm25_scores": q_bm25_scores,
+        "embedding_quantize": q_embedding_quantize,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
@@ -2959,6 +2979,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+              FROM embeddings),
+            s AS (
+              SELECT vec_id, xs,
+                     greatest(list_max(list_transform(xs, x -> abs(x))), 1e-12)
+                       / 127.0 AS scale
+              FROM v),
+            q AS (
+              SELECT vec_id, xs, scale,
+                     list_transform(xs, x -> CAST(round(x / scale) AS INT)) AS qv
+              FROM s)
+            SELECT vec_id,
+                   round(scale, 6) AS qscale,
+                   list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qnorm,
+                   round(list_max(list_transform(list_zip(xs, qv),
+                     p -> abs(p[1] - p[2] * scale))), 6) AS recon_err
+            FROM q
         """,
         "stratified_sample": """
             WITH sampled AS (

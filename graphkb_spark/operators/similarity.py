@@ -212,3 +212,39 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max|x| / 127, q_i = round(x_i / scale).
+
+    The scale path for ANN at corpus size: candidate generation runs on
+    the 4x-smaller int8 vectors (dot products in integer arithmetic),
+    rerank on the full-precision column — the standard
+    quantize-then-rerank memory/IO trade. Adds ``qvec``
+    (array<int>), ``qscale``, and ``recon_err`` (max absolute
+    dequantization error, bounded by scale/2). Pure Column algebra —
+    higher-order functions only, no UDF, ANSI-replicable."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.withColumn("__v", v).withColumn(
+        "qscale",
+        F.greatest(F.array_max(F.transform(F.col("__v"), F.abs)), F.lit(1e-12))
+        / F.lit(float(bits_max)),
+    )
+    out = out.withColumn(
+        "qvec",
+        F.transform(F.col("__v"), lambda x: F.round(x / F.col("qscale")).cast("int")),
+    ).withColumn(
+        "recon_err",
+        F.array_max(
+            F.zip_with(
+                F.col("__v"), F.col("qvec"),
+                lambda x, q: F.abs(x - q * F.col("qscale")),
+            )
+        ),
+    )
+    return out.drop("__v")

@@ -168,3 +168,20 @@ def test_bm25_scores(spark):
     assert rows[1] > 0 and rows[2] > 0
     # doc 2 matches the rarer term 'merge' as well -> higher total
     assert rows[2] > rows[1]
+
+
+def test_quantize_embeddings(spark):
+    """int8 symmetric quantization: q = round(x/scale), scale =
+    max|x|/127; max element maps to +-127 and reconstruction error is
+    bounded by scale/2."""
+    from graphkb_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert rows[1].qvec == [127, -64, 32]
+    assert abs(rows[1].qscale - 1.0 / 127) < 1e-12
+    assert rows[1].recon_err <= rows[1].qscale / 2 + 1e-12
+    assert rows[2].qvec == [0, 0, 0]  # zero vector guarded by the eps floor
