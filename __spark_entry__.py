@@ -45,6 +45,7 @@ from graphkb_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
+from graphkb_spark.operators.asof import asof_join
 from graphkb_spark.operators.expand import expand_profiles
 from graphkb_spark.operators.graph import expand_neighbors
 from graphkb_spark.operators.merge import merge_upsert
@@ -1370,6 +1371,36 @@ def q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expand_neighbors(seeds, edges, "rid", n=2)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: each click event picks up the most recent
+    prior purchase by the same user (one-shuffle union+window plan,
+    operators/asof.py). Oracle: DuckDB native ``ASOF LEFT JOIN``."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload=["event_id", "value"],
+        tie_break="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "asof_time",
+        F.col("asof_event_id"),
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # gene / therapy dimension loaders (loaders/genes.py)
 # --------------------------------------------------------------------------
@@ -2175,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "graph_neighbors": q_graph_neighbors,
+        "asof_join": q_asof_join,
         "entrez_gene_load": q_entrez_gene_load,
         "dbsnp_docsum": q_dbsnp_docsum,
         "hgnc_load": q_hgnc_load,
@@ -3180,6 +3212,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'C' || c_custkey, 2 FROM customer c
             WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey
                           AND n.n_regionkey = 0)
+        """,
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id,
+                   r.ts AS asof_time,
+                   r.event_id AS asof_event_id,
+                   round(r.value, 6) AS asof_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

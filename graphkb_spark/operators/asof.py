@@ -1,0 +1,115 @@
+"""Temporal as-of join — for each left row, the most recent right row
+with ``right_time <= left_time`` on the same key (``direction
+='backward'``; ``'forward'`` gives the earliest right row at-or-after).
+
+The classic formulation is an inequality join (quadratic per key); the
+scalable Spark plan used here is the union + window trick:
+
+1. union left and right with a ``side`` tag; right rows carry their
+   payload packed into ONE struct column (null on left rows),
+2. ONE window ``last(payload_struct, ignorenulls=True)`` ordered by
+   ``(time, side, tie_break)`` partitioned by key carries the latest
+   right row forward onto every left row,
+3. filter back to left rows and unpack the struct.
+
+That is a single shuffle on the join key — the same cost as an
+equi-join — and it never materializes per-key cross products, so it
+survives keys with millions of rows on both sides. Skewed keys behave
+like any other window (AQE handles partition sizing); nothing is
+buffered beyond the running ``last()`` state.
+
+Packing the payload into one struct guarantees all returned columns
+come from the SAME right row even when individual payload values are
+null. Same-instant right duplicates are resolved deterministically:
+the sort places the greatest ``tie_break`` last among equal
+timestamps, so it is the one carried — semantics DuckDB's ``ASOF
+JOIN`` leaves unspecified (dedup the right side per (key, time) when
+comparing against it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    tie_break: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join ``left`` to ``right`` on key ``on``.
+
+    Returns every ``left`` row (left-join semantics) plus ``asof_time``
+    (the matched right timestamp, null when no match) and each right
+    ``payload`` column as ``asof_<name>``. ``tolerance_seconds`` nulls
+    out matches further than the tolerance from the left timestamp.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on = list(on)
+    payload = list(payload)
+    left_cols = list(left.columns)
+
+    match_type = T.StructType(
+        [T.StructField("t", right.schema[right_time].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
+    tb = F.col(tie_break) if tie_break is not None else F.lit(0)
+
+    l_tagged = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+        F.lit(None).cast(match_type).alias("__match"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        tb.cast("long").alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+        F.struct(
+            F.col(right_time).alias("t"), *[F.col(c) for c in payload]
+        ).alias("__match"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # backward: ascending time; right rows (side 0) sort before left rows
+    # at the same instant, so a right row AT left_time is eligible
+    # (<= semantics). Among same-instant right rows the greatest
+    # tie_break sorts last and is the one carried by last().
+    # forward: descending time gives the mirror (>= semantics, the
+    # EARLIEST right row at-or-after is the last one seen).
+    t_key = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(t_key, F.col("__side").asc(), F.col("__tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    carried = unioned.withColumn(
+        "__m", F.last("__match", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+
+    m = F.col("__m")
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col("__t").cast("double") - m["t"].cast("double"))
+        m = F.when(m.isNotNull() & (gap <= F.lit(float(tolerance_seconds))), m)
+
+    return carried.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        m["t"].alias("asof_time"),
+        *[m[c].alias(f"asof_{c}") for c in payload],
+    )

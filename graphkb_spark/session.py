@@ -68,7 +68,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     for c in _nanos_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer DIV, not `/`: epoch nanos (~1.7e18) overflow a double's
+        # 53-bit mantissa, so float division rounds the microsecond while
+        # parquet readers (DuckDB included) truncate
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

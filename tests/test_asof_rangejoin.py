@@ -1,0 +1,80 @@
+"""As-of join and range-join operator semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T00:00:00"), 1, 10.0),
+            ("A", _ts("2024-01-01T00:05:00"), 2, 11.0),
+            ("A", _ts("2024-01-01T00:05:00"), 3, 12.0),  # same-instant dup
+            ("B", _ts("2024-01-01T00:01:00"), 4, 99.0),
+        ],
+        "key string, ts timestamp, qid long, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T00:04:00"), 100),
+            ("A", _ts("2024-01-01T00:05:00"), 101),  # tie with quote ts
+            ("A", _ts("2024-01-01T00:06:00"), 102),
+            ("B", _ts("2024-01-01T00:00:30"), 103),  # before any B quote
+            ("C", _ts("2024-01-01T00:00:00"), 104),  # key with no quotes
+        ],
+        "key string, ts timestamp, tid long",
+    )
+
+
+def test_asof_backward(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["key"], left_time="ts", right_time="ts",
+        payload=["qid", "price"], tie_break="qid",
+    )
+    rows = {r["tid"]: r for r in out.collect()}
+    assert rows[100]["asof_qid"] == 1  # latest quote at/before 00:04
+    # tie at the same instant is eligible; same-instant dup resolved by
+    # greatest tie_break (qid 3 beats qid 2)
+    assert rows[101]["asof_qid"] == 3
+    assert rows[102]["asof_qid"] == 3
+    assert rows[103]["asof_qid"] is None  # B quote is later than the trade
+    assert rows[104]["asof_qid"] is None  # no quotes for key C
+    assert out.count() == 5  # left join: every trade kept
+
+
+def test_asof_forward(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["key"], left_time="ts", right_time="ts",
+        payload=["qid"], tie_break="qid", direction="forward",
+    )
+    rows = {r["tid"]: r for r in out.collect()}
+    assert rows[100]["asof_qid"] == 3  # earliest quote at/after 00:04
+    assert rows[101]["asof_qid"] == 3  # same instant eligible
+    assert rows[102]["asof_qid"] is None  # nothing after 00:06
+    assert rows[103]["asof_qid"] == 4
+
+
+def test_asof_tolerance(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["key"], left_time="ts", right_time="ts",
+        payload=["qid"], tie_break="qid", tolerance_seconds=30.0,
+    )
+    rows = {r["tid"]: r for r in out.collect()}
+    assert rows[101]["asof_qid"] == 3  # same-instant match: gap 0
+    assert rows[100]["asof_qid"] is None  # matched quote is 240s back
+    assert rows[102]["asof_qid"] is None  # matched quote is 60s back
