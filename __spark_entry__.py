@@ -46,6 +46,7 @@ from graphkb_spark.operators.dedup import (
     simhash_near_dups,
 )
 from graphkb_spark.operators.asof import asof_join
+from graphkb_spark.operators.rangejoin import overlap_length, range_join
 from graphkb_spark.operators.expand import expand_profiles
 from graphkb_spark.operators.graph import expand_neighbors
 from graphkb_spark.operators.merge import merge_upsert
@@ -1401,6 +1402,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via binning (operators/rangejoin.py):
+    customer vs supplier account-balance windows per nation. The plan is
+    two bin-exploded scans + one equi-join — never an inequality join.
+    Oracle: DuckDB range-predicate join."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    cust = t["customer"].select(
+        F.col("c_nationkey").alias("nationkey"),
+        "c_custkey",
+        F.col("c_acctbal").alias("start"),
+        (F.col("c_acctbal") + 500).alias("end"),
+    )
+    supp = t["supplier"].select(
+        F.col("s_nationkey").alias("nationkey"),
+        "s_suppkey",
+        F.col("s_acctbal").alias("start"),
+        (F.col("s_acctbal") + 500).alias("end"),
+    )
+    out = range_join(
+        cust, supp, ("start", "end"), ("start", "end"),
+        on=["nationkey"], bin_size=500.0,
+    )
+    return out.select(
+        "nationkey",
+        "l_c_custkey",
+        "r_s_suppkey",
+        F.round(
+            overlap_length(
+                F.col("l_start"), F.col("l_end"), F.col("r_start"), F.col("r_end")
+            ),
+            6,
+        ).alias("overlap"),
+    ).withColumnsRenamed({"l_c_custkey": "c_custkey", "r_s_suppkey": "s_suppkey"})
+
+
 # --------------------------------------------------------------------------
 # gene / therapy dimension loaders (loaders/genes.py)
 # --------------------------------------------------------------------------
@@ -2207,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "graph_neighbors": q_graph_neighbors,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "entrez_gene_load": q_entrez_gene_load,
         "dbsnp_docsum": q_dbsnp_docsum,
         "hgnc_load": q_hgnc_load,
@@ -3224,6 +3261,16 @@ def oracle_sql() -> dict[str, str]:
                    round(r.value, 6) AS asof_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey,
+                   round(greatest(least(c.c_acctbal + 500, s.s_acctbal + 500)
+                                  - greatest(c.c_acctbal, s.s_acctbal), 0), 6)
+                       AS overlap
+            FROM customer c JOIN supplier s
+              ON c.c_nationkey = s.s_nationkey
+             AND c.c_acctbal <= s.s_acctbal + 500
+             AND s.s_acctbal <= c.c_acctbal + 500
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

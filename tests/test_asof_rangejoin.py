@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphkb_spark.operators.asof import asof_join
+from graphkb_spark.operators.rangejoin import overlap_length, range_join
 
 
 def _ts(s: str) -> dt.datetime:
@@ -78,3 +79,44 @@ def test_asof_tolerance(spark, quotes, trades):
     assert rows[101]["asof_qid"] == 3  # same-instant match: gap 0
     assert rows[100]["asof_qid"] is None  # matched quote is 240s back
     assert rows[102]["asof_qid"] is None  # matched quote is 60s back
+
+
+def test_range_join_dedup_and_bounds(spark):
+    left = spark.createDataFrame(
+        [("a", 0.0, 2500.0), ("b", 900.0, 1100.0), ("c", -1500.0, -200.0)],
+        "lid string, start double, end double",
+    )
+    right = spark.createDataFrame(
+        [("x", 1000.0, 1001.0), ("y", 2500.0, 3000.0), ("z", -300.0, -250.0),
+         ("w", 5000.0, 6000.0)],
+        "rid string, start double, end double",
+    )
+    out = range_join(left, right, ("start", "end"), ("start", "end"), bin_size=1000.0)
+    pairs = sorted((r["l_lid"], r["r_rid"]) for r in out.collect())
+    # a spans bins 0..2 and overlaps x (shared bins 1) and y (closed-bound
+    # touch at 2500); each pair must appear exactly once despite multi-bin
+    # overlap; c overlaps z in negative coordinates; w matches nothing
+    assert pairs == [("a", "x"), ("a", "y"), ("b", "x"), ("c", "z")]
+
+
+def test_range_join_with_key(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 0.0, 10.0), (2, "b", 0.0, 10.0)],
+        "k int, lid string, start double, end double",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 5.0, 15.0)], "k int, rid string, start double, end double"
+    )
+    out = range_join(left, right, ("start", "end"), ("start", "end"),
+                     on=["k"], bin_size=4.0)
+    rows = out.collect()
+    assert [(r["k"], r["l_lid"], r["r_rid"]) for r in rows] == [(1, "a", "x")]
+
+
+def test_overlap_length(spark):
+    df = spark.range(1).select(
+        overlap_length(F.lit(0.0), F.lit(10.0), F.lit(5.0), F.lit(20.0)).alias("o1"),
+        overlap_length(F.lit(0.0), F.lit(1.0), F.lit(5.0), F.lit(6.0)).alias("o2"),
+    )
+    r = df.collect()[0]
+    assert r["o1"] == 5.0 and r["o2"] == 0.0
