@@ -47,6 +47,10 @@ from graphkb_spark.operators.dedup import (
 )
 from graphkb_spark.operators.asof import asof_join
 from graphkb_spark.operators.rangejoin import overlap_length, range_join
+from graphkb_spark.operators.sketch import (
+    approx_distinct_with_bound,
+    approx_quantiles_with_bound,
+)
 from graphkb_spark.operators.expand import expand_profiles
 from graphkb_spark.operators.graph import expand_neighbors
 from graphkb_spark.operators.merge import merge_upsert
@@ -1437,6 +1441,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"l_c_custkey": "c_custkey", "r_s_suppkey": "s_suppkey"})
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct parts per return flag with a verified error bound
+    (operators/sketch.py): the sketch replaces the exact-distinct
+    shuffle at scale; the boolean proves it landed within 3*rsd."""
+    t = _t(spark, sf_dir, "lineitem")
+    return approx_distinct_with_bound(
+        t["lineitem"], ["l_returnflag"], "l_partkey", rsd=0.05
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch p50/p95 of event value per type, each verified to sit
+    between the exact quantiles at q +/- 0.02 (rank-error guarantee)."""
+    t = _t(spark, sf_dir, "events")
+    return approx_quantiles_with_bound(
+        t["events"], ["event_type"], "value", quantiles=(0.5, 0.95)
+    )
+
+
 # --------------------------------------------------------------------------
 # gene / therapy dimension loaders (loaders/genes.py)
 # --------------------------------------------------------------------------
@@ -2244,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbors": q_graph_neighbors,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
         "entrez_gene_load": q_entrez_gene_load,
         "dbsnp_docsum": q_dbsnp_docsum,
         "hgnc_load": q_hgnc_load,
@@ -3271,6 +3296,19 @@ def oracle_sql() -> dict[str, str]:
               ON c.c_nationkey = s.s_nationkey
              AND c.c_acctbal <= s.s_acctbal + 500
              AND s.s_acctbal <= c.c_acctbal + 500
+        """,
+        "approx_distinct": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct,
+                   TRUE AS hll_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "approx_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p5,
+                   TRUE AS ok_p5,
+                   round(quantile_cont(value, 0.95), 6) AS exact_p95,
+                   TRUE AS ok_p95
+            FROM events GROUP BY event_type
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,90 @@
+"""Sketch-based approximate aggregates with verifiable error bounds.
+
+At 100 TB, exact ``count(DISTINCT)`` and exact quantiles are what you
+replace first: exact distinct shuffles every distinct value, exact
+quantiles sort. HyperLogLog++ (``approx_count_distinct``) and the
+Greenwald-Khanna quantile sketch (``percentile_approx``) are
+mergeable, fixed-size, one-pass — the scan-speed path.
+
+Approximate answers are oracle-hostile (two engines' sketches never
+hash-match), so these operators use the error-bound-check pattern:
+emit the EXACT value alongside a boolean asserting the sketch landed
+within its published bound. The boolean is deterministic — HLL is
+merge-order-independent (register-max), and GK guarantees rank error
+<= 1/accuracy regardless of partitioning — so the oracle simply
+computes the exact value and ``TRUE``. The exact side is affordable at
+verification scale; in production only the sketch runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct_with_bound(
+    df: DataFrame,
+    group: Sequence[str],
+    value_col: str,
+    rsd: float = 0.05,
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Per-group HLL++ distinct count, checked against the exact count.
+
+    ``hll_ok`` asserts relative error <= ``sigmas * rsd`` (HLL error is
+    ~normal with stddev ``rsd``; 3 sigma is a deterministic-in-practice
+    bound for a fixed dataset since HLL itself is deterministic).
+    """
+    out = df.groupBy(*group).agg(
+        F.countDistinct(value_col).alias("exact_distinct"),
+        F.approx_count_distinct(value_col, rsd).alias("__approx"),
+    )
+    rel_err = F.abs(F.col("__approx") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return out.select(
+        *group,
+        "exact_distinct",
+        (rel_err <= F.lit(float(sigmas * rsd))).alias("hll_ok"),
+    )
+
+
+def approx_quantiles_with_bound(
+    df: DataFrame,
+    group: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10000,
+    rank_margin: float = 0.02,
+) -> DataFrame:
+    """Per-group GK-sketch quantiles, each checked to lie between the
+    exact quantiles at ``q -/+ rank_margin`` (GK guarantees rank error
+    <= 1/accuracy; the margin leaves headroom for interpolation).
+
+    Output: the exact quantile per requested q (rounded, oracle-able)
+    plus ``ok_p<q>`` booleans.
+    """
+    qs = list(quantiles)
+    lo = [max(q - rank_margin, 0.0) for q in qs]
+    hi = [min(q + rank_margin, 1.0) for q in qs]
+    probs = F.array(*[F.lit(p) for p in qs + lo + hi])
+
+    agg = df.groupBy(*group).agg(
+        F.percentile(value_col, probs).alias("__exact"),
+        F.percentile_approx(value_col, F.array(*[F.lit(q) for q in qs]), accuracy).alias(
+            "__approx"
+        ),
+    )
+    n = len(qs)
+    cols = []
+    for i, q in enumerate(qs):
+        tag = str(q).replace("0.", "p")
+        exact = F.col("__exact")[i]
+        cols.append(F.round(exact, 6).alias(f"exact_{tag}"))
+        ok = (F.col("__approx")[i] >= F.col("__exact")[n + i]) & (
+            F.col("__approx")[i] <= F.col("__exact")[2 * n + i]
+        )
+        cols.append(ok.alias(f"ok_{tag}"))
+    return agg.select(*group, *cols)
