@@ -3090,7 +3090,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT vec_id,
                    round(scale, 6) AS qscale,
-                   list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qnorm,
+                   CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qnorm,
                    round(list_max(list_transform(list_zip(xs, qv),
                      p -> abs(p[1] - p[2] * scale))), 6) AS recon_err
             FROM q
