@@ -2204,13 +2204,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's correctness gate checks the FIRST 50
+    # entries in insertion order. The first 50 below are curated so every
+    # distinct operator family has a driver-verified row this round:
+    # the flagship CIViC pipeline, the ANN/similarity family, asof/range
+    # joins, all loader families, and the operators whose implementations
+    # changed this round (minhash/simhash/quantize). Entries after #50 were
+    # all driver-verified green in CORRECTNESS_r02.json and are unchanged.
     return {
+        # -- flagship pipeline + KB surface --
+        "civic_sync": q_civic_sync,
+        "civic_sync_reconcile": q_civic_sync_reconcile,
+        "statement_variant_link": q_statement_variant_link,
+        "source_registry": q_source_registry,
+        "kb_ontology_load": q_kb_ontology_load,
+        "variant_load": q_variant_load,
+        "hgvs_parse": q_hgvs_parse,
+        "filter_dsl_neighbors": q_filter_dsl_neighbors,
+        "graph_neighbors": q_graph_neighbors,
+        # -- changed-this-round operators --
+        "embedding_quantize": q_embedding_quantize,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        # -- ANN / similarity family --
+        "embedding_lsh": q_embedding_lsh,
+        "embedding_ivf": q_embedding_ivf,
+        "fingerprint": q_fingerprint,
+        # -- dedup family --
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
+        # -- temporal / interval joins --
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        # -- text analysis family --
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "bm25_scores": q_bm25_scores,
+        # -- sampling / sketches --
+        "stratified_sample": q_stratified_sample,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
+        # -- multimodal + streaming --
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        # -- core ETL operators --
+        "reconcile": q_reconcile,
+        "merge_upsert": q_merge_upsert,
+        "incremental_merge": q_incremental_merge,
+        "fallback_cascade": q_fallback_cascade,
+        "top1_per_group": q_top1_per_group,
+        "dnf_expansion": q_dnf_expansion,
+        # -- loader families (one per reference source family) --
+        "entrez_gene_load": q_entrez_gene_load,
+        "entrez_refseq": q_entrez_refseq,
+        "dbsnp_docsum": q_dbsnp_docsum,
+        "hgnc_load": q_hgnc_load,
+        "refseq_ladder": q_refseq_ladder,
+        "fda_srs_load": q_fda_srs_load,
+        "chembl_load": q_chembl_load,
+        "gsc_ontology": q_gsc_ontology,
+        "asco_abstracts": q_asco_abstracts,
+        "fda_approvals_year": q_fda_approvals_year,
+        "pmc_fusions": q_pmc_fusions,
+        "pmc_functional": q_pmc_functional,
+        "docm_load": q_docm_load,
+        "cgl_load": q_cgl_load,
+        # ---- position 51+ : driver-green in CORRECTNESS_r02, unchanged ----
         "filter_dsl_nested": q_filter_dsl_nested,
         "filter_dsl_subquery": q_filter_dsl_subquery,
         "filter_dsl_pagination": q_filter_dsl_pagination,
-        "filter_dsl_neighbors": q_filter_dsl_neighbors,
-        "top1_per_group": q_top1_per_group,
-        "fallback_cascade": q_fallback_cascade,
         "anti_join_incremental": q_anti_join_incremental,
         "semi_join_exists": q_semi_join_exists,
         "broadcast_dim_join": q_broadcast_dim_join,
@@ -2221,13 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_key": q_latest_per_key,
         "version_chain": q_version_chain,
         "duplicate_names": q_duplicate_names,
-        "merge_upsert": q_merge_upsert,
-        "reconcile": q_reconcile,
-        "incremental_merge": q_incremental_merge,
         "stable_hash_id": q_stable_hash_id,
-        "hgvs_parse": q_hgvs_parse,
-        "kb_ontology_load": q_kb_ontology_load,
-        "variant_load": q_variant_load,
         "oncokb_names": q_oncokb_names,
         "docm_fix": q_docm_fix,
         "hotspot_load": q_hotspot_load,
@@ -2244,49 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_recurrence": q_rollup_recurrence,
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
-        "dnf_expansion": q_dnf_expansion,
-        "dedup_exact": q_dedup_exact,
         "dedup_fillscore": q_dedup_fillscore,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_components": q_dedup_components,
-        "stratified_sample": q_stratified_sample,
-        "bm25_scores": q_bm25_scores,
-        "embedding_quantize": q_embedding_quantize,
-        "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
-        "embedding_lsh": q_embedding_lsh,
-        "embedding_ivf": q_embedding_ivf,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "graph_neighbors": q_graph_neighbors,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantiles": q_approx_quantiles,
-        "entrez_gene_load": q_entrez_gene_load,
-        "dbsnp_docsum": q_dbsnp_docsum,
-        "hgnc_load": q_hgnc_load,
-        "refseq_ladder": q_refseq_ladder,
-        "fda_srs_load": q_fda_srs_load,
-        "chembl_load": q_chembl_load,
-        "asco_abstracts": q_asco_abstracts,
-        "fda_approvals_year": q_fda_approvals_year,
-        "pmc_fusions": q_pmc_fusions,
-        "pmc_functional": q_pmc_functional,
-        "docm_load": q_docm_load,
-        "cgl_load": q_cgl_load,
-        "civic_sync": q_civic_sync,
-        "civic_sync_reconcile": q_civic_sync_reconcile,
-        "source_registry": q_source_registry,
-        "statement_variant_link": q_statement_variant_link,
-        "entrez_refseq": q_entrez_refseq,
-        "gsc_ontology": q_gsc_ontology,
     }
 
 
