@@ -369,11 +369,14 @@ def q_version_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous event per user with gap seconds)."""
     t = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev = F.lag(F.col("ts")).over(w)
+    # stage through timestamp_ltz: TIMESTAMP_NTZ (what Spark 4 infers
+    # for tz-less parquet timestamps) cannot cast directly to BIGINT
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    prev = F.lag(ts_s).over(w)
     return t["events"].select(
         "event_id",
         "user_id",
-        (F.col("ts").cast("long") - prev.cast("long")).alias("gap_seconds"),
+        (ts_s - prev).alias("gap_seconds"),
     )
 
 

@@ -54,9 +54,27 @@ def _nanos_ts_columns(path: str) -> list[str]:
     return out
 
 
+def normalize_ntz(df):
+    """Cast every TIMESTAMP_NTZ column to session-local TimestampType.
+
+    Parquet ``timestamp[us]`` (no tz) columns read as TIMESTAMP_NTZ in
+    Spark 4, which rejects ``cast(ts as long)`` and ``withWatermark``.
+    With the session timezone pinned to UTC the cast preserves the
+    wall-clock value bit-for-bit, so downstream epoch math and
+    date_format match what DuckDB computes on the same file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp_ltz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one testdata parquet table, restoring nano-timestamp columns
-    to proper TimestampType (truncated to microseconds). The conversion
+    to proper TimestampType (truncated to microseconds) and normalizing
+    TIMESTAMP_NTZ columns to session-local timestamps. The conversion
     is a narrow projection — no shuffle, pushdown still applies to the
     untouched columns."""
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -64,6 +82,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # flag; it is a dynamic SQLConf, so set it here — without it any
     # TIMESTAMP(NANOS) table fails with PARQUET_TYPE_ILLEGAL
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ->LTZ below is value-preserving only under a fixed session tz;
+    # pin it in case the driver's session was built without one
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 
@@ -72,7 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         # 53-bit mantissa, so float division rounds the microsecond while
         # parquet readers (DuckDB included) truncate
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

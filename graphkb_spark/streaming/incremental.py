@@ -20,10 +20,20 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphkb_spark.operators.merge import merge_upsert
+from graphkb_spark.session import normalize_ntz
+
+
+def _epoch_seconds(col: Column | str) -> Column:
+    """Seconds-since-epoch for any timestamp flavor. TIMESTAMP_NTZ
+    cannot cast straight to BIGINT in Spark 4; staging through
+    timestamp_ltz (a no-op for already-LTZ columns under the UTC
+    session tz) makes the epoch math type-robust."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("long")
 
 
 def incremental_merge(
@@ -54,7 +64,7 @@ def sessionize(
     """Gap-based sessionization: lag + cumulative sum of gap-breaks.
     One shuffle on ``user_col``; window frames stay within partitions."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    gap = _epoch_seconds(ts_col) - F.lag(_epoch_seconds(ts_col)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return events.withColumn("__new", is_new).withColumn(
         "session_id",
@@ -140,6 +150,9 @@ def streaming_windowed_counts(
     import tempfile
 
     stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    # withWatermark rejects TIMESTAMP_NTZ event-time columns; normalize
+    # before staging so the re-read schema is already LTZ
+    events = normalize_ntz(events)
     events.write.mode("overwrite").parquet(stage_dir)
     stream = spark.readStream.schema(events.schema).parquet(stage_dir)
     agg = (
@@ -183,6 +196,7 @@ def streaming_dedup(
     import tempfile
 
     stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events = normalize_ntz(events)
     events.write.mode("overwrite").parquet(stage_dir)
     stream = spark.readStream.schema(events.schema).parquet(stage_dir)
     deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
