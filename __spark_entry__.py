@@ -40,6 +40,7 @@ from graphkb_spark.operators.aggregate import (
     top1_per_group,
 )
 from graphkb_spark.operators.dedup import (
+    _mh_params,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1107,12 +1108,13 @@ def q_dedup_fillscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs with seeded-md5 signatures: the full
-    pipeline (shingle -> 32 seeded-md5 minima -> 16 bands of 2 ->
-    band-bucket candidate join -> exact-Jaccard verify) is replicated
-    verbatim by the DuckDB oracle, so banding soundness is checked, not
-    just the verified pairs. (hasher='xxhash64' is the raw-throughput
-    production default; same plan shape.)"""
+    """MinHash+LSH near-dup pairs with auditable md5 signatures: the
+    full pipeline (shingle -> one md5 digest each -> 32 affine family
+    minima -> 16 bands of 2 -> band-bucket candidate join ->
+    exact-Jaccard verify) is replicated verbatim by the DuckDB oracle,
+    so banding soundness is checked, not just the verified pairs.
+    (hasher='xxhash64' swaps the digest for a JVM xxhash64 — same plan
+    shape; with one digest per shingle the md5 path costs the same.)"""
     t = _t(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
         t["documents"],
@@ -3349,7 +3351,10 @@ def oracle_sql() -> dict[str, str]:
         # Full replication of the seeded-md5 MinHash+LSH pipeline:
         # signatures, banding, candidate join, exact-Jaccard verify —
         # proves banding soundness, not just the verified pairs.
-        "minhash_lsh": r"""
+        # One md5 digest per shingle folded to 60 bits mod 2^31-1, then
+        # the 32 affine family minima (a_i*h + b_i mod p) — identical
+        # integers to md5_shingle_hashes + the affine MinHash family.
+        "minhash_lsh": rf"""
             WITH words AS (
               SELECT doc_id,
                      list_filter(string_split(
@@ -3364,12 +3369,16 @@ def oracle_sql() -> dict[str, str]:
                      END AS s
               FROM words),
             ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            hx AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+              FROM ex),
+            params(i, a, b) AS (VALUES {', '.join(f'({i}, {a}, {b})' for i, (a, b) in enumerate(_mh_params(32)))}),
             mh AS (
-              SELECT doc_id, i,
-                     min(substr(md5(i::VARCHAR || '|' || shingle), 1, 16)) AS h
-              FROM ex, generate_series(0, 31) g(i)
+              SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+              FROM hx, params
               GROUP BY doc_id, i),
-            sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
             bands AS (
               SELECT doc_id, b,
                      md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), ',')) AS bhash

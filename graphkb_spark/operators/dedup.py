@@ -10,7 +10,9 @@ Design for 100 TB:
   bucket, with skewed mega-buckets handled by AQE skew-join;
 - candidate pairs are verified with exact Jaccard on the shingle sets
   (array_intersect/array_union), still JVM-side;
-- SimHash is the one Pandas-UDF here (64-way bit-vote), Arrow-batched.
+- SimHash is pure Column algebra: 4 ``conv`` calls per token extract
+  the 16-bit chunks, per-bit votes are shiftright+mask inside
+  whole-stage codegen, and the 64 vote sums partial-agg map-side.
 """
 
 from __future__ import annotations
@@ -145,28 +147,34 @@ def shingle_hashes(col: str | Column, shingle_n: int = 3) -> Column:
     )
 
 
-def minhash_signature_md5(shingles: str | Column, num_hashes: int = 32) -> Column:
-    """Seeded-md5 MinHash signature (array<string> of 16-hex-char minima).
+def md5_shingle_hashes(shingles: str | Column) -> Column:
+    """ONE md5 digest per shingle, folded into the 31-bit MinHash field
+    (array<bigint>): bigint of the first 15 hex chars (60 bits) mod p.
 
-    hash_i(s) = substr(md5(i || '|' || s), 1, 16); fixed-width hex means
-    the lexicographic minimum equals the numeric minimum, so the whole
-    signature is pure ANSI SQL — an external engine (the DuckDB oracle)
-    can replicate it bit-for-bit.  Use this hasher when signatures must
-    be auditable; the xxhash64+numpy path is the raw-throughput default.
+    Fully ANSI-replicable — an external oracle computes the identical
+    value as ``('0x' || substr(md5(s), 1, 15))::BIGINT % p`` — so every
+    downstream affine-family minimum is auditable bit-for-bit. 15 hex
+    chars (not 16) so the intermediate never overflows a signed int64.
     Pass a *materialized* array<string> column (HOF lambdas re-evaluate
     expression arguments per element)."""
     sh = F.col(shingles) if isinstance(shingles, str) else shingles
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.substring(
-                    F.md5(F.concat(i.cast("string"), F.lit("|"), s)), 1, 16
-                ),
-            )
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_MH_PRIME),
         ),
     )
+
+
+def minhash_signature_md5(shingles: str | Column, num_hashes: int = 32) -> Column:
+    """Auditable MinHash signature (array<bigint>): one md5 digest per
+    shingle, then the k family minima via the affine transform
+    (a_i*h + b_i mod 2^31-1) — plain ANSI arithmetic an external engine
+    (the DuckDB oracle) replicates exactly. Earlier rounds seeded md5
+    PER FAMILY (k digests per shingle); the affine family needs just
+    one digest per shingle — ~k× less hashing for the same guarantee."""
+    return minhash_signature_from_hashes(md5_shingle_hashes(shingles), num_hashes)
 
 
 def minhash_signature(col: str | Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
@@ -212,20 +220,30 @@ def minhash_lsh_pairs(
         .repartition(n_part, "__id")
         .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
     )
+    sig_udf = _np_minhash_udf(num_hashes)
     if hasher == "md5":
-        sig = minhash_signature_md5("__sh", num_hashes)
-        band_hash = lambda band_slice: F.md5(F.concat_ws(",", band_slice))  # noqa: E731
+        # one md5 digest per shingle; the affine family minima are the
+        # same integers whether computed by the numpy UDF (used here)
+        # or the pure-JVM aggregate — the oracle replicates both
+        sig = sig_udf(md5_shingle_hashes("__sh"))
+        band_hash = lambda band_slice: F.md5(  # noqa: E731
+            F.concat_ws(",", F.transform(band_slice, lambda x: x.cast("string")))
+        )
     else:
-        sig_udf = _np_minhash_udf(num_hashes)
         sig = sig_udf(F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))))
         band_hash = lambda band_slice: F.xxhash64(F.concat_ws(",", band_slice))  # noqa: E731
     base = (
         shingled.select("__id", "__sh", sig.alias("__sig"))
         # materialize once: the signature scan feeds BOTH the band join
-        # and the verify join — without persist the shingle+signature
-        # pipeline re-executes for every consumer (at cluster scale this
-        # is the standard "write signatures to a staging table" step)
-        .persist()
+        # and the verify join — without it the shingle+signature
+        # pipeline re-executes per consumer. localCheckpoint (not
+        # persist): blocks are freed by the ContextCleaner when the
+        # plan is garbage-collected, so repeated calls in a long-lived
+        # session don't accumulate cache entries. At cluster scale this
+        # is the "write signatures to a staging table" step, which also
+        # restores fault-tolerance (localCheckpoint trades lineage
+        # recovery for speed).
+        .localCheckpoint()
     )
     # band keys only — never shuffle the shingle arrays through the
     # 16-way band join; they are joined back for the verify step
@@ -285,8 +303,10 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
         .repartition(n_part, "__id")
         .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
-        # shingle sets feed the posting list AND two verify joins
-        .persist()
+        # shingle sets feed the posting list AND two verify joins;
+        # localCheckpoint over persist so blocks free on GC (no cache
+        # accumulation across calls in a long-lived session)
+        .localCheckpoint()
     )
     posting = base.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle"))
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -347,10 +367,22 @@ def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("__t")
     ).select("__id", F.md5("__t").alias("__h"))
+    # materialize the 4 16-bit chunk values ONCE per token (4 conv calls,
+    # not 64 conv+substring trees); each per-bit vote is then a cheap
+    # shiftright+mask on an int column inside whole-stage codegen
+    tok = tok.select(
+        "__id",
+        *[
+            F.conv(F.substring("__h", c * 4 + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"__n{c}")
+            for c in range(4)
+        ],
+    )
     vote_aggs = []
     for j in range(64):
-        nib = F.conv(F.substring("__h", j // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.floor(nib / F.lit(2 ** (3 - j % 4))).cast("int") % 2
+        c, jj = j // 16, j % 16
+        bit = F.shiftright(F.col(f"__n{c}"), 15 - jj).bitwiseAND(F.lit(1))
         vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
     votes = tok.groupBy("__id").agg(*vote_aggs)
     chunk_cols = []
@@ -377,9 +409,11 @@ def simhash_near_dups(
     bit_count(xor) summed over the chunks."""
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_part, id_col)
-    # persist: the signature table feeds both sides of the self-join;
-    # without it the signature lineage executes twice per block stage
-    sh = simhash_chunks(df, text_col, id_col).persist()
+    # the signature table feeds both sides of the self-join;
+    # localCheckpoint materializes it once AND frees the blocks on GC
+    # (persist leaked cache entries across calls; measured faster too —
+    # the join sides read shuffle-free local blocks)
+    sh = simhash_chunks(df, text_col, id_col).localCheckpoint()
     chunks = sh.select(
         "__id",
         "c0",
@@ -409,9 +443,13 @@ def simhash_near_dups(
     return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # verify BEFORE the distinct: the hamming check is a narrow
+        # per-row expression, so only true near-dups reach the
+        # dropDuplicates shuffle (a pair within distance 3 that agrees
+        # on two chunks would otherwise cross the wire twice)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -449,26 +487,30 @@ def connected_components(
     comp = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("comp")
     ).localCheckpoint()
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(comp, edges["v"] == comp["node"])
-            .groupBy("u")
-            .agg(F.min("comp").alias("__nc"))
-        )
-        nxt = (
-            comp.join(neighbor_min, comp["node"] == neighbor_min["u"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("__nc"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("__nc") < F.col("comp")).alias("__changed"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(comp, edges["v"] == comp["node"])
+                .groupBy("u")
+                .agg(F.min("comp").alias("__nc"))
             )
-        )
-        nxt = nxt.localCheckpoint()
-        changed = nxt.filter(F.col("__changed")).limit(1).count()
-        comp = nxt.drop("__changed")
-        if changed == 0:
-            break
-    edges.unpersist()
+            nxt = (
+                comp.join(neighbor_min, comp["node"] == neighbor_min["u"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("__nc"), F.col("comp"))
+                    ).alias("comp"),
+                    (F.col("__nc") < F.col("comp")).alias("__changed"),
+                )
+            )
+            nxt = nxt.localCheckpoint()
+            changed = nxt.filter(F.col("__changed")).limit(1).count()
+            comp = nxt.drop("__changed")
+            if changed == 0:
+                break
+    finally:
+        # unpersist on every exit path — a mid-iteration failure must
+        # not leave the edge list pinned in the block manager
+        edges.unpersist()
     return comp
