@@ -20,6 +20,7 @@ import __spark_entry__ as entrymod
 from graphkb_spark.session import get_spark
 
 HEADLINE = [
+    "civic_sync",
     "pricing_summary",
     "broadcast_dim_join",
     "filter_dsl_subquery",

@@ -132,3 +132,25 @@ def test_multimodal_features(spark):
     rows = {r.media_id: r for r in extract_features(media).collect()}
     assert rows[1].width is not None and rows[1].decode_error is None
     assert rows[2].decode_error is not None  # stubbed decoder quarantines
+
+
+def test_load_table_normalizes_ntz_timestamps(spark):
+    """The events parquet carries tz-less timestamp[us], which Spark 4
+    reads as TIMESTAMP_NTZ — a type that rejects cast-to-long epoch
+    math and withWatermark. load_table must hand out session-local
+    timestamps, and the raw-NTZ path must still sessionize (the
+    epoch cast stages through timestamp_ltz)."""
+    from pyspark.sql import types as T
+
+    from graphkb_spark.session import load_table, normalize_ntz
+    from graphkb_spark.streaming.incremental import sessionize
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert not any(
+        isinstance(f.dataType, T.TimestampNTZType) for f in events.schema.fields
+    )
+    # a raw (un-normalized) NTZ frame must also work end-to-end
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in raw.schema.fields):
+        assert sessionize(raw, gap_minutes=30).count() == raw.count()
+        assert normalize_ntz(raw).schema["ts"].dataType == T.TimestampType()
