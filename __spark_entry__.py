@@ -2045,7 +2045,9 @@ def q_civic_sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "sourceId",
                 F.col("conditions").cast("array<string>").alias("conditions"),
                 "relevance", "content_key")
-        .persist()
+        # feeds stored (twice) + the sync diff; localCheckpoint so the
+        # blocks free on GC instead of accumulating across calls
+        .localCheckpoint()
     )
     stored = cand.filter(F.col("k") % 2 == 0).select(
         "sourceId",
@@ -2116,7 +2118,7 @@ def q_statement_variant_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("diseases"),
     )
-    valid = load_docm(raw).filter(F.col("_error").isNull()).persist()
+    valid = load_docm(raw).filter(F.col("_error").isNull()).localCheckpoint()
     prot_note = F.concat("gene", F.lit(":"), "protein_notation")
     notes = valid.select(
         F.col("hgvs").alias("grp"), prot_note.alias("notation")

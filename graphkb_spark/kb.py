@@ -403,11 +403,13 @@ def load_variants(
         "source_rid", src_rid
     )
     # fan-out point: variants, the protein dimension, and the edge
-    # out-side all read this frame — without a persist each consumer
-    # re-runs the parse UDF + resolution joins (3-4x the whole pipeline
-    # in one plan; Catalyst only reuses identical exchange subtrees,
-    # and the consumers filter differently before any exchange)
-    rows = rows.persist()
+    # out-side all read this frame — without materializing it each
+    # consumer re-runs the parse UDF + resolution joins (3-4x the whole
+    # pipeline in one plan; Catalyst only reuses identical exchange
+    # subtrees, and the consumers filter differently before any
+    # exchange). localCheckpoint over persist: blocks free on GC, so
+    # repeated loads in a long-lived session don't pin cache entries.
+    rows = rows.localCheckpoint()
 
     variants = (
         rows.filter(F.col("_error").isNull())

@@ -104,13 +104,26 @@ def dnf_expand(expr: str) -> list[list[str]]:
 
 @F.pandas_udf(T.ArrayType(T.ArrayType(T.StringType())))
 def dnf_expand_udf(exprs: pd.Series) -> pd.Series:
+    # memoize within the Arrow batch: distinct profile expressions are
+    # FAR fewer than evidence rows (CIViC reuses molecular profiles
+    # across evidence items), so each unique grammar parse runs once
+    # per batch instead of once per row
+    _MISS = object()
+    cache: dict = {}
+
     def run(e):
         if e is None:
             return None
+        hit = cache.get(e, _MISS)
+        if hit is not _MISS:
+            return hit
         try:
-            return dnf_expand(e)
+            r = dnf_expand(e)
         except ProfileError:
-            return None  # negative cache: invalid profiles yield null
+            r = None  # negative cache: invalid profiles yield null
+        cache[e] = r
+        return r
+
     return exprs.map(run)
 
 
