@@ -1209,6 +1209,21 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the dedup family's embedding
+    member): ternary-LSH bucket blocking + exact-cosine verify; the
+    DuckDB oracle recomputes the identical buckets and pair set, so
+    the blocking itself is verified. Synthetic embeddings are random
+    (no planted dups), so the threshold sits in the distribution tail
+    to exercise a non-trivial verified pair set."""
+    from graphkb_spark.operators.similarity import embedding_near_dups
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = embedding_near_dups(emb, threshold=0.3, n_planes=4)
+    return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: md5-of-id ordered centroid sample, nprobe cells
     per query, exact rerank within cells. The DuckDB oracle replicates
@@ -2241,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
+        "embedding_dups": q_embedding_dups,
         "fingerprint": q_fingerprint,
         # -- rotated in: last verified in CORRECTNESS_r02 --
         "filter_dsl_nested": q_filter_dsl_nested,
@@ -3474,6 +3490,36 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # Cosine near-dup pairs: identical ternary buckets (4 planes),
+        # within-bucket self-join, exact cosine >= 0.3.
+        "embedding_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            dots AS (
+              SELECT vec_id, p,
+                     list_dot_product(v, list_transform(range(len(v)),
+                       d -> CAST(CASE WHEN (instr('0123456789abcdef',
+                                   substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) < 4
+                                 THEN -1.0
+                                 WHEN (instr('0123456789abcdef',
+                                   substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) < 8
+                                 THEN 1.0
+                                 ELSE 0.0 END AS DOUBLE))) AS dp
+              FROM e, generate_series(0, 3) g(p)),
+            buck AS (
+              SELECT vec_id,
+                     SUM(CASE WHEN dp >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                       AS bucket
+              FROM dots GROUP BY vec_id),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(ea.v, eb.v) AS cs
+              FROM buck a JOIN buck b
+                     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id)
+            SELECT id_a, id_b, round(cs, 4) AS cos_sim
+            FROM pairs WHERE cs >= 0.3
         """,
         # IVF: md5-ordered centroid sample, nearest-cell assignment,
         # nprobe=4 probing, exact rerank — all replicated.

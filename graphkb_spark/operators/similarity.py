@@ -214,6 +214,50 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: bucket every vector by the
+    deterministic ternary-projection signature, self-join within each
+    bucket, verify with exact cosine >= ``threshold``. Returns
+    (id_a, id_b, cos_sim) with id_a < id_b.
+
+    The embedding-side member of the dedup family (exact / minhash /
+    simhash / ngram are the text-side members); downstream
+    ``connected_components`` collapses the pairs into canonical groups.
+
+    Scale shape: signature is a narrow scan (no Python), the self-join
+    shuffles once on the bucket key, and the quadratic term is bounded
+    by bucket occupancy (corpus / 2^n_planes) — size n_planes so buckets
+    stay rerank-sized, exactly like ``lsh_topk``. Recall per pair at
+    angle theta is (1 - theta/pi)^n_planes — sign-LSH collision odds —
+    so genuinely near-identical vectors (theta -> 0) are found with
+    probability ~1 while distant pairs are never compared. For recall
+    on mid-range thresholds, union the pair sets from multiple
+    independent plane families (seed the signature differently) — the
+    standard banding trade — at a linear cost in scans."""
+    sig = _ternary_sig(vec_col, n_planes)
+    base = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__bucket")
+    )
+    a = base.select(
+        "__bucket", F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        "__bucket", F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("__va", "__vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -185,3 +185,25 @@ def test_quantize_embeddings(spark):
     assert abs(rows[1].qscale - 1.0 / 127) < 1e-12
     assert rows[1].recon_err <= rows[1].qscale / 2 + 1e-12
     assert rows[2].qvec == [0, 0, 0]  # zero vector guarded by the eps floor
+
+
+def test_embedding_near_dups(spark):
+    """A planted duplicate / near-duplicate vector pair must be found
+    (identical vectors always share every sign-LSH bucket); orthogonal
+    vectors must never be compared as dups."""
+    from graphkb_spark.operators.similarity import embedding_near_dups
+
+    base = [1.0, 2.0, -3.0, 0.5] * 4
+    near = [x * 1.02 + (0.01 if i % 3 == 0 else 0.0) for i, x in enumerate(base)]
+    ortho = [(1.0 if i % 2 == 0 else -1.0) * (i + 1) for i in range(16)]
+    vecs = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho), (4, list(base))],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups(vecs, threshold=0.95, n_planes=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 4) in pairs and pairs[(1, 4)] == pytest.approx(1.0)
+    assert not any(3 in p for p in pairs)
