@@ -1346,6 +1346,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: image payloads normalized to a
+    target resolution via mapInPandas (pixel work stubbed
+    deterministically — output size is digest-derived from the target
+    pixel count), non-image rows pass through byte-identical. The
+    oracle verifies row alignment, pass-through lengths, and the
+    resized-size contract."""
+    from graphkb_spark.multimodal.binary import resize_images
+
+    t = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    media = t["documents"].select(
+        k.alias("media_id"),
+        F.when(k % 3 == 0, F.lit("image"))
+        .when(k % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = resize_images(media, width=224, height=224)
+    return out.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("int").alias("out_bytes"),
+        "width",
+        "height",
+        F.col("resize_error").isNotNull().alias("has_error"),
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming-ish + graph
 # --------------------------------------------------------------------------
@@ -2253,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "incremental_merge": q_incremental_merge,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "embedding_quantize": q_embedding_quantize,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -3282,6 +3314,21 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_s,
                    kind = 'video' AS has_error
             FROM b
+        """,
+        # resize contract: images -> max(1, (224*224) div 256) = 196
+        # stub bytes at the target dims; other kinds pass through.
+        "multimodal_resize": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 196
+                             ELSE octet_length(CAST(text AS BLOB)) END AS INT)
+                     AS out_bytes,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(224 AS INT) END AS width,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(224 AS INT) END AS height,
+                   FALSE AS has_error
+            FROM documents
         """,
         "sessionize": """
             WITH gaps AS (

@@ -127,6 +127,79 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resize_error", T.StringType(), True),
+    ]
+)
+
+
+def _resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: a real implementation decodes with
+    PIL, resizes, re-encodes — same (bytes, w, h) -> bytes contract.
+    The stub emits a digest-derived payload scaled to the target pixel
+    count so batch-size behavior (output rows smaller/larger than
+    input) is exercised for real."""
+    d = hashlib.sha256(payload).digest()
+    n = max(1, (width * height) // 256)
+    return (d * (n // len(d) + 1))[:n]
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize over binary payloads via mapInPandas — the
+    normalize-resolution step every multimodal training pipeline runs
+    before feature extraction. Non-image rows pass through untouched
+    (payload preserved, target dims null); per-row failures land in
+    ``resize_error`` instead of killing the job.
+
+    Scale shape: one narrow mapInPandas pass, no shuffle; output
+    payload size is bounded by the target resolution, so downstream
+    Arrow batches shrink to the normalized size regardless of input
+    skew (a 100 MB raw image and a thumbnail cost the same after this)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "mime": pdf["mime"].to_numpy(),
+                    "payload": pdf["payload"].to_numpy(),
+                }
+            )
+            for c in ("width", "height", "resize_error"):
+                out[c] = pd.Series([None] * n, dtype=object)
+            mask = (out["kind"] == "image").to_numpy()
+            if mask.any():
+                def do(p):
+                    try:
+                        return (_resize_image_stub(b"" if p is None else p, width, height), None)
+                    except (ValueError, OSError) as exc:  # decode/encode failures
+                        return (None, str(exc)[:200])
+
+                resized = [do(p) for p in out.loc[mask, "payload"]]
+                out.loc[mask, "payload"] = pd.Series(
+                    [r[0] for r in resized], dtype=object
+                ).to_numpy()
+                out.loc[mask, "resize_error"] = pd.Series(
+                    [r[1] for r in resized], dtype=object
+                ).to_numpy()
+                out.loc[mask, "width"] = width
+                out.loc[mask, "height"] = height
+            yield out[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return media.select(
+        "media_id", "kind", "mime", "payload"
+    ).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling plumbing: expands each video row into frame
     timestamps (decode stubbed). Shows the explode-side shape a real

@@ -154,3 +154,30 @@ def test_load_table_normalizes_ntz_timestamps(spark):
     if any(isinstance(f.dataType, T.TimestampNTZType) for f in raw.schema.fields):
         assert sessionize(raw, gap_minutes=30).count() == raw.count()
         assert normalize_ntz(raw).schema["ts"].dataType == T.TimestampType()
+
+
+def test_resize_images_contract(spark):
+    """resize_images: images re-encoded at the target dims with
+    digest-derived size; non-image rows byte-identical pass-through."""
+    from graphkb_spark.multimodal.binary import MEDIA_SCHEMA, resize_images
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", b"\x89PNG-payload", {}),
+            (2, "audio", "audio/wav", b"RIFF-payload", {}),
+            (3, "image", None, None, {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    assert out[1].width == 224 and out[1].height == 224
+    assert len(out[1].payload) == max(1, (224 * 224) // 256)
+    assert out[1].resize_error is None
+    # deterministic: same payload -> same resized bytes
+    again = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    assert out[1].payload == again[1].payload
+    # non-image passes through untouched, dims stay null
+    assert out[2].payload == b"RIFF-payload"
+    assert out[2].width is None and out[2].height is None
+    # null payload resizes from b"" without error
+    assert out[3].payload is not None and len(out[3].payload) == 196
