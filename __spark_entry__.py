@@ -1388,6 +1388,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "session_id")
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming sessionization (applyInPandasWithState
+    + event-time timeout) driven over the staged events table. Closed
+    sessions are deterministic and SQL-expressible — a session is
+    emitted iff a later same-user session exists (in-data gap close) or
+    its end precedes the final watermark by the gap (timeout close:
+    end + gap < max(ts) - gap) — so the DuckDB oracle verifies the
+    streaming operator's full output exactly."""
+    from graphkb_spark.streaming.stateful import streaming_sessionize
+
+    t = _t(spark, sf_dir, "events")
+    suffix = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    out = streaming_sessionize(
+        spark, t["events"], gap_minutes=30, query_name=f"q_sessions_{suffix}"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window event aggregation (batch plan of the
     Structured Streaming query in graphkb_spark.streaming)."""
@@ -2274,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "version_chain": q_version_chain,
         "windowed_counts": q_windowed_counts,
+        "streaming_sessions": q_streaming_sessions,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3344,6 +3368,41 @@ def oracle_sql() -> dict[str, str]:
                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                      ROWS UNBOUNDED PRECEDING) AS session_id
             FROM gaps
+        """,
+        # Streaming sessionize closed-session set: sessionize with the
+        # streaming operator's MICROSECOND gap math, group to sessions,
+        # keep non-final sessions (in-data close) plus final sessions
+        # the event-time timeout fired for. Spark fires a timeout when
+        # the ms-truncated watermark (max event time ms - delay) moves
+        # strictly past the ms-truncated timeout timestamp (end + gap).
+        "streaming_sessions": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            numbered AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM gaps),
+            sess AS (
+              SELECT user_id, sid,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_events,
+                     max(sid) OVER (PARTITION BY user_id) AS last_sid
+              FROM numbered GROUP BY user_id, sid),
+            m AS (SELECT max(ts) AS mx FROM events)
+            SELECT user_id,
+                   strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   n_events
+            FROM sess, m
+            WHERE sid < last_sid
+               OR (epoch_us(mx) // 1000) - 1800000
+                  > (epoch_us(session_end) + 1800000000) // 1000
         """,
         "windowed_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -1,14 +1,19 @@
-"""Custom stateful streaming operator via ``applyInPandasWithState``.
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
 
 The reference has no true streaming (SURVEY §2.10) — this is the
 engine's forward-looking path for the incremental-cron use case: keep
 per-key state across micro-batches (running totals, open sessions)
 without reprocessing history.
 
-``running_user_totals`` maintains, per user, a running event count and
-value sum across ALL micro-batches — the stateful generalization of the
-clinicaltrials watermark upsert: arbitrary aggregation state, exactly
-one row emitted per (user, batch) with the totals so far.
+- ``running_user_totals``: per-user running event count and value sum
+  across ALL micro-batches — the stateful generalization of the
+  clinicaltrials watermark upsert.
+- ``streaming_sessionize``: gap-based sessionization with BOUNDED
+  per-user state and event-time timeouts — sessions close either when
+  a same-user event arrives past the gap (in-data close) or when the
+  watermark passes last_event + gap (timeout close). The streaming
+  twin of ``incremental.sessionize``; state is one open session per
+  user regardless of history length.
 """
 
 from __future__ import annotations
@@ -20,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from graphkb_spark.session import normalize_ntz
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -98,3 +105,117 @@ def running_user_totals(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# open session per user: (start_us, last_us, n_events)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_session_update(gap_minutes: int, ts_col: str):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session closes
+            start, last, n = state.get
+            closed.append((key[0], start, last, n))
+            state.remove()
+        else:
+            ts = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
+            ts_us = (ts.astype("int64") // 1000).tolist()  # ns -> us
+            start, last, n = state.get if state.exists else (None, None, 0)
+            for t in ts_us:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((key[0], start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            state.update((start, last, n))
+            # schedule the timeout close; the timestamp must sit past the
+            # current watermark (a user idle for many batches would
+            # otherwise schedule into the past)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last + gap_us) // 1000, wm_ms + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
+                "session_start": pd.to_datetime(
+                    pd.Series([c[1] for c in closed], dtype="int64"), unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    pd.Series([c[2] for c in closed], dtype="int64"), unit="us"
+                ),
+                "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+            }
+        )
+
+    return update
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    stage_dir: str | None = None,
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Streaming gap-sessionization: emits each CLOSED session exactly
+    once (append mode). A session closes when a same-user event lands
+    past the gap, or when the event-time watermark (delay = gap)
+    passes last_event + gap. Sessions still open at end-of-input stay
+    in state and are NOT emitted — a live pipeline keeps them open by
+    design; flush on decommission if required.
+
+    Scale shape: state is bounded at one open session per active user
+    (three longs), timeouts garbage-collect idle users, and the
+    watermark bounds how long a user can stay idle before the state is
+    dropped — this is the membership-bounded alternative to re-running
+    the batch lag+cumsum over ever-growing history."""
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_state_{query_name}_")
+    events = normalize_ntz(events)
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    sessions = (
+        stream.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _make_session_update(gap_minutes, ts_col),
+            SESSION_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

@@ -181,3 +181,35 @@ def test_resize_images_contract(spark):
     assert out[2].width is None and out[2].height is None
     # null payload resizes from b"" without error
     assert out[3].payload is not None and len(out[3].payload) == 196
+
+
+def test_streaming_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
+    """Sessions close on in-data gap breaks AND on event-time timeout;
+    sessions still open at end-of-input are not emitted."""
+    from datetime import datetime
+
+    from graphkb_spark.streaming.stateful import streaming_sessionize
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # user 1: session A (2 events), >30min gap, session B (2 events)
+        (1, ts(0, 0)), (1, ts(0, 10)), (1, ts(1, 0)), (1, ts(1, 5)),
+        # user 2: one late event pushes the watermark to 04:30 so user
+        # 1's session B (ends 01:05) times out; user 2's own session
+        # (ends 05:00) can never close and must not be emitted
+        (2, ts(5, 0)),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = streaming_sessionize(
+        spark, events, gap_minutes=30,
+        stage_dir=str(tmp_path / "stage"), query_name="t_sessions",
+    )
+    got = {
+        (r.user_id, r.session_start.minute + 60 * r.session_start.hour): r
+        for r in out.collect()
+    }
+    assert set(got) == {(1, 0), (1, 60)}
+    assert got[(1, 0)].n_events == 2 and got[(1, 0)].session_end == ts(0, 10)
+    assert got[(1, 60)].n_events == 2 and got[(1, 60)].session_end == ts(1, 5)
