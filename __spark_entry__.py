@@ -1209,6 +1209,22 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-then-rerank ANN: int8 candidate generation (exact
+    integer dot products — bit-deterministic) + full-precision rerank
+    of the 3k survivors. The oracle replicates quantization, candidate
+    ranking, and rerank exactly."""
+    from graphkb_spark.operators.similarity import quantized_topk
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = quantized_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the dedup family's embedding
     member): ternary-LSH bucket blocking + exact-cosine verify; the
@@ -2313,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
         "embedding_dups": q_embedding_dups,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
         "fingerprint": q_fingerprint,
         # -- rotated in: last verified in CORRECTNESS_r02 --
         "filter_dsl_nested": q_filter_dsl_nested,
@@ -3594,6 +3611,53 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, neighbor_id ASC) AS rank
               FROM scored)
+            SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # Quantize-then-rerank: identical int8 quantization, BIGINT
+        # candidate dots (bit-exact), top-15 approx candidates, exact
+        # full-precision rerank to top-5.
+        "embedding_quantized_topk": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+              FROM embeddings),
+            s AS (
+              SELECT vec_id, xs,
+                     greatest(list_max(list_transform(xs, x -> abs(x))), 1e-12)
+                       / 127.0 AS scale
+              FROM v),
+            q AS (
+              SELECT vec_id, xs,
+                     list_transform(xs, x -> CAST(round(x / scale) AS INT)) AS qv
+              FROM s),
+            qq AS (SELECT vec_id AS query_id, xs AS qxs, qv AS qqv
+                   FROM q WHERE vec_id < 5),
+            cand AS (
+              SELECT query_id, c.vec_id AS neighbor_id, c.xs AS nxs, qxs,
+                     CAST(list_sum(list_transform(list_zip(c.qv, qqv),
+                       p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS qdot,
+                     CAST(list_sum(list_transform(c.qv,
+                       x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS n2a,
+                     CAST(list_sum(list_transform(qqv,
+                       x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS n2b
+              FROM q c, qq WHERE c.vec_id <> query_id),
+            topm AS (
+              SELECT query_id, neighbor_id, nxs, qxs,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY qdot / (sqrt(n2a) * sqrt(n2b)) DESC,
+                                neighbor_id ASC) AS rn
+              FROM cand),
+            rer AS (
+              SELECT query_id, neighbor_id,
+                     list_cosine_similarity(qxs, nxs) AS sim
+              FROM topm WHERE rn <= 15),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM rer)
             SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank
             FROM ranked WHERE rank <= 5
         """,

@@ -258,6 +258,68 @@ def embedding_near_dups(
     )
 
 
+def _int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact BIGINT dot product of two int-array columns — integer
+    arithmetic, so the result is bit-identical in any engine."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    m: int | None = None,
+) -> DataFrame:
+    """Quantize-then-rerank ANN — the memory/IO scale path the int8
+    quantizer exists for: candidate generation scans the 4x-smaller
+    int8 vectors with EXACT integer dot products (cosine over the
+    quantized vectors: qdot / (|qa| * |qb|), all from BIGINT sums, so
+    candidate ranking is bit-deterministic across engines), then the
+    top ``m`` (default 3k) candidates per query are re-ranked with
+    full-precision cosine and the top k emitted.
+
+    At corpus scale the full-precision column lives in a separate
+    (colder) table and only the m survivors join back to it; here the
+    vectors ride along since the demo corpus is small."""
+    m = m or 3 * k
+    c = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+    ).select("neighbor_id", "__cv", F.col("qvec").alias("__cq"))
+    q = quantize_embeddings(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+    ).select("query_id", "__qv", F.col("qvec").alias("__qq"))
+    approx = (
+        _int_dot("__cq", "__qq")
+        / (F.sqrt(_int_dot("__cq", "__cq")) * F.sqrt(_int_dot("__qq", "__qq")))
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv", approx.alias("__approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    topm = cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= m)
+    rer = topm.select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rer.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

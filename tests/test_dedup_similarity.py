@@ -207,3 +207,20 @@ def test_embedding_near_dups(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 4) in pairs and pairs[(1, 4)] == pytest.approx(1.0)
     assert not any(3 in p for p in pairs)
+
+
+def test_quantized_topk_matches_exact(spark, vectors):
+    """int8 candidate generation + full-precision rerank must agree
+    with the exact brute-force ranking when m covers the corpus."""
+    from graphkb_spark.operators.similarity import quantized_topk
+
+    queries = vectors.filter("vec_id = 0")
+    exact = [
+        (r.neighbor_id, r.rank)
+        for r in cosine_topk(vectors, queries, k=3).orderBy("rank").collect()
+    ]
+    quant = [
+        (r.neighbor_id, r.rank)
+        for r in quantized_topk(vectors, queries, k=3, m=10).orderBy("rank").collect()
+    ]
+    assert quant == exact
