@@ -1136,6 +1136,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 similarity join (SymSpell deletion
+    neighborhood + levenshtein verify) over short keys derived from
+    part names — every 5th key carries a planted one-char substitution
+    so the pair set is non-trivial. Oracle replicates neighborhood,
+    blocking, and verify."""
+    from graphkb_spark.operators.dedup import edit_distance_pairs
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base_key = F.substring("p_name", 1, 12)
+    key = F.when(
+        k % 5 == 0,
+        F.concat(F.substring("p_name", 1, 2), F.lit("z"), F.substring("p_name", 4, 9)),
+    ).otherwise(base_key)
+    keys = t["part"].select(k.alias("pid"), key.alias("key"))
+    out = edit_distance_pairs(keys, "key", "pid", max_dist=1)
+    return out.select("id_a", "id_b", "dist")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: exact n-gram Jaccard pairs collapsed into
     canonical groups by iterative min-label propagation (the
@@ -2319,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "edit_distance_join": q_edit_distance_join,
         # -- families whose plans touch the changed load path --
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3569,6 +3590,27 @@ def oracle_sql() -> dict[str, str]:
               FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b)
             SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
             FROM ham WHERE hamming <= 3
+        """,
+        # Deletion-neighborhood edit-distance join: identical derived
+        # keys, {s} + one-char deletions, variant equi-join, levenshtein.
+        "edit_distance_join": """
+            WITH keys AS (
+              SELECT p_partkey AS pid,
+                     CASE WHEN p_partkey % 5 = 0
+                          THEN substr(p_name, 1, 2) || 'z' || substr(p_name, 4, 9)
+                          ELSE substr(p_name, 1, 12) END AS key
+              FROM part),
+            variants AS (
+              SELECT pid, key, unnest(list_distinct(list_append(
+                       [substr(key, 1, i - 1) || substr(key, i + 1, length(key))
+                        for i in generate_series(1, length(key))],
+                       key))) AS v
+              FROM keys),
+            cand AS (
+              SELECT DISTINCT a.pid AS id_a, b.pid AS id_b, a.key AS ka, b.key AS kb
+              FROM variants a JOIN variants b ON a.v = b.v AND a.pid < b.pid)
+            SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
+            FROM cand WHERE levenshtein(ka, kb) <= 1
         """,
         # min-over-shingles md5 fingerprint, replicated verbatim.
         "fingerprint": """

@@ -454,6 +454,55 @@ def simhash_near_dups(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Exact edit-distance similarity join for SHORT strings (titles,
+    names, codes) via deletion-neighborhood blocking (SymSpell-style):
+    block on {s} ∪ {s minus one char} — any pair within edit distance 1
+    is guaranteed to share a neighborhood element (no false negatives) —
+    then verify candidates with exact ``levenshtein``. Returns
+    (id_a, id_b, dist), id_a < id_b, dist <= max_dist.
+
+    ``max_dist`` caps the verify; the k=1 neighborhood also *recalls*
+    all distance-1 pairs exactly. For larger k the neighborhood
+    generalizes to k-deletion sets (size O(|s|^k)) — generate deeper
+    variants upstream and reuse the same join; the blocking join stays
+    one shuffle on the variant key either way.
+
+    Scale shape: |s|+1 variants per row explode into an equi-join on
+    the variant string — never an all-pairs product; hot variants
+    (short common prefixes) are bounded by string length, and AQE
+    skew-join splits any residual mega-bucket."""
+    s = F.col(text_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                s.substr(F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), s.alias("__s"), F.explode(variants).alias("__v")
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("sa"), "__v")
+    b = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("sb"), "__v")
+    return (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

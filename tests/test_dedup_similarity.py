@@ -224,3 +224,24 @@ def test_quantized_topk_matches_exact(spark, vectors):
         for r in quantized_topk(vectors, queries, k=3, m=10).orderBy("rank").collect()
     ]
     assert quant == exact
+
+
+def test_edit_distance_pairs_exact_recall(spark):
+    """Deletion-neighborhood blocking recalls every distance<=1 pair
+    (substitution, deletion, insertion, exact dup) and nothing farther."""
+    from graphkb_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "imatinib"), (2, "imatinyb"),   # substitution -> 1
+        (3, "imatini"),                     # deletion of 1 -> 1
+        (4, "imatinib"),                    # exact dup of 1 -> 0
+        (5, "dasatinib"),                   # ed 2+ from imatinib family
+    ]
+    df = spark.createDataFrame(rows, ["pid", "name"])
+    got = {(r.id_a, r.id_b): r.dist for r in edit_distance_pairs(df, "name", "pid").collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 0
+    assert (2, 4) in got and got[(2, 4)] == 1
+    assert (3, 4) in got and got[(3, 4)] == 1
+    assert not any(5 in p for p in got)
+    # (2,3) is distance 2 (substitution + deletion) -> excluded
+    assert (2, 3) not in got
