@@ -1338,6 +1338,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-rule family):
+    duplicate word-3-gram fraction + most-frequent-word share, one
+    scan, no shuffle."""
+    t = _t(spark, sf_dir, "documents")
+    out = text_ops.repetition_features(t["documents"].select("doc_id", "text"), "text")
+    return out.select("doc_id", "r_dup_3gram_frac", "r_top_word_frac")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min over 32-char shingles of
     the first-16-hex md5 — a 1-value MinHash, fully replicated by the
@@ -2340,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "edit_distance_join": q_edit_distance_join,
+        "repetition_score": q_repetition_score,
         # -- families whose plans touch the changed load path --
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3611,6 +3621,39 @@ def oracle_sql() -> dict[str, str]:
               FROM variants a JOIN variants b ON a.v = b.v AND a.pid < b.pid)
             SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
             FROM cand WHERE levenshtein(ka, kb) <= 1
+        """,
+        # Repetition signals: duplicate-3gram fraction + top-word share
+        # (split-on-space words, same shingle construction).
+        "repetition_score": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE [array_to_string(w[i:i+2], ' ')
+                                for i in generate_series(1, len(w) - 2)]
+                     END AS s
+              FROM words),
+            base AS (
+              SELECT doc_id,
+                     CASE WHEN len(s) > 0
+                          THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)
+                          ELSE 0.0 END AS dup_frac,
+                     len(w) AS nw
+              FROM sh),
+            tw AS (
+              SELECT doc_id, max(cnt) AS topc FROM (
+                SELECT doc_id, word, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(w) AS word FROM words)
+                GROUP BY doc_id, word)
+              GROUP BY doc_id)
+            SELECT b.doc_id,
+                   round(dup_frac, 6) AS r_dup_3gram_frac,
+                   round(CASE WHEN nw > 0 THEN CAST(topc AS DOUBLE) / nw
+                              ELSE 0.0 END, 6) AS r_top_word_frac
+            FROM base b LEFT JOIN tw USING (doc_id)
         """,
         # min-over-shingles md5 fingerprint, replicated verbatim.
         "fingerprint": """

@@ -71,6 +71,44 @@ def whitespace_token_count(col: str | Column) -> Column:
     return F.size(_words(col))
 
 
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family used
+    to filter degenerate training text): fraction of duplicate word
+    3-grams and the most-frequent-word share. Pure Column algebra —
+    the top-word count is a single ``aggregate`` pass over the sorted
+    word array (max run length == max multiplicity), so the whole
+    feature set runs at scan speed with no shuffle."""
+    out = df.withColumn("__w", _words(text_col))
+    from graphkb_spark.operators.dedup import word_shingles
+
+    out = out.withColumn("__sh", word_shingles("__w", 3))
+    total = F.size("__sh")
+    distinct = F.size(F.array_distinct("__sh"))
+    dup_frac = F.when(total > 0, 1 - distinct / total).otherwise(F.lit(0.0))
+    top_run = F.aggregate(
+        F.array_sort("__w"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_words = F.size("__w")
+    top_frac = F.when(n_words > 0, top_run / n_words).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        F.round(dup_frac, 6).alias("r_dup_3gram_frac"),
+        F.round(top_frac, 6).alias("r_top_word_frac"),
+    ).drop("__w", "__sh")
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
     quality features + a composite score in [0, 1]."""

@@ -122,3 +122,23 @@ def test_aggregate_ops(spark):
     versions = spark.createDataFrame([("v1",), ("v2",), ("v3",)], ["v"])
     chain = {r.v: r.previous for r in version_chain(versions, "v").collect()}
     assert chain == {"v1": None, "v2": "v1", "v3": "v2"}
+
+
+def test_repetition_features(spark):
+    from graphkb_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # one word repeated 4x
+            (2, "all words here are unique"),  # no repetition
+            (3, ""),                           # degenerate
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_features(df, "text").collect()}
+    # doc 1: 2 identical 3-grams of 2 -> dup frac 0.5; top word 4/4
+    assert got[1].r_dup_3gram_frac == 0.5
+    assert got[1].r_top_word_frac == 1.0
+    assert got[2].r_dup_3gram_frac == 0.0
+    assert got[2].r_top_word_frac == 0.2
+    assert got[3].r_dup_3gram_frac == 0.0 and got[3].r_top_word_frac == 0.0
