@@ -1347,6 +1347,29 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "r_dup_3gram_frac", "r_top_word_frac")
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V token vocabulary with dense rank ids (count desc, token
+    asc tie-break) — the tokenizer-prep primitive."""
+    from graphkb_spark.operators.corpus import build_vocab
+
+    t = _t(spark, sf_dir, "documents")
+    return build_vocab(t["documents"], "text", vocab_size=200, min_freq=2)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence-packing manifest (capacity 512, 8
+    shards): per-shard prefix sums lay documents end-to-end and cut
+    every capacity tokens; boundary documents split across consecutive
+    sequences. No global sort anywhere in the plan."""
+    from graphkb_spark.operators.corpus import pack_sequences, tokens
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", capacity=512, shards=8)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min over 32-char shingles of
     the first-16-hex md5 — a 1-value MinHash, fully replicated by the
@@ -2350,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "edit_distance_join": q_edit_distance_join,
         "repetition_score": q_repetition_score,
+        "vocab_build": q_vocab_build,
+        "sequence_pack": q_sequence_pack,
         # -- families whose plans touch the changed load path --
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3654,6 +3679,49 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN nw > 0 THEN CAST(topc AS DOUBLE) / nw
                               ELSE 0.0 END, 6) AS r_top_word_frac
             FROM base b LEFT JOIN tw USING (doc_id)
+        """,
+        # Top-V vocabulary: identical tokenization + (freq desc, token
+        # asc) dense rank ids.
+        "vocab_build": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, count(*) AS freq FROM tok
+              GROUP BY token HAVING count(*) >= 2),
+            ranked AS (
+              SELECT token, freq,
+                     row_number() OVER (ORDER BY freq DESC, token ASC) - 1
+                       AS token_id
+              FROM counts)
+            SELECT token, CAST(token_id AS INT) AS token_id, freq
+            FROM ranked WHERE token_id < 200
+        """,
+        # Concat-and-cut packing manifest: md5-derived shard, per-shard
+        # prefix sums, cut every 512 tokens, boundary docs split.
+        "sequence_pack": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS nt,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                       AS shard
+              FROM documents),
+            s AS (
+              SELECT doc_id, nt, shard,
+                     CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM d WHERE nt > 0),
+            x AS (SELECT doc_id, nt, shard, e, e - nt AS st FROM s),
+            ex AS (
+              SELECT *, unnest(generate_series(st // 512, (e - 1) // 512)) AS seq
+              FROM x)
+            SELECT shard, seq, doc_id,
+                   greatest(st, seq * 512) - st AS doc_offset,
+                   greatest(st, seq * 512) - seq * 512 AS seq_offset,
+                   least(e, seq * 512 + 512) - greatest(st, seq * 512) AS span_len
+            FROM ex
         """,
         # min-over-shingles md5 fingerprint, replicated verbatim.
         "fingerprint": """

@@ -142,3 +142,41 @@ def test_repetition_features(spark):
     assert got[2].r_dup_3gram_frac == 0.0
     assert got[2].r_top_word_frac == 0.2
     assert got[3].r_dup_3gram_frac == 0.0 and got[3].r_top_word_frac == 0.0
+
+
+def test_build_vocab_rank_and_ties(spark):
+    from graphkb_spark.operators.corpus import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b a a b c b"), (2, "a b . .")], ["doc_id", "text"]
+    )
+    got = {r.token: (r.token_id, r.freq) for r in build_vocab(df, "text", vocab_size=3).collect()}
+    # freq: a=3 b=4 c=1 .=2 -> ranks: b(0), a(1), .(2); c cut by V=3
+    assert got["b"] == (0, 4)
+    assert got["a"] == (1, 3)
+    assert got["."] == (2, 2)
+    assert "c" not in got
+
+
+def test_pack_sequences_splits_on_boundary(spark):
+    from graphkb_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 0), (4, 600)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", capacity=512, shards=1)
+    rows = sorted(
+        ((r.doc_id, r.seq, r.doc_offset, r.seq_offset, r.span_len) for r in out.collect())
+    )
+    # shard order is doc_id asc: doc1 [0,300), doc2 [300,600) splits at
+    # 512, doc4 [600,1200) splits at 1024; doc3 (0 tokens) dropped
+    assert rows == [
+        (1, 0, 0, 0, 300),
+        (2, 0, 0, 300, 212),
+        (2, 1, 212, 0, 88),
+        (4, 1, 0, 88, 424),
+        (4, 2, 424, 0, 176),
+    ]
+    # spans tile each document exactly
+    spans = out.groupBy("doc_id").agg(F.sum("span_len").alias("s")).collect()
+    assert {r.doc_id: r.s for r in spans} == {1: 300, 2: 300, 4: 600}
