@@ -1156,6 +1156,20 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "dist")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval
+    set; corpus docs are flagged by distinct-3-gram overlap fraction
+    (broadcast benchmark shingle set, one corpus-side aggregation)."""
+    from graphkb_spark.operators.dedup import contamination_flags
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 50 == 0)
+    out = contamination_flags(
+        t["documents"], bench, "text", "doc_id", threshold=0.5
+    )
+    return out.select("doc_id", "n_shingles", "n_hit", "hit_frac", "contaminated")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: exact n-gram Jaccard pairs collapsed into
     canonical groups by iterative min-label propagation (the
@@ -2375,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "vocab_build": q_vocab_build,
         "sequence_pack": q_sequence_pack,
+        "decontaminate": q_decontaminate,
         # -- families whose plans touch the changed load path --
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3646,6 +3661,41 @@ def oracle_sql() -> dict[str, str]:
               FROM variants a JOIN variants b ON a.v = b.v AND a.pid < b.pid)
             SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
             FROM cand WHERE levenshtein(ka, kb) <= 1
+        """,
+        # Decontamination: distinct-3gram overlap of each doc against
+        # the benchmark shingle set (docs % 50 == 0), same shingles.
+        "decontaminate": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM words),
+            bench AS (
+              SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+            ex AS (
+              SELECT doc_id, len(s) AS n_shingles, unnest(s) AS shingle FROM sh),
+            hits AS (
+              SELECT ex.doc_id, ex.n_shingles,
+                     CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hit
+              FROM ex LEFT JOIN bench b ON ex.shingle = b.shingle
+              GROUP BY ex.doc_id, ex.n_shingles)
+            SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles, n_hit,
+                   round(CASE WHEN n_shingles > 0
+                              THEN CAST(n_hit AS DOUBLE) / n_shingles
+                              ELSE 0.0 END, 6) AS hit_frac,
+                   CASE WHEN n_shingles > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_shingles >= 0.5
+                        ELSE FALSE END AS contaminated
+            FROM hits
         """,
         # Repetition signals: duplicate-3gram fraction + top-word share
         # (split-on-space words, same shingle construction).

@@ -454,6 +454,54 @@ def simhash_near_dups(
     )
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents whose word
+    ``shingle_n``-gram sets overlap a benchmark/eval set — the
+    leakage guard every training-data pipeline runs before a corpus
+    ships. Returns (id, n_shingles, n_hit, hit_frac, contaminated).
+
+    Plan: benchmark shingles -> distinct (a SMALL set: eval suites are
+    tiny next to the corpus) -> broadcast; the corpus side explodes
+    its shingles and LEFT SEMI-counts hits per doc in one aggregation.
+    One shuffle on the doc id; the benchmark never shuffles the
+    corpus. At 100 TB the corpus-side scan dominates and the
+    broadcast is megabytes."""
+    bench_col = bench_text_col or text_col
+    bench_sh = (
+        benchmark.select(words(bench_col).alias("__w"))
+        .select(F.explode(F.array_distinct(word_shingles("__w", shingle_n))).alias("shingle"))
+        .distinct()
+    )
+    doc_sh = (
+        docs.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
+        .select("__id", F.size("__sh").alias("n_shingles"), F.explode("__sh").alias("shingle"))
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy("__id", "n_shingles")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"))
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_hit") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return hits.select(
+        F.col("__id").alias(id_col),
+        "n_shingles",
+        "n_hit",
+        F.round(frac, 6).alias("hit_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,

@@ -245,3 +245,18 @@ def test_edit_distance_pairs_exact_recall(spark):
     assert not any(5 in p for p in got)
     # (2,3) is distance 2 (substitution + deletion) -> excluded
     assert (2, 3) not in got
+
+
+def test_contamination_flags(spark, docs):
+    """Docs sharing their shingles with the benchmark set get flagged;
+    disjoint docs don't."""
+    from graphkb_spark.operators.dedup import contamination_flags
+
+    bench = docs.filter("doc_id = 1")  # doc 4 is its exact dup, 2 near-dup
+    out = {r.doc_id: r for r in
+           contamination_flags(docs, bench, "text", "doc_id", threshold=0.5).collect()}
+    assert out[4].contaminated and out[4].hit_frac == 1.0
+    assert out[1].contaminated  # the benchmark doc itself overlaps fully
+    assert out[2].contaminated  # near-dup: most shingles shared
+    assert not out[3].contaminated and out[3].n_hit == 0
+    assert not out[5].contaminated
