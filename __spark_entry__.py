@@ -2368,10 +2368,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (a) every query whose code changed this round — the NTZ-fix family
     # (sessionize, version_chain, windowed_counts), the reworked
     # minhash/simhash/ngram/components dedup stack — plus the flagship
-    # civic pipeline; (b) all 32 entries that were LAST verified in
-    # CORRECTNESS_r02 (positions 51+ last round). Entries now after #50
-    # were all driver-verified green in CORRECTNESS_r03 and are unchanged
-    # since (git-verifiable).
+    # civic pipeline; (b) every query ADDED this round (streaming_sessions,
+    # multimodal_resize, embedding_dups/quantized_topk, edit_distance_join,
+    # repetition_score, vocab_build, sequence_pack, decontaminate);
+    # (c) all 31 entries that were LAST verified in CORRECTNESS_r02
+    # (positions 51+ last round). Entries now after #50 were all
+    # driver-verified green in CORRECTNESS_r03 and are unchanged since
+    # (git-verifiable).
     return {
         # -- flagship + changed-this-round (NTZ fixes, dedup rework) --
         "civic_sync": q_civic_sync,
@@ -2390,18 +2393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": q_vocab_build,
         "sequence_pack": q_sequence_pack,
         "decontaminate": q_decontaminate,
-        # -- families whose plans touch the changed load path --
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "incremental_merge": q_incremental_merge,
-        "multimodal_features": q_multimodal_features,
+        # -- new this round (never had a driver row) --
         "multimodal_resize": q_multimodal_resize,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_lsh": q_embedding_lsh,
-        "embedding_ivf": q_embedding_ivf,
         "embedding_dups": q_embedding_dups,
         "embedding_quantized_topk": q_embedding_quantized_topk,
-        "fingerprint": q_fingerprint,
         # -- rotated in: last verified in CORRECTNESS_r02 --
         "filter_dsl_nested": q_filter_dsl_nested,
         "filter_dsl_subquery": q_filter_dsl_subquery,
@@ -2435,6 +2430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fillscore": q_dedup_fillscore,
         "embedding_topk": q_embedding_topk,
         # ---- position 51+ : driver-green in CORRECTNESS_r03, unchanged ----
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "incremental_merge": q_incremental_merge,
+        "multimodal_features": q_multimodal_features,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_lsh": q_embedding_lsh,
+        "embedding_ivf": q_embedding_ivf,
+        "fingerprint": q_fingerprint,
         "statement_variant_link": q_statement_variant_link,
         "source_registry": q_source_registry,
         "kb_ontology_load": q_kb_ontology_load,
