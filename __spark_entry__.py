@@ -1352,6 +1352,26 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with audit counts over documents carrying planted
+    emails / phones / IPs (every engine builds the same input; the
+    oracle replays the identical sequential replace)."""
+    from graphkb_spark.operators.text import redact_pii
+
+    t = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(k % 4 == 0, F.lit(" contact bob@example.com now"))
+        .when(k % 4 == 1, F.lit(" call +1 604-555-0199 today"))
+        .when(k % 4 == 2, F.lit(" from 192.168.1.77 last night"))
+        .otherwise(F.lit("")),
+    )
+    docs = t["documents"].select("doc_id", planted.alias("t"))
+    out = redact_pii(docs, "t", out_col="text_redacted")
+    return out.select("doc_id", "n_email", "n_ip", "n_phone", "text_redacted")
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (Gopher-rule family):
     duplicate word-3-gram fraction + most-frequent-word share, one
@@ -2393,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": q_vocab_build,
         "sequence_pack": q_sequence_pack,
         "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         # -- new this round (never had a driver row) --
         "multimodal_resize": q_multimodal_resize,
         "embedding_dups": q_embedding_dups,
@@ -2427,9 +2448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_recurrence": q_rollup_recurrence,
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
-        "dedup_fillscore": q_dedup_fillscore,
         "embedding_topk": q_embedding_topk,
-        # ---- position 51+ : driver-green in CORRECTNESS_r03, unchanged ----
+        # ---- position 51+ : driver-green in CORRECTNESS_r03, unchanged;
+        # dedup_fillscore (r02-green) rotates out — its W4 operator is
+        # r03-verified through asco_abstracts ----
+        "dedup_fillscore": q_dedup_fillscore,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "incremental_merge": q_incremental_merge,
@@ -2472,6 +2495,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docm_load": q_docm_load,
         "cgl_load": q_cgl_load,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """Compose the pii_redact oracle from PII_PATTERNS verbatim, so the
+    SQL can never drift from the Spark patterns."""
+    from graphkb_spark.operators.text import PII_PATTERNS
+
+    sql = """
+        WITH s0 AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 4 = 0 THEN ' contact bob@example.com now'
+                              WHEN doc_id % 4 = 1 THEN ' call +1 604-555-0199 today'
+                              WHEN doc_id % 4 = 2 THEN ' from 192.168.1.77 last night'
+                              ELSE '' END AS t0
+          FROM documents)"""
+    prev = "s0"
+    tcol = "t0"
+    carry: list[str] = []
+    for i, (kind, pattern, token) in enumerate(PII_PATTERNS, start=1):
+        carry_cols = (", " + ", ".join(carry)) if carry else ""
+        sql += f""",
+        s{i} AS (
+          SELECT doc_id{carry_cols},
+                 CAST(len(regexp_extract_all({tcol}, '{pattern}')) AS INT) AS n_{kind},
+                 regexp_replace({tcol}, '{pattern}', '{token}', 'g') AS t{i}
+          FROM {prev})"""
+        carry.append(f"n_{kind}")
+        prev, tcol = f"s{i}", f"t{i}"
+    sql += f"""
+        SELECT doc_id, n_email, n_ip, n_phone, {tcol} AS text_redacted
+        FROM {prev}"""
+    return sql
 
 
 def _civic_pipeline_ctes() -> str:
@@ -3665,6 +3720,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
             FROM cand WHERE levenshtein(ka, kb) <= 1
         """,
+        # PII scrub: identical sequential replace (email -> ip -> phone)
+        # with per-kind counts taken before each pass; patterns are the
+        # PII_PATTERNS constants verbatim.
+        "pii_redact": _pii_oracle_sql(),
         # Decontamination: distinct-3gram overlap of each doc against
         # the benchmark shingle set (docs % 50 == 0), same shingles.
         "decontaminate": """

@@ -71,6 +71,32 @@ def whitespace_token_count(col: str | Column) -> Column:
     return F.size(_words(col))
 
 
+# deliberately simple ASCII patterns (shared verbatim with the SQL
+# oracle): email, 7+-digit phone-ish runs (with separators), IPv4
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """PII scrubbing: sequential regexp_replace passes (email -> ip ->
+    phone, so an IP is not half-eaten by the phone pattern) plus
+    per-kind match counts — the audit trail a compliance review needs.
+    Pure Column algebra at scan speed; patterns are deliberately
+    simple/ASCII and shared verbatim with the SQL oracle."""
+    c = F.col(text_col)
+    out = df
+    redacted = c
+    for kind, pattern, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0)))
+        )
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return out.withColumn(out_col or f"{text_col}_redacted", redacted)
+
+
 def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     """Within-document repetition signals (the Gopher-rule family used
     to filter degenerate training text): fraction of duplicate word

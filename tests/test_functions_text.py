@@ -180,3 +180,23 @@ def test_pack_sequences_splits_on_boundary(spark):
     # spans tile each document exactly
     spans = out.groupBy("doc_id").agg(F.sum("span_len").alias("s")).collect()
     assert {r.doc_id: r.s for r in spans} == {1: 300, 2: 300, 4: 600}
+
+
+def test_redact_pii(spark):
+    from graphkb_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or root@10.0.0.1, server 10.0.0.2, call 604-555-0199"),
+            (2, "clean text with numbers 42 and 3.14"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in redact_pii(df, "text").collect()}
+    r1 = got[1]
+    # root@10.0.0.1 is NOT an email (numeric TLD) — its IP part redacts
+    assert r1.n_email == 1 and r1.n_ip == 2 and r1.n_phone == 1
+    assert r1.text_redacted == "mail <EMAIL> or root@<IP>, server <IP>, call <PHONE>"
+    r2 = got[2]
+    assert (r2.n_email, r2.n_ip, r2.n_phone) == (0, 0, 0)
+    assert r2.text_redacted == r2.text
