@@ -7,6 +7,7 @@ per-class counts checked on the final KB state."""
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 from pyspark.sql import Row, functions as F
@@ -296,7 +297,57 @@ def dag_result(spark, tmp_path_factory):
         st["out"]["moa"] = load_moa(df)
         return st
 
+    def j_drugbank(st):
+        from graphkb_spark.loaders.evidence import load_drugbank, read_drugbank
+
+        fixture = str(Path(__file__).parent / "data" / "drugbank_sample.xml")
+        st["out"]["drugbank"] = load_drugbank(read_drugbank(spark, fixture))
+        return st
+
+    def j_cosmic_resistance(st):
+        from graphkb_spark.loaders.statements import load_cosmic_resistance
+
+        raw = spark.createDataFrame([Row(**{
+            "HGVSC": "c.35G>A", "Histology Subtype 1": "adenocarcinoma",
+            "Histology": "carcinoma", "Gene Name": "KRAS", "HGVSG": "g.1A>T",
+            "LEGACY_MUTATION_ID": "COSM521", "HGVSP": "p.G12D", "Pubmed Id": "123",
+            "Sample ID": "S1", "Sample Name": "s1", "Drug Name": "cetuximab",
+            "Transcript": "ENST1",
+        })])
+        cls = spark.createDataFrame(
+            [Row(diseaseFamily="carcinoma", disease="adenocarcinoma", ncit="C0001")]
+        )
+        st["out"]["cosmic_resistance"] = load_cosmic_resistance(raw, cls)
+        return st
+
+    def j_cosmic_fusions(st):
+        from graphkb_spark.loaders.statements import load_cosmic_fusions
+
+        rows = [
+            Row(gene1="BCR", exon1="14", gene2="ABL1", exon2="2",
+                sampleId=f"S{i}", fusionId="F1", disease="ALL",
+                diseaseFamily="leukaemia")
+            for i in range(3)
+        ]
+        st["out"]["cosmic_fusions"] = load_cosmic_fusions(spark.createDataFrame(rows))
+        return st
+
+    def j_clinicaltrialsgov(st):
+        from graphkb_spark.loaders.statements import load_clinicaltrials
+
+        rows = [Row(nctId="NCT1", officialTitle="Official", briefTitle="Brief",
+                    overallStatus="RECRUITING", lastUpdatePosted="2024-01-02",
+                    startDate="2020-01-01", completionDate="2024-12-31",
+                    conditions=["cancer"], phases=["PHASE1/PHASE2"],
+                    locations=[Row(city="Vancouver", country="Canada")])]
+        st["out"]["clinicaltrialsgov"] = load_clinicaltrials(spark.createDataFrame(rows))
+        return st
+
     loaders = {
+        "drugbank": j_drugbank,
+        "cosmic_resistance": j_cosmic_resistance,
+        "cosmic_fusions": j_cosmic_fusions,
+        "clinicaltrialsgov": j_clinicaltrialsgov,
         "vocab": _local(spark, "graphkb vocab", "Vocabulary",
                         [("v1", "resistance", None, False, False, [], []),
                          ("v2", "sensitivity", None, False, False, ["v1"], [])], 10),
@@ -330,14 +381,18 @@ def dag_result(spark, tmp_path_factory):
         "docm": j_docm,
         "moa": j_moa,
     }
-    state, order = run_all_sources(loaders, {"kb": empty_kb(spark), "out": {}})
+    state, order = run_all_sources(
+        loaders, {"kb": empty_kb(spark), "out": {}},
+        drugbank=True, cosmic=True, trials=True,
+    )
     return state, order
 
 
 def test_order_respects_every_snakefile_edge(dag_result):
     _, order = dag_result
     idx = {name: i for i, name in enumerate(order)}
-    assert set(idx) == set(ALL_SOURCES_DEPS)
+    optional = {n for jobs in OPTIONAL_SOURCES.values() for n in jobs}
+    assert set(idx) == set(ALL_SOURCES_DEPS) | optional
     for name, deps in ALL_SOURCES_DEPS.items():
         for d in deps:
             assert idx[d] < idx[name], f"{d} must run before {name}"
@@ -346,6 +401,12 @@ def test_order_respects_every_snakefile_edge(dag_result):
     assert idx["ncit"] < idx["do"] < idx["all_diseases"] < idx["cgi"]
     assert idx["fda_srs"] < idx["all_drugs"] < idx["cgi"]
     assert idx["ncit"] < idx["civic"]
+    # optional edges: USE_DRUGBANK rewires all_drugs; cosmic/trials wait
+    # on the disease/drug families
+    assert idx["fda_srs"] < idx["drugbank"] < idx["all_drugs"]
+    assert idx["all_diseases"] < idx["cosmic_fusions"]
+    assert idx["all_drugs"] < idx["cosmic_resistance"]
+    assert idx["all_drugs"] < idx["clinicaltrialsgov"]
 
 
 def test_per_class_counts(dag_result):
@@ -386,6 +447,11 @@ def test_per_class_counts(dag_result):
     assert out["pmc4232638"].count() == 1
     assert out["pmc4468049"].filter(F.col("_error").isNull()).count() == 1
     assert out["ncit_bad"].count() == 1  # C6 quarantined
+    # optional sources ran with their real loaders
+    assert out["drugbank"]["therapies"].count() == 1
+    assert out["cosmic_resistance"].count() == 1
+    assert out["cosmic_fusions"].filter(F.col("level") == 0).count() == 1
+    assert out["clinicaltrialsgov"].count() == 1
 
 
 def test_optional_sources_toggle_edges():
