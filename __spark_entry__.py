@@ -3511,8 +3511,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
             SELECT event_id, user_id,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
             FROM gaps
         """,
         # Streaming sessionize closed-session set: sessionize with the
@@ -3531,8 +3533,9 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
             numbered AS (
               SELECT user_id, ts,
-                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-                                       ROWS UNBOUNDED PRECEDING) AS sid
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS sid
               FROM gaps),
             sess AS (
               SELECT user_id, sid,

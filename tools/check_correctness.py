@@ -43,6 +43,47 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a dtype to the driver-visible kind.
+
+    The driver hashes the *stringified* frame, so ``1`` (int64) vs
+    ``1.0`` (float64) mismatch even when values are numerically equal —
+    exactly what happens when a DuckDB HUGEINT window sum materializes
+    as float64 while Spark returns int64. Int width (int32 vs int64)
+    stringifies identically, so only the kind matters.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def dtype_drift(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Driver-faithful strictness: flag columns whose stringified form
+    would differ by dtype alone (int vs float vs bool).
+
+    Columns where either side holds a null are exempt for the int/float
+    pair only when BOTH sides float (nulls force float64 on both paths
+    identically), so an asymmetric int-vs-float is always a real bug.
+    """
+    out = []
+    for c in spark_df.columns:
+        if c not in oracle_df.columns:
+            continue
+        ks, ko = _dtype_kind(spark_df[c]), _dtype_kind(oracle_df[c])
+        if ks == ko:
+            continue
+        if {ks, ko} <= {"int", "float", "bool"}:
+            out.append(f"dtype drift on '{c}': spark={ks} oracle={ko} "
+                       f"(driver hashes stringified values — e.g. 1 vs 1.0)")
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
@@ -50,6 +91,7 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
         )
         return problems
+    problems.extend(dtype_drift(spark_df, oracle_df))
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
     a, b = canon(spark_df), canon(oracle_df)
