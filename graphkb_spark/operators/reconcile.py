@@ -13,12 +13,18 @@ batch against the stored rows:
 4. unpaired new rows -> create; unpaired stored rows -> delete.
 
 Spark shape — **join-free linear pipeline**: both sides are unioned
-once with a ``side`` tag; each matching tier is a pair of window
-functions over the co-partitioned union (positional rank within
-(group, key, side) + per-bucket counts of each side — a row is matched
-at tier *k* iff ``rank <= least(count_stored, count_new)`` in its
-bucket); a single final groupBy on the pairing key zips the matched
-stored/new rows together.  That is 1 exchange per tier plus 1 pairing
+once with a ``side`` tag; each matching tier is ONE window exchange
+over the co-partitioned union.  All window functions of a tier share
+the same partitioning ``(group, bucket-key)``: a ``row_number`` ordered
+by ``(side, order)`` enumerates stored rows first, so the per-side
+positional rank is ``rn`` for stored and ``rn - count(stored)`` for new
+rows, and the per-side bucket counts come from unbounded-frame
+``count(when(...))`` over the same partition — Spark plans all of it
+behind a single hash exchange (same partition keys ⇒ one Exchange, the
+unordered counts ride the sorted child).  A row is matched at tier *k*
+iff ``rank <= least(count_stored, count_new)`` in its bucket; a single
+final groupBy on the pairing key zips the matched stored/new rows
+together.  That is 1 exchange per tier (3 total) plus 1 pairing
 aggregation — no full-outer joins, no persists, no plan fan-out — so
 the operator scales linearly in data volume and its shuffles are keyed
 by (group, content-digest), which inherits the group-key distribution.
@@ -78,12 +84,24 @@ def reconcile(
         # matched rows get a NULL bucket key -> they fall out of every
         # unmatched bucket and the window counts below see only live rows
         u = u.withColumn("__k", F.when(F.col("__tier").isNull(), key_col))
-        w_side = Window.partitionBy(*gcols, "__k", "__side").orderBy(*order_cols)
+        # one exchange: both specs hash-partition on (group, __k); the
+        # ordered row_number enumerates side 0 (stored) before side 1
+        # (new), so subtracting the stored count recovers the per-side
+        # rank without a second (group, __k, __side) exchange
+        w_ord = Window.partitionBy(*gcols, "__k").orderBy(
+            F.col("__side").asc(), *order_cols
+        )
         w_key = Window.partitionBy(*gcols, "__k")
         u = (
-            u.withColumn("__r", F.row_number().over(w_side))
+            u.withColumn("__rn", F.row_number().over(w_ord))
             .withColumn("__cs", F.count(F.when(F.col("__side") == 0, 1)).over(w_key))
             .withColumn("__cn", F.count(F.when(F.col("__side") == 1, 1)).over(w_key))
+            .withColumn(
+                "__r",
+                F.when(F.col("__side") == 0, F.col("__rn")).otherwise(
+                    F.col("__rn") - F.col("__cs")
+                ),
+            )
         )
         newly = (
             F.col("__tier").isNull()
