@@ -1156,6 +1156,42 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "dist")
 
 
+def q_edit_distance_join_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-2 similarity join (2-deletion SymSpell
+    neighborhood + levenshtein verify) over short keys from part
+    names — every 5th key carries one planted substitution, every 7th
+    two, so the result holds distance-0/1/2 pairs. The oracle is
+    ground-truth all-pairs levenshtein (stronger than replicating the
+    blocking: it proves the neighborhood recall guarantee)."""
+    from graphkb_spark.operators.dedup import edit_distance_pairs
+
+    t = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base_key = F.substring("p_name", 1, 12)
+    key = (
+        F.when(
+            k % 7 == 0,
+            F.concat(
+                F.substring("p_name", 1, 2),
+                F.lit("z"),
+                F.substring("p_name", 4, 3),
+                F.lit("q"),
+                F.substring("p_name", 8, 5),
+            ),
+        )
+        .when(
+            k % 5 == 0,
+            F.concat(
+                F.substring("p_name", 1, 2), F.lit("z"), F.substring("p_name", 4, 9)
+            ),
+        )
+        .otherwise(base_key)
+    )
+    keys = t["part"].select(k.alias("pid"), key.alias("key"))
+    out = edit_distance_pairs(keys, "key", "pid", max_dist=2)
+    return out.select("id_a", "id_b", "dist")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th document plays the eval
     set; corpus docs are flagged by distinct-3-gram overlap fraction
@@ -2409,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "edit_distance_join": q_edit_distance_join,
+        "edit_distance_join_k2": q_edit_distance_join_k2,
         "repetition_score": q_repetition_score,
         "vocab_build": q_vocab_build,
         "sequence_pack": q_sequence_pack,
@@ -3722,6 +3759,24 @@ def oracle_sql() -> dict[str, str]:
               FROM variants a JOIN variants b ON a.v = b.v AND a.pid < b.pid)
             SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
             FROM cand WHERE levenshtein(ka, kb) <= 1
+        """,
+        # Ground-truth all-pairs oracle: proves the 2-deletion
+        # neighborhood recalls EVERY distance<=2 pair, not merely that
+        # blocking was replicated. Feasible at oracle scale (sf0.01).
+        "edit_distance_join_k2": """
+            WITH keys AS (
+              SELECT p_partkey AS pid,
+                     CASE WHEN p_partkey % 7 = 0
+                          THEN substr(p_name, 1, 2) || 'z' || substr(p_name, 4, 3)
+                               || 'q' || substr(p_name, 8, 5)
+                          WHEN p_partkey % 5 = 0
+                          THEN substr(p_name, 1, 2) || 'z' || substr(p_name, 4, 9)
+                          ELSE substr(p_name, 1, 12) END AS key
+              FROM part)
+            SELECT a.pid AS id_a, b.pid AS id_b,
+                   CAST(levenshtein(a.key, b.key) AS INT) AS dist
+            FROM keys a JOIN keys b ON a.pid < b.pid
+            WHERE levenshtein(a.key, b.key) <= 2
         """,
         # PII scrub: identical sequential replace (email -> ip -> phone)
         # with per-kind counts taken before each pass; patterns are the

@@ -502,6 +502,18 @@ def contamination_flags(
     )
 
 
+def _deletions(c) -> F.Column:
+    """Every string obtained by deleting exactly one character of ``c``
+    (a Column or lambda variable)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            c.substr(F.lit(1), i - 1),
+            c.substr(i + 1, F.length(c)),
+        ),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,
@@ -510,35 +522,41 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """Exact edit-distance similarity join for SHORT strings (titles,
     names, codes) via deletion-neighborhood blocking (SymSpell-style):
-    block on {s} ∪ {s minus one char} — any pair within edit distance 1
-    is guaranteed to share a neighborhood element (no false negatives) —
-    then verify candidates with exact ``levenshtein``. Returns
-    (id_a, id_b, dist), id_a < id_b, dist <= max_dist.
+    block on the ≤``max_dist``-deletion neighborhood of each string —
+    if ``ed(a, b) <= k`` then deleting at most k chars from each side
+    reaches a common string, so every qualifying pair shares a
+    neighborhood element (no false negatives) — then verify candidates
+    with exact ``levenshtein``. Returns (id_a, id_b, dist),
+    id_a < id_b, dist <= max_dist.
 
-    ``max_dist`` caps the verify; the k=1 neighborhood also *recalls*
-    all distance-1 pairs exactly. For larger k the neighborhood
-    generalizes to k-deletion sets (size O(|s|^k)) — generate deeper
-    variants upstream and reuse the same join; the blocking join stays
-    one shuffle on the variant key either way.
+    ``max_dist`` in {1, 2}: the neighborhood is O(|s|) resp. O(|s|^2)
+    variants per row, exact either way. Larger k is rejected rather
+    than silently under-recalling (the k-deletion set must match the
+    requested distance for the recall guarantee to hold).
 
-    Scale shape: |s|+1 variants per row explode into an equi-join on
-    the variant string — never an all-pairs product; hot variants
-    (short common prefixes) are bounded by string length, and AQE
-    skew-join splits any residual mega-bucket."""
+    Scale shape: variants explode into an equi-join on the variant
+    string — never an all-pairs product; hot variants (short common
+    prefixes) are bounded by string length, and AQE skew-join splits
+    any residual mega-bucket. The 1-deletion array is materialized as
+    a column before the nested transform so the HOF argument is not
+    re-evaluated per element."""
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"max_dist={max_dist} unsupported: the deletion neighborhood "
+            "is generated for k in {1, 2}; deeper k would silently lose "
+            "recall"
+        )
     s = F.col(text_col)
-    variants = F.array_union(
-        F.array(s),
-        F.transform(
-            F.sequence(F.lit(1), F.length(s)),
-            lambda i: F.concat(
-                s.substr(F.lit(1), i - 1),
-                s.substr(i + 1, F.length(s)),
-            ),
-        ),
-    )
-    base = df.select(
-        F.col(id_col).alias("__id"), s.alias("__s"), F.explode(variants).alias("__v")
-    )
+    staged = df.select(
+        F.col(id_col).alias("__id"), s.alias("__s")
+    ).withColumn("__d1", F.array_distinct(_deletions(F.col("__s"))))
+    variants = F.array_union(F.array(F.col("__s")), F.col("__d1"))
+    if max_dist == 2:
+        variants = F.array_union(
+            variants,
+            F.array_distinct(F.flatten(F.transform(F.col("__d1"), _deletions))),
+        )
+    base = staged.select("__id", "__s", F.explode(variants).alias("__v"))
     a = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("sa"), "__v")
     b = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("sb"), "__v")
     return (

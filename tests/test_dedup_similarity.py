@@ -247,6 +247,50 @@ def test_edit_distance_pairs_exact_recall(spark):
     assert (2, 3) not in got
 
 
+def test_edit_distance_pairs_k2_recall(spark):
+    """The 2-deletion neighborhood recalls every distance<=2 pair —
+    verified against brute-force levenshtein over all pairs — and the
+    API rejects unsupported depths instead of silently under-recalling."""
+    import itertools
+
+    import pytest
+
+    from graphkb_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "imatinib"), (2, "imatinyb"), (3, "imatini"), (4, "imatinib"),
+        (5, "imatynyb"),      # 2 substitutions from 1
+        (6, "imatin"),        # 2 deletions from 1
+        (7, "ximatinibz"),    # 2 insertions from 1
+        (8, "matinyb"),       # deletion + substitution from 1
+        (9, "dasatinib"), (10, "nilotinib"), (11, ""),
+    ]
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j): ed(a, b)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if ed(a, b) <= 2
+    }
+    df = spark.createDataFrame(rows, ["pid", "name"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "name", "pid", max_dist=2).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="max_dist=3"):
+        edit_distance_pairs(df, "name", "pid", max_dist=3)
+
+
 def test_contamination_flags(spark, docs):
     """Docs sharing their shingles with the benchmark set get flagged;
     disjoint docs don't."""
