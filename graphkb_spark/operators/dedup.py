@@ -480,10 +480,18 @@ def contamination_flags(
         .select(F.explode(F.array_distinct(word_shingles("__w", shingle_n))).alias("shingle"))
         .distinct()
     )
+    # explode_outer: a null-text doc has a null shingle array; it must
+    # still appear in the report (contaminated=false), not vanish
     doc_sh = (
         docs.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
         .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
-        .select("__id", F.size("__sh").alias("n_shingles"), F.explode("__sh").alias("shingle"))
+        .select(
+            "__id",
+            F.when(F.col("__sh").isNotNull(), F.size("__sh"))
+            .otherwise(F.lit(0))
+            .alias("n_shingles"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
     )
     hits = (
         doc_sh.join(F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left")

@@ -83,7 +83,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # TIMESTAMP(NANOS) table fails with PARQUET_TYPE_ILLEGAL
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # NTZ->LTZ below is value-preserving only under a fixed session tz;
-    # pin it in case the driver's session was built without one
+    # pin it in case the driver's session was built without one.
+    # SIDE EFFECT: this mutates the caller's session for the rest of its
+    # lifetime — later NTZ<->LTZ casts and date_format calls anywhere in
+    # the same session will use UTC. Warn (don't fail: the driver's
+    # session must still load tables) when overriding a differing value.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC"):
+        import warnings
+
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone to UTC for the "
+            f"whole session (was {prev_tz!r}); NTZ->LTZ casts and "
+            f"date_format elsewhere in this session are affected",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F

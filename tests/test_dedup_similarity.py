@@ -304,3 +304,22 @@ def test_contamination_flags(spark, docs):
     assert out[2].contaminated  # near-dup: most shingles shared
     assert not out[3].contaminated and out[3].n_hit == 0
     assert not out[5].contaminated
+
+
+def test_contamination_flags_null_text(spark, docs):
+    """A null-text document still gets a report row (contaminated=false,
+    n_shingles=0) instead of silently dropping out."""
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.dedup import contamination_flags
+
+    with_null = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 3, F.lit(None)).otherwise(F.col("text"))
+    )
+    out = {r.doc_id: r for r in
+           contamination_flags(with_null, docs.filter("doc_id = 1"),
+                               "text", "doc_id", threshold=0.5).collect()}
+    assert set(out) == {r.doc_id for r in docs.select("doc_id").collect()}
+    row = out[3]
+    assert not row.contaminated
+    assert row.n_shingles == 0 and row.n_hit == 0 and row.hit_frac == 0.0
