@@ -477,3 +477,92 @@ def test_optional_sources_toggle_edges():
 def test_missing_binding_is_an_error():
     with pytest.raises(DependencyError, match="no loader bound"):
         all_sources_jobs({"vocab": lambda st: st})
+
+
+def _start_flaky_server():
+    """Live-endpoint fixture: request #1 answers 429, request #3
+    answers 500, everything else 200; /reject always 422. The request
+    log is owned by the server thread of this same process (local-mode
+    executors are threads here)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    log: list[tuple[str, int]] = []
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                n = len(log) + 1
+                if self.path == "/reject":
+                    status = 422
+                elif n == 1:
+                    status = 429
+                elif n == 3:
+                    status = 500
+                else:
+                    status = 200
+                log.append((self.path, status))
+            self.send_response(status)
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, log
+
+
+def test_write_rest_live_endpoint_from_dag_output(dag_result):
+    """C4/C5 against a real HTTP endpoint: the merged KB terms from the
+    full all_sources run are POSTed through write_rest; the server
+    injects a 429 then a 500 mid-stream and the retry policy absorbs
+    both (quarantine empty, retry counters visible in the request log);
+    a hard 4xx endpoint quarantines with attempts=1 (fail-fast)."""
+    import urllib.error
+    import urllib.request
+
+    from graphkb_spark.sources.rest_sink import RetryPolicy, write_rest
+
+    state, _ = dag_result
+    terms = state["kb"].terms.select("cls", "name").repartition(1)
+    n_batches = -(-terms.count() // 5)  # ceil
+    assert n_batches >= 2  # the fixture must exercise >1 batch
+
+    srv, log = _start_flaky_server()
+    port = srv.server_address[1]
+    try:
+        def send(batch, _port=port, _path="/load"):
+            body = ("\n".join(batch)).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{_port}{_path}", data=body, method="POST"
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        policy = RetryPolicy(sleep=lambda s: None)
+        failed = write_rest(terms, send, batch_size=5, policy=policy)
+        assert failed.count() == 0
+        # n_batches successes + exactly the two injected failures
+        assert len(log) == n_batches + 2
+        assert [s for _, s in log[:4]] == [429, 200, 500, 200]
+        assert all(s == 200 for _, s in log[4:])
+
+        log.clear()
+
+        def send_reject(batch, _port=port):
+            return send(batch, _port, "/reject")
+
+        failed = write_rest(terms, send_reject, batch_size=5, policy=policy)
+        rows = failed.collect()
+        assert len(rows) == terms.count()
+        assert all(r.error == "http 422" and r.attempts == 1 for r in rows)
+        assert len(log) == n_batches  # fail-fast: one request per batch
+    finally:
+        srv.shutdown()
+        srv.server_close()
