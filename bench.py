@@ -43,6 +43,12 @@ HEADLINE = [
     "rollup_recurrence",
     "docm_load",
     "hgnc_load",
+    # the heaviest round-4/5 additions, kept honest in the headline
+    "streaming_sessions",
+    "edit_distance_join",
+    "vocab_build",
+    "sequence_pack",
+    "embedding_quantized_topk",
 ]
 
 

@@ -538,15 +538,19 @@ def edit_distance_pairs(
     id_a < id_b, dist <= max_dist.
 
     ``max_dist`` in {1, 2}: the neighborhood is O(|s|) resp. O(|s|^2)
-    variants per row, exact either way. Larger k is rejected rather
+    variants per string, exact either way. Larger k is rejected rather
     than silently under-recalling (the k-deletion set must match the
     requested distance for the recall guarantee to hold).
 
-    Scale shape: variants explode into an equi-join on the variant
-    string — never an all-pairs product; hot variants (short common
-    prefixes) are bounded by string length, and AQE skew-join splits
-    any residual mega-bucket. The 1-deletion array is materialized as
-    a column before the nested transform so the HOF argument is not
+    Scale shape: the expensive neighborhood self-join runs on DISTINCT
+    strings only — real corpora are dup-heavy, and identical strings
+    would otherwise multiply every candidate bucket quadratically. The
+    resulting (sa, sb, dist) string pairs expand back to id pairs with
+    two keyed joins, and the dist-0 pairs come from a same-string
+    self-join — all output-bound. Never an all-pairs product; hot
+    variant buckets are bounded by string length, AQE skew-join splits
+    residual mega-buckets. The 1-deletion array is materialized as a
+    column before the nested transform so the HOF argument is not
     re-evaluated per element."""
     if max_dist not in (1, 2):
         raise ValueError(
@@ -555,26 +559,52 @@ def edit_distance_pairs(
             "recall"
         )
     s = F.col(text_col)
-    staged = df.select(
-        F.col(id_col).alias("__id"), s.alias("__s")
-    ).withColumn("__d1", F.array_distinct(_deletions(F.col("__s"))))
+    ids = df.select(F.col(id_col).alias("__id"), s.alias("__s")).filter(
+        s.isNotNull()
+    )
+    staged = (
+        ids.select("__s")
+        .distinct()
+        .withColumn("__d1", F.array_distinct(_deletions(F.col("__s"))))
+    )
     variants = F.array_union(F.array(F.col("__s")), F.col("__d1"))
     if max_dist == 2:
         variants = F.array_union(
             variants,
             F.array_distinct(F.flatten(F.transform(F.col("__d1"), _deletions))),
         )
-    base = staged.select("__id", "__s", F.explode(variants).alias("__v"))
-    a = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("sa"), "__v")
-    b = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("sb"), "__v")
-    return (
+    base = staged.select("__s", F.explode(variants).alias("__v"))
+    a = base.select(F.col("__s").alias("sa"), "__v")
+    b = base.select(F.col("__s").alias("sb"), "__v")
+    spairs = (
         a.join(b, "__v")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("sa") < F.col("sb"))
+        .dropDuplicates(["sa", "sb"])
         .withColumn("dist", F.levenshtein("sa", "sb"))
         .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
+        .select("sa", "sb", "dist")
     )
+    pa = ids.select(F.col("__id").alias("__ida"), F.col("__s").alias("sa"))
+    pb = ids.select(F.col("__id").alias("__idb"), F.col("__s").alias("sb"))
+    cross = (
+        spairs.join(pa, "sa")
+        .join(pb, "sb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "dist",
+        )
+    )
+    same = (
+        pa.join(pb.withColumnRenamed("sb", "sa"), "sa")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def connected_components(
