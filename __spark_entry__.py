@@ -1573,6 +1573,64 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (click->purchase attribution within
+    10 minutes) — both sides real watermarked streams; inner+append
+    emits each match exactly once, so the oracle is the equivalent
+    batch self-join with the same time predicate."""
+    from graphkb_spark.streaming.incremental import streaming_interval_join
+
+    t = _t(spark, sf_dir, "events")
+    suffix = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    out = streaming_interval_join(
+        spark, t["events"], query_name=f"q_stream_ij_{suffix}"
+    )
+    return out.select(
+        "l_event_id",
+        "r_event_id",
+        "user_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("l_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("r_ts"),
+        F.round("r_value", 4).alias("r_value"),
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (2 Lloyd iterations, k=8, deterministic md5 init) over
+    the embeddings table; the oracle unrolls the identical two
+    iterations in SQL (rounded means make the float-sum order of a
+    distributed avg invisible to the assignment)."""
+    from graphkb_spark.operators.cluster import kmeans_assign
+
+    t = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(t["embeddings"], "embedding", "vec_id", k=8, n_iter=2)
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear classifier inference (fasttext-style quality
+    scorer) over documents — md5 feature hash, deterministic weight
+    table, sigmoid; scan-speed Column algebra, no shuffle."""
+    from graphkb_spark.operators.text import classifier_score
+
+    t = _t(spark, sf_dir, "documents")
+    return classifier_score(t["documents"], "text", "doc_id")
+
+
+def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 5-gram fraction (the C4/RefinedWeb
+    boilerplate filter) over documents."""
+    from graphkb_spark.operators.text import duplicate_ngram_fraction
+
+    t = _t(spark, sf_dir, "documents")
+    out = duplicate_ngram_fraction(t["documents"], "text", "doc_id", shingle_n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        "dup_frac",
+    )
+
+
 def q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-hop neighborhood expansion (``neighbors: 2``) over an edges
     table built from region<-nation<-customer links."""
@@ -2431,13 +2489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query a driver row at least every other round. Round-5 window:
     # (a) every query whose code or oracle changed this round — the
     # sessionize/streaming_sessions oracle BIGINT casts, the reworked
-    # edit-distance join (k<=2) and its new k2 query, the
-    # explode_outer decontamination fix, and the reconcile exchange
-    # rewrite with its civic_sync embedders; (b) dedup_fillscore, the
-    # last entry riding an r02-only green; (c) all remaining entries
-    # whose latest driver row is r02/r03 (positions 51+ last round).
-    # Entries now after #50 were all driver-verified green in
-    # CORRECTNESS_r04 and are unchanged since (git-verifiable).
+    # edit-distance join (k<=2), the explode_outer decontamination fix,
+    # and the reconcile exchange rewrite with its civic_sync embedders;
+    # (b) every query ADDED this round (edit_distance_join_k2,
+    # stream_interval_join, kmeans_assign, classifier_score,
+    # dup_ngram_frac); (c) dedup_fillscore (last green r02) and the
+    # entries whose latest driver row is r02/r03. Three r03-green
+    # entries (approx_distinct, approx_quantiles, source_registry) and
+    # r4-green unchanged entries park past 50 — they rotate forward
+    # next round.
     return {
         # -- changed or added this round --
         "sessionize": q_sessionize,
@@ -2449,6 +2509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "civic_sync_reconcile": q_civic_sync_reconcile,
         "reconcile": q_reconcile,
         "dedup_fillscore": q_dedup_fillscore,
+        "stream_interval_join": q_stream_interval_join,
+        "kmeans_assign": q_kmeans_assign,
+        "classifier_score": q_classifier_score,
+        "dup_ngram_frac": q_dup_ngram_frac,
         # -- last driver row r02/r03: pulled forward --
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2459,7 +2523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "fingerprint": q_fingerprint,
         "statement_variant_link": q_statement_variant_link,
-        "source_registry": q_source_registry,
         "kb_ontology_load": q_kb_ontology_load,
         "variant_load": q_variant_load,
         "hgvs_parse": q_hgvs_parse,
@@ -2470,8 +2533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "bm25_scores": q_bm25_scores,
         "stratified_sample": q_stratified_sample,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantiles": q_approx_quantiles,
         "merge_upsert": q_merge_upsert,
         "fallback_cascade": q_fallback_cascade,
         "top1_per_group": q_top1_per_group,
@@ -2490,9 +2551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmc_functional": q_pmc_functional,
         "docm_load": q_docm_load,
         "cgl_load": q_cgl_load,
-        # -- heavy r4-green re-check filling slot 50 --
+        # -- parked: r03/r04-green, unchanged; rotate forward next round --
         "minhash_lsh": q_minhash_lsh,
-        # -- r4-green, unchanged since CORRECTNESS_r04 --
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
+        "source_registry": q_source_registry,
         "version_chain": q_version_chain,
         "windowed_counts": q_windowed_counts,
         "simhash": q_simhash,
@@ -3819,6 +3882,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, dist FROM cross_pairs
             UNION ALL
             SELECT id_a, id_b, dist FROM same_pairs
+        """,
+        # Batch equivalent of the stream-stream interval join: inner
+        # append-mode matches == the plain self-join with the same
+        # user+time predicate.
+        "stream_interval_join": """
+            SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+                   a.user_id AS user_id,
+                   strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+                   strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS r_ts,
+                   round(b.value, 4) AS r_value
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 10 MINUTE
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # Two unrolled Lloyd iterations, identical md5-seeded codebook;
+        # centroid means rounded to 6 so distributed-sum order can't
+        # flip an assignment. (x-y)*(x-y) matches Spark's zip_with.
+        "kmeans_assign": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY h) - 1 AS cluster, ev AS c
+              FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, ev
+                    FROM v ORDER BY h LIMIT 8)),
+            s1 AS (
+              SELECT v.vec_id, v.ev, c0.cluster,
+                     list_sum([ (v.ev[i] - c0.c[i]) * (v.ev[i] - c0.c[i])
+                                for i in generate_series(1, 64) ]) AS d
+              FROM v CROSS JOIN c0),
+            a1 AS (
+              SELECT vec_id, ev, cluster, d FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cluster) AS rn
+                FROM s1) WHERE rn = 1),
+            m1 AS (
+              SELECT cluster, i, round(avg(ev[i]), 6) AS m
+              FROM a1, generate_series(1, 64) t(i)
+              GROUP BY cluster, i),
+            ml AS (
+              SELECT cluster, list(m ORDER BY i) AS c FROM m1 GROUP BY cluster),
+            c1 AS (
+              SELECT c0.cluster, coalesce(ml.c, c0.c) AS c
+              FROM c0 LEFT JOIN ml ON c0.cluster = ml.cluster),
+            s2 AS (
+              SELECT v.vec_id, c1.cluster,
+                     list_sum([ (v.ev[i] - c1.c[i]) * (v.ev[i] - c1.c[i])
+                                for i in generate_series(1, 64) ]) AS d
+              FROM v CROSS JOIN c1),
+            a2 AS (
+              SELECT vec_id, cluster, d FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cluster) AS rn
+                FROM s2) WHERE rn = 1)
+            SELECT vec_id, CAST(cluster AS INT) AS cluster,
+                   round(d, 6) AS dist2
+            FROM a2
+        """,
+        # Hashed-linear classifier: identical md5 feature hash + integer
+        # milli-weight table; the weight sum stays exact (BIGINT) and
+        # only the sigmoid — transcendental, no structural rounding
+        # ties — is rounded. label = weight_sum >= 0, exact.
+        "classifier_score": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS words
+              FROM documents),
+            scored AS (
+              SELECT doc_id, len(words) AS n_tokens,
+                     CAST(coalesce(list_sum([
+                       ((('0x' || substr(md5('w' || CAST(
+                             ('0x' || substr(md5(x), 1, 6))::BIGINT % 1024
+                           AS VARCHAR)), 1, 6))::BIGINT % 2001) - 1000)
+                       for x in words ]), 0) AS BIGINT) AS ws
+              FROM w)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   ws AS weight_sum,
+                   round(1.0 / (1.0 + exp(-(CASE WHEN n_tokens > 0
+                                                 THEN ws / (1000.0 * n_tokens)
+                                                 ELSE 0.0 END) * 10)), 6)
+                     AS prob,
+                   ws >= 0 AS label
+            FROM scored
+        """,
+        # Cross-document duplicate 5-gram fraction; words/shingle CTEs
+        # mirror the decontaminate oracle at n=5.
+        "dup_ngram_frac": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+4], ' ')
+                                              for i in generate_series(1, len(w) - 4)])
+                     END AS s
+              FROM words),
+            ex AS (
+              SELECT doc_id, len(s) AS n_shingles, unnest(s) AS shingle FROM sh),
+            counts AS (
+              SELECT shingle, count(*) AS docs FROM ex GROUP BY shingle)
+            SELECT e.doc_id, CAST(e.n_shingles AS INT) AS n_shingles,
+                   CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup,
+                   round(CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) / e.n_shingles, 6) AS dup_frac
+            FROM ex e JOIN counts c ON e.shingle = c.shingle
+            GROUP BY e.doc_id, e.n_shingles
         """,
         # PII scrub: identical sequential replace (email -> ip -> phone)
         # with per-kind counts taken before each pass; patterns are the

@@ -162,3 +162,98 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         F.round(mean_wl, 6).alias("q_mean_word_len"),
         F.round(score, 6).alias("q_score"),
     )
+
+
+# hashed-linear classifier constants: bucket count and the weight-table
+# recipe are part of the contract (the oracle regenerates both exactly)
+CLF_BUCKETS = 1024
+CLF_WEIGHT_SPAN = 2001  # weights in [-1, 1] with 1/1000 resolution
+
+
+def _hash_bucket(word: Column) -> Column:
+    """md5-based feature-hash bucket in [0, CLF_BUCKETS). 6 hex chars
+    stay far inside int64 (the <=15-hex-char rule for conv parity)."""
+    return F.conv(F.substring(F.md5(word), 1, 6), 16, 10).cast("long") % CLF_BUCKETS
+
+
+def _bucket_weight(bucket: Column) -> Column:
+    """Deterministic 'pretrained' INTEGER weight per bucket in
+    [-1000, 1000] (milli-units): a second md5 over 'w<bucket>' — stands
+    in for a fasttext-style model shipped as a lookup table; the
+    arithmetic (not the training) is the operator. Integer weights keep
+    the document score EXACT — a float weight sum divided by the token
+    count lands on 6-decimal rounding ties (multiples of 1/(1000*n))
+    where engines' round implementations legitimately disagree."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 6), 16, 10
+    ).cast("long")
+    return h % CLF_WEIGHT_SPAN - F.lit(1000)
+
+
+def classifier_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Linear text classifier inference at scan speed (the
+    fasttext-style quality/domain scorer large pipelines run over every
+    document): feature-hash each word into CLF_BUCKETS buckets, sum the
+    bucket weights, normalize by token count, squash with a sigmoid.
+
+    Pure Column algebra — the per-word hash+weight runs inside a single
+    ``aggregate`` over the materialized word array, so scoring is a
+    narrow projection with NO shuffle and no UDF. A real deployment
+    swaps ``_bucket_weight`` for a broadcast weight-array lookup; the
+    plan shape (scan-speed map) is identical.
+
+    Returns (id, n_tokens, weight_sum, prob, label): weight_sum is the
+    exact integer milli-weight total, prob the sigmoid of the
+    token-normalized score, and label == (weight_sum >= 0) — exact, no
+    float comparison."""
+    out = df.select(F.col(id_col), _words(text_col).alias("__w"))
+    raw = F.aggregate(
+        F.col("__w"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + _bucket_weight(_hash_bucket(x)),
+    )
+    n = F.size("__w")
+    margin = F.when(n > 0, raw / (F.lit(1000.0) * n)).otherwise(F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin * 10))
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        raw.alias("weight_sum"),
+        F.round(prob, 6).alias("prob"),
+        (raw >= 0).alias("label"),
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 5
+) -> DataFrame:
+    """CROSS-document duplicate n-gram fraction (the C4/RefinedWeb
+    "duplicated line/ngram" filter): for each document, the share of
+    its distinct word ``shingle_n``-grams that also occur in at least
+    one OTHER document. High values mark boilerplate and template spam.
+
+    Plan: distinct shingles per doc -> global per-shingle doc counts
+    (partial-agg, map-side combined) -> join back on the shingle ->
+    per-doc ratio. Three shuffles, all keyed by (shingle | doc id),
+    linear in corpus size; a shingle shared by millions of docs is a
+    hot key the AQE skew-join splits. Returns
+    (id, n_shingles, n_dup, dup_frac)."""
+    from graphkb_spark.operators.dedup import word_shingles, words
+
+    doc_sh = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
+        .select("__id", F.size("__sh").alias("n_shingles"), F.explode("__sh").alias("__s"))
+    )
+    counts = doc_sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        doc_sh.join(counts, "__s")
+        .groupBy("__id", "n_shingles")
+        .agg(F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias("n_dup"))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+    )

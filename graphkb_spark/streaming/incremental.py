@@ -211,3 +211,69 @@ def streaming_dedup(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    window_minutes: int = 10,
+    watermark: str = "1 hour",
+    query_name: str = "stream_ij",
+    stage_dir: str | None = None,
+):
+    """Stream-STREAM interval join: attribute each ``right_type`` event
+    to the same user's ``left_type`` events in the preceding
+    ``window_minutes`` (the click->purchase attribution shape; for a
+    training pipeline, joining a log stream to its labels stream).
+
+    Both sides are genuine streams with event-time watermarks; the
+    range predicate bounds the join state on BOTH sides — Spark drops a
+    buffered left row once the right watermark passes left.ts +
+    window, so state is O(events inside the window horizon), never the
+    full history. Inner join + append mode => every match is emitted
+    exactly once, which makes the operator's complete output
+    SQL-expressible (a plain self-join with the same time predicate)
+    and hence oracle-checkable.
+    """
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events = normalize_ntz(events)
+    events.write.mode("overwrite").parquet(stage_dir)
+
+    def side(tag: str, etype: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(events.schema)
+            .parquet(stage_dir)
+            .filter(F.col("event_type") == etype)
+            .withWatermark("ts", watermark)
+        )
+        return s.select(
+            F.col("event_id").alias(f"{tag}_event_id"),
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("ts").alias(f"{tag}_ts"),
+            F.col("value").alias(f"{tag}_value"),
+        )
+
+    left, right = side("l", left_type), side("r", right_type)
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"SELECT l_event_id, r_event_id, l_user AS user_id, l_ts, r_ts, "
+        f"r_value FROM {query_name}"
+    )

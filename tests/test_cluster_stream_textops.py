@@ -1,0 +1,109 @@
+"""K-means clustering, the hashed-linear classifier, cross-doc
+duplicate-ngram fraction, and the stream-stream interval join."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two well-separated planted blobs end up in two clusters with
+    every member assigned to its blob's centroid."""
+    from graphkb_spark.operators.cluster import kmeans_assign
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(6)] + [
+        (i, [-10.0 - (i % 3) * 0.1, 1.0]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_assign(df, "embedding", "vec_id", k=2, n_iter=3).collect()
+    by_blob = {0: set(), 1: set()}
+    for r in out:
+        by_blob[0 if r.vec_id < 6 else 1].add(r.cluster)
+    # each blob maps to exactly one cluster and the clusters differ
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
+    assert by_blob[0] != by_blob[1]
+    # converged: every point sits near its refined centroid
+    assert all(r.dist2 < 0.05 for r in out)
+
+
+def test_kmeans_deterministic_and_empty_cluster_safe(spark):
+    """k > #distinct points leaves empty clusters (which keep their
+    seed centroid) without error, and reruns are bit-identical."""
+    from graphkb_spark.operators.cluster import kmeans_assign
+
+    rows = [(i, [float(i % 2), 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(map(tuple, kmeans_assign(df, "embedding", "vec_id", k=4, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(df, "embedding", "vec_id", k=4, n_iter=2).collect()))
+    assert a == b
+    assert len(a) == 8
+
+
+def test_classifier_score_exact_and_empty(spark):
+    """weight_sum is an exact integer, label == (weight_sum >= 0), and
+    empty text scores neutral (prob 0.5, label True)."""
+    from graphkb_spark.operators.text import (
+        CLF_WEIGHT_SPAN,
+        classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "the the the")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in classifier_score(df, "text", "doc_id").collect()}
+    assert out[2].n_tokens == 0 and out[2].weight_sum == 0
+    assert out[2].prob == 0.5 and out[2].label is True
+    for r in out.values():
+        assert r.label == (r.weight_sum >= 0)
+        assert abs(r.weight_sum) <= r.n_tokens * (CLF_WEIGHT_SPAN // 2 + 1)
+    # identical tokens hash identically: doc 3 = 3x the weight of 'the'
+    assert out[3].weight_sum % 3 == 0
+
+
+def test_duplicate_ngram_fraction(spark):
+    """Shared 5-grams across docs are flagged; unique docs score 0."""
+    from graphkb_spark.operators.text import duplicate_ngram_fraction
+
+    boiler = "all rights reserved contact us today"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta"),
+            (2, boiler + " one two three four five six seven"),
+            (3, "entirely unique words nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           duplicate_ngram_fraction(df, "text", "doc_id", shingle_n=5).collect()}
+    # the two boilerplate docs share the 5-grams inside `boiler`
+    assert out[1].n_dup == 2 and out[2].n_dup == 2
+    assert out[1].dup_frac > 0 and out[2].dup_frac > 0
+    assert out[3].n_dup == 0 and out[3].dup_frac == 0.0
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """The stream-stream interval join emits exactly the batch
+    self-join's matches: same-user purchases within 10 minutes of a
+    click, boundaries inclusive, cross-user and out-of-window pairs
+    excluded."""
+    from graphkb_spark.streaming.incremental import streaming_interval_join
+
+    ts = lambda m: datetime(2024, 1, 1, 12, m, 0)
+    rows = [
+        # (event_id, user_id, ts, event_type, value)
+        (1, 100, ts(0), "click", 1.0),
+        (2, 100, ts(5), "purchase", 9.5),   # in window of 1
+        (3, 100, ts(10), "purchase", 2.0),  # boundary: exactly +10min of 1
+        (4, 100, ts(21), "purchase", 3.0),  # outside
+        (5, 200, ts(1), "click", 1.0),
+        (6, 200, ts(0), "purchase", 4.0),   # before the click -> excluded
+        (7, 300, ts(2), "purchase", 5.0),   # no click for this user
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    out = streaming_interval_join(spark, df, query_name="t_stream_ij")
+    got = {(r.l_event_id, r.r_event_id) for r in out.collect()}
+    assert got == {(1, 2), (1, 3)}
