@@ -1448,6 +1448,62 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", capacity=512, shards=8)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking (size 120, step 90): a NARROW
+    zero-shuffle explode — the RAG-indexing front half of an
+    embed-and-index pipeline."""
+    from graphkb_spark.operators.corpus import chunk_documents
+
+    t = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        t["documents"].select("doc_id", "text"),
+        "doc_id",
+        "text",
+        size=120,
+        step=90,
+    )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-segment removal (Lee et al. style,
+    16-word segments): first global occurrence wins, documents rebuilt
+    from surviving segments. Two keyed exchanges, linear."""
+    from graphkb_spark.operators.corpus import dedup_segments
+
+    t = _t(spark, sf_dir, "documents")
+    return dedup_segments(
+        t["documents"].select("doc_id", "text"), "doc_id", "text", seg_words=16
+    )
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture sampling (600 tokens per
+    source): deterministic md5-shuffled order, running-sum window, keep
+    while cum <= budget — the training-mix materializer."""
+    from graphkb_spark.operators.sampling import token_budget_sample
+
+    t = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        t["documents"].select("doc_id", "source", "text"),
+        "doc_id",
+        "source",
+        "text",
+        budget_tokens=600,
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document with exact-rational idf
+    (N+1)/(df+1) — bit-deterministic across engines, ties break on the
+    term text."""
+    from graphkb_spark.operators.sampling import tfidf_top_terms
+
+    t = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(
+        t["documents"].select("doc_id", "text"), "doc_id", "text", k=5
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min over 32-char shingles of
     the first-16-hex md5 — a 1-value MinHash, fully replicated by the
@@ -2493,11 +2549,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the reconcile exchange rewrite with its civic_sync embedders;
     # (b) every query ADDED this round (edit_distance_join_k2,
     # stream_interval_join, kmeans_assign, classifier_score,
-    # dup_ngram_frac); (c) dedup_fillscore (last green r02) and the
-    # entries whose latest driver row is r02/r03. Three r03-green
-    # entries (approx_distinct, approx_quantiles, source_registry) and
-    # r4-green unchanged entries park past 50 — they rotate forward
-    # next round.
+    # dup_ngram_frac, chunk_documents, segment_dedup,
+    # token_budget_sample, tfidf_topk); (c) dedup_fillscore (last green
+    # r02) and the entries whose latest driver row is r02/r03. Seven
+    # r03-green entries (approx_distinct, approx_quantiles,
+    # source_registry, pmc_fusions, pmc_functional, docm_load,
+    # cgl_load) and r4-green unchanged entries park past 50 — they
+    # rotate forward next round.
     return {
         # -- changed or added this round --
         "sessionize": q_sessionize,
@@ -2513,6 +2571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "classifier_score": q_classifier_score,
         "dup_ngram_frac": q_dup_ngram_frac,
+        "chunk_documents": q_chunk_documents,
+        "segment_dedup": q_segment_dedup,
+        "token_budget_sample": q_token_budget_sample,
+        "tfidf_topk": q_tfidf_topk,
         # -- last driver row r02/r03: pulled forward --
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2547,11 +2609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gsc_ontology": q_gsc_ontology,
         "asco_abstracts": q_asco_abstracts,
         "fda_approvals_year": q_fda_approvals_year,
+        # -- parked: r03/r04-green, unchanged; rotate forward next round --
         "pmc_fusions": q_pmc_fusions,
         "pmc_functional": q_pmc_functional,
         "docm_load": q_docm_load,
         "cgl_load": q_cgl_load,
-        # -- parked: r03/r04-green, unchanged; rotate forward next round --
         "minhash_lsh": q_minhash_lsh,
         "approx_distinct": q_approx_distinct,
         "approx_quantiles": q_approx_quantiles,
@@ -4119,6 +4181,114 @@ def oracle_sql() -> dict[str, str]:
                                     i -> substr(md5(substr(text, i, 32)), 1, 16)),
                      'min') AS fingerprint
             FROM documents
+        """,
+        # Sliding-window retrieval chunks: offsets 0, 90, 180, ... while
+        # inside the text; substring clamps the tail chunk identically.
+        "chunk_documents": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     ((length(text) - 1) // 90) + 1 AS n_chunks
+              FROM documents WHERE length(text) > 0
+            ),
+            ex AS (
+              SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_id
+              FROM base
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(chunk_id * 90 AS BIGINT) AS chunk_start,
+                   substring(text, CAST(chunk_id * 90 + 1 AS INT), 120) AS chunk_text,
+                   CAST(length(substring(text, CAST(chunk_id * 90 + 1 AS INT), 120))
+                        AS BIGINT) AS chunk_len
+            FROM ex
+        """,
+        # Lee-et-al segment dedup: first global occurrence of every
+        # 16-word segment wins (doc_id, then position); documents are
+        # rebuilt from surviving segments in position order.
+        "segment_dedup": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE length(text) > 0
+            ),
+            b2 AS (
+              SELECT doc_id, w, ((len(w) - 1) // 16) + 1 AS n_seg FROM base
+            ),
+            segs AS (
+              SELECT doc_id, w, unnest(range(0, n_seg)) AS seg_idx FROM b2
+            ),
+            st AS (
+              SELECT doc_id, seg_idx,
+                     array_to_string(
+                       w[CAST(seg_idx * 16 + 1 AS INT):CAST(seg_idx * 16 + 16 AS INT)],
+                       ' ') AS seg_text
+              FROM segs
+            ),
+            fl AS (
+              SELECT doc_id, seg_idx, seg_text,
+                     row_number() OVER (PARTITION BY seg_text
+                                        ORDER BY doc_id, seg_idx) = 1 AS keep
+              FROM st
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS kept_segments,
+                   coalesce(string_agg(CASE WHEN keep THEN seg_text END,
+                                       ' ' ORDER BY seg_idx), '') AS dedup_text
+            FROM fl GROUP BY doc_id
+        """,
+        # Token-budget mixture sampling: md5-shuffled order per source,
+        # running sum windowed (CAST — DuckDB window sums are HUGEINT),
+        # keep while cum <= budget.
+        "token_budget_sample": """
+            WITH base AS (
+              SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS k
+              FROM documents
+            ),
+            c AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source
+                            ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum_tokens
+              FROM base
+            )
+            SELECT source, doc_id, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 600
+        """,
+        # Top-5 TF-IDF terms per doc; idf is the exact rational
+        # (N+1)/(df+1) so the one double division is IEEE-identical in
+        # both engines; ties break on term text.
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+              FROM tf GROUP BY term
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                     CAST(tf.tf * (n.n_docs + 1) AS DOUBLE)
+                       / CAST(dfreq.doc_freq + 1 AS DOUBLE) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term ASC) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, doc_freq, score,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 5
         """,
         # Ternary sparse-random-projection LSH: identical md5-seeded
         # weights, buckets, and exact rerank.

@@ -1,7 +1,8 @@
 """Corpus-preparation operators for LLM training pipelines: vocabulary
-building and sequence packing.
+building, sequence packing, retrieval chunking, and cross-document
+segment-level deduplication.
 
-Both are pure DataFrame algebra with deterministic, oracle-replicable
+All are pure DataFrame algebra with deterministic, oracle-replicable
 semantics:
 
 - ``build_vocab``: global token frequencies -> the top-V vocabulary
@@ -15,6 +16,16 @@ semantics:
   Packing is per-shard (deterministic hash of the id), so the
   prefix-sum window never funnels the corpus through one task — the
   100 TB-safe layout; waste is at most one partial sequence per shard.
+- ``chunk_documents``: fixed-stride sliding-window chunking for
+  retrieval/RAG indexing. A NARROW operator: explode over a computed
+  offset sequence, zero shuffles — the 100 TB plan is scan-speed.
+- ``dedup_segments``: cross-document duplicate-segment removal in the
+  style of Lee et al., "Deduplicating Training Data Makes Language
+  Models Better" (exact-substring dedup at fixed word-segment
+  granularity): every repeated segment keeps only its first global
+  occurrence (doc id, then position), and documents are rebuilt from
+  the surviving segments. One shuffle keyed on the segment hash, one
+  keyed re-aggregation — linear in corpus size, no all-pairs anywhere.
 """
 
 from __future__ import annotations
@@ -106,4 +117,113 @@ def pack_sequences(
         (span_start - F.col("__start")).alias("doc_offset"),
         (span_start - seq_lo).alias("seq_offset"),
         (span_end - span_start).alias("span_len"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 120,
+    step: int = 90,
+) -> DataFrame:
+    """Sliding-window retrieval chunks: one row per (document, chunk)
+    with chunks starting at character offsets 0, step, 2*step, ... while
+    the offset is inside the text (``overlap = size - step`` characters
+    shared between consecutive chunks). The final chunk may be shorter
+    than ``size``; empty texts produce no chunks.
+
+    Scale shape: NARROW — ``explode(sequence(...))`` over a per-row
+    computed bound, no shuffle, no window; chunking 100 TB is a single
+    scan-speed map stage and composes with a downstream embedding UDF
+    without a repartition. LLM-pipeline extension (retrieval indexing),
+    not a reference-surface operator."""
+    if step <= 0 or size <= 0:
+        raise ValueError("size and step must be positive")
+    n = F.length(F.col(text_col))
+    n_chunks = F.floor((n - F.lit(1)) / F.lit(step)) + 1
+    base = df.filter(n > 0).select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id") * step
+    chunk = F.col("__text").substr(start + 1, F.lit(size))
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+    )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 16,
+) -> DataFrame:
+    """Cross-document duplicate-segment removal (Lee et al. exact
+    dedup at fixed segment granularity): split each document into
+    consecutive ``seg_words``-word segments, keep only the FIRST global
+    occurrence of every distinct segment (ordered by document id, then
+    segment position), and rebuild each document from its surviving
+    segments. Returns (id, n_segments, kept_segments, dedup_text) —
+    one row per input document; a fully-duplicated document survives
+    with kept_segments = 0 and dedup_text = ''.
+
+    Scale shape: explode to one row per segment (linear), ONE shuffle
+    keyed on the segment text for the first-occurrence window (dedup of
+    a popular segment is a skewed key — AQE skew-join/partition
+    splitting handles the reduce side), then one keyed re-aggregation
+    back to documents. No all-pairs comparison exists anywhere; the
+    plan is two exchanges regardless of corpus size. Words split on a
+    single space so the DuckDB oracle replicates byte-for-byte."""
+    if seg_words <= 0:
+        raise ValueError("seg_words must be positive")
+    w = F.split(F.col(text_col), " ")
+    n_seg = F.floor((F.size(w) - F.lit(1)) / F.lit(seg_words)) + 1
+    segs = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_seg - 1)).alias(
+            "seg_idx"
+        ),
+    )
+    seg_text = F.array_join(
+        F.slice(segs["__w"], F.col("seg_idx").cast("int") * seg_words + 1, seg_words),
+        " ",
+    )
+    segs = segs.select(F.col(id_col), "seg_idx", seg_text.alias("seg_text"))
+    first = Window.partitionBy("seg_text").orderBy(
+        F.col(id_col).asc(), F.col("seg_idx").asc()
+    )
+    flagged = segs.withColumn(
+        "__keep", F.row_number().over(first) == F.lit(1)
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__keep").cast("long")).alias("kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.seg_text,
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("kept_segments").cast("bigint").alias("kept_segments"),
+            "dedup_text",
+        )
     )

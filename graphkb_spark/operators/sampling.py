@@ -111,3 +111,101 @@ def bm25_scores(
         .groupBy(F.col("__id").alias(id_col))
         .agg(F.round(F.sum(term_score), 4).alias("bm25"))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    text_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-stratum token-budget mixture sampling: within each stratum
+    (source/domain/language), take documents in a deterministic
+    hash-shuffled order until the cumulative whitespace-token count
+    reaches ``budget_tokens`` — the standard way a training-mix recipe
+    ("50 B tokens of web, 10 B of code") is materialized. A document is
+    kept iff the budget is not yet exhausted INCLUDING itself
+    (cum <= budget), so reruns and stragglers select the identical set.
+
+    Returns (stratum, id, n_tokens, cum_tokens) for the selected docs.
+
+    Scale shape: ONE shuffle keyed on the stratum for the running-sum
+    window; the order inside each stratum is md5(id) — content-free,
+    uniform, and replicable by any engine — so the selection is a true
+    random sample yet bit-deterministic. Skewed strata (one giant
+    source) stay a single partition's window scan, which is linear and
+    early-terminable; for pathological single-stratum corpora, shard
+    the stratum first like ``pack_sequences`` does."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    key = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(stratum_col),
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        key.alias("__k"),
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(stratum_col, id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: tf = in-document count,
+    idf = (N + 1) / (df_t + 1) as an EXACT rational (integer numerator
+    and denominator, one IEEE-correctly-rounded double division — no
+    transcendental, so DuckDB and Spark produce bit-identical scores,
+    unlike ln-based idf where libm implementations can differ in the
+    last ulp). Rank ties break on the term text ascending.
+
+    Returns (id, term, tf, doc_freq, score, rank), rank 1..k.
+
+    Scale shape: explode -> partial-agg (doc, term) counts (one keyed
+    shuffle), term -> doc-frequency agg over the distinct-term table
+    (small; shuffle keyed on term), corpus size N as a broadcast
+    scalar, and a per-document top-k window (one keyed shuffle with a
+    WindowGroupLimit so only k rows per doc survive the partial sort).
+    Linear in corpus size; no all-pairs, no global sort."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("__N") + F.lit(1))).cast("double")
+            / (F.col("doc_freq") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
