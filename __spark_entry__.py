@@ -2529,6 +2529,101 @@ def q_source_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kb.sources
 
 
+def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive ancestor closure over a synthetic part hierarchy
+    (node -> node div 10) via pointer doubling — O(log depth) join
+    rounds, each localCheckpointed. The materialize-the-closure-once
+    pattern replaces the reference's per-query subclassof chain walks
+    (src/graphkb.js:341-372). Oracle: DuckDB recursive CTE."""
+    from graphkb_spark.operators.graph import transitive_closure
+
+    t = _t(spark, sf_dir, "part")
+    edges = t["part"].filter(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 10").alias("dst"),
+    )
+    out = transitive_closure(edges)
+    return out.select(
+        F.col("src").alias("node"),
+        F.col("dst").alias("ancestor"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact rollup through the ancestor closure: lineitem quantity
+    aggregated to every hierarchy node including all descendants —
+    closure computed once (pointer doubling), then ONE broadcast
+    equi-join + grouped agg over the fact table, never a per-level
+    pass. The ontology-rollup shape of GraphKB statement counting."""
+    from graphkb_spark.operators.graph import hierarchy_rollup
+
+    t = _t(spark, sf_dir, "part", "lineitem")
+    edges = t["part"].filter(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 10").alias("dst"),
+    )
+    facts = t["lineitem"].select(
+        F.col("l_partkey").alias("part"), "l_quantity"
+    )
+    return hierarchy_rollup(
+        facts,
+        edges,
+        fact_node="part",
+        agg_exprs=[
+            F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        ],
+    )
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide trigram frequency table (KenLM-style count pass):
+    narrow codegen n-gram generation, one partial-aggregating shuffle,
+    top-150 ranking on the aggregated table only."""
+    from graphkb_spark.operators.corpus import ngram_counts
+
+    t = _t(spark, sf_dir, "documents")
+    return ngram_counts(t["documents"], "text", n=3, min_count=2, top=150)
+
+
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS + correlation screening (slope, intercept,
+    Pearson r, R²) as algebraic aggregates — one shuffle, map-side
+    combined, no second pass."""
+    from graphkb_spark.operators.aggregate import grouped_regression
+
+    t = _t(spark, sf_dir, "lineitem")
+    return grouped_regression(
+        t["lineitem"],
+        ["l_returnflag", "l_linestatus"],
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+    )
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact-to-dimension join with deterministic 8-way
+    salting (operators/skew.py): the dimension replicates R ways, the
+    fact scatters by xxhash64-mod-R, so a dominant key spreads over R
+    tasks — the explicit fix for broadcast-ineligible skewed dims that
+    AQE cannot split. Result aggregated per market segment; the oracle
+    is the same join UNsalted, proving salting changes the physical
+    distribution and nothing else."""
+    from graphkb_spark.operators.skew import salted_join
+
+    t = _t(spark, sf_dir, "events", "customer")
+    fact = t["events"].select("event_id", "user_id", "value")
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(fact, dim, on=["user_id"], salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2557,7 +2652,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cgl_load) and r4-green unchanged entries park past 50 — they
     # rotate forward next round.
     return {
-        # -- changed or added this round --
+        # -- added in round 5: never driver-checked, so they lead --
+        "graph_closure": q_graph_closure,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "ngram_counts": q_ngram_counts,
+        "grouped_regression": q_grouped_regression,
+        "salted_skew_join": q_salted_skew_join,
+        # -- changed or added earlier this round --
         "sessionize": q_sessionize,
         "streaming_sessions": q_streaming_sessions,
         "edit_distance_join": q_edit_distance_join,
@@ -2818,6 +2919,78 @@ def oracle_sql() -> dict[str, str]:
         for lang, ws in text_ops.LANG_MARKERS.items()
     }
     return {
+        # Recursive ancestor closure over the part hierarchy; on a tree
+        # the min is the unique path length. Matches the pointer-doubling
+        # Spark plan pair-for-pair.
+        "graph_closure": """
+            WITH RECURSIVE e AS (
+              SELECT p_partkey AS src, p_partkey // 10 AS dst
+              FROM part WHERE p_partkey >= 1),
+            anc AS (
+              SELECT src, dst, 1 AS dist FROM e
+              UNION
+              SELECT a.src, e.dst, a.dist + 1
+              FROM anc a JOIN e ON a.dst = e.src)
+            SELECT src AS node, dst AS ancestor,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM anc GROUP BY src, dst
+        """,
+        "hierarchy_rollup": """
+            WITH RECURSIVE e AS (
+              SELECT p_partkey AS src, p_partkey // 10 AS dst
+              FROM part WHERE p_partkey >= 1),
+            anc AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT a.src, e.dst FROM anc a JOIN e ON a.dst = e.src),
+            -- explicit UNION ALL + outer DISTINCT: inside a WITH
+            -- RECURSIVE block DuckDB does not intra-batch-dedup plain
+            -- UNIONs in non-recursive CTEs
+            cl AS (
+              SELECT DISTINCT part, node FROM (
+                SELECT src AS part, dst AS node FROM anc
+                UNION ALL SELECT src, src FROM e
+                UNION ALL SELECT dst, dst FROM e))
+            SELECT cl.node,
+                   round(sum(l_quantity), 6) AS total_qty,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN cl ON l_partkey = cl.part
+            GROUP BY cl.node
+        """,
+        "ngram_counts": r"""
+            WITH tok AS (
+              SELECT regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+              FROM documents),
+            g AS (
+              SELECT array_to_string(t[i:i+2], ' ') AS ngram
+              FROM tok, unnest(generate_series(1, greatest(len(t) - 2, 0)))
+                          AS u(i)),
+            c AS (
+              SELECT ngram, count(*) AS freq FROM g
+              GROUP BY ngram HAVING count(*) >= 2),
+            r AS (
+              SELECT ngram, freq,
+                     row_number() OVER (ORDER BY freq DESC, ngram ASC) AS rk
+              FROM c)
+            SELECT ngram, freq FROM r WHERE rk <= 150
+        """,
+        "grouped_regression": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept,
+                   round(corr(l_quantity, l_extendedprice), 6) AS pearson_r,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # The UNsalted join: salting must not change the result.
+        "salted_skew_join": """
+            SELECT c_mktsegment, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment
+        """,
         "filter_dsl_nested": """
             SELECT o_orderkey, o_totalprice, o_orderpriority
             FROM orders

@@ -80,3 +80,50 @@ def version_chain(
         else Window.orderBy(F.col(order_col).asc())
     )
     return df.withColumn(prev_alias, F.lag(order_col).over(w))
+
+
+def grouped_regression(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group bivariate statistics — OLS slope/intercept, Pearson
+    correlation, R², and the group size — the screening pass a
+    curation pipeline runs before trusting a linear relationship
+    (e.g. dosage vs response per cohort).
+
+    Scale shape: every statistic is an algebraic aggregate (population
+    moments) so Spark computes them in ONE partial-aggregating shuffle
+    on the group key with map-side combine — the same cost as a grouped
+    count at any scale. No window, no second pass. Derived ratios use
+    ``try_divide`` rather than the ``corr``/``regr_*`` built-ins, which
+    raise DIVIDE_BY_ZERO under ANSI mode on zero-variance groups; a
+    constant-x group yields NULL slope/correlation (DuckDB semantics,
+    with regr_r2 = 1 when only y is constant). Rounded to 6 places so
+    the DuckDB oracle hash-matches across summation orders."""
+    x, y = F.col(x_col), F.col(y_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+        F.var_pop(x).alias("_vx"),
+        F.var_pop(y).alias("_vy"),
+        F.covar_pop(x, y).alias("_cxy"),
+    )
+    slope = F.try_divide(F.col("_cxy"), F.col("_vx"))
+    r = F.try_divide(
+        F.col("_cxy"), F.sqrt(F.col("_vx")) * F.sqrt(F.col("_vy"))
+    )
+    r2 = (
+        F.when((F.col("_vx") > 0) & (F.col("_vy") > 0), r * r)
+        .when((F.col("_vx") > 0) & (F.col("_vy") == 0), F.lit(1.0))
+    )
+    return stats.select(
+        *group_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -227,3 +227,50 @@ def dedup_segments(
             "dedup_text",
         )
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    min_count: int = 2,
+    top: int | None = None,
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table (the KenLM-style count pass
+    that backs perplexity filters and contamination checks). Tokenizes
+    with the shared ``TOKEN_REGEX``, slides an ``n``-token window over
+    every document, and counts each distinct n-gram across the corpus.
+
+    Scale shape: the n-gram generation is NARROW (``transform`` over a
+    computed ``sequence`` + ``explode``, all whole-stage codegen —
+    no Python); counting is one partial-aggregating shuffle keyed on
+    the n-gram, exactly the word-count shape Spark map-side combines.
+    The optional ``top`` ranking window runs on the already-aggregated
+    distinct-n-gram table, never the corpus. Returns
+    (ngram, freq) ordered nowhere — callers sort if they page.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    toks = tokens(text_col)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+    # empty list, so short/null documents must short-circuit to []
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    counted = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+    if top is not None:
+        rank = Window.orderBy(F.col("freq").desc(), F.col("ngram").asc())
+        counted = (
+            counted.withColumn("rank", F.row_number().over(rank))
+            .filter(F.col("rank") <= top)
+            .drop("rank")
+        )
+    return counted

@@ -11,7 +11,7 @@ frontier is small; at scale the join keys are co-partitionable by rid).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,6 +55,92 @@ def expand_neighbors(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """All (node, ancestor, dist) reachability pairs over an acyclic
+    edge set, via pointer doubling: round k joins the current path set
+    with itself, so paths up to length 2^k exist after k rounds —
+    O(log depth) shuffle rounds instead of O(depth) frontier steps,
+    the scale-right shape for deep hierarchies (the reference walks
+    ``subclassof``/``elementof`` chains one hop at a time per query,
+    src/graphkb.js:341-372; here the whole closure is materialized
+    once and every downstream rollup is an equi-join).
+
+    ``dist`` is the minimum path length (on a tree, the unique one).
+    Each round localCheckpoints (lineage would otherwise double per
+    round) and converges when no new (src, dst) pair appears.
+    Self-loops would never terminate; they are excluded up front.
+    """
+    paths = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n = paths.count()
+    for _ in range(max_rounds):
+        left = paths.alias("l")
+        right = paths.alias("r")
+        extended = left.join(
+            right, F.col("l.dst") == F.col("r.src")
+        ).select(
+            F.col("l.src").alias("src"),
+            F.col("r.dst").alias("dst"),
+            (F.col("l.dist") + F.col("r.dist")).alias("dist"),
+        )
+        paths = (
+            paths.unionByName(extended)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        n2 = paths.count()
+        if n2 == n:
+            break
+        n = n2
+    return paths
+
+
+def hierarchy_rollup(
+    facts: DataFrame,
+    edges: DataFrame,
+    fact_node: str,
+    agg_exprs: list[Column],
+    src: str = "src",
+    dst: str = "dst",
+    include_self: bool = True,
+) -> DataFrame:
+    """Aggregate fact rows up an acyclic hierarchy: every fact counts
+    toward its own node (``include_self``) and every ancestor of it.
+
+    The closure is computed once (pointer doubling, above) and the
+    rollup is a single equi-join + partial-aggregating groupBy on the
+    ancestor key — no per-level passes over the fact table, which is
+    the property that matters when facts are 100 TB and the hierarchy
+    is a dimension. Returns one row per ancestor node (column
+    ``node``) with the aggregates.
+    """
+    closure = transitive_closure(edges, src=src, dst=dst).select(
+        F.col("src").alias(fact_node), F.col("dst").alias("node")
+    )
+    if include_self:
+        nodes = (
+            edges.select(F.col(src).alias(fact_node))
+            .unionByName(edges.select(F.col(dst).alias(fact_node)))
+            .distinct()
+        )
+        closure = closure.unionByName(
+            nodes.withColumn("node", F.col(fact_node))
+        )
+    joined = facts.join(F.broadcast(closure), fact_node)
+    return joined.groupBy("node").agg(*agg_exprs)
 
 
 def edge_exists(

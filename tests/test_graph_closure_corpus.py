@@ -1,0 +1,149 @@
+"""Round-5 operators: transitive closure / hierarchy rollup
+(operators/graph.py), n-gram counts (operators/corpus.py), grouped
+regression (operators/aggregate.py), and the salted skew join
+(operators/skew.py) against its unsalted equivalent.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.aggregate import grouped_regression
+from graphkb_spark.operators.corpus import ngram_counts
+from graphkb_spark.operators.graph import hierarchy_rollup, transitive_closure
+from graphkb_spark.operators.skew import salted_join
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_transitive_closure_chain(spark):
+    # 1 -> 2 -> 3 -> 4: closure has every forward pair with exact dist
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        (r.src, r.dst): r.dist for r in transitive_closure(e).collect()
+    }
+    assert got == {
+        (1, 2): 1, (2, 3): 1, (3, 4): 1,
+        (1, 3): 2, (2, 4): 2,
+        (1, 4): 3,
+    }
+
+
+def test_transitive_closure_dag_min_dist(spark):
+    # diamond: 1->2->4 and 1->4 directly; min dist wins
+    e = _edges(spark, [(1, 2), (2, 4), (1, 4)])
+    got = {
+        (r.src, r.dst): r.dist for r in transitive_closure(e).collect()
+    }
+    assert got[(1, 4)] == 1
+    assert got[(1, 2)] == 1 and got[(2, 4)] == 1
+
+
+def test_transitive_closure_drops_self_loops(spark):
+    e = _edges(spark, [(1, 1), (1, 2)])
+    rows = transitive_closure(e).collect()
+    assert {(r.src, r.dst, r.dist) for r in rows} == {(1, 2, 1)}
+
+
+def test_transitive_closure_deep_chain_few_rounds(spark):
+    # depth 12 converges inside the doubling budget (ceil(log2(12)) + 1)
+    e = _edges(spark, [(i, i + 1) for i in range(12)])
+    out = transitive_closure(e)
+    assert out.count() == 12 * 13 // 2
+    d = {(r.src, r.dst): r.dist for r in out.collect()}
+    assert d[(0, 12)] == 12
+
+
+def test_hierarchy_rollup_includes_self_and_descendants(spark):
+    # tree: 10 <- 1, 10 <- 2 ; facts on 1, 2, 10
+    e = _edges(spark, [(1, 10), (2, 10)])
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (10, 1.0)], "part long, qty double"
+    )
+    out = hierarchy_rollup(
+        facts, e, "part",
+        [F.sum("qty").alias("total"), F.count(F.lit(1)).alias("n")],
+    )
+    got = {r.node: (r.total, r.n) for r in out.collect()}
+    assert got[10] == (13.0, 3)   # self + both children
+    assert got[1] == (5.0, 1)
+    assert got[2] == (7.0, 1)
+
+
+def test_ngram_counts_basic_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c"),
+            (3, "xy"),          # shorter than n: no trigrams
+            (4, None),          # null text: no rows, no crash
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.ngram: r.freq
+        for r in ngram_counts(df, "text", n=3, min_count=2).collect()
+    }
+    assert got == {"a b c": 2}
+    all_grams = {
+        r.ngram: r.freq
+        for r in ngram_counts(df, "text", n=3, min_count=1).collect()
+    }
+    assert all_grams == {"a b c": 2, "b c d": 1}
+
+
+def test_ngram_counts_top_ranking(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "x y z")], "id long, text string"
+    )
+    top1 = ngram_counts(df, "text", n=2, min_count=1, top=1).collect()
+    assert len(top1) == 1
+    assert top1[0].ngram == "x y" and top1[0].freq == 4
+
+
+def test_ngram_counts_rejects_bad_n(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError):
+        ngram_counts(df, "text", n=0)
+
+
+def test_grouped_regression_exact_line(spark):
+    # y = 3x + 1 exactly in group 'a'; constant x in group 'b' -> null slope
+    rows = [("a", float(x), 3.0 * x + 1.0) for x in range(1, 6)]
+    rows += [("b", 2.0, 5.0), ("b", 2.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_regression(df, ["g"], "x", "y").collect()}
+    a = got["a"]
+    assert a.n == 5
+    assert math.isclose(a.slope, 3.0, abs_tol=1e-6)
+    assert math.isclose(a.intercept, 1.0, abs_tol=1e-6)
+    assert math.isclose(a.pearson_r, 1.0, abs_tol=1e-6)
+    assert math.isclose(a.r2, 1.0, abs_tol=1e-6)
+    assert got["b"].slope is None  # zero x-variance
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)],
+        "event_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z")], "k long, name string"
+    )
+    salted = (
+        salted_join(fact, dim, on=["k"], salt=4)
+        .groupBy("name").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("v").alias("s"))
+    )
+    plain = (
+        fact.join(dim, "k")
+        .groupBy("name").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
