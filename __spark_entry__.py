@@ -2602,6 +2602,50 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): one grouped shuffle
+    + codegen array walk; the oracle takes the equivalent
+    min-ts-per-stage join path."""
+    from graphkb_spark.operators.aggregate import funnel_counts
+
+    t = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        t["events"], "user_id", "event_type", "ts",
+        ["view", "click", "purchase"],
+    )
+
+
+def q_rolling_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving average of event value per user —
+    partitioned window, one shuffle, no global sort."""
+    from graphkb_spark.operators.aggregate import rolling_mean
+
+    t = _t(spark, sf_dir, "events")
+    out = rolling_mean(
+        t["events"], "user_id", ["ts", "event_id"], "value", window_rows=7
+    )
+    return out.select("event_id", "user_id", "rolling_avg")
+
+
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (5000-wide buckets) — one
+    partial-aggregating shuffle on the bucket id."""
+    from graphkb_spark.operators.aggregate import histogram_fixed
+
+    t = _t(spark, sf_dir, "lineitem")
+    return histogram_fixed(t["lineitem"], "l_extendedprice", step=5000.0)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM quality proxy (avg conditional log2
+    probability under the corpus's own bigram counts) — the KenLM-style
+    perplexity filter. Vocab-sized count tables, keyed joins, linear."""
+    from graphkb_spark.operators.corpus import lm_score
+
+    t = _t(spark, sf_dir, "documents")
+    return lm_score(t["documents"], "doc_id", "text")
+
+
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key fact-to-dimension join with deterministic 8-way
     salting (operators/skew.py): the dimension replicates R ways, the
@@ -2638,24 +2682,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round to give
     # every query a driver row at least every other round. Round-5 window:
-    # (a) every query whose code or oracle changed this round — the
-    # sessionize/streaming_sessions oracle BIGINT casts, the reworked
-    # edit-distance join (k<=2), the explode_outer decontamination fix,
-    # and the reconcile exchange rewrite with its civic_sync embedders;
-    # (b) every query ADDED this round (edit_distance_join_k2,
-    # stream_interval_join, kmeans_assign, classifier_score,
-    # dup_ngram_frac, chunk_documents, segment_dedup,
-    # token_budget_sample, tfidf_topk); (c) dedup_fillscore (last green
-    # r02) and the entries whose latest driver row is r02/r03. Seven
-    # r03-green entries (approx_distinct, approx_quantiles,
-    # source_registry, pmc_fusions, pmc_functional, docm_load,
-    # cgl_load) and r4-green unchanged entries park past 50 — they
+    # (a) the nine queries ADDED in round 5 (graph_closure,
+    # hierarchy_rollup, ngram_counts, lm_score, funnel, rolling_average,
+    # histogram_bins, grouped_regression, salted_skew_join) — never
+    # driver-checked, so they lead; (b) every query whose code or oracle
+    # changed since the r4 gate — the sessionize/streaming_sessions
+    # oracle BIGINT casts, the reworked edit-distance join (k<=2), the
+    # explode_outer decontamination fix, and the reconcile exchange
+    # rewrite with its civic_sync embedders; (c) the nine queries added
+    # earlier this round (edit_distance_join_k2, stream_interval_join,
+    # kmeans_assign, classifier_score, dup_ngram_frac, chunk_documents,
+    # segment_dedup, token_budget_sample, tfidf_topk) plus
+    # dedup_fillscore (last green r02) and entries whose latest driver
+    # row is r02/r03. R3/r4-green unchanged entries park past 50 and
     # rotate forward next round.
     return {
         # -- added in round 5: never driver-checked, so they lead --
         "graph_closure": q_graph_closure,
         "hierarchy_rollup": q_hierarchy_rollup,
         "ngram_counts": q_ngram_counts,
+        "lm_score": q_lm_score,
+        "funnel": q_funnel,
+        "rolling_average": q_rolling_average,
+        "histogram_bins": q_histogram_bins,
         "grouped_regression": q_grouped_regression,
         "salted_skew_join": q_salted_skew_join,
         # -- changed or added earlier this round --
@@ -2974,6 +3023,64 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY freq DESC, ngram ASC) AS rk
               FROM c)
             SELECT ngram, freq FROM r WHERE rk <= 150
+        """,
+        # Funnel via per-stage min-ts joins: provably the same stage
+        # reach as the Spark side's greedy sorted-array walk.
+        "funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND e.ts >= t1.t
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= t2.t
+              GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM t1) AS n_view,
+                   (SELECT count(*) FROM t2) AS n_click,
+                   (SELECT count(*) FROM t3) AS n_purchase
+        """,
+        "rolling_average": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_avg
+            FROM events
+        """,
+        "histogram_bins": """
+            SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+                   round(CAST(floor(l_extendedprice / 5000) AS BIGINT)
+                         * 5000.0, 6) AS lo_edge,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        # Bigram conditional log-prob under the corpus's own counts;
+        # denominator is the w1-as-prefix count, not the raw unigram
+        # count, so the conditional distribution sums to 1.
+        "lm_score": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] AS w1,
+                     array_to_string(t[i:i+1], ' ') AS bigram
+              FROM tok, unnest(generate_series(1, greatest(len(t) - 1, 0)))
+                          AS u(i)),
+            c2 AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+            c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
+            scored AS (
+              SELECT bg.doc_id,
+                     log2(CAST(c2.c AS DOUBLE) / c1.c) AS lp
+              FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1))
+            SELECT doc_id, round(avg(lp), 6) AS avg_log2_prob,
+                   count(*) AS n_bigrams
+            FROM scored GROUP BY doc_id
         """,
         "grouped_regression": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

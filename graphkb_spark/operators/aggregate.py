@@ -127,3 +127,107 @@ def grouped_regression(
         F.round(r, 6).alias("pearson_r"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def rolling_mean(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Trailing ``window_rows``-row moving average per partition key —
+    the time-series smoothing primitive. The window is PARTITIONED (by
+    user/entity), so at 100 TB it is one shuffle on the key and a
+    linear in-partition scan; there is no global sort. Order columns
+    must make the order total (ts + a tiebreaker id) or the result is
+    nondeterministic."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(
+        "rolling_avg", F.round(F.avg(value_col).over(w), 6)
+    )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    step: float,
+    lo: float = 0.0,
+) -> DataFrame:
+    """Fixed-width histogram: bucket i covers [lo + i*step, lo +
+    (i+1)*step). One partial-aggregating shuffle on the bucket id —
+    the cheapest possible distribution profile of a 100 TB column.
+    Returns (bucket, lo_edge, n)."""
+    if step <= 0:
+        raise ValueError("step must be positive")
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step)).cast("long")
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * step + lo, 6).alias("lo_edge"),
+            "n",
+        )
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed stage 1, then
+    stage 2 at-or-after their first qualifying stage-1 time, and so on
+    (the greedy earliest-match subsequence semantics every funnel tool
+    uses). Returns ONE row with a ``n_<stage>`` column per stage.
+
+    Scale shape: events filter to the funnel types (pushed to the
+    scan), ONE shuffle groups each user's events, and the walk is an
+    ``aggregate`` over the per-user (ts, stage)-sorted array — all
+    whole-stage codegen, no joins, no per-stage passes. The DuckDB
+    oracle takes the equivalent min-ts-per-stage 3-join path; greedy
+    earliest matching provably reaches the same stage, with the
+    (ts, stage-index) secondary sort making ties agree with the
+    oracle's ``ts >= prev`` semantics."""
+    stages = list(stages)
+    idx_pairs = [x for i, s in enumerate(stages) for x in (F.lit(s), F.lit(i))]
+    ev = events.filter(F.col(type_col).isin(stages)).select(
+        F.col(user_col).alias("__user"),
+        F.create_map(*idx_pairs)[F.col(type_col)].alias("sidx"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+    )
+    per_user = ev.groupBy("__user").agg(
+        F.array_sort(F.collect_list(F.struct("t", "sidx"))).alias("__evs")
+    )
+    long_min = -(2**63)
+    reached = F.aggregate(
+        "__evs",
+        F.struct(
+            F.lit(0).alias("stage"), F.lit(long_min).cast("long").alias("t")
+        ),
+        lambda acc, e: F.when(
+            (acc.stage < len(stages))
+            & (e.sidx == acc.stage)
+            & (e.t >= acc.t),
+            F.struct(
+                (acc.stage + F.lit(1)).alias("stage"), e.t.alias("t")
+            ),
+        ).otherwise(acc),
+    ).stage
+    rows = per_user.select(reached.alias("__reached"))
+    return rows.agg(
+        *[
+            F.sum((F.col("__reached") >= i + 1).cast("long")).alias(
+                f"n_{s}"
+            )
+            for i, s in enumerate(stages)
+        ]
+    )

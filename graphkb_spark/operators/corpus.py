@@ -274,3 +274,53 @@ def ngram_counts(
             .drop("rank")
         )
     return counted
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document average bigram conditional log-probability under
+    the corpus's own bigram model — the KenLM-style perplexity proxy
+    used to quality-filter web corpora (a document whose word
+    transitions are atypical for the corpus scores low). Score =
+    mean over bigrams of log2(count(w1 w2) / count(w1 as prefix)).
+
+    Scale shape: bigram generation is narrow; the two count tables are
+    vocab-sized (Zipf: far smaller than the corpus) built by
+    partial-aggregating shuffles; attaching the two counts is two
+    keyed equi-joins AQE can demote to broadcast when the vocab fits;
+    the final per-document mean is one more keyed agg. Everything is
+    linear in corpus size — no all-pairs, no windows over the corpus.
+    Documents with fewer than two tokens produce no row (they have no
+    bigrams to score)."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col), toks.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    bg = base.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.size("__t") - F.lit(1))
+        ).alias("__i"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        F.element_at("__t", F.col("__i")).alias("w1"),
+        F.array_join(F.slice("__t", F.col("__i"), 2), " ").alias("bigram"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .withColumn(
+            "__lp",
+            F.log2(F.col("__c2").cast("double") / F.col("__c1")),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lp"), 6).alias("avg_log2_prob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

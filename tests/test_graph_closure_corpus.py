@@ -147,3 +147,89 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_lm_score_hand_computed(spark):
+    from graphkb_spark.operators.corpus import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, None)],
+        "id long, text string",
+    )
+    got = {r.id: r for r in lm_score(df, "id", "text").collect()}
+    # corpus bigrams: doc1 = (a b), (b a), (a b); doc2 = (a b), (b c)
+    # prefix counts: a->3, b->2 ; bigram counts: "a b"->3, "b a"->1, "b c"->1
+    # doc1: log2(3/3) + log2(1/2) + log2(3/3) over 3 = -1/3
+    assert got[1].n_bigrams == 3
+    assert math.isclose(got[1].avg_log2_prob, round(-1 / 3, 6), abs_tol=1e-9)
+    # doc2: log2(3/3) + log2(1/2) over 2 = -0.5
+    assert got[2].n_bigrams == 2
+    assert math.isclose(got[2].avg_log2_prob, -0.5, abs_tol=1e-9)
+    # <2-token and null docs emit no row
+    assert 3 not in got and 4 not in got
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    from datetime import datetime
+
+    from graphkb_spark.operators.aggregate import funnel_counts
+
+    T = datetime
+    rows = [
+        # u1: full funnel in order
+        (1, "view", T(2024, 1, 1, 10)), (1, "click", T(2024, 1, 1, 11)),
+        (1, "purchase", T(2024, 1, 1, 12)),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "view", T(2024, 1, 1, 10)), (2, "purchase", T(2024, 1, 1, 10, 30)),
+        (2, "click", T(2024, 1, 1, 11)),
+        # u3: only view
+        (3, "view", T(2024, 1, 1, 9)),
+        # u4: click then later view then purchase: view matches first,
+        # click never re-occurs after it -> stops at view
+        (4, "click", T(2024, 1, 1, 8)), (4, "view", T(2024, 1, 1, 9)),
+        (4, "purchase", T(2024, 1, 1, 10)),
+        # u5: simultaneous view+click+purchase all count (ties, >= semantics)
+        (5, "view", T(2024, 1, 1, 7)), (5, "click", T(2024, 1, 1, 7)),
+        (5, "purchase", T(2024, 1, 1, 7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = funnel_counts(df, "user_id", "event_type", "ts",
+                        ["view", "click", "purchase"]).collect()[0]
+    assert out.n_view == 5        # u1..u5 all viewed
+    assert out.n_click == 3       # u1, u2, u5
+    assert out.n_purchase == 2    # u1, u5
+
+def test_rolling_mean_window(spark):
+    from datetime import datetime
+
+    from graphkb_spark.operators.aggregate import rolling_mean
+
+    rows = [(1, i, datetime(2024, 1, 1, i), float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {r.event_id: r.rolling_avg
+           for r in rolling_mean(df, "user_id", ["ts", "event_id"], "value",
+                                 window_rows=3).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 1.5
+    assert out[3] == 2.0      # (1+2+3)/3
+    assert out[5] == 4.0      # (3+4+5)/3
+
+def test_histogram_fixed_edges(spark):
+    from graphkb_spark.operators.aggregate import histogram_fixed
+
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (9.99,), (10.0,), (-0.1,)], "v double"
+    )
+    got = {r.bucket: (r.lo_edge, r.n)
+           for r in histogram_fixed(df, "v", step=5.0).collect()}
+    assert got[0] == (0.0, 2)    # 0.0 and 4.9
+    assert got[1] == (5.0, 2)    # 5.0 boundary lands in its own bucket
+    assert got[2] == (10.0, 1)
+    assert got[-1] == (-5.0, 1)  # below lo goes to bucket -1
+
+def test_histogram_rejects_bad_step(spark):
+    from graphkb_spark.operators.aggregate import histogram_fixed
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram_fixed(df, "v", step=0)
