@@ -298,10 +298,12 @@ def quantized_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "__qv",
     ).select("query_id", "__qv", F.col("qvec").alias("__qq"))
-    approx = (
-        _int_dot("__cq", "__qq")
-        / (F.sqrt(_int_dot("__cq", "__cq")) * F.sqrt(_int_dot("__qq", "__qq")))
-    )
+    # self-norms are per-ROW constants: compute once per side BEFORE
+    # the join rather than per candidate pair (3x fewer array
+    # traversals inside the join's hot loop)
+    c = c.withColumn("__cnorm", F.sqrt(_int_dot("__cq", "__cq")))
+    q = q.withColumn("__qnorm", F.sqrt(_int_dot("__qq", "__qq")))
+    approx = _int_dot("__cq", "__qq") / (F.col("__cnorm") * F.col("__qnorm"))
     cand = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
