@@ -2636,6 +2636,85 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed(t["lineitem"], "l_extendedprice", step=5000.0)
 
 
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``)."""
+    from graphkb_spark.operators.aggregate import grouped_percentiles
+
+    t = _t(spark, sf_dir, "lineitem")
+    return grouped_percentiles(
+        t["lineitem"], ["l_returnflag"], "l_extendedprice"
+    )
+
+
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id: per-(flag,status) totals plus per-flag
+    and grand-total subtotal rows — one pass, Spark expands the
+    grouping sets map-side."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into typed columns (explicit pivot
+    value list keeps the plan one-pass, no distinct-values pre-scan)."""
+    t = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    p = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the pre-1997
+    aggregate snapshot is merged with the 1997+ raw delta by one keyed
+    full-outer coalesce-add — the historical rows are never
+    re-aggregated. Oracle: one-shot aggregation of the full table."""
+    from graphkb_spark.operators.aggregate import incremental_agg_merge
+
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    sum_map = {"sum_qty": "l_quantity", "sum_price": "l_extendedprice"}
+    snapshot = (
+        li.filter(F.col("l_shipdate") < cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            *[F.sum(s).alias(d) for d, s in sum_map.items()],
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    delta = li.filter(F.col("l_shipdate") >= cutoff)
+    merged = incremental_agg_merge(
+        snapshot, delta, ["l_returnflag", "l_linestatus"], sum_map
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 6).alias("sum_qty"),
+        F.round("sum_price", 6).alias("sum_price"),
+        "n",
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM quality proxy (avg conditional log2
     probability under the corpus's own bigram counts) — the KenLM-style
@@ -2703,6 +2782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "lm_score": q_lm_score,
         "funnel": q_funnel,
+        "grouped_percentiles": q_grouped_percentiles,
+        "cube_rollup": q_cube_rollup,
+        "pivot_events": q_pivot_events,
+        "incremental_agg": q_incremental_agg,
         "rolling_average": q_rolling_average,
         "histogram_bins": q_histogram_bins,
         "grouped_regression": q_grouped_regression,
@@ -3043,6 +3126,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM t1) AS n_view,
                    (SELECT count(*) FROM t2) AS n_click,
                    (SELECT count(*) FROM t3) AS n_purchase
+        """,
+        "grouped_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "cube_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                     AS gid,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                     AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
+        """,
+        # The one-shot aggregation the incremental merge must equal.
+        "incremental_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "rolling_average": """
             SELECT event_id, user_id,

@@ -231,3 +231,54 @@ def funnel_counts(
             for i, s in enumerate(stages)
         ]
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.95),
+) -> DataFrame:
+    """Exact linearly-interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). Exact percentiles
+    sort within each group — fine for dimension-bounded groups; use
+    ``approx_quantiles_with_bound`` (operators/sketch.py) when the
+    group count or size is corpus-scale."""
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_agg_merge(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_map: dict[str, str],
+    count_alias: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for algebraic
+    aggregates: ``snapshot`` holds the pre-aggregated state (keys,
+    summed columns, row count), ``delta`` is the new RAW batch. The
+    delta is aggregated identically (map-side combined) and merged
+    with ONE keyed full-outer join + coalesce-add — the whole point at
+    100 TB: the historical data is never rescanned, only the delta and
+    the (much smaller) aggregate table move. Works for any
+    sum/count-composable aggregate; averages derive downstream."""
+    keys = list(keys)
+    aggs = [F.sum(src).alias(dst) for dst, src in sum_map.items()]
+    aggs.append(F.count(F.lit(1)).alias(count_alias))
+    d = delta.groupBy(*keys).agg(*aggs)
+    joined = snapshot.alias("a").join(d.alias("b"), on=keys, how="full")
+    out_cols = [F.col(k) for k in keys]
+    for dst in [*sum_map, count_alias]:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"a.{dst}"), F.lit(0))
+                + F.coalesce(F.col(f"b.{dst}"), F.lit(0))
+            ).alias(dst)
+        )
+    return joined.select(*out_cols)

@@ -233,3 +233,41 @@ def test_histogram_rejects_bad_step(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         histogram_fixed(df, "v", step=0)
+
+
+def test_grouped_percentiles_interpolation(spark):
+    from graphkb_spark.operators.aggregate import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [10, 20, 30, 40]], "g string, v double"
+    )
+    row = grouped_percentiles(df, ["g"], "v", percentiles=(0.5,)).collect()[0]
+    assert row.p50 == 25.0  # linear interpolation between 20 and 30
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from graphkb_spark.operators.aggregate import incremental_agg_merge
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 4.0), ("c", 7.0)], "k string, v double"
+    )
+    snap = base.groupBy("k").agg(
+        F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")
+    )
+    merged = {
+        r.k: (r.sum_v, r.n)
+        for r in incremental_agg_merge(
+            snap, delta, ["k"], {"sum_v": "v"}
+        ).collect()
+    }
+    full = {
+        r.k: (r.sum_v, r.n)
+        for r in base.unionByName(delta)
+        .groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert merged == full  # includes delta-only key 'c' and untouched 'b'
