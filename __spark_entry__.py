@@ -2636,6 +2636,15 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed(t["lineitem"], "l_extendedprice", step=5000.0)
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key profile (top 20 user_ids by event count, with
+    share and rank) — the pre-join skew diagnostic."""
+    from graphkb_spark.operators.skew import key_skew_profile
+
+    t = _t(spark, sf_dir, "events")
+    return key_skew_profile(t["events"], "user_id", top=20)
+
+
 def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     == DuckDB ``quantile_cont``)."""
@@ -2782,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "lm_score": q_lm_score,
         "funnel": q_funnel,
+        "key_skew_profile": q_key_skew_profile,
         "grouped_percentiles": q_grouped_percentiles,
         "cube_rollup": q_cube_rollup,
         "pivot_events": q_pivot_events,
@@ -3126,6 +3136,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM t1) AS n_view,
                    (SELECT count(*) FROM t2) AS n_click,
                    (SELECT count(*) FROM t3) AS n_purchase
+        """,
+        "key_skew_profile": """
+            WITH c AS (
+              SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c),
+            r AS (
+              SELECT key, n,
+                     CAST(row_number() OVER (ORDER BY n DESC, key ASC)
+                          AS INT) AS rank
+              FROM c)
+            SELECT key, n, round(CAST(n AS DOUBLE) / tot, 6) AS share, rank
+            FROM r, t WHERE rank <= 20
         """,
         "grouped_percentiles": """
             SELECT l_returnflag,

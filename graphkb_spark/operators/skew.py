@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -40,3 +40,34 @@ def salted_join(
     d = dim.withColumn(SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = f.join(d, on + [SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """Heavy-hitter profile of a join/groupBy key: the ``top`` most
+    frequent values with their absolute count, share of all rows, and
+    rank — the diagnostic you run BEFORE picking a salt factor or
+    trusting AQE's skew split on a 100 TB join.
+
+    One partial-aggregating shuffle builds the per-key counts; the
+    ranking window and the total run on the aggregated (distinct-key)
+    table only, and the single-row total broadcasts. Returns
+    (key, n, share, rank)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("__tot"))
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+        "rank",
+    )

@@ -271,3 +271,26 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
         .collect()
     }
     assert merged == full  # includes delta-only key 'c' and untouched 'b'
+
+
+def test_transitive_closure_random_forests(spark):
+    """Property check: on random forests (parent(i) < i), the doubling
+    closure equals the reference python walk, pairs AND distances.
+    Cases are fixed-seed (Spark per-example cost rules out hypothesis
+    here) but cover chains, stars, and mixed fan-in."""
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(4):
+        n = rng.randint(5, 24)
+        parents = {i: rng.randrange(i) for i in range(1, n)}
+        expected = {}
+        for i in parents:
+            node, d = i, 0
+            while node in parents:
+                node = parents[node]
+                d += 1
+                expected[(i, node)] = d
+        e = _edges(spark, [(i, p) for i, p in parents.items()])
+        got = {(r.src, r.dst): r.dist for r in transitive_closure(e).collect()}
+        assert got == expected, f"case {case}: n={n}"
