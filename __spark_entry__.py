@@ -2636,6 +2636,18 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed(t["lineitem"], "l_extendedprice", step=5000.0)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (8 merges) over the documents corpus.
+    Iterative with a data-dependent argmax per round, so no static SQL
+    oracle exists — the driver records a rows-only check; the merge
+    sequence is verified against a pure-Python reference BPE in
+    tests/test_graph_closure_corpus.py."""
+    from graphkb_spark.operators.corpus import bpe_train
+
+    t = _t(spark, sf_dir, "documents")
+    return bpe_train(t["documents"], "text", n_merges=8)
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter key profile (top 20 user_ids by event count, with
     share and rank) — the pre-join skew diagnostic."""
@@ -2791,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "lm_score": q_lm_score,
         "funnel": q_funnel,
+        "bpe_train": q_bpe_train,
         "key_skew_profile": q_key_skew_profile,
         "grouped_percentiles": q_grouped_percentiles,
         "cube_rollup": q_cube_rollup,

@@ -324,3 +324,89 @@ def lm_score(
         F.round(F.avg("__lp"), 6).alias("avg_log2_prob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn byte-pair-encoding merge rules over a corpus — the
+    tokenizer-training pass of an LLM data pipeline. Standard BPE
+    (Sennrich et al. 2016): pre-tokenize into whitespace words with
+    counts, start from single characters, and repeatedly merge the
+    globally most frequent adjacent symbol pair (ties broken by
+    (left, right) ascending — deterministic). Returns the merge table
+    (step, left, right, merged, pair_count).
+
+    Scale shape: the corpus is touched ONCE to build the word-count
+    table; every merge round then runs on the DISTINCT-WORD table
+    (vocab-sized, Zipf — millions of rows at 100 TB corpus scale, not
+    corpus-sized), with one partial-aggregating shuffle for the
+    weighted pair counts, a 1-row argmax collect (the only driver
+    traffic), and a narrow codegen re-segmentation. Symbol arrays are
+    localCheckpointed each round so lineage stays flat. The per-word
+    merge application is an ``aggregate`` lambda implementing exact
+    left-to-right non-overlapping pair replacement.
+
+    Iterative + data-dependent argmax per round, so there is no single
+    static SQL equivalent — the driver records a rows-only check;
+    tests/test_graph_closure_corpus.py verifies the merge sequence
+    against a pure-Python reference BPE."""
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq", F.split("w", "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        n = F.size("syms")
+        pairs = syms.filter(n >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0].l, best[0].r, int(best[0].c)
+        merged = l + r
+        merges.append((step, l, r, merged, c))
+        # left-to-right non-overlapping replacement: append each symbol
+        # unless it is `r` AND the accumulator currently ends in an
+        # UNMERGED `l` (a just-merged tail cannot chain into a new pair)
+        apply_merge = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (x == F.lit(r)) & (F.get(acc, F.size(acc) - 1) == F.lit(l)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("freq", apply_merge.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    )

@@ -294,3 +294,65 @@ def test_transitive_closure_random_forests(spark):
         e = _edges(spark, [(i, p) for i, p in parents.items()])
         got = {(r.src, r.dst): r.dist for r in transitive_closure(e).collect()}
         assert got == expected, f"case {case}: n={n}"
+
+
+def _ref_bpe(texts, n_merges):
+    """Pure-Python reference BPE (Sennrich et al.): count-weighted
+    adjacent-pair argmax, (count desc, left, right) tie-break,
+    left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts if t for w in t.lower().split())
+    syms = {w: list(w) for w in wc}
+    merges = []
+    for step in range(n_merges):
+        pc = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from graphkb_spark.operators.corpus import bpe_train
+
+    texts = [
+        "low lower lowest",
+        "new newer newest newest",
+        "low low new",
+        None,
+        "wider wide wide",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(df, "text", n_merges=6).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_bpe_train_repeated_chars(spark):
+    from graphkb_spark.operators.corpus import bpe_train
+
+    # 'aaaa' stresses non-overlapping left-to-right application
+    texts = ["aaaa aaaa aa", "aaa a"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(df, "text", n_merges=4).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, 4)
