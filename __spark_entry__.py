@@ -2636,6 +2636,23 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed(t["lineitem"], "l_extendedprice", step=5000.0)
 
 
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: events truncated to the
+    hour with count / value-sum / distinct-user aggregates — one
+    partial-aggregating shuffle on the bucket (the distinct adds its
+    keyed expand), the continuous-aggregate shape at any scale."""
+    t = _t(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (8 merges) over the documents corpus.
     Iterative with a data-dependent argmax per round, so no static SQL
@@ -2803,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "lm_score": q_lm_score,
         "funnel": q_funnel,
+        "time_bucket_rollup": q_time_bucket_rollup,
         "bpe_train": q_bpe_train,
         "key_skew_profile": q_key_skew_profile,
         "grouped_percentiles": q_grouped_percentiles,
@@ -3149,6 +3167,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM t1) AS n_view,
                    (SELECT count(*) FROM t2) AS n_click,
                    (SELECT count(*) FROM t3) AS n_purchase
+        """,
+        "time_bucket_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "key_skew_profile": """
             WITH c AS (
