@@ -2655,9 +2655,11 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (8 merges) over the documents corpus.
-    Iterative with a data-dependent argmax per round, so no static SQL
-    oracle exists — the driver records a rows-only check; the merge
-    sequence is verified against a pure-Python reference BPE in
+    Oracle: the 8 data-dependent merge rounds unrolled as chained
+    MATERIALIZED CTEs in DuckDB (``_bpe_oracle_sql``), each recomputing
+    weighted pair counts, taking the argmax, and re-segmenting via a
+    sentinel-delimited string replace. The merge sequence is also
+    verified against a pure-Python reference BPE in
     tests/test_graph_closure_corpus.py."""
     from graphkb_spark.operators.corpus import bpe_train
 
@@ -2729,9 +2731,19 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphkb_spark.operators.aggregate import incremental_agg_merge
 
     t = _t(spark, sf_dir, "lineitem")
-    li = t["lineitem"]
+    # Decimal sums on BOTH sides (here and the oracle): decimal addition
+    # is exactly associative, so the snapshot+delta two-phase merge is
+    # hash-identical to the oracle's one-shot sum at any split point —
+    # double-precision sums are order-dependent at the 1e-6 rounding
+    # boundary and failed the driver's exact value hash in round 5.
+    li = t["lineitem"].withColumns(
+        {
+            "qty_d": F.col("l_quantity").cast("decimal(18,2)"),
+            "price_d": F.col("l_extendedprice").cast("decimal(18,2)"),
+        }
+    )
     cutoff = F.lit("1997-01-01").cast("timestamp")
-    sum_map = {"sum_qty": "l_quantity", "sum_price": "l_extendedprice"}
+    sum_map = {"sum_qty": "qty_d", "sum_price": "price_d"}
     snapshot = (
         li.filter(F.col("l_shipdate") < cutoff)
         .groupBy("l_returnflag", "l_linestatus")
@@ -2747,8 +2759,8 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "l_returnflag",
         "l_linestatus",
-        F.round("sum_qty", 6).alias("sum_qty"),
-        F.round("sum_price", 6).alias("sum_price"),
+        F.round(F.col("sum_qty").cast("double"), 6).alias("sum_qty"),
+        F.round(F.col("sum_price").cast("double"), 6).alias("sum_price"),
         "n",
     )
 
@@ -3082,6 +3094,55 @@ def _civic_pipeline_ctes() -> str:
     """
 
 
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for BPE training: the ``n_merges`` data-dependent
+    rounds unrolled as chained MATERIALIZED CTEs. Each round recomputes
+    weighted adjacent-pair counts over the current segmentation, takes
+    the (count desc, left, right) argmax via scalar subqueries, and
+    re-segments with a plain string ``replace`` — left-to-right
+    non-overlapping, exactly BPE's merge semantics — over a
+    sentinel-delimited encoding (each symbol wrapped chr(31)..chr(30),
+    so matches can never straddle or prefix a symbol boundary).
+    MATERIALIZED is load-bearing: inlining would expand the round chain
+    exponentially (~5^rounds scans of ``documents``)."""
+    sql = r"""
+        WITH words AS MATERIALIZED (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+            FROM documents)
+          WHERE w <> '' GROUP BY w),
+        r0 AS MATERIALIZED (
+          SELECT freq,
+                 regexp_replace(w, '(.)', chr(31) || '\1' || chr(30), 'g') AS s
+          FROM words)"""
+    for k in range(n_merges):
+        sql += f""",
+        p{k} AS (
+          SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM (
+            SELECT freq, lst[i] AS l, lst[i + 1] AS r FROM (
+              SELECT freq,
+                     list_transform(string_split(s, chr(31))[2:],
+                                    x -> rtrim(x, chr(30))) AS lst
+              FROM r{k}),
+            unnest(generate_series(1, len(lst) - 1)) AS u(i))
+          GROUP BY l, r),
+        b{k} AS MATERIALIZED (
+          SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+        r{k + 1} AS MATERIALIZED (
+          SELECT freq, replace(s,
+              chr(31) || (SELECT l FROM b{k}) || chr(30)
+                || chr(31) || (SELECT r FROM b{k}) || chr(30),
+              chr(31) || (SELECT l FROM b{k}) || (SELECT r FROM b{k})
+                || chr(30)) AS s
+          FROM r{k})"""
+    sql += "\n" + "\n UNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right",'
+        f" l || r AS merged, c AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     en = ", ".join(f"'{w}'" for w in text_ops.LANG_MARKERS["en"])
     lang_hits = {
@@ -3214,10 +3275,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         # The one-shot aggregation the incremental merge must equal.
+        # Decimal sums (matching the Spark side) make the result exact
+        # and independent of summation order, so the hash is stable.
         "incremental_agg": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS sum_price,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -4519,6 +4584,7 @@ def oracle_sql() -> dict[str, str]:
         # with per-kind counts taken before each pass; patterns are the
         # PII_PATTERNS constants verbatim.
         "pii_redact": _pii_oracle_sql(),
+        "bpe_train": _bpe_oracle_sql(),
         # Decontamination: distinct-3gram overlap of each doc against
         # the benchmark shingle set (docs % 50 == 0), same shingles.
         "decontaminate": """

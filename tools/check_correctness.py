@@ -108,6 +108,26 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             if bad.any():
                 i = bad.idxmax()
                 problems.append(f"first diff row {i}: spark={a.loc[i].to_dict()} oracle={b.loc[i].to_dict()}")
+        else:
+            # Driver-faithful EXACT check: the driver hashes the
+            # stringified frame, so a value that passes rtol=1e-6 but
+            # stringifies differently (FP summation-order drift at a
+            # round() boundary — the round-5 incremental_agg failure
+            # class) is still driver-red. Compare stringified values
+            # exactly and surface the first offending cell.
+            sa = a.astype(str)
+            sb = b.astype(str)
+            mask = sa.ne(sb)
+            bad = mask.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                cols = [c for c in sa.columns if mask.loc[i, c]]
+                problems.append(
+                    "exact-hash mismatch (passes rtol, driver-red): "
+                    f"row {i} col(s) {cols}: "
+                    f"spark={ {c: sa.loc[i, c] for c in cols} } "
+                    f"oracle={ {c: sb.loc[i, c] for c in cols} }"
+                )
     return problems
 
 
