@@ -246,7 +246,8 @@ def grouped_percentiles(
     group count or size is corpus-scale."""
     aggs = [
         F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(
-            f"p{int(p * 100)}"
+            # round, not truncate: int(0.29 * 100) == 28 under float error
+            f"p{int(round(p * 100))}"
         )
         for p in percentiles
     ]

@@ -68,7 +68,12 @@ def kmeans_assign(
         .limit(k)
     )
     cents = seed.select(
-        (F.row_number().over(Window.orderBy("__h")) - 1).alias("cluster"),
+        (
+            F.row_number().over(
+                Window.partitionBy(F.pmod(F.length("__h"), F.lit(1))).orderBy("__h")
+            )
+            - 1
+        ).alias("cluster"),
         F.col("__v").alias("__c"),
     ).localCheckpoint(eager=True)
 

@@ -51,20 +51,29 @@ def build_vocab(
     token_id = dense rank by (freq desc, token asc) starting at 0.
 
     Scale shape: explode -> partial-agg count (one shuffle on token);
-    the ranking sorts only the distinct-token table, and the window is
-    an unpartitioned row_number over that SMALL table — acceptable for
-    vocab-sized outputs (<= millions), not for the raw corpus."""
+    the top-V cut is a DISTRIBUTED ``orderBy().limit()`` (TakeOrdered:
+    per-partition top-V, then a V-row driver merge) — at 100 TB the
+    distinct-token table is 10^8-10^9 rows and must never funnel
+    through one task. Only the V surviving rows pass through the
+    ranking window (single explicit partition, by construction tiny).
+    (token, freq) is a total order — token is unique — so the limit
+    boundary is deterministic and tie-free."""
     counts = (
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_freq)
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_size)
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("token_id", F.row_number().over(w) - 1)
-        .filter(F.col("token_id") < vocab_size)
-        .select("token", "token_id", "freq")
+    # constant-valued but non-foldable partition key: declares the
+    # post-limit table single-partition (Catalyst folds a bare lit()
+    # out of the spec, re-triggering the unpartitioned-window warn)
+    w = Window.partitionBy(F.pmod(F.col("freq"), F.lit(1))).orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    )
+    return counts.select(
+        "token", (F.row_number().over(w) - 1).alias("token_id"), "freq"
     )
 
 
@@ -245,9 +254,10 @@ def ngram_counts(
     computed ``sequence`` + ``explode``, all whole-stage codegen —
     no Python); counting is one partial-aggregating shuffle keyed on
     the n-gram, exactly the word-count shape Spark map-side combines.
-    The optional ``top`` ranking window runs on the already-aggregated
-    distinct-n-gram table, never the corpus. Returns
-    (ngram, freq) ordered nowhere — callers sort if they page.
+    The optional ``top`` cut is a distributed ``orderBy().limit()``
+    (TakeOrdered) — never a global window over the distinct-n-gram
+    table, which at 100 TB is itself huge. Returns (ngram, freq)
+    ordered nowhere — callers sort if they page.
     """
     if n <= 0:
         raise ValueError("n must be positive")
@@ -267,12 +277,9 @@ def ngram_counts(
         .filter(F.col("freq") >= min_count)
     )
     if top is not None:
-        rank = Window.orderBy(F.col("freq").desc(), F.col("ngram").asc())
-        counted = (
-            counted.withColumn("rank", F.row_number().over(rank))
-            .filter(F.col("rank") <= top)
-            .drop("rank")
-        )
+        counted = counted.orderBy(
+            F.col("freq").desc(), F.col("ngram").asc()
+        ).limit(top)
     return counted
 
 

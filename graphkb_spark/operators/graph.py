@@ -116,6 +116,7 @@ def hierarchy_rollup(
     src: str = "src",
     dst: str = "dst",
     include_self: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Aggregate fact rows up an acyclic hierarchy: every fact counts
     toward its own node (``include_self``) and every ancestor of it.
@@ -126,6 +127,12 @@ def hierarchy_rollup(
     the property that matters when facts are 100 TB and the hierarchy
     is a dimension. Returns one row per ancestor node (column
     ``node``) with the aggregates.
+
+    ``broadcast``: True forces a broadcast hint on the closure, False
+    forbids it, None (default) leaves the choice to Catalyst/AQE. The
+    closure is O(nodes x depth) — a deep or wide hierarchy can exceed
+    the broadcast limit, where a forced hint fails the job instead of
+    degrading to a shuffle join, so the hint is opt-in.
     """
     closure = transitive_closure(edges, src=src, dst=dst).select(
         F.col("src").alias(fact_node), F.col("dst").alias("node")
@@ -139,7 +146,9 @@ def hierarchy_rollup(
         closure = closure.unionByName(
             nodes.withColumn("node", F.col(fact_node))
         )
-    joined = facts.join(F.broadcast(closure), fact_node)
+    if broadcast:
+        closure = F.broadcast(closure)
+    joined = facts.join(closure, fact_node)
     return joined.groupBy("node").agg(*agg_exprs)
 
 

@@ -60,11 +60,15 @@ def key_skew_profile(
         F.count(F.lit(1)).alias("n")
     )
     tot = counts.agg(F.sum("n").alias("__tot"))
-    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
-    ranked = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top)
+    # distributed TakeOrdered cuts to `top` rows BEFORE the ranking
+    # window — the distinct-key table itself can be huge at scale
+    topk = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top)
+    # pmod(n, 1): constant-valued, non-foldable — single explicit
+    # partition over the post-limit rows without the WindowExec warn
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.col("n").desc(), F.col("key").asc()
     )
+    ranked = topk.withColumn("rank", F.row_number().over(w))
     return ranked.crossJoin(F.broadcast(tot)).select(
         "key",
         "n",
