@@ -1603,7 +1603,13 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "events")
     suffix = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
     out = streaming_sessionize(
-        spark, t["events"], gap_minutes=30, query_name=f"q_sessions_{suffix}"
+        spark,
+        t["events"],
+        gap_minutes=30,
+        query_name=f"q_sessions_{suffix}",
+        # ~1.5k active users: 8 state partitions; 32 would spend more
+        # on per-partition commit/maintenance than on sessionizing
+        state_partitions=8,
     )
     return out.select(
         "user_id",

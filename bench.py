@@ -8,6 +8,7 @@ plan without collecting rows to the driver.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -80,6 +81,18 @@ def main() -> None:
             df.count()
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
+        # Free accumulated state between queries (untimed): drop the
+        # Python-side plan/RDD proxies so the ContextCleaner can release
+        # localCheckpoint blocks, then compact the JVM heap. Without
+        # this, checkpoint blocks from ~30 queries pile up in the
+        # long-lived bench JVM and old-gen GC pressure uniformly
+        # inflates later queries (the round-5 across-the-board drift).
+        df = None
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(

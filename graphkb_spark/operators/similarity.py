@@ -287,8 +287,14 @@ def quantized_topk(
     full-precision cosine and the top k emitted.
 
     At corpus scale the full-precision column lives in a separate
-    (colder) table and only the m survivors join back to it; here the
-    vectors ride along since the demo corpus is small."""
+    (colder) table and only the m survivors join back to it — and the
+    plan enforces that: ONLY (query_id, neighbor_id, approx) flow
+    through the top-m cut (24-byte rows, and Spark's WindowGroupLimit
+    prunes to m per query map-side before the exchange), never the
+    float vectors. The m*|queries| survivors are then BROADCAST back
+    onto the corpus for the full-precision rerank, so the wide vector
+    column is touched by exactly one scan-side hash join, and the
+    final top-k window sorts m*|queries| rows."""
     m = m or 3 * k
     c = quantize_embeddings(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
@@ -305,16 +311,29 @@ def quantized_topk(
     q = q.withColumn("__qnorm", F.sqrt(_int_dot("__qq", "__qq")))
     approx = _int_dot("__cq", "__qq") / (F.col("__cnorm") * F.col("__qnorm"))
     cand = (
-        c.crossJoin(F.broadcast(q))
+        c.select("neighbor_id", "__cq", "__cnorm")
+        .crossJoin(F.broadcast(q.select("query_id", "__qq", "__qnorm")))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv", approx.alias("__approx"))
+        .select("query_id", "neighbor_id", approx.alias("__approx"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__approx").desc(), F.col("neighbor_id").asc()
     )
-    topm = cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= m)
-    rer = topm.select(
-        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+    topm = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    # survivors are m*|queries| rows — attach the (equally tiny) query
+    # vectors to them first, then ONE broadcast hash join puts the pair
+    # list onto the corpus scan: no corpus shuffle, one broadcast build
+    rer = (
+        c.select("neighbor_id", "__cv")
+        .join(
+            F.broadcast(topm.join(q.select("query_id", "__qv"), "query_id")),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

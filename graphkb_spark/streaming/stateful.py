@@ -129,9 +129,15 @@ SESSION_STATE_SCHEMA = T.StructType(
 def _make_session_update(gap_minutes: int, ts_col: str):
     gap_us = gap_minutes * 60 * 1_000_000
 
+    import numpy as np
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # HOT PATH: called once per (group, micro-batch) across the
+        # Arrow worker boundary — per-call cost is the dominant term of
+        # the whole streaming query, so everything here is numpy with
+        # no intermediate pandas objects.
         closed: list[tuple] = []
         if state.hasTimedOut:
             # watermark passed last_event + gap: the open session closes
@@ -139,10 +145,12 @@ def _make_session_update(gap_minutes: int, ts_col: str):
             closed.append((key[0], start, last, n))
             state.remove()
         else:
-            ts = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
-            ts_us = (ts.astype("int64") // 1000).tolist()  # ns -> us
+            arrs = [pdf[ts_col].to_numpy(dtype="datetime64[ns]") for pdf in pdfs]
+            ts_ns = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+            ts_us = ts_ns.astype("int64") // 1000  # ns -> us
+            ts_us.sort()
             start, last, n = state.get if state.exists else (None, None, 0)
-            for t in ts_us:
+            for t in ts_us.tolist():
                 if start is None:
                     start, last, n = t, t, 1
                 elif t - last > gap_us:
@@ -156,16 +164,13 @@ def _make_session_update(gap_minutes: int, ts_col: str):
             # otherwise schedule into the past)
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max((last + gap_us) // 1000, wm_ms + 1))
+        cols = np.array([c[1:] for c in closed], dtype="int64").reshape(-1, 3)
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
-                "session_start": pd.to_datetime(
-                    pd.Series([c[1] for c in closed], dtype="int64"), unit="us"
-                ),
-                "session_end": pd.to_datetime(
-                    pd.Series([c[2] for c in closed], dtype="int64"), unit="us"
-                ),
-                "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+                "user_id": np.full(len(closed), key[0], dtype="int64"),
+                "session_start": cols[:, 0].astype("datetime64[us]"),
+                "session_end": cols[:, 1].astype("datetime64[us]"),
+                "n_events": cols[:, 2],
             }
         )
 
@@ -180,6 +185,7 @@ def streaming_sessionize(
     gap_minutes: int = 30,
     stage_dir: str | None = None,
     query_name: str = "stream_sessions",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming gap-sessionization: emits each CLOSED session exactly
     once (append mode). A session closes when a same-user event lands
@@ -192,7 +198,15 @@ def streaming_sessionize(
     (three longs), timeouts garbage-collect idle users, and the
     watermark bounds how long a user can stay idle before the state is
     dropped — this is the membership-bounded alternative to re-running
-    the batch lag+cumsum over ever-growing history."""
+    the batch lag+cumsum over ever-growing history.
+
+    ``state_partitions`` pins the query's state-store partition count
+    (captured from ``spark.sql.shuffle.partitions`` at query start and
+    then immutable for the query's life). Every state partition pays a
+    fixed per-micro-batch commit + maintenance cost, so size it to the
+    ACTIVE-KEY count, not the cluster: the local default (32) spends
+    more wall-clock on empty-partition commits than on sessionizing.
+    At real scale raise it — it bounds state parallelism forever."""
     import tempfile
 
     stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_state_{query_name}_")
@@ -210,12 +224,19 @@ def streaming_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
