@@ -1619,6 +1619,76 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Structured Streaming sessionization (``session_window``
+    state aggregation, pure JVM — no Python boundary), the Spark-first
+    twin of ``streaming_sessions``. Append-mode emission: a session is
+    emitted iff its end precedes the final watermark (end + 2*gap <=
+    max(ts)); adjacent events exactly gap apart MERGE (closed window
+    boundary) — both encoded in the oracle and pinned by
+    tests/test_split_rebalance.py."""
+    from graphkb_spark.streaming.stateful import streaming_sessionize_native
+
+    t = _t(spark, sf_dir, "events")
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    out = streaming_sessionize_native(
+        spark,
+        t["events"],
+        gap_minutes=30,
+        query_name=f"q_sessions_native_{suffix}",
+        state_partitions=8,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (980/10/10 per mille by
+    salted id-hash): a pure function of the id, so examples can never
+    migrate between splits across dataset versions. Zero shuffles."""
+    from graphkb_spark.operators.sampling import split_assign
+
+    t = _t(spark, sf_dir, "documents")
+    out = split_assign(t["documents"], "doc_id")
+    return out.select("doc_id", "split")
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement (priority
+    sampling, Duffield-Lund-Thorup JACM 2007), weighted by document
+    length: priority = weight / md5-uniform, top-n by priority via
+    distributed TakeOrdered. One IEEE double division per row — exactly
+    rounded, so the oracle reproduces the identical sample set."""
+    from graphkb_spark.operators.sampling import priority_sample
+
+    t = _t(spark, sf_dir, "documents")
+    out = priority_sample(
+        t["documents"].select("doc_id", "n_chars"), "doc_id", "n_chars", n=100
+    )
+    return out.select("doc_id", "n_chars")
+
+
+def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap rebalancing: cap each event_type's contribution at
+    1000 rows by hash-Bernoulli thinning at rate cap/N — the web-corpus
+    pass that stops dominant domains from flooding the mix. One
+    count shuffle + broadcast join + scan-speed filter; no window ever
+    sees a hot domain's full row set. Output: kept rows per domain."""
+    from graphkb_spark.operators.sampling import domain_rebalance
+
+    t = _t(spark, sf_dir, "events")
+    kept = domain_rebalance(
+        t["events"].select("event_id", "event_type"), "event_id", "event_type", cap=1000
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window event aggregation (batch plan of the
     Structured Streaming query in graphkb_spark.streaming)."""
@@ -2816,42 +2886,99 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round to give
-    # every query a driver row at least every other round. Round-5 window:
-    # (a) the nine queries ADDED in round 5 (graph_closure,
-    # hierarchy_rollup, ngram_counts, lm_score, funnel, rolling_average,
-    # histogram_bins, grouped_regression, salted_skew_join) — never
-    # driver-checked, so they lead; (b) every query whose code or oracle
-    # changed since the r4 gate — the sessionize/streaming_sessions
-    # oracle BIGINT casts, the reworked edit-distance join (k<=2), the
-    # explode_outer decontamination fix, and the reconcile exchange
-    # rewrite with its civic_sync embedders; (c) the nine queries added
-    # earlier this round (edit_distance_join_k2, stream_interval_join,
-    # kmeans_assign, classifier_score, dup_ngram_frac, chunk_documents,
-    # segment_dedup, token_budget_sample, tfidf_topk) plus
-    # dedup_fillscore (last green r02) and entries whose latest driver
-    # row is r02/r03. R3/r4-green unchanged entries park past 50 and
-    # rotate forward next round.
+    # every query a driver row at least every other round. Round-6 window:
+    # (a) every query whose code, plan, or oracle changed this round —
+    # the incremental_agg decimal-sum fix, the new bpe_train unrolled
+    # DuckDB oracle, the TakeOrdered-before-ranking rewrites
+    # (vocab_build / ngram_counts / key_skew_profile / kmeans_assign),
+    # the quantized-ANN rerank-broadcast rewrite, the streaming-session
+    # state tuning, and hierarchy_rollup's optional broadcast; (b) the
+    # seven entries whose last driver row is r03 (most overdue); (c) the
+    # r04-green block skipped by the r5 rotation. Eight r04 entries from
+    # the pure-function families (unchanged since r2, trivial oracles)
+    # slip one extra round to make room; they lead the r7 window.
     return {
-        # -- added in round 5: never driver-checked, so they lead --
-        "graph_closure": q_graph_closure,
-        "hierarchy_rollup": q_hierarchy_rollup,
+        # -- (a0) NEW this round: never driver-checked --
+        "streaming_sessions_native": q_streaming_sessions_native,
+        "split_assign": q_split_assign,
+        "priority_sample": q_priority_sample,
+        "domain_rebalance": q_domain_rebalance,
+        # -- (a) changed this round --
+        "incremental_agg": q_incremental_agg,
+        "bpe_train": q_bpe_train,
+        "vocab_build": q_vocab_build,
         "ngram_counts": q_ngram_counts,
+        "key_skew_profile": q_key_skew_profile,
+        "kmeans_assign": q_kmeans_assign,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
+        "streaming_sessions": q_streaming_sessions,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        # -- (b) last driver row r03 --
+        "pmc_fusions": q_pmc_fusions,
+        "pmc_functional": q_pmc_functional,
+        "docm_load": q_docm_load,
+        "cgl_load": q_cgl_load,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
+        "source_registry": q_source_registry,
+        # -- (c) last driver row r04 --
+        "minhash_lsh": q_minhash_lsh,
+        "version_chain": q_version_chain,
+        "windowed_counts": q_windowed_counts,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
+        "repetition_score": q_repetition_score,
+        "sequence_pack": q_sequence_pack,
+        "pii_redact": q_pii_redact,
+        "multimodal_resize": q_multimodal_resize,
+        "embedding_dups": q_embedding_dups,
+        "filter_dsl_nested": q_filter_dsl_nested,
+        "filter_dsl_subquery": q_filter_dsl_subquery,
+        "filter_dsl_pagination": q_filter_dsl_pagination,
+        "anti_join_incremental": q_anti_join_incremental,
+        "semi_join_exists": q_semi_join_exists,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "normalized_key_join": q_normalized_key_join,
+        "pricing_summary": q_pricing_summary,
+        "recurrence_rollup": q_recurrence_rollup,
+        "consensus_agg": q_consensus_agg,
+        "latest_per_key": q_latest_per_key,
+        "duplicate_names": q_duplicate_names,
+        "hotspot_load": q_hotspot_load,
+        "oncokb_statements": q_oncokb_statements,
+        "spec_validation": q_spec_validation,
+        "spec_validation_nested": q_spec_validation_nested,
+        "full_reload_diff": q_full_reload_diff,
+        "rollup_recurrence": q_rollup_recurrence,
+        # -- past 50: r04-green entries slipping one round to make room
+        #    for the four new queries; they lead the r7 window --
+        "explode_expansion": q_explode_expansion,
+        "cross_expansion": q_cross_expansion,
+        "embedding_topk": q_embedding_topk,
+        "therapy_grouping": q_therapy_grouping,
+        "stable_hash_id": q_stable_hash_id,
+        "string_normalizers": q_string_normalizers,
+        "set_ops": q_set_ops,
+        "citation_phase_year": q_citation_phase_year,
+        "relevance_translate": q_relevance_translate,
+        "docm_fix": q_docm_fix,
+        "oncokb_names": q_oncokb_names,
+        "combo_naming": q_combo_naming,
+        # -- r05-green, unchanged --
+        "graph_closure": q_graph_closure,
         "lm_score": q_lm_score,
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
-        "bpe_train": q_bpe_train,
-        "key_skew_profile": q_key_skew_profile,
         "grouped_percentiles": q_grouped_percentiles,
         "cube_rollup": q_cube_rollup,
         "pivot_events": q_pivot_events,
-        "incremental_agg": q_incremental_agg,
         "rolling_average": q_rolling_average,
         "histogram_bins": q_histogram_bins,
         "grouped_regression": q_grouped_regression,
         "salted_skew_join": q_salted_skew_join,
-        # -- changed or added earlier this round --
         "sessionize": q_sessionize,
-        "streaming_sessions": q_streaming_sessions,
         "edit_distance_join": q_edit_distance_join,
         "edit_distance_join_k2": q_edit_distance_join_k2,
         "decontaminate": q_decontaminate,
@@ -2860,14 +2987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile": q_reconcile,
         "dedup_fillscore": q_dedup_fillscore,
         "stream_interval_join": q_stream_interval_join,
-        "kmeans_assign": q_kmeans_assign,
         "classifier_score": q_classifier_score,
         "dup_ngram_frac": q_dup_ngram_frac,
         "chunk_documents": q_chunk_documents,
         "segment_dedup": q_segment_dedup,
         "token_budget_sample": q_token_budget_sample,
         "tfidf_topk": q_tfidf_topk,
-        # -- last driver row r02/r03: pulled forward --
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "incremental_merge": q_incremental_merge,
@@ -2901,58 +3026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gsc_ontology": q_gsc_ontology,
         "asco_abstracts": q_asco_abstracts,
         "fda_approvals_year": q_fda_approvals_year,
-        # -- parked: r03/r04-green, unchanged; rotate forward next round --
-        "pmc_fusions": q_pmc_fusions,
-        "pmc_functional": q_pmc_functional,
-        "docm_load": q_docm_load,
-        "cgl_load": q_cgl_load,
-        "minhash_lsh": q_minhash_lsh,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantiles": q_approx_quantiles,
-        "source_registry": q_source_registry,
-        "version_chain": q_version_chain,
-        "windowed_counts": q_windowed_counts,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_exact": q_dedup_exact,
-        "dedup_components": q_dedup_components,
-        "repetition_score": q_repetition_score,
-        "vocab_build": q_vocab_build,
-        "sequence_pack": q_sequence_pack,
-        "pii_redact": q_pii_redact,
-        "multimodal_resize": q_multimodal_resize,
-        "embedding_dups": q_embedding_dups,
-        "embedding_quantized_topk": q_embedding_quantized_topk,
-        "filter_dsl_nested": q_filter_dsl_nested,
-        "filter_dsl_subquery": q_filter_dsl_subquery,
-        "filter_dsl_pagination": q_filter_dsl_pagination,
-        "anti_join_incremental": q_anti_join_incremental,
-        "semi_join_exists": q_semi_join_exists,
-        "broadcast_dim_join": q_broadcast_dim_join,
-        "normalized_key_join": q_normalized_key_join,
-        "pricing_summary": q_pricing_summary,
-        "recurrence_rollup": q_recurrence_rollup,
-        "consensus_agg": q_consensus_agg,
-        "latest_per_key": q_latest_per_key,
-        "duplicate_names": q_duplicate_names,
-        "stable_hash_id": q_stable_hash_id,
-        "oncokb_names": q_oncokb_names,
-        "docm_fix": q_docm_fix,
-        "hotspot_load": q_hotspot_load,
-        "oncokb_statements": q_oncokb_statements,
-        "citation_phase_year": q_citation_phase_year,
-        "relevance_translate": q_relevance_translate,
-        "set_ops": q_set_ops,
-        "combo_naming": q_combo_naming,
-        "therapy_grouping": q_therapy_grouping,
-        "string_normalizers": q_string_normalizers,
-        "spec_validation": q_spec_validation,
-        "spec_validation_nested": q_spec_validation_nested,
-        "full_reload_diff": q_full_reload_diff,
-        "rollup_recurrence": q_rollup_recurrence,
-        "explode_expansion": q_explode_expansion,
-        "cross_expansion": q_cross_expansion,
-        "embedding_topk": q_embedding_topk,
     }
 
 
@@ -4247,6 +4320,72 @@ def oracle_sql() -> dict[str, str]:
             WHERE sid < last_sid
                OR (epoch_us(mx) // 1000) - 1800000
                   > (epoch_us(session_end) + 1800000000) // 1000
+        """,
+        # Native session_window semantics: break at gap > 30 min
+        # (two events exactly gap apart MERGE — the window boundary is
+        # closed, verified by test_split_rebalance.py), emit iff
+        # end + 2*gap <= max(ts) (append mode waits for the watermark
+        # to pass the session end; final watermark = max(ts) - gap).
+        "streaming_sessions_native": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+            numbered AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS sid
+              FROM gaps),
+            sess AS (
+              SELECT user_id,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_events
+              FROM numbered GROUP BY user_id, sid),
+            m AS (SELECT max(ts) AS mx FROM events)
+            SELECT user_id,
+                   strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   n_events
+            FROM sess, m
+            WHERE epoch_us(session_end) + 3600000000 <= epoch_us(mx)
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   CASE WHEN b < 980 THEN 'train'
+                        WHEN b < 990 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 1000 AS b
+              FROM documents)
+        """,
+        # priority = weight / u with u an md5-derived 31-bit uniform;
+        # one IEEE division is correctly rounded, so the top-n set is
+        # bit-identical to the Spark side.
+        "priority_sample": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     CAST(n_chars AS DOUBLE) /
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          ::BIGINT % 2147483648 + 1) AS pri
+              FROM documents)
+            ORDER BY pri DESC, doc_id ASC LIMIT 100
+        """,
+        "domain_rebalance": """
+            WITH c AS (
+              SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+            SELECT e.event_type, count(*) AS n_kept
+            FROM events e JOIN c USING (event_type)
+            WHERE c.n <= 1000
+               OR (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+                     ::BIGINT / 4294967296.0) * c.n < 1000
+            GROUP BY e.event_type
         """,
         "windowed_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

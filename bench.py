@@ -50,6 +50,12 @@ HEADLINE = [
     "vocab_build",
     "sequence_pack",
     "embedding_quantized_topk",
+    # round-5 heavies promoted in round 6
+    "graph_closure",
+    "hierarchy_rollup",
+    "segment_dedup",
+    "lm_score",
+    "bpe_train",
 ]
 
 

@@ -209,3 +209,109 @@ def tfidf_top_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from the md5 of (salt, id) against cumulative per-mille thresholds
+    (default train 980 / val 10 / test 10).
+
+    The assignment is a pure function of the id — stable across runs,
+    retries, repartitioning, and engines (md5-prefix arithmetic, so an
+    external system puts every id in the same split) — which is the
+    property a training pipeline needs so examples can NEVER migrate
+    from test into train between dataset versions. ``salt`` namespaces
+    independent splits of the same corpus. A narrow projection: zero
+    shuffles, computed at scan speed."""
+    splits = dict(splits or {"train": 980, "val": 10, "test": 10})
+    total = sum(splits.values())
+    bucket = hash_bucket(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), total
+    )
+    expr = None
+    hi = 0
+    for name, width in splits.items():
+        hi += width
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    n: int,
+) -> DataFrame:
+    """Weight-proportional sample of ``n`` rows WITHOUT replacement via
+    priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 2007): each row gets
+    priority = weight / u with u a deterministic uniform from the id
+    hash; the n largest priorities are the sample.
+
+    Engine-determinism note: u is an md5-derived 31-bit integer and the
+    priority is ONE IEEE double division — division is correctly
+    rounded, so any engine computes the bit-identical priority (this is
+    why the textbook exponential formulation, whose log() is NOT
+    correctly rounded and can differ across libms, is avoided).
+
+    Scale shape: priorities are computed at scan speed; the top-n cut
+    is a distributed ``orderBy().limit()`` (per-partition TakeOrdered +
+    n-row merge) — no global sort, no single-task window. Returns the
+    sampled rows with their ``__priority`` dropped."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # 31-bit uniform in (0, 2^31]: +1 keeps u > 0 so priority is finite
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % F.lit(2**31)
+        + F.lit(1)
+    )
+    pri = w.cast("double") / u.cast("double")
+    return (
+        df.withColumn("__priority", pri)
+        .orderBy(F.col("__priority").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__priority")
+    )
+
+
+def domain_rebalance(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+) -> DataFrame:
+    """Cap every domain's contribution at ``cap`` rows by deterministic
+    per-domain downsampling — the web-corpus rebalancing pass that stops
+    a handful of boilerplate-heavy domains from dominating the training
+    mix. Domains under the cap keep everything; a domain with N > cap
+    rows keeps each row with probability cap/N via hash-Bernoulli on
+    the id (so the EXPECTED kept count is the cap and the kept set is
+    stable across runs — no per-domain global ordering anywhere).
+
+    Scale shape: one partial-aggregating shuffle for the per-domain
+    counts (domain-cardinality-sized output), one broadcast-able join
+    to attach the keep-rate, and a scan-speed filter. Unlike a
+    row_number cap (``stratum_cap``), no window ever sees a hot
+    domain's full row set — the filter is embarrassingly parallel,
+    which is what survives a domain with 10^9 pages."""
+    counts = df.groupBy(F.col(domain_col)).agg(F.count(F.lit(1)).alias("__n"))
+    # md5-uniform in [0, 1): 8 hex chars / 2^32
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .filter((F.col("__n") <= cap) | (u * F.col("__n") < F.lit(cap)))
+        .drop("__n")
+    )

@@ -240,3 +240,75 @@ def streaming_sessionize(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def streaming_sessionize_native(
+    spark: SparkSession,
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    stage_dir: str | None = None,
+    query_name: str = "stream_sessions_native",
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Gap-sessionization with Spark's NATIVE ``session_window``
+    aggregation — the Spark-first counterpart of
+    ``streaming_sessionize``: the whole stateful merge runs JVM-side
+    (no Python boundary, no per-group Arrow protocol), so prefer this
+    whenever the per-session result is expressible as built-in
+    aggregates; the ``applyInPandasWithState`` variant remains for
+    genuinely custom state transitions.
+
+    Emission semantics differ from the custom operator at the margin:
+    append mode emits a session only once the event-time watermark
+    passes its end, so a session closed by a later in-data event whose
+    end still sits inside the final watermark horizon stays unemitted
+    here (the custom operator emits it immediately). Equivalently a
+    session is emitted iff session_end + 2*gap <= max(ts) over the
+    input — the SQL oracle encodes exactly that. Two adjacent events
+    exactly ``gap`` apart MERGE into one session (the window boundary
+    is closed — one tick further apart and they split), which differs
+    from the custom operator's strict ``t - last > gap`` break only at
+    the exact boundary.
+
+    Scale shape: one keyed state aggregation, state bounded at one
+    open window per active user; ``state_partitions`` as in
+    ``streaming_sessionize``."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_state_{query_name}_")
+    events = normalize_ntz(events)
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    sessions = (
+        stream.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("__w"),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

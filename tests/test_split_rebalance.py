@@ -1,0 +1,131 @@
+"""Deterministic split assignment, priority sampling, domain
+rebalancing (operators/sampling.py round-6 additions), and the native
+session_window streaming sessionizer."""
+
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.sampling import (
+    domain_rebalance,
+    priority_sample,
+    split_assign,
+)
+
+
+def test_split_assign_covers_everything_and_is_stable(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = split_assign(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # 980/10/10 per mille with binomial wiggle
+    assert counts["train"] > 1900
+    assert 0 < counts.get("val", 0) < 100
+    assert 0 < counts.get("test", 0) < 100
+    # pure function of the id: a second run assigns identically
+    again = split_assign(df, "doc_id").withColumnRenamed("split", "split2")
+    joined = out.join(again, "doc_id")
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+def test_split_assign_salt_gives_independent_split(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = split_assign(df, "doc_id", salt="a")
+    b = split_assign(df, "doc_id", salt="b").withColumnRenamed("split", "split_b")
+    moved = a.join(b, "doc_id").filter(F.col("split") != F.col("split_b")).count()
+    assert moved > 0  # different salt -> different assignment
+
+
+def test_split_assign_custom_widths(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = split_assign(df, "doc_id", splits={"a": 1, "b": 1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"a", "b"}
+    assert sum(counts.values()) == 1000
+
+
+def test_priority_sample_prefers_heavy_rows(spark):
+    # weights 1 vs 1000: the heavy minority should dominate the sample
+    rows = [(i, 1000 if i < 100 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = priority_sample(df, "doc_id", "w", n=100)
+    assert out.count() == 100
+    heavy = out.filter(F.col("w") == 1000).count()
+    assert heavy > 80
+    # deterministic: same call -> same set
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in priority_sample(df, "doc_id", "w", n=100).collect()}
+    assert ids1 == ids2
+
+
+def test_priority_sample_without_replacement(spark):
+    df = spark.createDataFrame([(i, 5) for i in range(50)], "doc_id long, w long")
+    out = priority_sample(df, "doc_id", "w", n=200)
+    ids = [r.doc_id for r in out.collect()]
+    assert len(ids) == 50  # n > population: everything, once
+    assert len(set(ids)) == 50
+
+
+def test_domain_rebalance_caps_hot_domains_only(spark):
+    rows = [(i, "hot" if i < 9000 else "cold") for i in range(10000)]
+    df = spark.createDataFrame(rows, "event_id long, domain string")
+    kept = domain_rebalance(df, "event_id", "domain", cap=500)
+    counts = {r["domain"]: r["n"] for r in
+              kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # cold domain (1000 rows > cap... actually 1000 > 500: both thinned)
+    # hot thinned to ~cap with binomial wiggle; subset property holds
+    assert 350 < counts["hot"] < 650
+    assert 350 < counts["cold"] < 650
+    # under-cap domains keep everything
+    df2 = df.filter(F.col("event_id") < 9300)  # cold has 300 <= cap
+    kept2 = domain_rebalance(df2, "event_id", "domain", cap=500)
+    counts2 = {r["domain"]: r["n"] for r in
+               kept2.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts2["cold"] == 300
+    # determinism: kept set is a pure function of ids
+    ids1 = sorted(r.event_id for r in kept.collect())
+    ids2 = sorted(r.event_id for r in
+                  domain_rebalance(df, "event_id", "domain", cap=500).collect())
+    assert ids1 == ids2
+
+
+def test_streaming_sessionize_native_matches_batch_semantics(spark, tmp_path):
+    """Native session_window output == batch gap-split (break at
+    gap > 30 min; the exact-gap boundary MERGES) restricted to
+    watermark-emittable sessions."""
+    import datetime as dt
+
+    from graphkb_spark.streaming.stateful import streaming_sessionize_native
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: two sessions split by a 40-min gap; both emit
+        (1, mins(0)), (1, mins(10)), (1, mins(50)),
+        # user 2: events exactly 30 min apart -> ONE session (closed
+        # window boundary: [t, t+30] touches [t+30, t+60])
+        (2, mins(0)), (2, mins(30)),
+        # user 2: 31 min later -> splits
+        (2, mins(61)),
+        # user 3: late activity -> open session, never emitted
+        (3, mins(200)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = streaming_sessionize_native(
+        spark, ev, gap_minutes=30,
+        stage_dir=str(tmp_path / "native_stage"),
+        query_name="t_native_sessions", state_partitions=2,
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    # max(ts) = 200 min; emit iff end + 60 <= 200
+    expected = {
+        (1, mins(0), mins(10), 2),    # ends 10, emitted
+        (1, mins(50), mins(50), 1),   # ends 50, emitted
+        (2, mins(0), mins(30), 2),    # exact-gap pair merged
+        (2, mins(61), mins(61), 1),   # 31-min gap split; emitted
+        # user 3 session (200) stays open
+    }
+    assert got == expected

@@ -117,7 +117,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             # exactly and surface the first offending cell.
             sa = a.astype(str)
             sb = b.astype(str)
-            mask = sa.ne(sb)
+            # both-null cells stringify differently by dtype accident
+            # ('None' vs 'nan') but hash identically after the driver's
+            # canonicalization — not a real mismatch
+            mask = sa.ne(sb) & ~(a.isna() & b.isna())
             bad = mask.any(axis=1)
             if bad.any():
                 i = bad.idxmax()
