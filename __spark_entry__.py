@@ -1689,6 +1689,25 @@ def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point power-iteration PageRank (3 rounds) over the part
+    hierarchy edge set — iterative graph analytics with NO floating
+    point in the loop (bigint micro-units, integer div), so the
+    DuckDB oracle unrolls the identical trajectory round by round."""
+    from graphkb_spark.operators.graph import pagerank
+
+    t = _t(spark, sf_dir, "part")
+    edges = (
+        t["part"]
+        .filter(F.col("p_partkey") >= 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            F.expr("p_partkey div 10").alias("dst"),
+        )
+    )
+    return pagerank(edges, n_iter=3)
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window event aggregation (batch plan of the
     Structured Streaming query in graphkb_spark.streaming)."""
@@ -2899,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slip one extra round to make room; they lead the r7 window.
     return {
         # -- (a0) NEW this round: never driver-checked --
+        "pagerank": q_pagerank,
         "streaming_sessions_native": q_streaming_sessions_native,
         "split_assign": q_split_assign,
         "priority_sample": q_priority_sample,
@@ -3219,6 +3239,38 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
         f" l || r AS merged, c AS pair_count FROM b{k}"
         for k in range(n_merges)
     )
+    return sql
+
+
+def _pagerank_oracle_sql(n_iter: int = 3, damping_pct: int = 85, scale: int = 10**12) -> str:
+    """DuckDB oracle for fixed-point PageRank: the power-iteration
+    rounds unrolled as chained CTEs. Pure integer arithmetic end to
+    end (bigint micro-units, floor division — all inputs non-negative,
+    so DuckDB ``//`` == Spark ``div``), so every round's ranks are
+    bit-identical to the Spark trajectory with no FP caveats."""
+    base = (100 - damping_pct) * scale // 100
+    sql = f"""
+        WITH e AS (
+          SELECT p_partkey AS s, p_partkey // 10 AS d
+          FROM part WHERE p_partkey >= 1),
+        nodes AS (
+          SELECT DISTINCT n AS node FROM (
+            SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+        deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fx FROM nodes)"""
+    for k in range(n_iter):
+        sql += f""",
+        c{k + 1} AS (
+          SELECT e.d AS node, CAST(sum(r.rank_fx // dg.deg) AS BIGINT) AS sm
+          FROM e JOIN r{k} r ON r.node = e.s JOIN deg dg ON dg.s = e.s
+          GROUP BY e.d),
+        r{k + 1} AS (
+          SELECT n.node,
+                 CAST({base} + ({damping_pct} * coalesce(c.sm, 0)) // 100
+                      AS BIGINT) AS rank_fx
+          FROM r{k} n LEFT JOIN c{k + 1} c USING (node))"""
+    sql += f"""
+        SELECT node, round(rank_fx / {float(scale)}, 6) AS rank FROM r{n_iter}"""
     return sql
 
 
@@ -4730,6 +4782,7 @@ def oracle_sql() -> dict[str, str]:
         # PII_PATTERNS constants verbatim.
         "pii_redact": _pii_oracle_sql(),
         "bpe_train": _bpe_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
         # Decontamination: distinct-3gram overlap of each doc against
         # the benchmark shingle set (docs % 50 == 0), same shingles.
         "decontaminate": """

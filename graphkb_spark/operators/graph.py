@@ -163,3 +163,75 @@ def edge_exists(
     return pairs.join(e, [out_col, in_col], "left").withColumn(
         "edge_exists", F.coalesce(F.col("__exists"), F.lit(False))
     ).drop("__exists")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    n_iter: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point power-iteration PageRank over an edge list,
+    bit-deterministic across engines BY CONSTRUCTION: ranks live as
+    BIGINT micro-units (``scale`` = 1.0), every step is integer
+    arithmetic (div for the out-degree split, exact bigint sums for
+    the gather, ``damping_pct``/100 as integer multiply-then-div), so
+    there is no floating-point anywhere an aggregation order or a libm
+    could perturb — an external SQL engine replays the identical
+    trajectory, unrolled round by round. Returns (node, rank) for
+    every node in the edge list; dangling nodes contribute nothing
+    (classic simplified formulation: rank = (1-d) + d * sum of
+    rank_src / outdeg_src over in-neighbors). Fixed-point truncation
+    biases each contribution down by < 1/scale — irrelevant for a
+    ranking signal at scale=1e12.
+
+    Bounds: intermediate ``damping_pct * sum`` must fit a signed
+    64-bit integer; with total rank ~ n_nodes * scale the default
+    scale supports ~10^5 nodes per gather at worst-case concentration
+    — drop ``scale`` (or move the sum to DECIMAL) for larger graphs.
+
+    Scale shape: out-degrees computed once (one shuffle); each
+    iteration is one broadcast-able rank-attach join + one keyed
+    contribution shuffle (map-side combinable), localCheckpointed so
+    lineage stays flat — the standard distributed power-iteration
+    layout, linear per round.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    base = F.lit((100 - damping_pct) * scale // 100).cast("long")
+    ranks = nodes.withColumn("rank_fx", F.lit(scale).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            .join(outdeg, "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("rank_fx div __deg").alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__sum"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"(CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(__sum, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).alias("rank_fx"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node", F.round(F.col("rank_fx") / F.lit(float(scale)), 6).alias("rank")
+    )

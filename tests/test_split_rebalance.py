@@ -129,3 +129,29 @@ def test_streaming_sessionize_native_matches_batch_semantics(spark, tmp_path):
         # user 3 session (200) stays open
     }
     assert got == expected
+
+
+def test_pagerank_matches_pure_python_fixed_point(spark):
+    from graphkb_spark.operators.graph import pagerank
+
+    # small digraph incl. a dangling node (4) and a hub (1)
+    edges = [(2, 1), (3, 1), (4, 1), (1, 2), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=3).collect()}
+
+    scale, d = 10**12, 85
+    nodes = {n for e in edges for n in e}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    for _ in range(3):
+        sm = {n: 0 for n in nodes}
+        for s, t in edges:
+            sm[t] += rank[s] // deg[s]
+        rank = {n: (100 - d) * scale // 100 + (d * sm[n]) // 100 for n in nodes}
+    expected = {n: round(rank[n] / scale, 6) for n in nodes}
+    assert got == expected
+    # the hub receives mass from 3 nodes; the dangling node only the base
+    assert got[1] > got[4]
+    assert abs(got[4] - 0.15) < 1e-9
