@@ -1689,6 +1689,104 @@ def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the week of
+    their first event; for each (cohort_week, week_offset) the number
+    of distinct users still active. Two keyed aggregations (first-seen
+    per user, then the matrix) + one broadcast-able join of the
+    user->cohort dimension — the standard product-analytics rollup,
+    linear at any scale."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = first.select(
+        "user_id", F.date_trunc("week", F.col("first_ts")).alias("cohort_week")
+    )
+    joined = ev.join(cohort, "user_id")
+    offset = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("cohort_week")))
+        / F.lit(7 * 24 * 3600 * 1_000_000)
+    ).cast("bigint")
+    return (
+        joined.select("user_id", "cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN + aggregate: the
+    materialized per-region revenue view absorbs a lineitem delta by
+    joining ONLY the delta against the (broadcast) dimension chain and
+    merging with the snapshot via the same keyed coalesce-add MERGE as
+    incremental_agg — the historical fact rows are never rescanned.
+    Decimal sums keep the two-phase merge hash-identical to the
+    one-shot oracle."""
+    from graphkb_spark.operators.aggregate import incremental_agg_merge
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    dim = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            t["nation"].select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["region"].select("r_regionkey", "r_name"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("o_orderkey", "r_name")
+    )
+    li = t["lineitem"].withColumn(
+        # price(2dp) * (1-disc)(2dp): the true product has 4 decimal
+        # digits, so DECIMAL(18,4) recovers it exactly from the double
+        "rev_d",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        ),
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    snapshot = (
+        li.filter(F.col("l_shipdate") < cutoff)
+        .join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name")
+        .agg(F.sum("rev_d").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+    delta = li.filter(F.col("l_shipdate") >= cutoff).join(
+        F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    merged = incremental_agg_merge(
+        snapshot, delta, ["r_name"], {"revenue": "rev_d"}
+    )
+    return merged.select(
+        "r_name",
+        F.round(F.col("revenue").cast("double"), 6).alias("revenue"),
+        "n",
+    )
+
+
+def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group two-feature OLS via normal equations + Cramer's rule —
+    one-pass distributed multiple regression with decimal-exact moment
+    sums, so the closed-form coefficients hash-match the oracle
+    bit-for-bit."""
+    from graphkb_spark.operators.aggregate import grouped_normal_equations
+
+    t = _t(spark, sf_dir, "lineitem")
+    return grouped_normal_equations(
+        t["lineitem"],
+        ["l_returnflag"],
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point power-iteration PageRank (3 rounds) over the part
     hierarchy edge set — iterative graph analytics with NO floating
@@ -2913,12 +3011,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the quantized-ANN rerank-broadcast rewrite, the streaming-session
     # state tuning, and hierarchy_rollup's optional broadcast; (b) the
     # seven entries whose last driver row is r03 (most overdue); (c) the
-    # r04-green block skipped by the r5 rotation. Eight r04 entries from
-    # the pure-function families (unchanged since r2, trivial oracles)
-    # slip one extra round to make room; they lead the r7 window.
+    # r04-green block skipped by the r5 rotation. The r04-green tail
+    # (spec_validation family, rollup_recurrence, the expansion trio,
+    # and the pure-function families — unchanged since r2, trivial
+    # oracles) slips one extra round to make room for the eight new
+    # round-6 queries; those slipped entries lead the r7 window.
     return {
         # -- (a0) NEW this round: never driver-checked --
         "pagerank": q_pagerank,
+        "cohort_retention": q_cohort_retention,
+        "incremental_join_agg": q_incremental_join_agg,
+        "multiple_regression": q_multiple_regression,
         "streaming_sessions_native": q_streaming_sessions_native,
         "split_assign": q_split_assign,
         "priority_sample": q_priority_sample,
@@ -4783,6 +4886,70 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_oracle_sql(),
         "bpe_train": _bpe_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        # date_trunc('week', ..) is ISO-Monday in both engines; the
+        # offset is integer microsecond arithmetic.
+        "cohort_retention": """
+            WITH first AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY user_id)
+            SELECT f.cohort_week,
+                   (epoch_us(e.ts) - epoch_us(f.cohort_week))
+                     // 604800000000 AS week_offset,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # One-shot join+aggregate the incremental JOIN view must equal;
+        # decimal revenue sums match the Spark side exactly.
+        "incremental_join_agg": """
+            SELECT r_name,
+                   round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 6)
+                     AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        # Normal equations with decimal-exact moment sums; the Cramer
+        # expression trees mirror operators/aggregate.py verbatim.
+        "multiple_regression": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+                     CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s11,
+                     CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS s12,
+                     CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS s22,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s1y,
+                     CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s2y
+              FROM lineitem GROUP BY l_returnflag),
+            d AS (
+              SELECT *,
+                     n * (s11 * s22 - s12 * s12)
+                       - s1 * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s12 - s11 * s2) AS det,
+                     sy * (s11 * s22 - s12 * s12)
+                       - s1 * (s1y * s22 - s12 * s2y)
+                       + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                     n * (s1y * s22 - s12 * s2y)
+                       - sy * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s2y - s1y * s2) AS det1,
+                     n * (s11 * s2y - s1y * s12)
+                       - s1 * (s1 * s2y - s1y * s2)
+                       + sy * (s1 * s12 - s11 * s2) AS det2
+              FROM s)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN det = 0 THEN NULL ELSE det0 / det END, 6) AS b0,
+                   round(CASE WHEN det = 0 THEN NULL ELSE det1 / det END, 6) AS b1,
+                   round(CASE WHEN det = 0 THEN NULL ELSE det2 / det END, 6) AS b2
+            FROM d
+        """,
         # Decontamination: distinct-3gram overlap of each doc against
         # the benchmark shingle set (docs % 50 == 0), same shingles.
         "decontaminate": """

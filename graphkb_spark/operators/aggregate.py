@@ -283,3 +283,75 @@ def incremental_agg_merge(
             ).alias(dst)
         )
     return joined.select(*out_cols)
+
+
+def grouped_normal_equations(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group TWO-feature OLS (y = b0 + b1*x1 + b2*x2) by the
+    normal equations, solved closed-form with Cramer's rule — the
+    one-pass distributed multiple regression: nine moment sums in a
+    single partial-aggregating shuffle (same cost as a grouped count at
+    any scale), then a constant amount of per-group arithmetic. No
+    iteration, no feature matrix ever materialized.
+
+    Engine-determinism: each moment term is cast to DECIMAL(38,10)
+    before summing — the inputs carry <=2 decimal digits so products
+    are exact at 4, making the sums exactly associative (immune to
+    shuffle delivery order); the exact sums convert to double once and
+    the Cramer determinants are fixed expression trees of
+    correctly-rounded IEEE ops, so an external engine computing the
+    same formulas gets bit-identical coefficients. Singular groups
+    (collinear or constant features, det == 0) yield NULL coefficients
+    via try_divide rather than ANSI DIVIDE_BY_ZERO."""
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+
+    def dsum(c, alias):
+        return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
+
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1, "s1"),
+        dsum(x2, "s2"),
+        dsum(x1 * x1, "s11"),
+        dsum(x1 * x2, "s12"),
+        dsum(x2 * x2, "s22"),
+        dsum(y, "sy"),
+        dsum(x1 * y, "s1y"),
+        dsum(x2 * y, "s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    # 3x3 determinants, expression trees mirrored verbatim in the oracle
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return stats.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.try_divide(det0, det), 6).alias("b0"),
+        F.round(F.try_divide(det1, det), 6).alias("b1"),
+        F.round(F.try_divide(det2, det), 6).alias("b2"),
+    )
