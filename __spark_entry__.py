@@ -2860,6 +2860,23 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(t["documents"], "text", n_merges=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE merges trained on it: train
+    collects the (bounded) 8-rule merge table driver-side — the
+    tokenizer artifact — and encode applies each rule as one narrow
+    sentinel-string replace at scan speed (zero shuffles, no Python).
+    Output: per-document BPE token count. The oracle re-trains the
+    identical merges in CTEs and applies the identical replaces."""
+    from graphkb_spark.operators.corpus import bpe_encode, bpe_train
+
+    t = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(t["documents"], "text", n_merges=8).collect()
+    ]
+    return bpe_encode(t["documents"], "doc_id", "text", merges)
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter key profile (top 20 user_ids by event count, with
     share and rank) — the pre-join skew diagnostic."""
@@ -3029,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) changed this round --
         "incremental_agg": q_incremental_agg,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "vocab_build": q_vocab_build,
         "ngram_counts": q_ngram_counts,
         "key_skew_profile": q_key_skew_profile,
@@ -3343,6 +3361,40 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
         for k in range(n_merges)
     )
     return sql
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for BPE encoding: re-train the merge table with
+    the ``_bpe_oracle_sql`` CTE chain, then apply each merge to every
+    document as the same sentinel-delimited string replace the Spark
+    operator uses (words separated by chr(29) so merges cannot cross a
+    word boundary), and count surviving chr(31) symbol markers."""
+    # reuse the training chain up to the final UNION (strip it off)
+    train = _bpe_oracle_sql(n_merges)
+    train_ctes = train[: train.index("\nSELECT 0 AS step")]
+    enc = """,
+        doc0 AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(lower(text), '\\s+', chr(29), 'g'),
+                   '([^' || chr(29) || '])',
+                   chr(31) || '\\1' || chr(30), 'g') AS s
+          FROM documents)"""
+    for k in range(n_merges):
+        enc += f""",
+        doc{k + 1} AS (
+          SELECT doc_id, replace(s,
+              chr(31) || (SELECT l FROM b{k}) || chr(30)
+                || chr(31) || (SELECT r FROM b{k}) || chr(30),
+              chr(31) || (SELECT l FROM b{k}) || (SELECT r FROM b{k})
+                || chr(30)) AS s
+          FROM doc{k})"""
+    enc += f"""
+        SELECT doc_id,
+               CAST(len(s) - len(replace(s, chr(31), '')) AS BIGINT)
+                 AS n_tokens
+        FROM doc{n_merges}"""
+    return train_ctes + enc
 
 
 def _pagerank_oracle_sql(n_iter: int = 3, damping_pct: int = 85, scale: int = 10**12) -> str:
@@ -4885,6 +4937,7 @@ def oracle_sql() -> dict[str, str]:
         # PII_PATTERNS constants verbatim.
         "pii_redact": _pii_oracle_sql(),
         "bpe_train": _bpe_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         # date_trunc('week', ..) is ISO-Monday in both engines; the
         # offset is integer microsecond arithmetic.

@@ -417,3 +417,36 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply trained BPE merge rules to a corpus — the tokenize pass
+    that pairs with ``bpe_train``. Returns (id, n_tokens) with the
+    symbol count after applying every merge in order.
+
+    The segmentation state is a sentinel-delimited string: every
+    symbol is wrapped chr(31)..chr(30) and words are separated by
+    chr(29), so a merge ``(l, r)`` is ONE literal ``replace`` of
+    "\\x1f l \\x1e \\x1f r \\x1e" — left-to-right non-overlapping,
+    exactly BPE's greedy application, and a match can never straddle a
+    symbol or word boundary. The whole encode is a chain of
+    ``len(merges)`` narrow string replaces (whole-stage codegen, zero
+    shuffles, no Python) — at 100 TB this runs at scan speed, and the
+    merge table is a driver-side constant exactly like a broadcast
+    tokenizer artifact. Token count = surviving chr(31) markers."""
+    S, E, W = "\x1f", "\x1e", "\x1d"
+    s = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", W)
+    s = F.regexp_replace(s, f"([^{W}])", S + "$1" + E)
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(S + left + E + S + right + E),
+            F.lit(S + left + right + E),
+        )
+    n = F.length(s) - F.length(F.replace(s, F.lit(S), F.lit("")))
+    return df.select(F.col(id_col), n.cast("bigint").alias("n_tokens"))

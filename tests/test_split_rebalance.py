@@ -155,3 +155,42 @@ def test_pagerank_matches_pure_python_fixed_point(spark):
     # the hub receives mass from 3 nodes; the dangling node only the base
     assert got[1] > got[4]
     assert abs(got[4] - 0.15) < 1e-9
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    from graphkb_spark.operators.corpus import bpe_encode
+
+    merges = [("a", "b"), ("ab", "c"), ("d", "d")]
+    docs = [
+        (1, "abc abcd ab"),
+        (2, "dddd xyz"),
+        (3, "AB Cabc"),  # lowercased before encoding
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in bpe_encode(df, "doc_id", "text", merges).collect()}
+
+    def encode_word(word, merges):
+        syms = list(word)
+        for left, right in merges:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    import re
+    for doc_id, text in docs:
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        n = sum(len(encode_word(w, merges)) for w in words)
+        assert got[doc_id] == n, (doc_id, got[doc_id], n)
+    # spot-check the values the reference derivation predicts:
+    # "abc"->[abc], "abcd"->[abc,d], "ab"->[ab] = 4; "dddd"->[dd,dd]+xyz(3)=5
+    assert got[1] == 4
+    assert got[2] == 5
