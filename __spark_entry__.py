@@ -1787,6 +1787,84 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (rate ∝ n^0.5 / n, the
+    smallest language keeps everything, bigger ones thin toward it) —
+    the multilingual mixture recipe. Deterministic hash-Bernoulli
+    selection; per-language kept counts verified against the oracle's
+    identical rate table."""
+    from graphkb_spark.operators.sampling import temperature_sample
+
+    t = _t(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        t["documents"].select("doc_id", "lang"), "doc_id", "lang", alpha_pct=50
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): 10% of events are replayed
+    (the at-least-once producer failure mode) and the stream collapses
+    them with BOUNDED state — keys expire as the watermark passes.
+    Replayed rows are exact copies, so whichever copy survives, the
+    output set equals the original events — which is what the oracle
+    asserts, per event type."""
+    from graphkb_spark.streaming.incremental import streaming_dedup
+
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].select("event_id", "ts", "event_type", "value")
+    replayed = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    out = streaming_dedup(
+        spark,
+        replayed,
+        key_cols=("event_id",),
+        watermark="2 hours",
+        query_name=f"q_stream_dedup_{suffix}",
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: per-document out-of-vocabulary
+    token rate against the corpus's own top-200 vocabulary — the
+    coverage report run before freezing a tokenizer. Explode + one
+    broadcast-able vocab join (LEFT) + per-doc ratio; linear, no
+    windows."""
+    from graphkb_spark.operators.corpus import build_vocab, tokens
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    vocab = build_vocab(docs, "text", vocab_size=200, min_freq=2).select(
+        "token", F.lit(True).alias("__in_vocab")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point power-iteration PageRank (3 rounds) over the part
     hierarchy edge set — iterative graph analytics with NO floating
@@ -3027,18 +3105,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (vocab_build / ngram_counts / key_skew_profile / kmeans_assign),
     # the quantized-ANN rerank-broadcast rewrite, the streaming-session
     # state tuning, and hierarchy_rollup's optional broadcast; (b) the
-    # seven entries whose last driver row is r03 (most overdue); (c) the
-    # r04-green block skipped by the r5 rotation. The r04-green tail
-    # (spec_validation family, rollup_recurrence, the expansion trio,
-    # and the pure-function families — unchanged since r2, trivial
-    # oracles) slips one extra round to make room for the eight new
-    # round-6 queries; those slipped entries lead the r7 window.
+    # seven entries whose last driver row is r03 (most overdue); (c) as
+    # much of the r04-green block skipped by the r5 rotation as fits.
+    # The 24-entry r04-green tail (spec_validation family, the
+    # expansion trio, and the pure-function families — all unchanged
+    # since r2/r3, trivial oracles) slips one extra round to make room
+    # for the ELEVEN new round-6 queries; the slipped entries lead the
+    # r7 window.
     return {
         # -- (a0) NEW this round: never driver-checked --
         "pagerank": q_pagerank,
         "cohort_retention": q_cohort_retention,
         "incremental_join_agg": q_incremental_join_agg,
         "multiple_regression": q_multiple_regression,
+        "stream_dedup": q_stream_dedup,
+        "oov_rate": q_oov_rate,
+        "temperature_sample": q_temperature_sample,
         "streaming_sessions_native": q_streaming_sessions_native,
         "split_assign": q_split_assign,
         "priority_sample": q_priority_sample,
@@ -4939,6 +5021,45 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "temperature_sample": """
+            WITH c AS (
+              SELECT lang, count(*) AS n,
+                     round(pow(CAST(count(*) AS DOUBLE), 0.5), 6) AS w
+              FROM documents GROUP BY lang),
+            m AS (SELECT max(w / n) AS max_rate FROM c),
+            r AS (SELECT lang, (w / n) / max_rate AS rate FROM c, m)
+            SELECT d.lang, count(*) AS n_kept
+            FROM documents d JOIN r USING (lang)
+            WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT / 4294967296.0) < r.rate
+            GROUP BY d.lang
+        """,
+        # replayed rows are exact copies, so the deduped stream equals
+        # the original events — assert the per-type totals.
+        "stream_dedup": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "oov_rate": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, count(*) AS freq FROM tok
+              GROUP BY token HAVING count(*) >= 2),
+            vocab AS (
+              SELECT token FROM counts
+              ORDER BY freq DESC, token ASC LIMIT 200)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT)
+                     AS n_oov,
+                   round(CAST(count(*) FILTER (WHERE v.token IS NULL)
+                              AS DOUBLE) / count(*), 6) AS oov_rate
+            FROM tok t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id
+        """,
         # date_trunc('week', ..) is ISO-Monday in both engines; the
         # offset is integer microsecond arithmetic.
         "cohort_retention": """

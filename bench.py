@@ -56,6 +56,12 @@ HEADLINE = [
     "segment_dedup",
     "lm_score",
     "bpe_train",
+    # round-6 additions
+    "pagerank",
+    "bpe_encode",
+    "cohort_retention",
+    "multiple_regression",
+    "incremental_join_agg",
 ]
 
 

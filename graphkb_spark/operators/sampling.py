@@ -315,3 +315,71 @@ def domain_rebalance(
         .filter((F.col("__n") <= cap) | (u * F.col("__n") < F.lit(cap)))
         .drop("__n")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha_pct: int = 50,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: stratum s is kept at a
+    rate proportional to n_s^alpha / n_s (alpha = ``alpha_pct``/100),
+    the standard recipe for flattening a skewed multilingual/domain
+    mix (alpha=1 keeps the natural distribution, alpha=0 equalizes
+    strata). ``target_total`` scales the rates so the EXPECTED kept
+    total is that many rows (capped at keep-everything per stratum);
+    None normalizes so the stratum with the highest keep-rate — the
+    SMALLEST one, since rate ∝ n^(alpha-1) — keeps everything and
+    larger strata are thinned toward it.
+
+    Engine-determinism: the per-stratum weight n^alpha uses
+    exp/ln — NOT correctly-rounded IEEE ops — so instead the weight is
+    computed as round(pow(n, alpha), 6) once per STRATUM (stratum
+    cardinality is tiny, and rounding to 6 digits absorbs any libm
+    ulp), after which rate comparison against the md5-uniform is exact
+    double division/multiplication. Selection is hash-Bernoulli on the
+    id: stable across runs, retries, and engines.
+
+    Scale shape: one partial-aggregating count shuffle (stratum-sized
+    output), a broadcast join of the rate table, and a scan-speed
+    filter — identical cost profile to ``domain_rebalance``."""
+    counts = df.groupBy(F.col(stratum_col)).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = F.round(
+        F.pow(F.col("__n").cast("double"), F.lit(alpha_pct / 100.0)), 6
+    )
+    weights = counts.select(F.col(stratum_col), F.col("__n"), w.alias("__w"))
+    if target_total is None:
+        # normalize so the highest-rate (smallest) stratum keeps all
+        norm = weights.agg(
+            F.max(F.col("__w") / F.col("__n")).alias("__max_rate")
+        )
+        rates = weights.crossJoin(F.broadcast(norm)).select(
+            F.col(stratum_col),
+            ((F.col("__w") / F.col("__n")) / F.col("__max_rate")).alias("__rate"),
+        )
+    else:
+        tot_w = weights.agg(F.sum("__w").alias("__tot_w"))
+        rates = weights.crossJoin(F.broadcast(tot_w)).select(
+            F.col(stratum_col),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * (F.col("__w") / F.col("__tot_w"))
+                / F.col("__n"),
+            ).alias("__rate"),
+        )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(u < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -194,3 +194,46 @@ def test_bpe_encode_matches_pure_python(spark):
     # "abc"->[abc], "abcd"->[abc,d], "ab"->[ab] = 4; "dddd"->[dd,dd]+xyz(3)=5
     assert got[1] == 4
     assert got[2] == 5
+
+
+def test_temperature_sample_flattens_the_mix(spark):
+    from graphkb_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, "doc_id", "lang", alpha_pct=50)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # rate ∝ 1/sqrt(n): the SMALL stratum has the max rate (1.0) and
+    # keeps everything; big keeps sqrt(1000/9000) = 1/3 of its rows
+    assert counts["small"] == 1000
+    assert 2600 < counts["big"] < 3400
+    share_small = counts["small"] / (counts["big"] + counts["small"])
+    assert share_small > 0.2  # natural share was 0.10 -> strictly flatter
+    # determinism
+    c2 = {r["lang"]: r["n"] for r in
+          temperature_sample(df, "doc_id", "lang", alpha_pct=50)
+          .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert c2 == counts
+
+
+def test_temperature_sample_alpha100_keeps_everything(spark):
+    from graphkb_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, "doc_id", "lang", alpha_pct=100)
+    # alpha=1: rate = n/n / max(n/n) = 1 for every stratum
+    assert kept.count() == 300
+
+
+def test_temperature_sample_target_total(spark):
+    from graphkb_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "a" if i < 800 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, "doc_id", "lang", alpha_pct=0, target_total=200)
+    n = kept.count()
+    # expected kept total 200 with binomial wiggle; alpha=0 splits the
+    # budget evenly (100 each)
+    assert 130 < n < 270
