@@ -2813,7 +2813,10 @@ def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("src"),
         F.expr("p_partkey div 10").alias("dst"),
     )
-    out = transitive_closure(edges)
+    # node -> node div 10: depth = digit count of the max key (<= 7
+    # even at 10M parts), so 3 doubling rounds (covers depth 8) close
+    # the graph with no per-round convergence-count jobs
+    out = transitive_closure(edges, rounds=3)
     return out.select(
         F.col("src").alias("node"),
         F.col("dst").alias("ancestor"),
@@ -2845,6 +2848,8 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 6).alias("total_qty"),
             F.count(F.lit(1)).alias("n_lineitems"),
         ],
+        # known div-10 hierarchy: fixed 3 doubling rounds (depth <= 8)
+        closure_rounds=3,
     )
 
 

@@ -62,6 +62,7 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 16,
+    rounds: int | None = None,
 ) -> DataFrame:
     """All (node, ancestor, dist) reachability pairs over an acyclic
     edge set, via pointer doubling: round k joins the current path set
@@ -76,6 +77,13 @@ def transitive_closure(
     Each round localCheckpoints (lineage would otherwise double per
     round) and converges when no new (src, dst) pair appears.
     Self-loops would never terminate; they are excluded up front.
+
+    ``rounds``: when the caller KNOWS the hierarchy depth, run exactly
+    that many doubling rounds (covers any depth <= 2^rounds) with NO
+    per-round convergence count — each count is a full job, so fixed
+    rounds halve the job count of the whole closure. Under-providing
+    rounds silently truncates long paths; use the convergence mode
+    (default) when depth is unknown.
     """
     paths = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -84,8 +92,9 @@ def transitive_closure(
         .withColumn("dist", F.lit(1).cast("long"))
         .localCheckpoint(eager=True)
     )
-    n = paths.count()
-    for _ in range(max_rounds):
+    check_convergence = rounds is None
+    n = paths.count() if check_convergence else 0
+    for _ in range(rounds if rounds is not None else max_rounds):
         left = paths.alias("l")
         right = paths.alias("r")
         extended = left.join(
@@ -101,10 +110,11 @@ def transitive_closure(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        n2 = paths.count()
-        if n2 == n:
-            break
-        n = n2
+        if check_convergence:
+            n2 = paths.count()
+            if n2 == n:
+                break
+            n = n2
     return paths
 
 
@@ -117,6 +127,7 @@ def hierarchy_rollup(
     dst: str = "dst",
     include_self: bool = True,
     broadcast: bool | None = None,
+    closure_rounds: int | None = None,
 ) -> DataFrame:
     """Aggregate fact rows up an acyclic hierarchy: every fact counts
     toward its own node (``include_self``) and every ancestor of it.
@@ -134,9 +145,9 @@ def hierarchy_rollup(
     the broadcast limit, where a forced hint fails the job instead of
     degrading to a shuffle join, so the hint is opt-in.
     """
-    closure = transitive_closure(edges, src=src, dst=dst).select(
-        F.col("src").alias(fact_node), F.col("dst").alias("node")
-    )
+    closure = transitive_closure(
+        edges, src=src, dst=dst, rounds=closure_rounds
+    ).select(F.col("src").alias(fact_node), F.col("dst").alias("node"))
     if include_self:
         nodes = (
             edges.select(F.col(src).alias(fact_node))
