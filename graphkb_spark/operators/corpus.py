@@ -410,8 +410,11 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
+        # lazy checkpoint: the next round's argmax collect triggers the
+        # materialization anyway — eager would add one extra job per
+        # round (16 jobs for 8 merges) purely to block earlier
         syms = syms.select("freq", apply_merge.alias("syms")).localCheckpoint(
-            eager=True
+            eager=False
         )
     spark = df.sparkSession
     return spark.createDataFrame(
