@@ -210,7 +210,9 @@ def streaming_sessionize(
     import tempfile
 
     stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_state_{query_name}_")
-    events = normalize_ntz(events)
+    # stage ONLY the columns the session query reads — halves the
+    # landing-zone write/scan vs shipping the full event row
+    events = normalize_ntz(events).select(user_col, ts_col)
     events.write.mode("overwrite").parquet(stage_dir)
     stream = spark.readStream.schema(events.schema).parquet(stage_dir)
     sessions = (
@@ -280,7 +282,7 @@ def streaming_sessionize_native(
     from pyspark.sql import functions as F
 
     stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_state_{query_name}_")
-    events = normalize_ntz(events)
+    events = normalize_ntz(events).select(user_col, ts_col)
     events.write.mode("overwrite").parquet(stage_dir)
     stream = spark.readStream.schema(events.schema).parquet(stage_dir)
     sessions = (
