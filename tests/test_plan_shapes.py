@@ -1,0 +1,84 @@
+"""Physical-plan REGRESSION tests: shuffle/scan-shape budgets for the
+operators whose scale story depends on a specific plan. A correctness
+suite catches wrong answers; this one catches a silently-degraded plan
+(a lost broadcast, a new exchange, a window swallowing the corpus)
+before it ships — the perf contract expressed as assertions, using the
+same tree-walk as tools/audit_plans.py.
+
+Budgets are UPPER bounds: a plan may get cheaper, never quietly more
+expensive.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from audit_plans import audit  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _audit(spark, name):
+    return audit(entrymod.queries()[name](spark, SF_DIR))
+
+
+# (query, max exchanges, max python ops, require zero SMJ)
+BUDGETS = [
+    # narrow / zero-shuffle operators: any exchange is a regression
+    ("split_assign", 0, 0, True),
+    ("bpe_encode", 0, 0, True),
+    ("chunk_documents", 0, 0, True),
+    ("priority_sample", 0, 0, True),
+    ("classifier_score", 0, 0, True),
+    # single-shuffle aggregation shapes
+    ("dedup_exact", 1, 0, True),
+    ("multiple_regression", 1, 0, True),
+    ("pricing_summary", 1, 0, True),
+    ("sequence_pack", 1, 0, True),
+    ("vocab_build", 2, 0, True),
+    # broadcast-dimension joins: no sort-merge allowed
+    ("broadcast_dim_join", 1, 0, True),
+    ("salted_skew_join", 1, 0, True),
+    ("domain_rebalance", 2, 0, True),
+    # reconcile's exchange-budget (the round-5 rewrite's contract)
+    ("reconcile", 3, 0, True),
+    # python boundary only where declared
+    ("hgvs_parse", 0, 1, True),
+    ("minhash_lsh", 2, 2, True),
+]
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges,max_python,no_smj",
+    BUDGETS,
+    ids=[b[0] for b in BUDGETS],
+)
+def test_plan_budget(spark, name, max_exchanges, max_python, no_smj):
+    a = _audit(spark, name)
+    assert a["exchange"] <= max_exchanges, (
+        f"{name}: {a['exchange']} exchanges > budget {max_exchanges} — "
+        f"a shuffle crept into the plan ({a})"
+    )
+    assert a["python"] <= max_python, (
+        f"{name}: Python boundary count {a['python']} > {max_python} ({a})"
+    )
+    if no_smj:
+        assert a["smj"] == 0, (
+            f"{name}: sort-merge/nested-loop join appeared — a broadcast "
+            f"was lost ({a})"
+        )
+
+
+def test_quantized_topk_vectors_never_shuffle(spark):
+    """The round-6 rewrite's contract: the top-m window sees only
+    (ids, score); the wide vector column must not ride an exchange.
+    Cheap proxy: the whole plan has at most 2 exchanges (candidate
+    window + final window) and at least one broadcast join."""
+    a = _audit(spark, "embedding_quantized_topk")
+    assert a["exchange"] <= 2, a
+    assert a["bexchange"] >= 1, a
