@@ -1787,6 +1787,40 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each event opens a 15-minute
+    activity interval per user; overlapping/touching intervals collapse
+    to maximal islands. One shuffle on the user key, two partitioned
+    window passes, one keyed agg reusing the partitioning."""
+    from graphkb_spark.operators.aggregate import merge_intervals
+
+    t = _t(spark, sf_dir, "events")
+    iv = t["events"].select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    out = merge_intervals(iv, ["user_id"], "s", "e")
+    return out.select(
+        "user_id",
+        F.date_format("island_start", "yyyy-MM-dd HH:mm:ss").alias("island_start"),
+        F.date_format("island_end", "yyyy-MM-dd HH:mm:ss").alias("island_end"),
+        "n_intervals",
+    )
+
+
+def q_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (|z| > 3 vs the event-type cohort;
+    the heavy-tailed event values yield real outliers) with
+    decimal-exact moments, so borderline rows land on the same side of
+    the threshold in any engine."""
+    from graphkb_spark.operators.aggregate import grouped_outliers
+
+    t = _t(spark, sf_dir, "events")
+    out = grouped_outliers(t["events"], ["event_type"], "value", z=3.0)
+    return out.select("event_id", "event_type", "z_score")
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based language rebalancing (rate ∝ n^0.5 / n, the
     smallest language keeps everything, bigger ones thin toward it) —
@@ -3126,6 +3160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "oov_rate": q_oov_rate,
         "temperature_sample": q_temperature_sample,
+        "merge_intervals": q_merge_intervals,
+        "grouped_outliers": q_grouped_outliers,
         "streaming_sessions_native": q_streaming_sessions_native,
         "split_assign": q_split_assign,
         "priority_sample": q_priority_sample,
@@ -5026,6 +5062,45 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "merge_intervals": """
+            WITH iv AS (
+              SELECT user_id, ts AS s, ts + INTERVAL 15 MINUTE AS e
+              FROM events),
+            f AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER wprev IS NULL
+                            OR s > max(e) OVER wprev THEN 1 ELSE 0 END AS ni
+              FROM iv
+              WINDOW wprev AS (PARTITION BY user_id ORDER BY s ASC, e ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)),
+            g AS (
+              SELECT user_id, s, e,
+                     sum(ni) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                                   ROWS UNBOUNDED PRECEDING) AS island
+              FROM f)
+            SELECT user_id,
+                   strftime(min(s), '%Y-%m-%d %H:%M:%S') AS island_start,
+                   strftime(max(e), '%Y-%m-%d %H:%M:%S') AS island_end,
+                   count(*) AS n_intervals
+            FROM g GROUP BY user_id, island
+        """,
+        # Moments from decimal-exact sums, then the identical IEEE
+        # expression tree — borderline rows agree with the Spark side.
+        "grouped_outliers": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(sum(CAST(value AS DECIMAL(38,10)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+                     CAST(sum(CAST(value * value AS DECIMAL(38,10)))
+                          AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS ex2
+              FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   round((value - mu) / sqrt(ex2 - mu * mu), 6) AS z_score
+            FROM events e JOIN s USING (event_type)
+            WHERE abs(round((value - mu) / sqrt(ex2 - mu * mu), 6)) > 3.0
+        """,
         "temperature_sample": """
             WITH c AS (
               SELECT lang, count(*) AS n,

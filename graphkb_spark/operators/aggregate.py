@@ -355,3 +355,85 @@ def grouped_normal_equations(
         F.round(F.try_divide(det1, det), 6).alias("b1"),
         F.round(F.try_divide(det2, det), 6).alias("b2"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands):
+    returns one row per maximal run of intervals whose spans chain
+    together — (keys, island start, island end, n_intervals). Two
+    intervals belong to one island iff the later one starts at or
+    before the running maximum end of everything earlier.
+
+    Scale shape: ONE shuffle on the key; island detection is two
+    partitioned window passes (running max-end to flag island breaks,
+    running sum to number islands) plus a keyed agg that reuses the
+    same partitioning — no self-joins, no recursion, linear per key.
+    The classic SQL islands idiom, expressed once as an operator."""
+    keys = [F.col(c) for c in key_cols]
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(*keys).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new_island",
+        F.when(prev_max_end.isNull() | (s > prev_max_end), 1).otherwise(0),
+    )
+    island = F.sum("__new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("__island", island)
+        .groupBy(*keys, F.col("__island"))
+        .agg(
+            F.min(s).alias("island_start"),
+            F.max(e).alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("__island")
+    )
+
+
+def grouped_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier detection: rows whose value deviates
+    from the group mean by more than ``z`` population standard
+    deviations, annotated with the rounded z-score. One
+    partial-aggregating shuffle for the group moments, a broadcast-able
+    join back, and a scan-speed filter — the screening pass that runs
+    before trusting per-group aggregates at corpus scale. Zero-variance
+    groups produce no outliers (try_divide yields NULL, which fails
+    the > z filter).
+
+    Engine-determinism: mean and variance come from DECIMAL(38,10)
+    sums of x and x^2 (exactly associative — no summation-order drift)
+    converted once to double; the remaining ops (divide, multiply,
+    subtract, sqrt) are correctly rounded IEEE, so a borderline row
+    lands on the same side of the z threshold in any engine. The
+    E[x^2]-mu^2 form trades catastrophic-cancellation robustness for
+    that exactness — fine while |mu|/sigma is within a few orders of
+    magnitude, the regime of every quality-score/price-like column."""
+    v = F.col(value_col)
+    n = F.count(F.lit(1)).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        (F.sum(v.cast("decimal(38,10)")).cast("double") / n).alias("__mu"),
+        (F.sum((v * v).cast("decimal(38,10)")).cast("double") / n).alias("__ex2"),
+    ).withColumn(
+        "__sigma", F.sqrt(F.col("__ex2") - F.col("__mu") * F.col("__mu"))
+    ).drop("__ex2")
+    score = F.try_divide(v - F.col("__mu"), F.col("__sigma"))
+    return (
+        df.join(F.broadcast(stats), list(group_cols))
+        .withColumn("z_score", F.round(score, 6))
+        .filter(F.abs(F.col("z_score")) > z)
+        .drop("__mu", "__sigma")
+    )

@@ -237,3 +237,38 @@ def test_temperature_sample_target_total(spark):
     # expected kept total 200 with binomial wiggle; alpha=0 splits the
     # budget evenly (100 each)
     assert 130 < n < 270
+
+
+def test_merge_intervals_islands(spark):
+    from graphkb_spark.operators.aggregate import merge_intervals
+
+    rows = [
+        # key a: [0,10] [5,12] [12,20] chain into one island; [25,30] apart
+        ("a", 0, 10), ("a", 5, 12), ("a", 12, 20), ("a", 25, 30),
+        # key b: nested interval swallowed by a wide one
+        ("b", 0, 100), ("b", 10, 20), ("b", 150, 160),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        (r.k, r.island_start, r.island_end, r.n_intervals)
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert out == {
+        ("a", 0, 20, 3),
+        ("a", 25, 30, 1),
+        ("b", 0, 100, 2),
+        ("b", 150, 160, 1),
+    }
+
+
+def test_grouped_outliers_flags_only_extremes(spark):
+    from graphkb_spark.operators.aggregate import grouped_outliers
+
+    vals = [("g", float(v)) for v in [10] * 50 + [12] * 50] + [("g", 1000.0)]
+    df = spark.createDataFrame(vals, "grp string, v double")
+    out = grouped_outliers(df, ["grp"], "v", z=3.0).collect()
+    assert len(out) == 1
+    assert out[0].v == 1000.0 and out[0].z_score > 3
+    # zero-variance group: no outliers, no divide-by-zero error
+    const = spark.createDataFrame([("c", 5.0)] * 10, "grp string, v double")
+    assert grouped_outliers(const, ["grp"], "v").count() == 0
