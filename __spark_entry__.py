@@ -3149,8 +3149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The 24-entry r04-green tail (spec_validation family, the
     # expansion trio, and the pure-function families — all unchanged
     # since r2/r3, trivial oracles) slips one extra round to make room
-    # for the ELEVEN new round-6 queries; the slipped entries lead the
-    # r7 window.
+    # for the THIRTEEN new round-6 queries; the slipped entries lead
+    # the r7 window.
     return {
         # -- (a0) NEW this round: never driver-checked --
         "pagerank": q_pagerank,
