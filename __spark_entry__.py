@@ -1787,6 +1787,40 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent click/view within 72 h (NULL when none in-window) —
+    one keyed shuffle + one ordered window, no touch x conversion
+    range self-join. Aggregated per attributed channel."""
+    from graphkb_spark.operators.aggregate import last_touch_attribution
+
+    t = _t(spark, sf_dir, "events")
+    out = last_touch_attribution(
+        t["events"],
+        "user_id",
+        "ts",
+        "event_type",
+        conversion_types=["purchase"],
+        touch_types=["click", "view"],
+        window_hours=72,
+    )
+    return out.groupBy("attributed_touch").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix: per-user consecutive-event
+    pairs counted into P(to|from) — one lag window on the user key,
+    one pair-count shuffle, transition-table-sized output."""
+    from graphkb_spark.operators.aggregate import transition_matrix
+
+    t = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        t["events"], "user_id", "ts", "event_type", order_tiebreak="event_id"
+    )
+
+
 def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands interval merging: each event opens a 15-minute
     activity interval per user; overlapping/touching intervals collapse
@@ -3162,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "merge_intervals": q_merge_intervals,
         "grouped_outliers": q_grouped_outliers,
+        "attribution": q_attribution,
+        "transition_matrix": q_transition_matrix,
         "streaming_sessions_native": q_streaming_sessions_native,
         "split_assign": q_split_assign,
         "priority_sample": q_priority_sample,
@@ -5062,6 +5098,47 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        # Same total order as the Spark window (ts, touches-first,
+        # type); conversions look back at the preceding frame only.
+        "attribution": """
+            WITH ev2 AS (
+              SELECT user_id, ts, event_type,
+                     event_type IN ('click', 'view') AS is_touch
+              FROM events
+              WHERE event_type IN ('purchase', 'click', 'view')),
+            marked AS (
+              SELECT user_id, ts, event_type, is_touch,
+                     last_value(CASE WHEN is_touch THEN ts END IGNORE NULLS)
+                       OVER w AS lt_ts,
+                     last_value(CASE WHEN is_touch THEN event_type END
+                                IGNORE NULLS) OVER w AS lt_type
+              FROM ev2
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC, is_touch DESC, event_type ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING))
+            SELECT CASE WHEN epoch(lt_ts) >= epoch(ts) - 72 * 3600
+                        THEN lt_type END AS attributed_touch,
+                   count(*) AS n_conversions
+            FROM marked WHERE NOT is_touch
+            GROUP BY 1
+        """,
+        "transition_matrix": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS from_type,
+                     event_type AS to_type
+              FROM events),
+            counts AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM pairs WHERE from_type IS NOT NULL
+              GROUP BY from_type, to_type),
+            tot AS (
+              SELECT from_type, sum(n) AS t FROM counts GROUP BY from_type)
+            SELECT c.from_type, c.to_type, c.n,
+                   round(CAST(c.n AS DOUBLE) / t, 6) AS p
+            FROM counts c JOIN tot USING (from_type)
+        """,
         "merge_intervals": """
             WITH iv AS (
               SELECT user_id, ts AS s, ts + INTERVAL 15 MINUTE AS e

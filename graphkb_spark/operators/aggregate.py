@@ -437,3 +437,108 @@ def grouped_outliers(
         .filter(F.abs(F.col("z_score")) > z)
         .drop("__mu", "__sigma")
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_types: Sequence[str],
+    touch_types: Sequence[str],
+    window_hours: int = 72,
+) -> DataFrame:
+    """Marketing-style last-touch attribution: every conversion event
+    is credited to the user's most recent touch event within
+    ``window_hours`` before it (ties on timestamp break toward the
+    later-sorted event id). Returns one row per conversion with the
+    attributed touch type (NULL when no touch is in-window).
+
+    Scale shape: filter both event classes out of the raw stream
+    (pushed to the scan), ONE shuffle on the user key, and a single
+    partitioned last_value window over the (ts, kind)-ordered union —
+    the classic sessionless attribution join expressed without a range
+    self-join (which would be quadratic in touches x conversions per
+    user)."""
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    both = events.filter(
+        et.isin([*conversion_types, *touch_types])
+    ).select(
+        u.alias("__user"),
+        ts.alias("__ts"),
+        et.alias("__type"),
+        et.isin(list(touch_types)).alias("__is_touch"),
+    )
+    # order touches BEFORE a same-timestamp conversion so the
+    # conversion can see it; last_value over the preceding frame
+    # total order: ts, touches-before-conversions at equal ts, then
+    # type name — same-timestamp touch pairs resolve deterministically
+    w = (
+        Window.partitionBy("__user")
+        .orderBy(
+            F.col("__ts").asc(), F.col("__is_touch").desc(), F.col("__type").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch_ts = F.last(
+        F.when(F.col("__is_touch"), F.col("__ts")), ignorenulls=True
+    ).over(w)
+    last_touch_type = F.last(
+        F.when(F.col("__is_touch"), F.col("__type")), ignorenulls=True
+    ).over(w)
+    horizon = F.col("__ts").cast("long") - F.lit(window_hours * 3600)
+    return (
+        both.withColumn("__lt_ts", last_touch_ts)
+        .withColumn("__lt_type", last_touch_type)
+        .filter(~F.col("__is_touch"))
+        .select(
+            F.col("__user").alias(user_col),
+            F.col("__ts").alias("conversion_ts"),
+            F.col("__type").alias("conversion_type"),
+            F.when(
+                F.col("__lt_ts").cast("long") >= horizon, F.col("__lt_type")
+            ).alias("attributed_touch"),
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-user event-type Markov transition counts and probabilities:
+    for each ordered pair of consecutive events of one user, count the
+    (from_type, to_type) transition and derive P(to|from) — the
+    behavioral-flow profile (and the event-level sibling of the bigram
+    LM over text). Returns (from_type, to_type, n, p) with p rounded.
+
+    Scale shape: one shuffle on the user key for the lag window, then
+    one partial-aggregating shuffle on the (from, to) pair —
+    transition-table-sized output. The conditional denominator reuses
+    the pair table (grouped sum, broadcast-size) instead of a second
+    scan of the events."""
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(user_col), F.col(type_col).alias("to_type"), *(
+                [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+            )
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+    )

@@ -272,3 +272,94 @@ def test_grouped_outliers_flags_only_extremes(spark):
     # zero-variance group: no outliers, no divide-by-zero error
     const = spark.createDataFrame([("c", 5.0)] * 10, "grp string, v double")
     assert grouped_outliers(const, ["grp"], "v").count() == 0
+
+
+def test_deterministic_sampling_invariant_under_repartition(spark):
+    """The determinism CLAIM is partitioning-independence: the kept set
+    must be identical whatever physical layout the data arrives in —
+    retries, different cluster sizes, different file splits."""
+    from graphkb_spark.operators.sampling import (
+        domain_rebalance,
+        priority_sample,
+        split_assign,
+        temperature_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df1 = spark.createDataFrame(rows, "doc_id long, lang string")
+    df2 = df1.repartition(7, "lang")
+    df3 = df1.repartition(13)
+
+    def ids(df):
+        return sorted(r.doc_id for r in df.collect())
+
+    for variant in (df2, df3):
+        assert ids(split_assign(df1, "doc_id").filter(F.col("split") == "val")) == \
+               ids(split_assign(variant, "doc_id").filter(F.col("split") == "val"))
+        assert ids(priority_sample(df1.withColumn("w", F.col("doc_id") % 7 + 1),
+                                   "doc_id", "w", n=50)) == \
+               ids(priority_sample(variant.withColumn("w", F.col("doc_id") % 7 + 1),
+                                   "doc_id", "w", n=50))
+        assert ids(domain_rebalance(df1, "doc_id", "lang", cap=300)) == \
+               ids(domain_rebalance(variant, "doc_id", "lang", cap=300))
+        assert ids(temperature_sample(df1, "doc_id", "lang", alpha_pct=50)) == \
+               ids(temperature_sample(variant, "doc_id", "lang", alpha_pct=50))
+
+
+def test_last_touch_attribution_window_and_ties(spark):
+    import datetime as dt
+
+    from graphkb_spark.operators.aggregate import last_touch_attribution
+
+    base = dt.datetime(2024, 1, 1)
+    h = lambda x: base + dt.timedelta(hours=x)  # noqa: E731
+    rows = [
+        # u1: click at 0h, purchase at 10h -> attributed to click
+        (1, h(0), "click"), (1, h(10), "purchase"),
+        # u1: second purchase at 100h -> click is 100h old > 72h -> NULL
+        (1, h(100), "purchase"),
+        # u2: view at 5h then click at 6h, purchase 7h -> click (latest)
+        (2, h(5), "view"), (2, h(6), "click"), (2, h(7), "purchase"),
+        # u3: touch at the SAME ts as the purchase -> counts (<= boundary)
+        (3, h(1), "view"), (3, h(1), "purchase"),
+        # u4: purchase with no touches at all -> NULL
+        (4, h(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {(r.user_id, r.conversion_ts, r.attributed_touch)
+           for r in last_touch_attribution(
+               ev, "user_id", "ts", "event_type",
+               ["purchase"], ["click", "view"], window_hours=72).collect()}
+    assert out == {
+        (1, h(10), "click"),
+        (1, h(100), None),
+        (2, h(7), "click"),
+        (3, h(1), "view"),
+        (4, h(2), None),
+    }
+
+
+def test_transition_matrix_probabilities(spark):
+    import datetime as dt
+
+    from graphkb_spark.operators.aggregate import transition_matrix
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        (1, 1, m(0), "a"), (1, 2, m(1), "b"), (1, 3, m(2), "a"),
+        (2, 4, m(0), "a"), (2, 5, m(1), "b"), (2, 6, m(2), "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in transition_matrix(
+               ev, "user_id", "ts", "event_type", order_tiebreak="event_id"
+           ).collect()}
+    # transitions: u1 a->b, b->a; u2 a->b, b->b
+    assert out == {
+        ("a", "b"): (2, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
