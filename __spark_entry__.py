@@ -1787,6 +1787,22 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag equi-depth deciles of extended price (ntile over a
+    total order, so boundary ties are deterministic): bucket counts and
+    value ranges — the range-partition planning profile."""
+    from graphkb_spark.operators.aggregate import equidepth_histogram
+
+    t = _t(spark, sf_dir, "lineitem")
+    return equidepth_histogram(
+        t["lineitem"],
+        ["l_returnflag"],
+        "l_extendedprice",
+        buckets=10,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credited to the user's
     most recent click/view within 72 h (NULL when none in-window) —
@@ -3198,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_outliers": q_grouped_outliers,
         "attribution": q_attribution,
         "transition_matrix": q_transition_matrix,
+        "equidepth_histogram": q_equidepth_histogram,
         "streaming_sessions_native": q_streaming_sessions_native,
         "split_assign": q_split_assign,
         "priority_sample": q_priority_sample,
@@ -5098,6 +5115,19 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "equidepth_histogram": """
+            WITH b AS (
+              SELECT l_returnflag, l_extendedprice,
+                     ntile(10) OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice ASC,
+                                              l_orderkey ASC,
+                                              l_linenumber ASC) AS bucket
+              FROM lineitem)
+            SELECT l_returnflag, bucket, count(*) AS n,
+                   round(min(l_extendedprice), 6) AS lo,
+                   round(max(l_extendedprice), 6) AS hi
+            FROM b GROUP BY l_returnflag, bucket
+        """,
         # Same total order as the Spark window (ts, touches-first,
         # type); conversions look back at the preceding frame only.
         "attribution": """

@@ -542,3 +542,33 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    buckets: int = 10,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group equi-depth histogram: ntile over a TOTAL order
+    (value + tiebreakers) splits each group into ``buckets``
+    near-equal-population buckets; returns per-bucket row count and
+    value range — the quantile-sketch companion for skew diagnosis and
+    range-partition planning. One shuffle on the group key, one
+    partitioned window, one keyed agg reusing the partitioning.
+
+    The tiebreakers matter: ntile over a non-total order assigns
+    boundary ties arbitrarily per run — pass an id column to make the
+    histogram deterministic (and oracle-replicable)."""
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col), 6).alias("lo"),
+            F.round(F.max(value_col), 6).alias("hi"),
+        )
+    )

@@ -82,3 +82,48 @@ def test_quantized_topk_vectors_never_shuffle(spark):
     a = _audit(spark, "embedding_quantized_topk")
     assert a["exchange"] <= 2, a
     assert a["bexchange"] >= 1, a
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The 100 TB co-location story: two tables bucketed+sorted on the
+    join key join with ZERO exchanges (and zero extra sorts) — the
+    write-once-shuffle-never layout for repeated fact-to-fact joins.
+    Asserted on the physical plan of the bucketed join."""
+    # managed tables land in the session's default warehouse (static
+    # conf — cannot be redirected per-test); dropped in the finally
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+    )
+    for df, name, key in (
+        (li, "t_li_bucketed", "l_orderkey"),
+        (orders, "t_ord_bucketed", "o_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    try:
+        # force the merge strategy: at sf0.001 the sides fit the
+        # broadcast threshold, which would hide the bucketing property
+        joined = spark.table("t_li_bucketed").hint("merge").join(
+            spark.table("t_ord_bucketed"),
+            spark.table("t_li_bucketed")["l_orderkey"]
+            == spark.table("t_ord_bucketed")["o_orderkey"],
+        )
+        a = audit(joined)
+        assert a["exchange"] == 0, f"bucketed join still shuffles: {a}"
+        assert a["bexchange"] == 0, f"bucketed join broadcast instead: {a}"
+        assert a["smj"] >= 1, f"expected a sort-merge join: {a}"
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
