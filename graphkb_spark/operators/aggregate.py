@@ -515,11 +515,11 @@ def transition_matrix(
     behavioral-flow profile (and the event-level sibling of the bigram
     LM over text). Returns (from_type, to_type, n, p) with p rounded.
 
-    Scale shape: one shuffle on the user key for the lag window, then
-    one partial-aggregating shuffle on the (from, to) pair —
-    transition-table-sized output. The conditional denominator reuses
-    the pair table (grouped sum, broadcast-size) instead of a second
-    scan of the events."""
+    Scale shape: one shuffle on the user key for the lag window, one
+    partial-aggregating shuffle on the (from, to) pair, and the
+    conditional denominator is a window over the already-aggregated
+    (transition-table-sized) pair table — no join, no second pass over
+    the events, three exchanges total."""
     order = [F.col(ts_col).asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
@@ -535,12 +535,12 @@ def transition_matrix(
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
-    return pairs.join(F.broadcast(tot), "from_type").select(
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
     )
 
 
