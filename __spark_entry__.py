@@ -1787,6 +1787,26 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted exact percentiles per group (price weighted
+    by quantity) via Spark's native ``percentile(col, p, freq)`` —
+    semantically identical to repeating each row ``freq`` times, which
+    is exactly how the DuckDB oracle computes it (generate_series
+    expansion + quantile_cont). One algebraic-aggregate shuffle; the
+    weights never materialize as rows on the Spark side."""
+    t = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("int")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile(F.col("l_extendedprice"), F.lit(0.5), qty), 6
+        ).alias("wp50"),
+        F.round(
+            F.percentile(F.col("l_extendedprice"), F.lit(0.9), qty), 6
+        ).alias("wp90"),
+        F.sum(qty).alias("total_weight"),
+    )
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-flag equi-depth deciles of extended price (ntile over a
     total order, so boundary ties are deterministic): bucket counts and
@@ -3215,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "transition_matrix": q_transition_matrix,
         "equidepth_histogram": q_equidepth_histogram,
+        "weighted_percentiles": q_weighted_percentiles,
         "streaming_sessions_native": q_streaming_sessions_native,
         "split_assign": q_split_assign,
         "priority_sample": q_priority_sample,
@@ -5115,6 +5136,30 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        # weight-as-repetition expansion: Spark's percentile(col, p,
+        # freq) is defined as the percentile of the row repeated freq
+        # times — replicate literally with generate_series.
+        "weighted_percentiles": """
+            WITH expanded AS (
+              SELECT l_returnflag, l_extendedprice,
+                     CAST(l_quantity AS INT) AS w
+              FROM lineitem),
+            rows_exp AS (
+              SELECT l_returnflag, l_extendedprice
+              FROM expanded, unnest(generate_series(1, w)))
+            SELECT e.l_returnflag,
+                   round(quantile_cont(r.l_extendedprice, 0.5), 6) AS wp50,
+                   round(quantile_cont(r.l_extendedprice, 0.9), 6) AS wp90,
+                   t.total_weight
+            FROM rows_exp r
+            JOIN (SELECT l_returnflag, CAST(sum(w) AS BIGINT)
+                         AS total_weight
+                  FROM expanded GROUP BY l_returnflag) t
+              USING (l_returnflag)
+            JOIN (SELECT DISTINCT l_returnflag FROM expanded) e
+              USING (l_returnflag)
+            GROUP BY e.l_returnflag, t.total_weight
+        """,
         "equidepth_histogram": """
             WITH b AS (
               SELECT l_returnflag, l_extendedprice,
