@@ -5192,7 +5192,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ts ASC, is_touch DESC, event_type ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND 1 PRECEDING))
-            SELECT CASE WHEN epoch(lt_ts) >= epoch(ts) - 72 * 3600
+            SELECT CASE WHEN epoch_us(lt_ts) >= epoch_us(ts) - 72::BIGINT * 3600 * 1000000
                         THEN lt_type END AS attributed_touch,
                    count(*) AS n_conversions
             FROM marked WHERE NOT is_touch

@@ -246,8 +246,9 @@ def grouped_percentiles(
     group count or size is corpus-scale."""
     aggs = [
         F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(
-            # round, not truncate: int(0.29 * 100) == 28 under float error
-            f"p{int(round(p * 100))}"
+            # half-up, not truncate (int(0.29*100) == 28 under float
+            # error) and not round() (banker's: p=0.625 -> 'p62')
+            f"p{int(p * 100 + 0.5)}"
         )
         for p in percentiles
     ]
@@ -404,6 +405,7 @@ def grouped_outliers(
     group_cols: Sequence[str],
     value_col: str,
     z: float = 3.0,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Per-group z-score outlier detection: rows whose value deviates
     from the group mean by more than ``z`` population standard
@@ -421,7 +423,14 @@ def grouped_outliers(
     lands on the same side of the z threshold in any engine. The
     E[x^2]-mu^2 form trades catastrophic-cancellation robustness for
     that exactness — fine while |mu|/sigma is within a few orders of
-    magnitude, the regime of every quality-score/price-like column."""
+    magnitude, the regime of every quality-score/price-like column.
+
+    ``broadcast``: True forces a broadcast hint on the stats table,
+    False forbids it, None (default) leaves the choice to Catalyst/AQE.
+    Stats is one row per group — an unbounded-cardinality group column
+    (per-user, per-URL) can exceed the broadcast limit, where a forced
+    hint fails the job instead of degrading to a shuffle join, so the
+    hint is opt-in (same contract as ``hierarchy_rollup``)."""
     v = F.col(value_col)
     n = F.count(F.lit(1)).cast("double")
     stats = df.groupBy(*group_cols).agg(
@@ -430,9 +439,11 @@ def grouped_outliers(
     ).withColumn(
         "__sigma", F.sqrt(F.col("__ex2") - F.col("__mu") * F.col("__mu"))
     ).drop("__ex2")
+    if broadcast:
+        stats = F.broadcast(stats)
     score = F.try_divide(v - F.col("__mu"), F.col("__sigma"))
     return (
-        df.join(F.broadcast(stats), list(group_cols))
+        df.join(stats, list(group_cols))
         .withColumn("z_score", F.round(score, 6))
         .filter(F.abs(F.col("z_score")) > z)
         .drop("__mu", "__sigma")
@@ -486,7 +497,12 @@ def last_touch_attribution(
     last_touch_type = F.last(
         F.when(F.col("__is_touch"), F.col("__type")), ignorenulls=True
     ).over(w)
-    horizon = F.col("__ts").cast("long") - F.lit(window_hours * 3600)
+    # compare in MICROSECONDS: cast('long') floors to whole seconds, so
+    # with sub-second event times a touch within <1 s of the 72 h
+    # boundary would classify differently than an epoch-precise engine
+    # (the DuckDB oracle uses epoch_us) — unix_micros keeps the
+    # boundary test exact at full timestamp precision
+    horizon = F.unix_micros(F.col("__ts")) - F.lit(window_hours * 3_600_000_000)
     return (
         both.withColumn("__lt_ts", last_touch_ts)
         .withColumn("__lt_type", last_touch_type)
@@ -496,7 +512,7 @@ def last_touch_attribution(
             F.col("__ts").alias("conversion_ts"),
             F.col("__type").alias("conversion_type"),
             F.when(
-                F.col("__lt_ts").cast("long") >= horizon, F.col("__lt_type")
+                F.unix_micros(F.col("__lt_ts")) >= horizon, F.col("__lt_type")
             ).alias("attributed_touch"),
         )
     )

@@ -198,49 +198,51 @@ def pagerank(
     biases each contribution down by < 1/scale — irrelevant for a
     ranking signal at scale=1e12.
 
-    Bounds: intermediate ``damping_pct * sum`` must fit a signed
-    64-bit integer; with total rank ~ n_nodes * scale the default
-    scale supports ~10^5 nodes per gather at worst-case concentration
-    — drop ``scale`` (or move the sum to DECIMAL) for larger graphs.
+    Overflow-safe by construction: the gather ``sum`` and the
+    ``damping_pct *`` multiply run in DECIMAL(38,0) (exact integer
+    arithmetic to 1e38 — any realistic graph), then drop back to
+    BIGINT after ``div 100``; that final value is bounded by the total
+    rank mass, which never exceeds n_nodes * scale, so the cast is
+    safe wherever the initial ranks were representable. No silent
+    int64 wraparound at any node count (the earlier all-BIGINT gather
+    wrapped beyond ~1e5 nodes per gather under Spark's non-ANSI mode);
+    the per-round integers are unchanged where both are exact, so
+    external oracles replay the identical trajectory.
 
-    Scale shape: out-degrees computed once (one shuffle); each
-    iteration is one broadcast-able rank-attach join + one keyed
-    contribution shuffle (map-side combinable), localCheckpointed so
-    lineage stays flat — the standard distributed power-iteration
-    layout, linear per round.
+    Scale shape: out-degrees are attached to the node table ONCE
+    before the loop; each iteration is then a single rank-attach join
+    on the edge source (contributions pre-divided at attach time) +
+    one keyed contribution shuffle (map-side combinable) + the
+    node-table left join for dangling nodes, localCheckpointed so
+    lineage stays flat — 2 joins per round, the minimal distributed
+    power-iteration layout.
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        # out-degree joined once, outside the loop (dangling nodes keep
+        # a null __deg but never appear as a join source below)
+        .join(outdeg.withColumnRenamed("__s", "node"), "node", "left")
         .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     base = F.lit((100 - damping_pct) * scale // 100).cast("long")
     ranks = nodes.withColumn("rank_fx", F.lit(scale).cast("long"))
+    gather = F.expr(
+        f"CAST((CAST({damping_pct} AS DECIMAL(38,0))"
+        " * coalesce(__sum, CAST(0 AS DECIMAL(38,0)))) div 100 AS BIGINT)"
+    )
     for _ in range(n_iter):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "__s"), "__s")
-            .join(outdeg, "__s")
-            .select(
-                F.col("__d").alias("node"),
-                F.expr("rank_fx div __deg").alias("__c"),
-            )
+        contrib = e.join(ranks.withColumnRenamed("node", "__s"), "__s").select(
+            F.col("__d").alias("node"),
+            F.expr("rank_fx div __deg").cast("decimal(38,0)").alias("__c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__sum"))
         ranks = (
             nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    base
-                    + F.expr(
-                        f"(CAST({damping_pct} AS BIGINT)"
-                        " * coalesce(__sum, CAST(0 AS BIGINT))) div 100"
-                    )
-                ).alias("rank_fx"),
-            )
+            .select("node", "__deg", (base + gather).alias("rank_fx"))
             .localCheckpoint(eager=False)
         )
     return ranks.select(

@@ -270,9 +270,10 @@ def streaming_sessionize_native(
     session is emitted iff session_end + 2*gap <= max(ts) over the
     input — the SQL oracle encodes exactly that. Two adjacent events
     exactly ``gap`` apart MERGE into one session (the window boundary
-    is closed — one tick further apart and they split), which differs
-    from the custom operator's strict ``t - last > gap`` break only at
-    the exact boundary.
+    is closed — one tick further apart and they split); the custom
+    operator's strict ``t - last > gap`` break agrees at that exact
+    boundary, so the two operators produce the same session set and
+    differ only in append-mode emission timing.
 
     Scale shape: one keyed state aggregation, state bounded at one
     open window per active user; ``state_partitions`` as in
