@@ -1111,10 +1111,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with auditable md5 signatures: the
     full pipeline (shingle -> one md5 digest each -> 32 affine family
     minima -> 16 bands of 2 -> band-bucket candidate join ->
-    exact-Jaccard verify) is replicated verbatim by the DuckDB oracle,
-    so banding soundness is checked, not just the verified pairs.
-    (hasher='xxhash64' swaps the digest for a JVM xxhash64 — same plan
-    shape; with one digest per shingle the md5 path costs the same.)"""
+    exact-Jaccard verify over the hashed shingle sets) is replicated
+    verbatim by the DuckDB oracle, so banding soundness is checked,
+    not just the verified pairs. (hasher='xxhash64' swaps the digest
+    for a JVM xxhash64 — same plan shape; with one digest per shingle
+    the md5 path costs the same.)"""
     t = _t(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
         t["documents"],
@@ -4894,11 +4895,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
               FROM bands x JOIN bands y
                 ON x.b = y.b AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+            hset AS (
+              SELECT doc_id, list_distinct(list(h)) AS hs FROM hx GROUP BY doc_id),
             jac AS (
               SELECT id_a, id_b,
-                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.s, b.s))) AS j
-              FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+                     CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.hs, b.hs))) AS j
+              FROM cand JOIN hset a ON a.doc_id = id_a JOIN hset b ON b.doc_id = id_b)
             SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.6
         """,
         # Identical md5-hex bit-vote SimHash signature + chunk blocking.

@@ -88,6 +88,18 @@ def main() -> None:
         # the stable measure of the plan itself
         for _ in range(3):
             spark.catalog.clearCache()
+            # untimed, BEFORE each trial: drop the previous trial's
+            # plan proxies and compact the heap so localCheckpoint
+            # blocks from trial k don't inflate trial k+1 via old-gen
+            # GC pauses (measured: minhash trials drift 1.4 -> 2.5 s
+            # within one query without this) — we measure the plan,
+            # not cross-trial garbage
+            df = None
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.count()

@@ -194,16 +194,34 @@ def minhash_lsh_pairs(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with
-    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a<id_b.
+    exact Jaccard over the HASHED shingle sets. Returns
+    (id_a, id_b, jaccard), id_a<id_b.
 
     Plan: signature scan (no shuffle) -> explode bands -> shuffle on
     (band, hash) -> within-bucket self-join -> distinct pairs ->
     broadcast-free verify join back to shingle sets.
 
-    ``hasher``: ``"xxhash64"`` (numpy Arrow-batched affine family — the
-    throughput default) or ``"md5"`` (seeded-md5 hex minima — every
-    stage ANSI-SQL-replicable, so an external oracle can verify the
-    exact candidate set and banding, not just the verified pairs).
+    The staged per-doc state is the hashed shingle set
+    (array<bigint>, distinct AFTER hashing) — never the shingle
+    strings: 3-4x smaller localCheckpoint blocks and Arrow batches,
+    and the verify ``array_intersect``/``array_union`` compares longs
+    instead of strings. Verify Jaccard is therefore defined on the
+    hash domain; a 31-bit digest collision (p ~ 2^-31 per in-doc pair)
+    can merge two shingles and perturb a Jaccard in the 4th decimal —
+    irrelevant for near-dup detection, and the external oracle
+    replicates the identical hashed-set definition, so results still
+    match bit-for-bit.
+
+    ``hasher``: ``"xxhash64"`` (fastest digest) or ``"md5"``
+    (hex-fold digest — plain ANSI arithmetic, so an external oracle
+    can verify the exact candidate set and banding, not just the
+    verified pairs). Both feed the same Arrow-batched numpy affine
+    family minima; the pure-JVM alternatives were measured and kept
+    non-default (docs/FLOORS.md): the interpreted ``aggregate`` HOF is
+    ~2.6x slower, and an explode + 32-way codegen'd min-agg is ~0.3 s
+    slower end-to-end at sf0.1 (one extra job + re-shuffle, since a
+    localCheckpoint boundary drops the partitioning info the agg could
+    have reused).
     ``num_partitions``: pre-join spread of the signature computation;
     defaults to ``defaultParallelism`` locally — on a cluster leave it
     None and let AQE size the exchanges instead.
@@ -215,25 +233,33 @@ def minhash_lsh_pairs(
     # lambda re-evaluate per element). The repartition also spreads the
     # interpreted HOF work across all cores when the source is one file.
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    shingled = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
-        .repartition(n_part, "__id")
-        .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
-    )
-    sig_udf = _np_minhash_udf(num_hashes)
     if hasher == "md5":
         # one md5 digest per shingle; the affine family minima are the
         # same integers whether computed by the numpy UDF (used here)
         # or the pure-JVM aggregate — the oracle replicates both
-        sig = sig_udf(md5_shingle_hashes("__sh"))
+        digest = lambda s: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_MH_PRIME),
+        )
         band_hash = lambda band_slice: F.md5(  # noqa: E731
             F.concat_ws(",", F.transform(band_slice, lambda x: x.cast("string")))
         )
     else:
-        sig = sig_udf(F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))))
+        digest = lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))  # noqa: E731
         band_hash = lambda band_slice: F.xxhash64(F.concat_ws(",", band_slice))  # noqa: E731
+    shingled = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .repartition(n_part, "__id")
+        .select(
+            "__id",
+            F.array_distinct(
+                F.transform(word_shingles("__w", shingle_n), digest)
+            ).alias("__sh"),
+        )
+    )
+    sig_udf = _np_minhash_udf(num_hashes)
     base = (
-        shingled.select("__id", "__sh", sig.alias("__sig"))
+        shingled.select("__id", "__sh", sig_udf("__sh").alias("__sig"))
         # materialize once: the signature scan feeds BOTH the band join
         # and the verify join — without it the shingle+signature
         # pipeline re-executes per consumer. localCheckpoint (not
