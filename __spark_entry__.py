@@ -3208,91 +3208,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round to give
-    # every query a driver row at least every other round. Round-6 window:
-    # (a) every query whose code, plan, or oracle changed this round —
-    # the incremental_agg decimal-sum fix, the new bpe_train unrolled
-    # DuckDB oracle, the TakeOrdered-before-ranking rewrites
-    # (vocab_build / ngram_counts / key_skew_profile / kmeans_assign),
-    # the quantized-ANN rerank-broadcast rewrite, the streaming-session
-    # state tuning, and hierarchy_rollup's optional broadcast; (b) the
-    # seven entries whose last driver row is r03 (most overdue); (c) as
-    # much of the r04-green block skipped by the r5 rotation as fits.
-    # The 24-entry r04-green tail (spec_validation family, the
-    # expansion trio, and the pure-function families — all unchanged
-    # since r2/r3, trivial oracles) slips one extra round to make room
-    # for the THIRTEEN new round-6 queries; the slipped entries lead
-    # the r7 window.
+    # every query a driver row at least every other round. Round-7 window:
+    # (a) the three queries whose code or oracle changed this round —
+    # minhash_lsh (hashed-shingle verify + oracle), attribution
+    # (microsecond boundary + oracle), pagerank (decimal gather, one
+    # join per iteration; identical values); (b) the 12-entry r04-green
+    # tail that slipped the r6 window (explode_expansion ...
+    # combo_naming) — most overdue; (c) the head of the r05-green block
+    # in its standing order. The round-6 entries (all driver-green in
+    # CORRECTNESS_r06) move behind the window along with the remaining
+    # r05 block; grouped_outliers / domain_rebalance /
+    # temperature_sample changed only their broadcast-hint default
+    # (values identical) and sit just past the window.
     return {
-        # -- (a0) NEW this round: never driver-checked --
-        "pagerank": q_pagerank,
-        "cohort_retention": q_cohort_retention,
-        "incremental_join_agg": q_incremental_join_agg,
-        "multiple_regression": q_multiple_regression,
-        "stream_dedup": q_stream_dedup,
-        "oov_rate": q_oov_rate,
-        "temperature_sample": q_temperature_sample,
-        "merge_intervals": q_merge_intervals,
-        "grouped_outliers": q_grouped_outliers,
-        "attribution": q_attribution,
-        "transition_matrix": q_transition_matrix,
-        "equidepth_histogram": q_equidepth_histogram,
-        "weighted_percentiles": q_weighted_percentiles,
-        "streaming_sessions_native": q_streaming_sessions_native,
-        "split_assign": q_split_assign,
-        "priority_sample": q_priority_sample,
-        "domain_rebalance": q_domain_rebalance,
-        # -- (a) changed this round --
-        "incremental_agg": q_incremental_agg,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "vocab_build": q_vocab_build,
-        "ngram_counts": q_ngram_counts,
-        "key_skew_profile": q_key_skew_profile,
-        "kmeans_assign": q_kmeans_assign,
-        "embedding_quantized_topk": q_embedding_quantized_topk,
-        "streaming_sessions": q_streaming_sessions,
-        "hierarchy_rollup": q_hierarchy_rollup,
-        # -- (b) last driver row r03 --
-        "pmc_fusions": q_pmc_fusions,
-        "pmc_functional": q_pmc_functional,
-        "docm_load": q_docm_load,
-        "cgl_load": q_cgl_load,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantiles": q_approx_quantiles,
-        "source_registry": q_source_registry,
-        # -- (c) last driver row r04 --
+        # -- changed this round (code or oracle) --
         "minhash_lsh": q_minhash_lsh,
-        "version_chain": q_version_chain,
-        "windowed_counts": q_windowed_counts,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_exact": q_dedup_exact,
-        "dedup_components": q_dedup_components,
-        "repetition_score": q_repetition_score,
-        "sequence_pack": q_sequence_pack,
-        "pii_redact": q_pii_redact,
-        "multimodal_resize": q_multimodal_resize,
-        "embedding_dups": q_embedding_dups,
-        "filter_dsl_nested": q_filter_dsl_nested,
-        "filter_dsl_subquery": q_filter_dsl_subquery,
-        "filter_dsl_pagination": q_filter_dsl_pagination,
-        "anti_join_incremental": q_anti_join_incremental,
-        "semi_join_exists": q_semi_join_exists,
-        "broadcast_dim_join": q_broadcast_dim_join,
-        "normalized_key_join": q_normalized_key_join,
-        "pricing_summary": q_pricing_summary,
-        "recurrence_rollup": q_recurrence_rollup,
-        "consensus_agg": q_consensus_agg,
-        "latest_per_key": q_latest_per_key,
-        "duplicate_names": q_duplicate_names,
-        "hotspot_load": q_hotspot_load,
-        "oncokb_statements": q_oncokb_statements,
-        "spec_validation": q_spec_validation,
-        "spec_validation_nested": q_spec_validation_nested,
-        "full_reload_diff": q_full_reload_diff,
-        "rollup_recurrence": q_rollup_recurrence,
-        # -- past 50: r04-green entries slipping one round to make room
-        #    for the four new queries; they lead the r7 window --
+        "attribution": q_attribution,
+        "pagerank": q_pagerank,
+        # -- r04-green tail slipped by the r6 rotation --
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
         "embedding_topk": q_embedding_topk,
@@ -3305,7 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docm_fix": q_docm_fix,
         "oncokb_names": q_oncokb_names,
         "combo_naming": q_combo_naming,
-        # -- r05-green, unchanged --
+        # -- r05-green block (head) --
         "graph_closure": q_graph_closure,
         "lm_score": q_lm_score,
         "funnel": q_funnel,
@@ -3341,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "fingerprint": q_fingerprint,
         "statement_variant_link": q_statement_variant_link,
+        # -- past 50: r05-green block (tail) --
         "kb_ontology_load": q_kb_ontology_load,
         "variant_load": q_variant_load,
         "hgvs_parse": q_hgvs_parse,
@@ -3365,6 +3299,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gsc_ontology": q_gsc_ontology,
         "asco_abstracts": q_asco_abstracts,
         "fda_approvals_year": q_fda_approvals_year,
+        # -- r06-green entries and the rest, standing order --
+        "cohort_retention": q_cohort_retention,
+        "incremental_join_agg": q_incremental_join_agg,
+        "multiple_regression": q_multiple_regression,
+        "stream_dedup": q_stream_dedup,
+        "oov_rate": q_oov_rate,
+        "temperature_sample": q_temperature_sample,
+        "merge_intervals": q_merge_intervals,
+        "grouped_outliers": q_grouped_outliers,
+        "transition_matrix": q_transition_matrix,
+        "equidepth_histogram": q_equidepth_histogram,
+        "weighted_percentiles": q_weighted_percentiles,
+        "streaming_sessions_native": q_streaming_sessions_native,
+        "split_assign": q_split_assign,
+        "priority_sample": q_priority_sample,
+        "domain_rebalance": q_domain_rebalance,
+        "incremental_agg": q_incremental_agg,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "vocab_build": q_vocab_build,
+        "ngram_counts": q_ngram_counts,
+        "key_skew_profile": q_key_skew_profile,
+        "kmeans_assign": q_kmeans_assign,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
+        "streaming_sessions": q_streaming_sessions,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "pmc_fusions": q_pmc_fusions,
+        "pmc_functional": q_pmc_functional,
+        "docm_load": q_docm_load,
+        "cgl_load": q_cgl_load,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
+        "source_registry": q_source_registry,
+        "version_chain": q_version_chain,
+        "windowed_counts": q_windowed_counts,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
+        "repetition_score": q_repetition_score,
+        "sequence_pack": q_sequence_pack,
+        "pii_redact": q_pii_redact,
+        "multimodal_resize": q_multimodal_resize,
+        "embedding_dups": q_embedding_dups,
+        "filter_dsl_nested": q_filter_dsl_nested,
+        "filter_dsl_subquery": q_filter_dsl_subquery,
+        "filter_dsl_pagination": q_filter_dsl_pagination,
+        "anti_join_incremental": q_anti_join_incremental,
+        "semi_join_exists": q_semi_join_exists,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "normalized_key_join": q_normalized_key_join,
+        "pricing_summary": q_pricing_summary,
+        "recurrence_rollup": q_recurrence_rollup,
+        "consensus_agg": q_consensus_agg,
+        "latest_per_key": q_latest_per_key,
+        "duplicate_names": q_duplicate_names,
+        "hotspot_load": q_hotspot_load,
+        "oncokb_statements": q_oncokb_statements,
+        "spec_validation": q_spec_validation,
+        "spec_validation_nested": q_spec_validation_nested,
+        "full_reload_diff": q_full_reload_diff,
+        "rollup_recurrence": q_rollup_recurrence,
     }
 
 

@@ -46,6 +46,10 @@ HEADLINE = [
     "hgnc_load",
     # the heaviest round-4/5 additions, kept honest in the headline
     "streaming_sessions",
+    # scale-preferred sessionization: pure-JVM session_window (the
+    # applyInPandasWithState variant above stays as the custom-state
+    # demo with its FLOORS entry)
+    "streaming_sessions_native",
     "edit_distance_join",
     "vocab_build",
     "sequence_pack",
