@@ -3195,6 +3195,103 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source boilerplate removal. The corpus carries no
+    natural cross-page chrome, so the query PREPENDS a deterministic
+    8-word per-source banner (the pii_redact injection pattern) — one
+    full segment on the grid — and the operator must strip exactly that
+    segment from every document while keeping the content segments."""
+    from graphkb_spark.operators.corpus import strip_boilerplate
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("visit "),
+            F.col("source"),
+            F.lit(" home page for great content today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(
+        docs, "doc_id", "text", "source", seg_words=8, max_doc_frac=0.5, min_docs=2
+    )
+    return out.select(
+        "doc_id", "source", "n_segments", "kept_segments", "clean_text"
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-bigram collocations by PMI (Church & Hanks),
+    min count 5 — phrase mining over the corpus."""
+    from graphkb_spark.operators.corpus import pmi_collocations
+
+    t = _t(spark, sf_dir, "documents")
+    return pmi_collocations(t["documents"], "text", min_count=5, top_k=40)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality flags per document (word count,
+    mean word length, duplicate-word fraction, stopword fraction) —
+    narrow scan-speed plan, zero shuffles."""
+    from graphkb_spark.operators.text import gopher_quality_flags
+
+    t = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(t["documents"], "doc_id", "text")
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of the value column at p05/p95 —
+    outlier-robust normalization before model consumption."""
+    from graphkb_spark.operators.aggregate import winsorize_per_group
+
+    t = _t(spark, sf_dir, "events")
+    out = winsorize_per_group(
+        t["events"], ["event_type"], "value", lower=0.05, upper=0.95
+    )
+    return out.select(
+        "event_id", "event_type", "value_w", "clipped_low", "clipped_high"
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling a 50/50 train/val split — the eval
+    leakage audit after split_assign. Split is a pure function of the
+    id (no join); pair generation is one minhash_lsh run."""
+    from graphkb_spark.operators.dedup import split_leakage
+
+    t = _t(spark, sf_dir, "documents")
+    out = split_leakage(
+        t["documents"],
+        "text",
+        "doc_id",
+        splits={"train": 1, "val": 1},
+        jaccard_threshold=0.6,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"), "split_a", "split_b"
+    )
+
+
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup flagging: documents outside src0-src4
+    that near-duplicate anything inside src0-src4 (the incremental
+    crawl-vs-trained-set dedup)."""
+    from graphkb_spark.operators.dedup import dedup_against
+
+    t = _t(spark, sf_dir, "documents")
+    ref_sources = ["src0", "src1", "src2", "src3", "src4"]
+    docs = t["documents"]
+    return dedup_against(
+        docs.filter(~F.col("source").isin(ref_sources)),
+        docs.filter(F.col("source").isin(ref_sources)),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.6,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3361,6 +3458,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
+        # -- NEW round 7: LLM-pipeline extensions (enter the driver
+        #    window next rotation; locally swept this round) --
+        "boilerplate_strip": q_boilerplate_strip,
+        "pmi_collocations": q_pmi_collocations,
+        "gopher_quality": q_gopher_quality,
+        "winsorize": q_winsorize,
+        "split_leakage": q_split_leakage,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -3621,6 +3726,49 @@ def _pagerank_oracle_sql(n_iter: int = 3, damping_pct: int = 85, scale: int = 10
     sql += f"""
         SELECT node, round(rank_fx / {float(scale)}, 6) AS rank FROM r{n_iter}"""
     return sql
+
+
+def _mh_side_ctes(prefix: str, where_sql: str, num_hashes: int = 32) -> str:
+    """Signature/band/hashed-set CTEs for one corpus side of a MinHash
+    oracle (digest-then-distinct hashed shingle sets, affine family
+    minima, 16 bands of 2) — shared by the cross-corpus entries so the
+    SQL can never drift from the single-corpus minhash_lsh oracle."""
+    P = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_params(num_hashes))
+    )
+    return f"""
+            {prefix}words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents {where_sql}),
+            {prefix}sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM {prefix}words),
+            {prefix}ex AS (SELECT doc_id, unnest(s) AS shingle FROM {prefix}sh),
+            {prefix}hx AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+              FROM {prefix}ex),
+            {prefix}params(i, a, b) AS (VALUES {P}),
+            {prefix}mh AS (
+              SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+              FROM {prefix}hx, {prefix}params
+              GROUP BY doc_id, i),
+            {prefix}sig AS (SELECT doc_id, list(m ORDER BY i) AS sig
+                            FROM {prefix}mh GROUP BY doc_id),
+            {prefix}bands AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), ',')) AS bhash
+              FROM {prefix}sig, generate_series(0, 15) g(b)),
+            {prefix}hset AS (
+              SELECT doc_id, list_distinct(list(h)) AS hs
+              FROM {prefix}hx GROUP BY doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4858,6 +5006,150 @@ def oracle_sql() -> dict[str, str]:
         # One md5 digest per shingle folded to 60 bits mod 2^31-1, then
         # the 32 affine family minima (a_i*h + b_i mod p) — identical
         # integers to md5_shingle_hashes + the affine MinHash family.
+        # Cross-corpus near-dup flag: corpus (outside src0-4) banded
+        # against the reference (src0-4); verify on hashed shingle sets.
+        "dedup_against": f"""
+            WITH {_mh_side_ctes("c_", "WHERE source NOT IN ('src0','src1','src2','src3','src4')").lstrip()},
+            {_mh_side_ctes("r_", "WHERE source IN ('src0','src1','src2','src3','src4')").lstrip()},
+            cand AS (
+              SELECT DISTINCT c.doc_id AS id, r.doc_id AS rid
+              FROM c_bands c JOIN r_bands r ON c.b = r.b AND c.bhash = r.bhash),
+            ver AS (
+              SELECT id, rid,
+                     CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.hs, b.hs))) AS j
+              FROM cand JOIN c_hset a ON a.doc_id = id
+                        JOIN r_hset b ON b.doc_id = rid)
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ref_matches,
+                   round(max(j), 4) AS best_jaccard
+            FROM ver WHERE j >= 0.6 GROUP BY id
+        """,
+        # Leakage audit: minhash near-dup pairs straddling the 50/50
+        # md5 split (split is a pure function of the id, no join).
+        "split_leakage": f"""
+            WITH {_mh_side_ctes("", "").lstrip()},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+            jac AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.hs, b.hs))) AS j
+              FROM cand JOIN hset a ON a.doc_id = id_a
+                        JOIN hset b ON b.doc_id = id_b),
+            sp AS (
+              SELECT id_a, id_b, round(j, 4) AS jaccard,
+                     CASE WHEN ('0x' || substr(md5('split:' || CAST(id_a AS VARCHAR)),
+                                1, 8))::BIGINT % 2 < 1 THEN 'train' ELSE 'val' END AS split_a,
+                     CASE WHEN ('0x' || substr(md5('split:' || CAST(id_b AS VARCHAR)),
+                                1, 8))::BIGINT % 2 < 1 THEN 'train' ELSE 'val' END AS split_b
+              FROM jac WHERE j >= 0.6)
+            SELECT * FROM sp WHERE split_a <> split_b
+        """,
+        # CCNet boilerplate: injected per-source 8-word banner must be
+        # stripped (docs_with >= 2 AND > half the source's docs).
+        "boilerplate_strip": """
+            WITH docs AS (
+              SELECT doc_id, source,
+                     'visit ' || source || ' home page for great content today '
+                       || text AS text
+              FROM documents),
+            base AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM docs WHERE length(text) > 0),
+            b2 AS (
+              SELECT doc_id, source, w, ((len(w) - 1) // 8) + 1 AS n_seg FROM base),
+            segs AS (
+              SELECT doc_id, source, w, unnest(range(0, n_seg)) AS seg_idx FROM b2),
+            st AS (
+              SELECT doc_id, source, seg_idx,
+                     array_to_string(
+                       w[CAST(seg_idx * 8 + 1 AS INT):CAST(seg_idx * 8 + 8 AS INT)],
+                       ' ') AS seg_text
+              FROM segs),
+            srcd AS (SELECT source, count(*) AS src_docs FROM docs GROUP BY source),
+            dfc AS (SELECT source, seg_text, count(DISTINCT doc_id) AS docs_with
+                    FROM st GROUP BY 1, 2),
+            boiler AS (
+              SELECT d.source, d.seg_text, TRUE AS is_boiler
+              FROM dfc d JOIN srcd s ON s.source = d.source
+              WHERE docs_with >= 2 AND docs_with > 0.5 * src_docs)
+            SELECT st.doc_id, st.source,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(coalesce(sum(CASE WHEN is_boiler IS NULL THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS kept_segments,
+                   coalesce(string_agg(CASE WHEN is_boiler IS NULL THEN st.seg_text END,
+                                       ' ' ORDER BY seg_idx), '') AS clean_text
+            FROM st LEFT JOIN boiler b
+              ON b.source = st.source AND b.seg_text = st.seg_text
+            GROUP BY st.doc_id, st.source
+        """,
+        # Church-Hanks PMI over adjacent bigrams, top-40 by
+        # (pmi desc, w1, w2) with min count 5.
+        "pmi_collocations": """
+            WITH w AS (
+              SELECT string_split(text, ' ') AS w
+              FROM documents WHERE length(text) > 0),
+            b AS (
+              SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                             for i in generate_series(1, len(w) - 1)]) AS s
+              FROM w WHERE len(w) >= 2),
+            big AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n FROM b GROUP BY 1, 2),
+            u AS (SELECT tok, count(*) AS n_tok
+                  FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok),
+            tu AS (SELECT sum(n_tok) AS t_uni FROM u),
+            tb AS (SELECT sum(n) AS t_big FROM big)
+            SELECT w1, w2, n,
+                   round(log2((CAST(n AS DOUBLE) / t_big)
+                              / ((CAST(a.n_tok AS DOUBLE) / t_uni)
+                                 * (CAST(c.n_tok AS DOUBLE) / t_uni))), 6) AS pmi
+            FROM big JOIN u a ON a.tok = big.w1
+                     JOIN u c ON c.tok = big.w2, tu, tb
+            WHERE n >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 40
+        """,
+        # Gopher rule flags: every signal is list algebra over the
+        # single-space word split; flags compare the ROUNDED values.
+        "gopher_quality": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE length(text) > 0),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                           / len(w), 6) AS mean_word_len,
+                     round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                       AS dup_frac,
+                     round(CAST(len(list_filter(w,
+                             x -> list_contains(['a','the','and','of','to','in'], x)))
+                           AS DOUBLE) / len(w), 6) AS stop_frac
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, dup_frac, stop_frac,
+                   (n_words >= 20 AND n_words <= 100000) AS ok_words,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 7.0) AS ok_word_len,
+                   (dup_frac <= 0.65) AS ok_dup,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 7.0)
+                    AND dup_frac <= 0.65) AS passes
+            FROM c
+        """,
+        # Per-group winsorization at p05/p95 (quantile_cont ==
+        # Spark percentile; parity pinned by grouped_percentiles).
+        "winsorize": """
+            WITH stats AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   round(least(greatest(value, lo), hi), 6) AS value_w,
+                   (value < lo) AS clipped_low,
+                   (value > hi) AS clipped_high
+            FROM events e JOIN stats s ON s.event_type = e.event_type
+        """,
         "minhash_lsh": rf"""
             WITH words AS (
               SELECT doc_id,

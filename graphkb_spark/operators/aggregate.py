@@ -588,3 +588,40 @@ def equidepth_histogram(
             F.round(F.max(value_col), 6).alias("hi"),
         )
     )
+
+
+def winsorize_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    [``lower``, ``upper``] linearly-interpolated percentiles — the
+    outlier-robust normalization pass for reward/quality/price-like
+    columns before they feed a trained model. Returns the input rows
+    plus (value_w, clipped_low, clipped_high).
+
+    One partial-aggregating shuffle for the two percentiles per group
+    (exact percentiles sort within groups — dimension-bounded groups;
+    Spark ``percentile`` == DuckDB ``quantile_cont``, the parity
+    ``grouped_percentiles`` already pins), a join back (``broadcast``:
+    True forces the hint, None leaves it to Catalyst/AQE — same
+    contract as ``grouped_outliers``), and a scan-speed clip."""
+    v = F.col(value_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(lower)).alias("__lo"),
+        F.percentile(v, F.lit(upper)).alias("__hi"),
+    )
+    if broadcast:
+        stats = F.broadcast(stats)
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(stats, list(group_cols))
+        .withColumn("value_w", F.round(clipped, 6))
+        .withColumn("clipped_low", v < F.col("__lo"))
+        .withColumn("clipped_high", v > F.col("__hi"))
+        .drop("__lo", "__hi")
+    )

@@ -453,3 +453,156 @@ def bpe_encode(
         )
     n = F.length(s) - F.length(F.replace(s, F.lit(S), F.lit("")))
     return df.select(F.col(id_col), n.cast("bigint").alias("n_tokens"))
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    seg_words: int = 8,
+    max_doc_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-source boilerplate removal (CCNet-style, Wenzek et al. 2020:
+    drop the nav-bars/footers/cookie-banners that repeat across a
+    site's pages): split each document into consecutive
+    ``seg_words``-word segments; a segment that occurs in at least
+    ``min_docs`` documents AND in more than ``max_doc_frac`` of its
+    SOURCE's documents is boilerplate, and every occurrence is dropped.
+    Returns (id, source, n_segments, kept_segments, clean_text) — one
+    row per input document, segments rejoined in original order.
+
+    Differs from ``dedup_segments`` (first occurrence survives,
+    corpus-global) in both policy and scope: boilerplate is defined
+    per source and ALL its occurrences are dropped — the segment is
+    template chrome, not content.
+
+    Scale shape: one explode to segment rows (linear), one
+    partial-aggregating shuffle on (source, segment) for the
+    document-frequency count, a source-count aggregate
+    (source-cardinality-sized), a join of the (small) boilerplate set
+    back to the segment rows — broadcast-able, left to AQE, never a
+    forced hint — and one keyed re-aggregation to documents. No
+    all-pairs; a hot segment is one partial-agg'd count row, and the
+    reduce side of a skewed (source, segment) key is split by AQE.
+    Words split on a single space so the DuckDB oracle replicates
+    byte-for-byte."""
+    if seg_words <= 0:
+        raise ValueError("seg_words must be positive")
+    w = F.split(F.col(text_col), " ")
+    n_seg = F.floor((F.size(w) - F.lit(1)) / F.lit(seg_words)) + 1
+    segs = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col),
+        F.col(source_col),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_seg - 1)).alias("seg_idx"),
+    )
+    seg_text = F.array_join(
+        F.slice(segs["__w"], F.col("seg_idx").cast("int") * seg_words + 1, seg_words),
+        " ",
+    )
+    segs = segs.select(F.col(id_col), F.col(source_col), "seg_idx", seg_text.alias("seg_text"))
+    src_docs = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__src_docs"))
+    seg_df_counts = (
+        segs.select(id_col, source_col, "seg_text")
+        .dropDuplicates([id_col, source_col, "seg_text"])
+        .groupBy(source_col, "seg_text")
+        .agg(F.count(F.lit(1)).alias("__docs_with"))
+    )
+    boiler = (
+        seg_df_counts.join(src_docs, source_col)
+        .filter(
+            (F.col("__docs_with") >= min_docs)
+            & (F.col("__docs_with") > F.lit(max_doc_frac) * F.col("__src_docs"))
+        )
+        .select(source_col, "seg_text", F.lit(True).alias("__boiler"))
+    )
+    flagged = segs.join(boiler, [source_col, "seg_text"], "left")
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )
+    return (
+        flagged.groupBy(id_col, source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__boiler").isNull().cast("long")).alias("kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.seg_text,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("kept_segments").cast("bigint").alias("kept_segments"),
+            "clean_text",
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the classic phrase-mining signal (Church & Hanks
+    1990): pmi(a,b) = log2( p(ab) / (p(a) p(b)) ) with p(ab) over all
+    adjacent bigrams and p(a) over all tokens. Returns
+    (w1, w2, n, pmi) ordered by pmi desc (w1, w2 tie-break), bigrams
+    with n >= ``min_count`` only.
+
+    Scale shape: one partial-aggregating shuffle for bigram counts,
+    one for unigram counts (vocabulary-sized output), two joins of the
+    bigram table against the unigram table (vocab-sized — AQE
+    broadcasts it; no forced hint), 1-row count totals as broadcast
+    scalars, and a distributed ``orderBy().limit(k)`` (TakeOrdered) —
+    no global window, no single-task funnel. Words split on a single
+    space; pmi is one log2 over correctly-rounded divisions, rounded
+    to 6 digits so any engine agrees."""
+    w = F.split(F.col(text_col), " ")
+    base = df.filter(F.length(F.col(text_col)) > 0).select(w.alias("__w"))
+    bigrams = base.select(
+        F.explode(
+            F.when(F.size("__w") < 2, F.array()).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__w", i).alias("w1"),
+                        F.element_at("__w", i + 1).alias("w2"),
+                    ),
+                )
+            )
+        ).alias("__b")
+    ).select("__b.w1", "__b.w2")
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = (
+        base.select(F.explode("__w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    t_uni = uni.agg(F.sum("n_tok").alias("__t_uni"))
+    t_big = big.agg(F.sum("n").alias("__t_big"))
+    joined = (
+        big.filter(F.col("n") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("__na")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("__nb")), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_big))
+    )
+    p_ab = F.col("n") / F.col("__t_big")
+    p_a = F.col("__na") / F.col("__t_uni")
+    p_b = F.col("__nb") / F.col("__t_uni")
+    return (
+        joined.select(
+            "w1", "w2", "n", F.round(F.log2(p_ab / (p_a * p_b)), 6).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )

@@ -693,3 +693,171 @@ def connected_components(
         # not leave the edge list pinned in the block manager
         edges.unpersist()
     return comp
+
+
+def _minhash_sig_base(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    n_part: int,
+) -> DataFrame:
+    """(__id, __sh hashed-shingle set, __sig) with the md5-fold digest —
+    the auditable staging table shared by the cross-corpus operators."""
+    digest = lambda s: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        F.lit(_MH_PRIME),
+    )
+    shingled = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .repartition(n_part, "__id")
+        .select(
+            "__id",
+            F.array_distinct(
+                F.transform(word_shingles("__w", shingle_n), digest)
+            ).alias("__sh"),
+        )
+    )
+    sig_udf = _np_minhash_udf(num_hashes)
+    return shingled.select(
+        "__id", "__sh", sig_udf("__sh").alias("__sig")
+    ).localCheckpoint()
+
+
+def _band_keys(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rpb = num_hashes // bands
+    return base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("__sig", b * rpb + 1, rpb),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", F.col("__b.band").alias("band"), F.col("__b.bhash").alias("bhash"))
+
+
+def dedup_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CROSS-corpus near-dup flagging: which ``corpus`` documents are
+    near-duplicates of anything in ``reference`` — the incremental-
+    ingest dedup every growing training set runs (new crawl vs the
+    data already trained on), and the near-dup flavor of benchmark
+    decontamination. Returns one row per flagged corpus doc:
+    (id, n_ref_matches, best_jaccard).
+
+    Same MinHash machinery as ``minhash_lsh_pairs`` (auditable md5
+    digests, hashed shingle sets), but the band join is corpus x
+    reference instead of a self-join, so cost is candidate-bound, not
+    pairs-bound: each side shuffles once on (band, bhash), candidates
+    verify with exact hashed-set Jaccard, and the per-corpus-doc
+    rollup is one keyed aggregation. The reference side is typically
+    the smaller/static side — at scale its banded keys come from a
+    precomputed signature table, and AQE broadcasts it when small."""
+    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    cb = _minhash_sig_base(corpus, text_col, id_col, num_hashes, shingle_n, n_part)
+    rb = _minhash_sig_base(reference, text_col, id_col, num_hashes, shingle_n, n_part)
+    cand = (
+        _band_keys(cb, num_hashes, bands)
+        .join(
+            _band_keys(rb, num_hashes, bands)
+            .withColumnRenamed("__id", "__rid"),
+            ["band", "bhash"],
+        )
+        .select("__id", "__rid")
+        .dropDuplicates(["__id", "__rid"])
+    )
+    verified = (
+        cand.join(cb.select("__id", F.col("__sh").alias("sh_c")), "__id")
+        .join(
+            rb.select(F.col("__id").alias("__rid"), F.col("__sh").alias("sh_r")),
+            "__rid",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_c", "sh_r"))
+            / F.size(F.array_union("sh_c", "sh_r")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_ref_matches"),
+        F.round(F.max("jaccard"), 4).alias("best_jaccard"),
+    ).select(F.col("__id").alias(id_col), "n_ref_matches", "best_jaccard")
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    splits=None,
+    salt: str = "split",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Train/eval LEAKAGE audit: near-duplicate pairs that STRADDLE a
+    deterministic split boundary — the integrity check a pipeline runs
+    after ``split_assign``, because exact-dedup-then-split still
+    leaves near-dups of training docs sitting in val/test and
+    inflating eval. Returns (id_a, id_b, jaccard, split_a, split_b)
+    with split_a != split_b.
+
+    The split is a pure function of the id (md5 per-mille buckets,
+    identical to ``split_assign``) so NO join attaches it — the pair
+    table gains two scan-speed columns and a filter. Cost is exactly
+    one ``minhash_lsh_pairs`` run."""
+    from graphkb_spark.operators.sampling import hash_bucket
+
+    splits = dict(splits or {"train": 980, "val": 10, "test": 10})
+    total = sum(splits.values())
+
+    def split_of(col: str) -> Column:
+        bucket = hash_bucket(
+            F.concat(F.lit(salt + ":"), F.col(col).cast("string")), total
+        )
+        expr = None
+        hi = 0
+        for name, width in splits.items():
+            hi += width
+            cond = bucket < hi
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        return expr
+
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        hasher="md5",
+    )
+    return (
+        pairs.withColumn("split_a", split_of("id_a"))
+        .withColumn("split_b", split_of("id_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

@@ -257,3 +257,56 @@ def duplicate_ngram_fraction(
             F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("a", "the", "and", "of", "to", "in")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 7.0,
+    max_dup_frac: float = 0.65,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, Appendix
+    A1.1): per-document word count, mean word length, duplicate-word
+    fraction, and stopword fraction, each with a pass flag, plus the
+    conjunction. Returns (id, n_words, mean_word_len, dup_frac,
+    stop_frac, ok_words, ok_word_len, ok_dup, passes).
+
+    A NARROW operator — every signal is array algebra over the split
+    word list inside whole-stage codegen; zero shuffles, scan-speed at
+    100 TB, and composes with a downstream filter without a
+    repartition. Words split on a single space so the DuckDB oracle
+    replicates byte-for-byte; fractions round to 6 digits."""
+    w = F.split(F.col(text_col), " ")
+    n_words = F.size(w)
+    mean_wl = F.round(
+        F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        / n_words,
+        6,
+    )
+    dup_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(w)) / n_words, 6
+    )
+    stop_frac = F.round(
+        F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))) / n_words, 6
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_dup = dup_frac <= max_dup_frac
+    return df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        dup_frac.alias("dup_frac"),
+        stop_frac.alias("stop_frac"),
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_word_len"),
+        ok_dup.alias("ok_dup"),
+        (ok_words & ok_wl & ok_dup).alias("passes"),
+    )

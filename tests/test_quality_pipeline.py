@@ -1,0 +1,131 @@
+"""Round-7 LLM-pipeline additions: CCNet boilerplate stripping, PMI
+collocations, Gopher quality flags, per-group winsorization,
+cross-corpus dedup, and the split-leakage audit."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphkb_spark.operators.corpus import pmi_collocations, strip_boilerplate
+from graphkb_spark.operators.dedup import dedup_against, split_leakage
+from graphkb_spark.operators.text import gopher_quality_flags
+
+
+def test_strip_boilerplate_drops_sitewide_banner_only(spark):
+    banner = "one two three four five six seven eight"
+    docs = [
+        (i, "siteA", banner + f" unique{i} alpha beta gamma delta eps zeta eta")
+        for i in range(4)
+    ] + [(10, "siteB", banner + " solo content here words more padding x")]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = strip_boilerplate(
+        df, "doc_id", "text", "source", seg_words=8, max_doc_frac=0.5, min_docs=2
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # siteA: banner occurs in 4/4 docs -> stripped everywhere
+    for i in range(4):
+        assert by_id[i].n_segments == 2
+        assert by_id[i].kept_segments == 1
+        assert by_id[i].clean_text.startswith(f"unique{i}")
+    # siteB has ONE doc: min_docs=2 protects the banner there
+    assert by_id[10].kept_segments == 2
+    assert by_id[10].clean_text.startswith(banner)
+
+
+def test_strip_boilerplate_fully_boiler_doc_survives_empty(spark):
+    b = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, "s", b), (2, "s", b), (3, "s", b + " tail words only here now yes no")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(
+        df, "doc_id", "text", "source", seg_words=8
+    ).collect()}
+    assert out[1].kept_segments == 0 and out[1].clean_text == ""
+    assert out[3].clean_text == "tail words only here now yes no"
+
+
+def test_pmi_collocations_prefers_exclusive_pairs(spark):
+    # "aa bb" always adjacent and exclusive; "cc"/"dd" common separately
+    rows = [(("aa bb cc dd " * 5).strip(),) for _ in range(10)] + [
+        (("cc dd cc ee dd ff " * 3).strip(),) for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = pmi_collocations(df, "text", min_count=5, top_k=10).collect()
+    assert out, "no collocations found"
+    top = out[0]
+    assert (top.w1, top.w2) == ("aa", "bb")
+    # manual pmi for the top pair
+    allw = [w for (t,) in rows for w in t.split()]
+    bigs = []
+    for (t,) in rows:
+        ws = t.split()
+        bigs += list(zip(ws, ws[1:]))
+    n_ab = sum(1 for b in bigs if b == ("aa", "bb"))
+    p_ab = n_ab / len(bigs)
+    p_a = allw.count("aa") / len(allw)
+    p_b = allw.count("bb") / len(allw)
+    assert abs(top.pmi - round(math.log2(p_ab / (p_a * p_b)), 6)) < 1e-6
+
+
+def test_gopher_flags_values_and_conjunction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " * 10),  # 40 words, all dup-heavy
+            (2, "xy " * 5),  # 5 words: fails ok_words and short words
+        ],
+        "doc_id long, text string",
+    )
+    # texts end with a space -> split yields a trailing '' word; strip
+    df = df.select("doc_id", F.trim("text").alias("text"))
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1.n_words == 40
+    assert abs(r1.mean_word_len - 4.75) < 1e-9  # (5+4+5+5)/4
+    assert abs(r1.dup_frac - round(1 - 4 / 40, 6)) < 1e-9
+    assert not r1.ok_dup and not r1.passes  # 0.9 > 0.65
+    r2 = out[2]
+    assert r2.n_words == 5 and not r2.ok_words and not r2.passes
+
+
+def test_winsorize_per_group_clips_to_group_percentiles(spark):
+    from graphkb_spark.operators.aggregate import winsorize_per_group
+
+    rows = [(i, "g", float(i)) for i in range(101)]  # 0..100
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = winsorize_per_group(df, ["grp"], "v", lower=0.05, upper=0.95)
+    got = {r.id: r for r in out.collect()}
+    assert got[0].value_w == 5.0 and got[0].clipped_low
+    assert got[100].value_w == 95.0 and got[100].clipped_high
+    assert got[50].value_w == 50.0 and not got[50].clipped_low
+
+
+def test_dedup_against_flags_only_cross_matches(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    ref = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " extra"),  # near-dup of ref
+            (2, "completely different words about databases and engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against(corpus, ref, "text", "doc_id", jaccard_threshold=0.5).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].n_ref_matches == 1
+    assert out[0].best_jaccard > 0.5
+
+
+def test_split_leakage_only_straddling_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    # clones of one doc: every near-dup pair either straddles or not;
+    # with a 50/50 split some ids land on each side
+    docs = [(i, base + f" tail{i // 8}") for i in range(32)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = split_leakage(
+        df, "text", "doc_id", splits={"train": 1, "val": 1}, jaccard_threshold=0.5
+    ).collect()
+    assert out, "expected at least one straddling near-dup pair"
+    for r in out:
+        assert r.split_a != r.split_b
+        assert r.jaccard >= 0.5
