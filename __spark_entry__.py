@@ -3292,6 +3292,45 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genomics-style interval OVERLAP join (variant-vs-feature
+    coordinate ranges) via fixed-width bin decomposition — an
+    equi-join Spark shuffle-partitions, never a nested-loop theta
+    join. Part intervals x supplier intervals on a synthetic 10k
+    coordinate space."""
+    from graphkb_spark.operators.graph import interval_overlap_join
+
+    t = _t(spark, sf_dir, "part", "supplier")
+    left = t["part"].select(
+        "p_partkey",
+        ((F.col("p_partkey") * 7) % 10000).alias("ls"),
+        ((F.col("p_partkey") * 7) % 10000 + (F.col("p_size") % 20) + 1).alias("le"),
+    )
+    right = t["supplier"].select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13) % 10000).alias("rs"),
+        ((F.col("s_suppkey") * 13) % 10000 + 15).alias("re"),
+    )
+    return interval_overlap_join(
+        left, right, ("p_partkey", "ls", "le"), ("s_suppkey", "rs", "re"),
+        bin_size=64,
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over a synthetic co-occurrence
+    graph (order x part keys folded to 20k nodes) — degree-ordered
+    wedge enumeration, each triangle counted exactly once."""
+    from graphkb_spark.operators.graph import triangle_counts
+
+    t = _t(spark, sf_dir, "lineitem")
+    edges = t["lineitem"].select(
+        (F.col("l_orderkey") % 20000).alias("src"),
+        ((F.col("l_partkey") * 3) % 20000).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3466,6 +3505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "split_leakage": q_split_leakage,
         "dedup_against": q_dedup_against,
+        "interval_overlap": q_interval_overlap,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -5006,6 +5047,39 @@ def oracle_sql() -> dict[str, str]:
         # One md5 digest per shingle folded to 60 bits mod 2^31-1, then
         # the 32 affine family minima (a_i*h + b_i mod p) — identical
         # integers to md5_shingle_hashes + the affine MinHash family.
+        # Bin-decomposed overlap join == the plain range join.
+        "interval_overlap": """
+            WITH l AS (
+              SELECT p_partkey AS l_id,
+                     (p_partkey * 7) % 10000 AS l_s,
+                     (p_partkey * 7) % 10000 + (p_size % 20) + 1 AS l_e
+              FROM part),
+            r AS (
+              SELECT s_suppkey AS r_id,
+                     (s_suppkey * 13) % 10000 AS r_s,
+                     (s_suppkey * 13) % 10000 + 15 AS r_e
+              FROM supplier)
+            SELECT l_id, r_id,
+                   greatest(l_s, r_s) AS overlap_start,
+                   least(l_e, r_e) AS overlap_end
+            FROM l JOIN r ON l_s <= r_e AND r_s <= l_e
+        """,
+        # Degree-ordered wedge enumeration; every triangle credited to
+        # its three corners exactly once.
+        "triangle_count": """
+            WITH e0 AS (
+              SELECT DISTINCT
+                     least(l_orderkey % 20000, (l_partkey * 3) % 20000) AS u,
+                     greatest(l_orderkey % 20000, (l_partkey * 3) % 20000) AS v
+              FROM lineitem
+              WHERE l_orderkey % 20000 <> (l_partkey * 3) % 20000),
+            w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                  FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u),
+            t AS (SELECT a, b, c FROM w JOIN e0 e3 ON e3.u = w.a AND e3.v = w.c),
+            x AS (SELECT unnest([a, b, c]) AS node FROM t)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM x GROUP BY node
+        """,
         # Cross-corpus near-dup flag: corpus (outside src0-4) banded
         # against the reference (src0-4); verify on hashed shingle sets.
         "dedup_against": f"""

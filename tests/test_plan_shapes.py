@@ -50,6 +50,14 @@ BUDGETS = [
     # python boundary only where declared
     ("hgvs_parse", 0, 1, True),
     ("minhash_lsh", 2, 2, True),
+    # round-7 additions
+    ("gopher_quality", 0, 0, True),   # narrow scan-speed quality gate
+    ("winsorize", 2, 0, True),        # percentile agg + join back
+    # bigram+unigram aggs, 2 vocab joins (statically SMJ — no forced
+    # hint on the unbounded vocab table; AQE converts to broadcast at
+    # runtime, pinned by the skew tests), 1-row totals, TakeOrdered
+    ("pmi_collocations", 7, 0, False),
+    ("boilerplate_strip", 5, 0, True),
 ]
 
 
