@@ -3331,6 +3331,32 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event log: per-user
+    event_type history collapsed to change points with validity
+    intervals (ties on ts break on the attribute)."""
+    from graphkb_spark.operators.merge import scd2_build
+
+    t = _t(spark, sf_dir, "events")
+    out = scd2_build(t["events"], ["user_id"], "ts", ["event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type (k=64) — a sketch an
+    external engine reproduces bit-for-bit, unlike HLL registers."""
+    from graphkb_spark.operators.sketch import kmv_distinct
+
+    t = _t(spark, sf_dir, "events")
+    return kmv_distinct(t["events"], ["event_type"], "user_id", k=64)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3507,6 +3533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "interval_overlap": q_interval_overlap,
         "triangle_count": q_triangle_count,
+        "scd2": q_scd2,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -5047,6 +5075,42 @@ def oracle_sql() -> dict[str, str]:
         # One md5 digest per shingle folded to 60 bits mod 2^31-1, then
         # the 32 affine family minima (a_i*h + b_i mod p) — identical
         # integers to md5_shingle_hashes + the affine MinHash family.
+        # SCD2: lag change-detect then lead validity; tie-break on the
+        # attribute keeps the order total.
+        "scd2": """
+            WITH chg AS (
+              SELECT user_id, event_type, ts,
+                     lag(ts) OVER w IS NULL
+                       OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                       AS keep
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_type ASC)),
+            log AS (SELECT user_id, event_type, ts FROM chg WHERE keep)
+            SELECT user_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                   lead(ts) OVER w2 IS NULL AS is_current
+            FROM log
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_type ASC)
+        """,
+        # KMV sketch: md5-uniform hashes, k smallest distinct per
+        # group, (k-1)/u_k — bit-identical across engines.
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM events),
+            rk AS (
+              SELECT event_type, u,
+                     row_number() OVER (PARTITION BY event_type ORDER BY u ASC) AS r
+              FROM h)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                              ELSE 63.0 / max(u) END, 4) AS est_distinct
+            FROM rk WHERE r <= 64 GROUP BY event_type
+        """,
         # Bin-decomposed overlap join == the plain range join.
         "interval_overlap": """
             WITH l AS (

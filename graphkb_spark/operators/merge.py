@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ACTION_COL = "_action"
@@ -172,3 +172,42 @@ def merge_upsert(
 def merge_metrics(merged: DataFrame) -> DataFrame:
     """created/updated/deleted counters (src/graphkb.js:315-330)."""
     return merged.groupBy(ACTION_COL).count()
+
+
+def scd2_build(
+    mutations: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a mutation log: for
+    each key, collapse consecutive mutations whose tracked attributes
+    did not change (the reference's ``shouldUpdate`` field-diff,
+    src/graphkb.js:239-262, applied across history instead of against
+    one snapshot), then derive validity intervals — (keys..., attrs...,
+    valid_from, valid_to, is_current), ``valid_to`` NULL on the open
+    current row. The versioned-dimension sibling of the soft-delete
+    sink (K4).
+
+    Scale shape: ONE shuffle on the key; both windows (the lag
+    change-detect and the lead valid_to) share that partitioning, so
+    Catalyst plans a single exchange. The mutation order must be total
+    per key — ties on ``ts_col`` break on the attribute values to stay
+    deterministic."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in attr_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(c).over(w)
+        changed = changed | ~(
+            (F.col(c) == prev) | (F.col(c).isNull() & prev.isNull())
+        )
+    first_row = F.lag(ts_col).over(w).isNull()
+    log = mutations.withColumn("__chg", first_row | changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        log.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,3 +88,49 @@ def approx_quantiles_with_bound(
         )
         cols.append(ok.alias(f"ok_{tag}"))
     return agg.select(*group, *cols)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et
+    al. 2002): hash each value to a deterministic uniform in [0, 1)
+    (md5 prefix / 2^32 — identical in any engine), keep the k smallest
+    DISTINCT hashes per group, and estimate |D| as (k-1) / u_(k).
+    Groups with fewer than k distinct values report the exact count.
+    Returns (groups..., n_kept, est_distinct).
+
+    Unlike HLL (engine-specific register layouts), the KMV estimate is
+    a pure function of the md5 hashes — an external engine reproduces
+    the estimate BIT-FOR-BIT, which is what makes a sketch auditable
+    across a heterogeneous pipeline.
+
+    Scale shape: one partial-aggregating distinct on (group, hash) —
+    duplicate values collapse map-side, so the shuffle carries at most
+    the distinct set — then a per-group ranking window over the
+    distinct hashes and a k-row aggregate. The window input is
+    cardinality-bounded (same class as the equi-depth histogram); for
+    corpus-scale cardinalities swap the ranking for a fixed-k
+    mergeable accumulator."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    hashes = df.select(*group_cols, u.alias("__u")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
+    topk = hashes.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise((F.lit(k - 1)) / F.max("__u")),
+            4,
+        ).alias("est_distinct"),
+    )

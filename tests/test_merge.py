@@ -78,3 +78,45 @@ def test_merge_metrics(spark):
         merge_upsert(target, source, ["k"])
     ).collect()}
     assert m == {"update": 1, "create": 1}
+
+
+def test_scd2_build_collapses_unchanged_and_sets_validity(spark):
+    import datetime as dt
+
+    from graphkb_spark.operators.merge import scd2_build
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "bronze"),
+        (1, t0 + dt.timedelta(days=1), "bronze"),   # unchanged -> collapsed
+        (1, t0 + dt.timedelta(days=2), "silver"),
+        (1, t0 + dt.timedelta(days=3), "gold"),
+        (2, t0, "gold"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, tier string")
+    out = sorted(
+        scd2_build(df, ["user_id"], "ts", ["tier"]).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.tier for r in u1] == ["bronze", "silver", "gold"]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert [r.is_current for r in u1] == [False, False, True]
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    from graphkb_spark.operators.sketch import kmv_distinct
+
+    rows = [(i % 10, "small") for i in range(100)] + [
+        (i, "big") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    out = {r.grp: r for r in kmv_distinct(df, ["grp"], "v", k=64).collect()}
+    assert out["small"].n_kept == 10
+    assert out["small"].est_distinct == 10.0  # exact below k
+    assert out["big"].n_kept == 64
+    # KMV with k=64 has ~1/sqrt(62) ~ 13% relative error
+    assert 3500 < out["big"].est_distinct < 6500
