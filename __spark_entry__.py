@@ -3357,6 +3357,28 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(t["events"], ["event_type"], "user_id", k=64)
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact int64 Gram matrix over the int8-quantized embeddings —
+    the PCA-prep pass as a mergeable mapInPandas accumulator (one
+    partial d x d Gram per Arrow batch, merged by a tiny keyed agg)."""
+    from graphkb_spark.operators.similarity import gram_matrix_quantized
+
+    t = _t(spark, sf_dir, "embeddings")
+    return gram_matrix_quantized(t["embeddings"], "embedding")
+
+
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-fair-queueing data mixing: src0/src1 weighted 4x, the
+    first 200 positions of the deterministic global training order."""
+    from graphkb_spark.operators.sampling import mixture_interleave
+
+    t = _t(spark, sf_dir, "documents")
+    return mixture_interleave(
+        t["documents"], "doc_id", "source",
+        weights={"src0": 4.0, "src1": 4.0}, limit=200,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3535,6 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
         "kmv_distinct": q_kmv_distinct,
+        "gram_matrix": q_gram_matrix,
+        "mixture_interleave": q_mixture_interleave,
     }
 
 
@@ -5075,6 +5099,48 @@ def oracle_sql() -> dict[str, str]:
         # One md5 digest per shingle folded to 60 bits mod 2^31-1, then
         # the 32 affine family minima (a_i*h + b_i mod p) — identical
         # integers to md5_shingle_hashes + the affine MinHash family.
+        # Exact integer Gram over the identical int8 quantization.
+        "gram_matrix": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+              FROM embeddings),
+            sc AS (
+              SELECT vec_id, xs,
+                     greatest(list_max(list_transform(xs, x -> abs(x))), 1e-12)
+                       / 127.0 AS scale
+              FROM v),
+            q AS (
+              SELECT vec_id,
+                     list_transform(xs, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+              FROM sc),
+            ij AS (
+              SELECT a.i AS i, b.j AS j
+              FROM generate_series(0, 63) a(i), generate_series(0, 63) b(j)
+              WHERE a.i <= b.j)
+            SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                   CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS s
+            FROM q, ij GROUP BY i, j
+        """,
+        # Weighted fair queueing order: md5 per-source rank / weight.
+        "mixture_interleave": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r
+              FROM documents),
+            v AS (
+              SELECT doc_id, source,
+                     round(r / CASE WHEN source IN ('src0', 'src1')
+                                    THEN 4.0 ELSE 1.0 END, 6) AS vtime
+              FROM r),
+            o AS (
+              SELECT doc_id, source, vtime,
+                     CAST(row_number() OVER (ORDER BY vtime ASC, source ASC,
+                                             doc_id ASC) AS INT) AS position
+              FROM v)
+            SELECT position, doc_id, source, vtime FROM o WHERE position <= 200
+        """,
         # SCD2: lag change-detect then lead validity; tie-break on the
         # attribute keeps the order total.
         "scd2": """

@@ -398,3 +398,55 @@ def temperature_sample(
         .filter(u < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: Mapping[str, float] | None = None,
+    default_weight: float = 1.0,
+    limit: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into ONE training
+    order — weighted fair queueing (Demers et al. 1989) applied to
+    data mixing: each source's docs get a deterministic md5 shuffle
+    rank r, a virtual time r / weight, and the global order reads
+    ascending virtual time, so a weight-4 source contributes ~4 docs
+    for every 1 of a weight-1 source at EVERY prefix of the stream
+    (prefix-proportional mixing — what curriculum/mixture schedules
+    need, and what a concat-then-shuffle does only in expectation).
+    Returns (position, id, source, vtime) for the first ``limit`` rows
+    (or all, position omitted-scale warning below).
+
+    Scale shape: one per-source ranking window (keyed shuffle), the
+    virtual-time projection is narrow, and the global order is a
+    distributed ``orderBy().limit(n)`` (TakeOrdered) when ``limit`` is
+    set — never a global single-task window. For a full-corpus
+    manifest, write sorted by vtime (range partition) instead of
+    asking for a global position column."""
+    weights = dict(weights or {})
+    w_expr = F.lit(float(default_weight))
+    for src, wt in weights.items():
+        w_expr = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w_expr)
+    rank_w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    vt = (
+        df.select(F.col(id_col), F.col(source_col))
+        .withColumn("__r", F.row_number().over(rank_w))
+        .withColumn("vtime", F.round(F.col("__r") / w_expr, 6))
+        .drop("__r")
+    )
+    ordered = vt.orderBy(
+        F.col("vtime").asc(), F.col(source_col).asc(), F.col(id_col).asc()
+    )
+    if limit is not None:
+        ordered = ordered.limit(limit)
+    pos_w = Window.orderBy(
+        F.col("vtime").asc(), F.col(source_col).asc(), F.col(id_col).asc()
+    )
+    # the position window runs over at most `limit` rows (post-TakeOrdered)
+    return ordered.withColumn("position", F.row_number().over(pos_w)).select(
+        "position", id_col, source_col, "vtime"
+    )

@@ -375,3 +375,56 @@ def quantize_embeddings(
         ),
     )
     return out.drop("__v")
+
+
+def gram_matrix_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+    upper_only: bool = True,
+) -> DataFrame:
+    """Gram matrix X^T X over the int8-QUANTIZED embedding column — the
+    PCA/whitening prep pass, computed as exact int64 arithmetic so the
+    result is bit-deterministic in any engine (a float Gram depends on
+    summation order; quantize-first removes FP from the reduction
+    entirely, the same trick the fixed-point pagerank uses). Returns
+    (i, j, s) long-format entries, i <= j when ``upper_only``.
+
+    Scale shape — the mergeable-accumulator pattern: ``mapInPandas``
+    emits one PARTIAL Gram per Arrow batch (numpy ``q.T @ q`` in int64,
+    d*(d+1)/2 rows), and a single partial-aggregating groupBy on (i, j)
+    merges them — the shuffle carries only
+    O(partitions * d^2) accumulator rows, never the vectors. This is
+    the canonical shape for any mergeable matrix/sketch accumulator the
+    built-in aggregates can't express (the Python boundary is per
+    BATCH, not per row)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = quantize_embeddings(df, vec_col=vec_col, bits_max=bits_max).select("qvec")
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            g = m.T @ m
+            d = g.shape[0]
+            iu = np.triu_indices(d) if upper_only else tuple(
+                np.indices((d, d)).reshape(2, -1)
+            )
+            yield pd.DataFrame({"i": iu[0], "j": iu[1], "s": g[iu]})
+
+    return (
+        q.mapInPandas(partial_gram, schema=schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )

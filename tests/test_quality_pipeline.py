@@ -129,3 +129,45 @@ def test_split_leakage_only_straddling_pairs(spark):
     for r in out:
         assert r.split_a != r.split_b
         assert r.jaccard >= 0.5
+
+
+def test_gram_matrix_quantized_matches_numpy(spark):
+    import numpy as np
+
+    from graphkb_spark.operators.similarity import (
+        gram_matrix_quantized,
+        quantize_embeddings,
+    )
+
+    rng = [[float(((i * 7 + j * 3) % 11) - 5) for j in range(4)] for i in range(30)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)],
+                               "vec_id long, embedding array<float>")
+    out = {(r.i, r.j): r.s for r in gram_matrix_quantized(df, "embedding").collect()}
+    q = np.array([r.qvec for r in quantize_embeddings(df, "embedding")
+                  .select("qvec").collect()], dtype=np.int64)
+    g = q.T @ q
+    for i in range(4):
+        for j in range(i, 4):
+            assert out[(i, j)] == g[i, j]
+    assert len(out) == 10  # upper triangle of 4x4
+
+
+def test_mixture_interleave_prefix_proportional(spark):
+    from graphkb_spark.operators.sampling import mixture_interleave
+
+    rows = [(i, "heavy" if i < 400 else "light") for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_interleave(
+        df, "doc_id", "source", weights={"heavy": 3.0}, limit=120
+    ).collect()
+    assert [r.position for r in out] == list(range(1, 121))
+    # every prefix carries ~3 heavy docs per light doc
+    heavy_in_prefix = sum(1 for r in out[:40] if r.source == "heavy")
+    assert 27 <= heavy_in_prefix <= 33
+    # deterministic: rerun yields the identical order
+    again = mixture_interleave(
+        df, "doc_id", "source", weights={"heavy": 3.0}, limit=120
+    ).collect()
+    assert [(r.position, r.doc_id) for r in out] == [
+        (r.position, r.doc_id) for r in again
+    ]
