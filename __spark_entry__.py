@@ -3292,31 +3292,6 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Genomics-style interval OVERLAP join (variant-vs-feature
-    coordinate ranges) via fixed-width bin decomposition — an
-    equi-join Spark shuffle-partitions, never a nested-loop theta
-    join. Part intervals x supplier intervals on a synthetic 10k
-    coordinate space."""
-    from graphkb_spark.operators.graph import interval_overlap_join
-
-    t = _t(spark, sf_dir, "part", "supplier")
-    left = t["part"].select(
-        "p_partkey",
-        ((F.col("p_partkey") * 7) % 10000).alias("ls"),
-        ((F.col("p_partkey") * 7) % 10000 + (F.col("p_size") % 20) + 1).alias("le"),
-    )
-    right = t["supplier"].select(
-        "s_suppkey",
-        ((F.col("s_suppkey") * 13) % 10000).alias("rs"),
-        ((F.col("s_suppkey") * 13) % 10000 + 15).alias("re"),
-    )
-    return interval_overlap_join(
-        left, right, ("p_partkey", "ls", "le"), ("s_suppkey", "rs", "re"),
-        bin_size=64,
-    )
-
-
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation over a synthetic co-occurrence
     graph (order x part keys folded to 20k nodes) — degree-ordered
@@ -3553,7 +3528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "split_leakage": q_split_leakage,
         "dedup_against": q_dedup_against,
-        "interval_overlap": q_interval_overlap,
         "triangle_count": q_triangle_count,
         "scd2": q_scd2,
         "kmv_distinct": q_kmv_distinct,
@@ -5176,23 +5150,6 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
                               ELSE 63.0 / max(u) END, 4) AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY event_type
-        """,
-        # Bin-decomposed overlap join == the plain range join.
-        "interval_overlap": """
-            WITH l AS (
-              SELECT p_partkey AS l_id,
-                     (p_partkey * 7) % 10000 AS l_s,
-                     (p_partkey * 7) % 10000 + (p_size % 20) + 1 AS l_e
-              FROM part),
-            r AS (
-              SELECT s_suppkey AS r_id,
-                     (s_suppkey * 13) % 10000 AS r_s,
-                     (s_suppkey * 13) % 10000 + 15 AS r_e
-              FROM supplier)
-            SELECT l_id, r_id,
-                   greatest(l_s, r_s) AS overlap_start,
-                   least(l_e, r_e) AS overlap_end
-            FROM l JOIN r ON l_s <= r_e AND r_s <= l_e
         """,
         # Degree-ordered wedge enumeration; every triangle credited to
         # its three corners exactly once.

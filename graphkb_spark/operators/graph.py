@@ -250,71 +250,6 @@ def pagerank(
     )
 
 
-def interval_overlap_join(
-    left: DataFrame,
-    right: DataFrame,
-    left_cols: tuple[str, str, str],
-    right_cols: tuple[str, str, str],
-    bin_size: int = 1000,
-    keys: list[str] | None = None,
-) -> DataFrame:
-    """Interval OVERLAP join — the genomics range-join primitive (the
-    reference resolves variants against feature coordinate ranges;
-    here it is the general half-open-free overlap test
-    ``l.start <= r.end AND r.start <= l.end``), re-expressed as an
-    equi-join Spark can shuffle-partition: every interval explodes to
-    the fixed-width bins it covers, candidates equi-join on
-    (keys..., bin), and exact overlap verifies per candidate.
-
-    ``left_cols``/``right_cols``: (id, start, end) column names.
-    Returns (l_id, r_id, overlap_start, overlap_end) distinct pairs.
-
-    Scale shape: bin decomposition is a narrow explode (rows multiply
-    by interval_len/bin_size — pick ``bin_size`` near the median
-    interval length so the blow-up is ~2x); the candidate join is an
-    equi-join on the bin key, so Catalyst shuffle-partitions both
-    sides and AQE splits hot bins (a pile-up region at 100 TB).
-    A pair overlapping k shared bins is deduplicated AFTER the cheap
-    verify filter. No nested-loop range join ever forms — the
-    cartesian-per-key trap of a naive theta join."""
-    if bin_size <= 0:
-        raise ValueError("bin_size must be positive")
-    keys = list(keys or [])
-    lid, ls, le = left_cols
-    rid, rs, re_ = right_cols
-
-    def binned(df: DataFrame, idc: str, sc: str, ec: str, tag: str) -> DataFrame:
-        s, e = F.col(sc).cast("long"), F.col(ec).cast("long")
-        return df.select(
-            *keys,
-            F.col(idc).alias(f"{tag}_id"),
-            s.alias(f"{tag}_s"),
-            e.alias(f"{tag}_e"),
-            F.explode(
-                F.sequence(
-                    F.floor(s / bin_size).cast("long"),
-                    F.floor(e / bin_size).cast("long"),
-                )
-            ).alias("__bin"),
-        )
-
-    lb = binned(left, lid, ls, le, "l")
-    rb = binned(right, rid, rs, re_, "r")
-    on = keys + ["__bin"]
-    return (
-        lb.join(rb, on)
-        .filter((F.col("l_s") <= F.col("r_e")) & (F.col("r_s") <= F.col("l_e")))
-        .select(
-            *keys,
-            F.col("l_id"),
-            F.col("r_id"),
-            F.greatest("l_s", "r_s").alias("overlap_start"),
-            F.least("l_e", "r_e").alias("overlap_end"),
-        )
-        .dropDuplicates(keys + ["l_id", "r_id"])
-    )
-
-
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

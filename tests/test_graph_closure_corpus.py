@@ -358,48 +358,6 @@ def test_bpe_train_repeated_chars(spark):
     assert got == _ref_bpe(texts, 4)
 
 
-def test_interval_overlap_join_matches_naive(spark):
-    from graphkb_spark.operators.graph import interval_overlap_join
-
-    left = spark.createDataFrame(
-        [(1, 0, 10), (2, 50, 60), (3, 100, 100)], "id long, s long, e long"
-    )
-    right = spark.createDataFrame(
-        [(10, 5, 7), (11, 9, 55), (12, 200, 300)], "id long, s long, e long"
-    )
-    out = sorted(
-        (r.l_id, r.r_id, r.overlap_start, r.overlap_end)
-        for r in interval_overlap_join(
-            left, right, ("id", "s", "e"), ("id", "s", "e"), bin_size=8
-        ).collect()
-    )
-    # naive check: 1x10 [5,7], 1x11 [9,10], 2x11 [50,55]
-    assert out == [(1, 10, 5, 7), (1, 11, 9, 10), (2, 11, 50, 55)]
-    # pair spanning many shared bins appears exactly once (bin 8 -> dedup)
-    wide = interval_overlap_join(
-        spark.createDataFrame([(1, 0, 100)], "id long, s long, e long"),
-        spark.createDataFrame([(2, 0, 100)], "id long, s long, e long"),
-        ("id", "s", "e"), ("id", "s", "e"), bin_size=8,
-    ).collect()
-    assert len(wide) == 1
-
-
-def test_interval_overlap_join_with_keys(spark):
-    from graphkb_spark.operators.graph import interval_overlap_join
-
-    left = spark.createDataFrame(
-        [("chr1", 1, 0, 10), ("chr2", 2, 0, 10)], "chrom string, id long, s long, e long"
-    )
-    right = spark.createDataFrame(
-        [("chr1", 9, 5, 6)], "chrom string, id long, s long, e long"
-    )
-    out = interval_overlap_join(
-        left, right, ("id", "s", "e"), ("id", "s", "e"),
-        bin_size=4, keys=["chrom"],
-    ).collect()
-    assert [(r.chrom, r.l_id, r.r_id) for r in out] == [("chr1", 1, 9)]
-
-
 def test_triangle_counts_small_graph(spark):
     from graphkb_spark.operators.graph import triangle_counts
 
