@@ -3354,6 +3354,25 @@ def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup KEEP decision: n-gram Jaccard pairs ->
+    connected components -> best doc per cluster (longest, then lowest
+    id). sum(cluster_size) == corpus size; the kept ids ARE the
+    post-dedup corpus."""
+    from graphkb_spark.operators.dedup import canonical_per_cluster
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "n_chars")
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", shingle_n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    out = canonical_per_cluster(
+        docs, pairs, "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return out.select("comp", "doc_id", "n_chars", "cluster_size")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3533,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "gram_matrix": q_gram_matrix,
         "mixture_interleave": q_mixture_interleave,
+        "canonical_docs": q_canonical_docs,
     }
 
 
@@ -4757,6 +4777,42 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure of the near-dup pair graph via recursive
         # CTE; component label = min reachable doc_id (matches the
         # min-label-propagation fixpoint exactly)
+        # CC labels (recursive CTE) + per-cluster argmax & size.
+        "canonical_docs": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM words),
+            prs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            edges AS (
+              SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs),
+            reach(n, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.lab),
+            comp AS (SELECT n AS doc_id, min(lab) AS comp FROM reach GROUP BY n),
+            lab AS (
+              SELECT c.comp, d.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.comp
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+                     CAST(count(*) OVER (PARTITION BY c.comp) AS BIGINT)
+                       AS cluster_size
+              FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+            SELECT comp, doc_id, n_chars, cluster_size FROM lab WHERE rn = 1
+        """,
         "dedup_components": r"""
             WITH RECURSIVE words AS (
               SELECT doc_id,

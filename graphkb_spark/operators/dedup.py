@@ -861,3 +861,36 @@ def split_leakage(
         .withColumn("split_b", split_of("id_b"))
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+def canonical_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_cols,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """The KEEP decision that closes a dedup pipeline: collapse the
+    near-dup pair list into clusters (min-label connected components)
+    and keep the best row of each cluster by ``order_cols`` (quality
+    score, length, recency — caller's policy). Returns one row per
+    cluster: (comp, <id>, cluster_size); singletons are their own
+    cluster of size 1, so ``sum(cluster_size) == |df|`` and the kept
+    ids are exactly the post-dedup corpus.
+
+    Scale shape: component labels from the iterative min-label
+    propagation (2 shuffles/round, diameter-bounded rounds on the
+    short-diameter near-dup graph), ONE join of labels onto the corpus
+    rows, and one keyed window for the argmax + size — no all-pairs
+    step beyond the pair list the caller already produced."""
+    comp = connected_components(
+        pairs, df.select(F.col(id_col)), id_col=id_col, pair_cols=pair_cols
+    )
+    joined = df.join(comp, df[id_col] == comp["node"]).drop("node")
+    w = Window.partitionBy("comp").orderBy(*order_cols)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("comp")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

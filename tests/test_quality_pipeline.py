@@ -171,3 +171,20 @@ def test_mixture_interleave_prefix_proportional(spark):
     assert [(r.position, r.doc_id) for r in out] == [
         (r.position, r.doc_id) for r in again
     ]
+
+
+def test_canonical_per_cluster_partitions_corpus(spark):
+    from graphkb_spark.operators.dedup import canonical_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 7)], "doc_id long, n_chars long"
+    )
+    # cluster {1,2,3} via pairs, {4} and {5} singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = canonical_per_cluster(
+        docs, pairs, "doc_id", [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).collect()
+    by_comp = {r.comp: r for r in out}
+    assert by_comp[1].doc_id == 2 and by_comp[1].cluster_size == 3  # longest wins
+    assert by_comp[4].cluster_size == 1 and by_comp[5].cluster_size == 1
+    assert sum(r.cluster_size for r in out) == 5
