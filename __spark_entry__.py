@@ -3373,6 +3373,19 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("comp", "doc_id", "n_chars", "cluster_size")
 
 
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch (linear) attribution: each purchase's credit split
+    across the user's click/view touches in the prior 72 h — one
+    forward window + one rollup, no range self-join."""
+    from graphkb_spark.operators.aggregate import linear_attribution
+
+    t = _t(spark, sf_dir, "events")
+    return linear_attribution(
+        t["events"], "user_id", "ts", "event_type",
+        conversion_types=["purchase"], touch_types=["click", "view"],
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3553,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,
         "mixture_interleave": q_mixture_interleave,
         "canonical_docs": q_canonical_docs,
+        "linear_attribution": q_linear_attribution,
     }
 
 
@@ -5705,6 +5719,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_conversions
             FROM marked WHERE NOT is_touch
             GROUP BY 1
+        """,
+        # Forward first_value assigns each touch its next conversion;
+        # identical total order to the last-touch oracle.
+        "linear_attribution": """
+            WITH ev AS (
+              SELECT user_id, ts, event_type,
+                     event_type IN ('click', 'view') AS is_touch
+              FROM events
+              WHERE event_type IN ('purchase', 'click', 'view')),
+            marked AS (
+              SELECT user_id, ts, event_type, is_touch,
+                     first_value(CASE WHEN NOT is_touch THEN ts END IGNORE NULLS)
+                       OVER w AS cts,
+                     first_value(CASE WHEN NOT is_touch THEN event_type END
+                                 IGNORE NULLS) OVER w AS ctype
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC, is_touch DESC, event_type ASC
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+            t AS (
+              SELECT * FROM marked
+              WHERE is_touch AND cts IS NOT NULL
+                AND epoch_us(ts) >= epoch_us(cts) - 72::BIGINT * 3600 * 1000000),
+            n AS (
+              SELECT user_id, cts, ctype, count(*) AS n_all
+              FROM t GROUP BY 1, 2, 3)
+            SELECT t.user_id, t.cts AS conversion_ts, t.ctype AS conversion_type,
+                   t.event_type AS touch_type,
+                   count(*) AS n_touches,
+                   round(CAST(count(*) AS DOUBLE) / max(n.n_all), 6) AS credit
+            FROM t JOIN n ON n.user_id = t.user_id AND n.cts = t.cts
+                         AND n.ctype = t.ctype
+            GROUP BY 1, 2, 3, 4
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -625,3 +625,87 @@ def winsorize_per_group(
         .withColumn("clipped_high", v > F.col("__hi"))
         .drop("__lo", "__hi")
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_types: Sequence[str],
+    touch_types: Sequence[str],
+    window_hours: int = 72,
+) -> DataFrame:
+    """MULTI-touch (linear) attribution: every conversion's credit is
+    split equally across the user's touch events in the
+    ``window_hours`` before it (inclusive of a same-timestamp touch,
+    matching ``last_touch_attribution``'s tie order). Returns one row
+    per (user, conversion, touch_type): (user, conversion_ts,
+    conversion_type, touch_type, n_touches, credit) with
+    credit = touches of that type / all touches for the conversion —
+    the linear sibling of last-touch, still expressed WITHOUT a
+    touches-x-conversions range self-join.
+
+    Scale shape: one keyed shuffle on the user; a single
+    forward-looking window assigns each touch its NEXT conversion
+    (first_value over the following frame — same total order as
+    last-touch, reversed), then one partial-aggregating groupBy rolls
+    touches up per conversion. Both steps reuse the user
+    partitioning."""
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    both = events.filter(
+        et.isin([*conversion_types, *touch_types])
+    ).select(
+        u.alias("__user"),
+        ts.alias("__ts"),
+        et.alias("__type"),
+        et.isin(list(touch_types)).alias("__is_touch"),
+    )
+    # same total order as last_touch_attribution: (ts, touches-first,
+    # type) — a touch therefore PRECEDES a same-timestamp conversion
+    # and the forward scan sees it
+    w = (
+        Window.partitionBy("__user")
+        .orderBy(
+            F.col("__ts").asc(), F.col("__is_touch").desc(), F.col("__type").asc()
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nc_ts = F.first(
+        F.when(~F.col("__is_touch"), F.col("__ts")), ignorenulls=True
+    ).over(w)
+    nc_type = F.first(
+        F.when(~F.col("__is_touch"), F.col("__type")), ignorenulls=True
+    ).over(w)
+    horizon = F.unix_micros(F.col("__conv_ts")) - F.lit(
+        window_hours * 3_600_000_000
+    )
+    touches = (
+        both.withColumn("__conv_ts", nc_ts)
+        .withColumn("__conv_type", nc_type)
+        .filter(
+            F.col("__is_touch")
+            & F.col("__conv_ts").isNotNull()
+            & (F.unix_micros(F.col("__ts")) >= horizon)
+        )
+    )
+    per_conv = Window.partitionBy("__user", "__conv_ts", "__conv_type")
+    return (
+        touches.withColumn("__n_all", F.count(F.lit(1)).over(per_conv))
+        .groupBy(
+            F.col("__user").alias(user_col),
+            F.col("__conv_ts").alias("conversion_ts"),
+            F.col("__conv_type").alias("conversion_type"),
+            F.col("__type").alias("touch_type"),
+            F.col("__n_all"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+        .select(
+            user_col,
+            "conversion_ts",
+            "conversion_type",
+            "touch_type",
+            "n_touches",
+            F.round(F.col("n_touches") / F.col("__n_all"), 6).alias("credit"),
+        )
+    )

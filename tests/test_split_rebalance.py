@@ -472,3 +472,34 @@ def test_temperature_sample_skew_keeps_filter_scan_speed(spark):
     cold = min(raw, key=raw.get)
     assert kept[hot] / raw[hot] < 0.6 * (kept.get(cold, 0) / raw[cold] + 1e-9) or \
         kept[hot] / raw[hot] < 0.6
+
+
+def test_linear_attribution_splits_credit(spark):
+    import datetime as dt
+
+    from graphkb_spark.operators.aggregate import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, "click"),
+        (1, t0 + m, "view"),
+        (1, t0 + 2 * m, "view"),
+        (1, t0 + 3 * m, "purchase"),   # 3 touches: click 1/3, view 2/3
+        (1, t0 + 4 * m, "click"),
+        (1, t0 + 5 * m, "purchase"),   # 1 touch after the reset
+        (2, t0, "purchase"),           # no touches: absent from output
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = linear_attribution(
+        df, "user_id", "ts", "event_type",
+        conversion_types=["purchase"], touch_types=["click", "view"],
+    ).collect()
+    c1 = {(r.conversion_ts, r.touch_type): r for r in out if r.user_id == 1}
+    k1 = (t0 + 3 * m, "click")
+    assert c1[k1].n_touches == 1 and abs(c1[k1].credit - round(1 / 3, 6)) < 1e-9
+    k2 = (t0 + 3 * m, "view")
+    assert c1[k2].n_touches == 2 and abs(c1[k2].credit - round(2 / 3, 6)) < 1e-9
+    k3 = (t0 + 5 * m, "click")
+    assert c1[k3].credit == 1.0  # the window reset after the 1st purchase
+    assert not [r for r in out if r.user_id == 2]
