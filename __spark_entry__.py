@@ -3386,6 +3386,25 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level data-quality gate (deequ shape): seven rules over
+    the documents batch evaluated in ONE aggregation scan."""
+    from graphkb_spark.operators.expectations import run_expectations
+
+    t = _t(spark, sf_dir, "documents")
+    rules = [
+        {"column": "doc_id", "check": "not_null"},
+        {"column": "doc_id", "check": "unique"},
+        {"column": "text", "check": "not_null", "threshold": 0.99},
+        {"column": "n_chars", "check": "min", "bound": 1},
+        {"column": "n_chars", "check": "max", "bound": 10000},
+        {"column": "lang", "check": "in_set",
+         "values": ["en", "de", "es", "fr"], "threshold": 0.95},
+        {"column": "n_chars", "check": "mean_between", "lo": 50, "hi": 500},
+    ]
+    return run_expectations(t["documents"], rules)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3567,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_interleave": q_mixture_interleave,
         "canonical_docs": q_canonical_docs,
         "linear_attribution": q_linear_attribution,
+        "expectations": q_expectations,
     }
 
 
@@ -5752,6 +5772,41 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN n ON n.user_id = t.user_id AND n.cts = t.cts
                          AND n.ctype = t.ctype
             GROUP BY 1, 2, 3, 4
+        """,
+        # One aggregate scan; rule rows stacked via VALUES join.
+        "expectations": """
+            WITH agg AS (
+              SELECT
+                round(CAST(count(doc_id) AS DOUBLE) / count(*), 6) AS o0,
+                round(CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 6) AS o1,
+                round(CAST(count(text) AS DOUBLE) / count(*), 6) AS o2,
+                round(CAST(min(n_chars) AS DOUBLE), 6) AS o3,
+                round(CAST(max(n_chars) AS DOUBLE), 6) AS o4,
+                round(CAST(sum(CASE WHEN lang IN ('en','de','es','fr')
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(lang), 6) AS o5,
+                round(avg(CAST(n_chars AS DOUBLE)), 6) AS o6
+              FROM documents)
+            SELECT r.rule_id, r.col AS "column", r.chk AS "check",
+                   CASE r.rule_id WHEN 0 THEN o0 WHEN 1 THEN o1 WHEN 2 THEN o2
+                        WHEN 3 THEN o3 WHEN 4 THEN o4 WHEN 5 THEN o5
+                        ELSE o6 END AS observed,
+                   CASE r.rule_id
+                        WHEN 0 THEN o0 >= 1.0
+                        WHEN 1 THEN o1 >= 1.0
+                        WHEN 2 THEN o2 >= 0.99
+                        WHEN 3 THEN o3 >= 1
+                        WHEN 4 THEN o4 <= 10000
+                        WHEN 5 THEN o5 >= 0.95
+                        ELSE o6 >= 50 AND o6 <= 500 END AS passed
+            FROM agg, (VALUES (0, 'doc_id', 'not_null'),
+                              (1, 'doc_id', 'unique'),
+                              (2, 'text', 'not_null'),
+                              (3, 'n_chars', 'min'),
+                              (4, 'n_chars', 'max'),
+                              (5, 'lang', 'in_set'),
+                              (6, 'n_chars', 'mean_between'))
+                 r(rule_id, col, chk)
         """,
         "transition_matrix": """
             WITH pairs AS (

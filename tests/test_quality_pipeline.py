@@ -188,3 +188,31 @@ def test_canonical_per_cluster_partitions_corpus(spark):
     assert by_comp[1].doc_id == 2 and by_comp[1].cluster_size == 3  # longest wins
     assert by_comp[4].cluster_size == 1 and by_comp[5].cluster_size == 1
     assert sum(r.cluster_size for r in out) == 5
+
+
+def test_expectations_single_job_and_verdicts(spark):
+    from graphkb_spark.operators.expectations import run_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0), (3, None, 100.0), (3, "a", 8.0)],
+        "id long, name string, v double",
+    )
+    rules = [
+        {"column": "id", "check": "not_null"},
+        {"column": "id", "check": "unique"},                      # 3/4 -> fail
+        {"column": "name", "check": "not_null", "threshold": 0.7},  # 0.75 pass
+        {"column": "v", "check": "max", "bound": 50},             # 100 -> fail
+        {"column": "v", "check": "mean_between", "lo": 0, "hi": 50},
+        {"column": "name", "check": "in_set", "values": ["a", "b"]},
+        {"column": "name", "check": "regex", "pattern": "^[ab]$"},
+    ]
+    out = {r.rule_id: r for r in run_expectations(df, rules).collect()}
+    assert out[0].passed and out[0].observed == 1.0
+    assert not out[1].passed and out[1].observed == 0.75
+    assert out[2].passed
+    assert not out[3].passed and out[3].observed == 100.0
+    assert out[4].passed and out[4].observed == 30.0
+    assert out[5].passed and out[6].passed  # nulls excluded from frac
+    # ONE aggregation job: plan has a single (partial+final) agg pair
+    plan = run_expectations(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 4  # partial+final (+distinct pair)
