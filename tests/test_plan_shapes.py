@@ -58,6 +58,11 @@ BUDGETS = [
     # runtime, pinned by the skew tests), 1-row totals, TakeOrdered
     ("pmi_collocations", 7, 0, False),
     ("boilerplate_strip", 5, 0, True),
+    ("expectations", 2, 0, True),      # ONE agg scan + global gather
+    ("scd2", 1, 0, True),              # both windows share the key exchange
+    ("kmv_distinct", 2, 0, True),      # distinct + rank share partitioning
+    ("mixture_interleave", 3, 0, True),# source rank + TakeOrdered + position
+    ("linear_attribution", 2, 0, True),# user window + rollup reuse exchange
 ]
 
 
