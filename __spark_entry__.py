@@ -3405,6 +3405,39 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_expectations(t["documents"], rules)
 
 
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift monitor over per-source document length in
+    ingest order, with a +150-char mean shift injected into src7's
+    second half (the pii_redact injection pattern) — the monitor must
+    flag rows after the shift and stay quiet elsewhere."""
+    from graphkb_spark.operators.aggregate import page_hinkley_drift
+
+    t = _t(spark, sf_dir, "documents")
+    rk = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    cnt = Window.partitionBy("source")
+    docs = (
+        t["documents"]
+        .withColumn("__rk", F.row_number().over(rk))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .withColumn(
+            "value",
+            (
+                F.col("n_chars")
+                + F.when(
+                    (F.col("source") == "src7")
+                    & (F.col("__rk") > F.col("__n") / 2),
+                    F.lit(150),
+                ).otherwise(F.lit(0))
+            ).cast("double"),
+        )
+        .select("source", "doc_id", "value")
+    )
+    out = page_hinkley_drift(
+        docs, ["source"], [F.col("doc_id").asc()], "value", lambda_sigma=6.0
+    )
+    return out.select("source", "doc_id", "value", "ph_up", "ph_down")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3587,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "linear_attribution": q_linear_attribution,
         "expectations": q_expectations,
+        "quality_drift": q_quality_drift,
     }
 
 
@@ -5849,6 +5883,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Moments from decimal-exact sums, then the identical IEEE
         # expression tree — borderline rows agree with the Spark side.
+        # PH statistic: prefix sums evaluate in the window's total
+        # order, so both engines produce bit-identical doubles.
+        "quality_drift": """
+            WITH docs AS (
+              SELECT source, doc_id,
+                     CAST(n_chars + CASE WHEN source = 'src7'
+                            AND row_number() OVER (PARTITION BY source
+                                                   ORDER BY doc_id ASC)
+                                > count(*) OVER (PARTITION BY source) / 2.0
+                          THEN 150 ELSE 0 END AS DOUBLE) AS value
+              FROM documents),
+            st AS (
+              SELECT source,
+                     CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mu,
+                     CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS ex2
+              FROM docs GROUP BY source),
+            m AS (
+              SELECT d.source, d.doc_id, d.value,
+                     sqrt(ex2 - mu * mu) AS sigma,
+                     sum(d.value - mu) OVER w AS mm
+              FROM docs d JOIN st USING (source)
+              WINDOW w AS (PARTITION BY d.source ORDER BY d.doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            ph AS (
+              SELECT source, doc_id, value, sigma,
+                     round(max(mm) OVER w2 - mm, 6) AS ph_up,
+                     round(mm - min(mm) OVER w2, 6) AS ph_down
+              FROM m
+              WINDOW w2 AS (PARTITION BY source ORDER BY doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT source, doc_id, value, ph_up, ph_down
+            FROM ph WHERE ph_up > 6.0 * sigma OR ph_down > 6.0 * sigma
+        """,
         "grouped_outliers": """
             WITH s AS (
               SELECT event_type,

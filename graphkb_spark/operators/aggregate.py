@@ -709,3 +709,55 @@ def linear_attribution(
             F.round(F.col("n_touches") / F.col("__n_all"), 6).alias("credit"),
         )
     )
+
+
+def page_hinkley_drift(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    delta: float = 0.0,
+    lambda_sigma: float = 4.0,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detection per group — the quality-drift
+    monitor a training pipeline runs over per-batch metrics (mean doc
+    quality per source per ingest order) before a drifted source
+    poisons the mix. Classic PH statistic: m_t = sum(x_i - mu - delta),
+    M_t = running max of m_t; an UPWARD mean shift makes m_t fall
+    behind its max is inverted — here both directions are monitored
+    via ph_up = M_t - m_t (downward shift) and ph_down = m_t - min_t
+    (upward shift); a row is flagged when either exceeds
+    ``lambda_sigma`` * sigma.
+
+    Two-pass, both shuffle-free after ONE keyed exchange: pass 1
+    computes per-group mu/sigma from DECIMAL(38,10) moments
+    (summation-order-exact, the ``grouped_outliers`` discipline);
+    pass 2 is running sum + running max/min windows over the SAME
+    group partitioning. Prefix sums evaluate in the window's total
+    order, so any engine produces bit-identical doubles — no rounding
+    hazard before the final output rounding."""
+    v = F.col(value_col).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        (F.sum(v.cast("decimal(38,10)")).cast("double") / n).alias("__mu"),
+        (F.sum((v * v).cast("decimal(38,10)")).cast("double") / n).alias("__ex2"),
+    ).withColumn(
+        "__sigma", F.sqrt(F.col("__ex2") - F.col("__mu") * F.col("__mu"))
+    ).drop("__ex2")
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.sum(v - F.col("__mu") - F.lit(delta)).over(run)
+    joined = df.join(stats, list(group_cols)).withColumn("__m", m)
+    ph_up = F.max("__m").over(run) - F.col("__m")
+    ph_down = F.col("__m") - F.min("__m").over(run)
+    thresh = F.lit(lambda_sigma) * F.col("__sigma")
+    return (
+        joined.withColumn("ph_up", F.round(ph_up, 6))
+        .withColumn("ph_down", F.round(ph_down, 6))
+        .filter((F.col("ph_up") > thresh) | (F.col("ph_down") > thresh))
+        .drop("__mu", "__sigma", "__m")
+    )

@@ -503,3 +503,21 @@ def test_linear_attribution_splits_credit(spark):
     k3 = (t0 + 5 * m, "click")
     assert c1[k3].credit == 1.0  # the window reset after the 1st purchase
     assert not [r for r in out if r.user_id == 2]
+
+
+def test_page_hinkley_flags_shifted_tail_only(spark):
+    from graphkb_spark.operators.aggregate import page_hinkley_drift
+
+    # stable series then a +10 mean shift at t=60 in group 'b'
+    rows = [("a", t, 50.0 + (t % 3)) for t in range(100)] + [
+        ("b", t, 50.0 + (t % 3) + (10.0 if t >= 60 else 0.0)) for t in range(100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    out = page_hinkley_drift(
+        df, ["grp"], [F.col("t").asc()], "v", lambda_sigma=4.0
+    ).collect()
+    assert out, "shift not detected"
+    assert all(r.grp == "b" for r in out)       # the stable group stays quiet
+    assert all(r.t >= 60 for r in out)          # flags only after the shift
+    # upward shift -> ph_down (m rises above its min) is the firing side
+    assert any(r.ph_down > 0 for r in out)
