@@ -3438,6 +3438,33 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "value", "ph_up", "ph_down")
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling WAU) via
+    the contribute-explode shape — no range join, no per-day rescans."""
+    from graphkb_spark.operators.aggregate import rolling_distinct
+
+    t = _t(spark, sf_dir, "events")
+    out = rolling_distinct(t["events"], "ts", "user_id", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_distinct"
+    )
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence graph: part-class pairs sharing >= 2
+    orders, per-actor degree capped at 50 (the projection-sampling
+    guard against power actors)."""
+    from graphkb_spark.operators.graph import cooccurrence_edges
+
+    t = _t(spark, sf_dir, "lineitem")
+    ev = t["lineitem"].select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    )
+    return cooccurrence_edges(
+        ev, "l_orderkey", "item", min_shared=2, actor_cap=50
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3621,6 +3648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_attribution": q_linear_attribution,
         "expectations": q_expectations,
         "quality_drift": q_quality_drift,
+        "rolling_distinct": q_rolling_distinct,
+        "cooccurrence": q_cooccurrence,
     }
 
 
@@ -5841,6 +5870,33 @@ def oracle_sql() -> dict[str, str]:
                               (5, 'lang', 'in_set'),
                               (6, 'n_chars', 'mean_between'))
                  r(rule_id, col, chk)
+        """,
+        # Contribute-explode: each (user, day) pair hits its 7 report
+        # days; distinct then count.
+        "rolling_distinct": """
+            WITH c AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) + CAST(i AS INT) AS day
+              FROM events, generate_series(0, 6) g(i))
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   count(*) AS n_distinct
+            FROM c GROUP BY day
+        """,
+        # Bipartite projection with the md5 per-actor degree cap.
+        "cooccurrence": """
+            WITH p AS (
+              SELECT DISTINCT l_orderkey AS a, l_partkey % 500 AS i
+              FROM lineitem),
+            capped AS (
+              SELECT a, i FROM (
+                SELECT a, i,
+                       row_number() OVER (PARTITION BY a
+                         ORDER BY md5(CAST(i AS VARCHAR)) ASC, i ASC) AS rn
+                FROM p)
+              WHERE rn <= 50)
+            SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_shared
+            FROM capped x JOIN capped y ON x.a = y.a AND x.i < y.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -761,3 +761,37 @@ def page_hinkley_drift(
         .filter((F.col("ph_up") > thresh) | (F.col("ph_down") > thresh))
         .drop("__mu", "__sigma", "__m")
     )
+
+
+def rolling_distinct(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing-window DISTINCT count per day — the WAU/rolling-active
+    metric (distinct users over the prior ``window_days`` days, one
+    row per day). A naive window can't do this (count distinct is not
+    window-able) and a per-day self-join is quadratic; the scale shape
+    is the contribute-explode: each (day, value) pair contributes to
+    the ``window_days`` report days it falls inside, so the plan is
+    one bounded explode (x window_days) + one distinct + one
+    partial-aggregating count — all equi-keyed, no range join.
+    Report days with no activity in range are absent (standard
+    gaps-allowed semantics). Returns (groups..., day, n_distinct)."""
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    contrib = events.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.explode(
+            F.sequence(
+                day, F.date_add(day, window_days - 1), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.dropDuplicates([*group_cols, "__v", "day"])
+        .groupBy(*group_cols, "day")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )

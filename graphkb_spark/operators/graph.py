@@ -290,3 +290,50 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def cooccurrence_edges(
+    events: DataFrame,
+    actor_col: str,
+    item_col: str,
+    min_shared: int = 2,
+    actor_cap: int | None = 50,
+) -> DataFrame:
+    """Bipartite projection: build the item-item co-occurrence graph
+    (items sharing >= ``min_shared`` distinct actors) from an
+    (actor, item) interaction log — co-click/co-purchase/co-citation
+    graph construction, the input to similarity and community steps.
+    Returns (item_a, item_b, n_shared), item_a < item_b.
+
+    Scale shape: distinct (actor, item) pairs (one partial-agg'd
+    shuffle), then the pair generation is a self-join ON THE ACTOR KEY
+    — per-actor output is quadratic in that actor's degree, which is
+    the real scale hazard, so ``actor_cap`` bounds it: actors keep at
+    most that many items (deterministic md5 order), turning a
+    10^6-degree power-user into a bounded contributor instead of a
+    10^12-pair bomb (the standard projection-sampling trade; None
+    disables the cap). Hot residual actors are AQE-skew-split. The
+    final (item_a, item_b) count partial-aggregates map-side."""
+    pairs = events.select(
+        F.col(actor_col).alias("__a"), F.col(item_col).alias("__i")
+    ).dropDuplicates(["__a", "__i"])
+    if actor_cap is not None:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("__a").orderBy(
+            F.md5(F.col("__i").cast("string")).asc(), F.col("__i").asc()
+        )
+        pairs = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= actor_cap)
+            .drop("__rn")
+        )
+    a = pairs.select("__a", F.col("__i").alias("item_a"))
+    b = pairs.select("__a", F.col("__i").alias("item_b"))
+    return (
+        a.join(b, "__a")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -525,3 +525,42 @@ def test_page_hinkley_flags_shifted_tail_only(spark):
     assert up_side and all(t >= 60 for t in up_side)
     down_side = {r.t for r in out if r.ph_up > r.ph_down}
     assert down_side and min(down_side) < 60  # pre-shift divergence too
+
+
+def test_rolling_distinct_window_semantics(spark):
+    import datetime as dt
+
+    from graphkb_spark.operators.aggregate import rolling_distinct
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d),                              # active day 1
+        (1, d),                              # duplicate same day
+        (2, d + dt.timedelta(days=2)),       # active day 3
+        (1, d + dt.timedelta(days=10)),      # far later
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r.day): r.n_distinct for r in
+           rolling_distinct(df, "ts", "user_id", window_days=3).collect()}
+    assert out["2024-01-01"] == 1          # just user 1
+    assert out["2024-01-03"] == 2          # user 1 (d+2 window) + user 2
+    assert out["2024-01-04"] == 1          # user 1 aged out, user 2 remains
+    assert out["2024-01-11"] == 1
+    assert "2024-01-07" not in out         # gap day: nobody in range
+
+
+def test_cooccurrence_cap_and_threshold(spark):
+    from graphkb_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        ("o1", "x"), ("o1", "y"), ("o1", "y"),   # dup interaction collapses
+        ("o2", "x"), ("o2", "y"),
+        ("o3", "x"), ("o3", "z"),
+    ]
+    df = spark.createDataFrame(rows, "actor string, item string")
+    out = {(r.item_a, r.item_b): r.n_shared for r in
+           cooccurrence_edges(df, "actor", "item", min_shared=2).collect()}
+    assert out == {("x", "y"): 2}          # x-z seen once -> filtered
+    # cap=1 keeps one item per actor: no pairs survive
+    assert not cooccurrence_edges(df, "actor", "item",
+                                  min_shared=1, actor_cap=1).collect()
