@@ -3465,6 +3465,36 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension (broadcast per micro-batch) and aggregates per hourly
+    window x market segment; complete mode == the batch plan, which
+    the oracle runs."""
+    from graphkb_spark.streaming.incremental import streaming_enrich
+
+    t = _t(spark, sf_dir, "events", "customer")
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    out = streaming_enrich(
+        spark,
+        t["events"].select("event_id", "user_id", "ts", "value"),
+        dim,
+        on="user_id",
+        segment_col="c_mktsegment",
+        query_name=f"q_stream_enrich_{suffix}",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "c_mktsegment",
+        "n",
+        "total_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3650,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drift": q_quality_drift,
         "rolling_distinct": q_rolling_distinct,
         "cooccurrence": q_cooccurrence,
+        "stream_enrich": q_stream_enrich,
     }
 
 
@@ -5897,6 +5928,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_shared
             FROM capped x JOIN capped y ON x.a = y.a AND x.i < y.i
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # Complete-mode stream-static join == the batch plan.
+        "stream_enrich": """
+            SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   c.c_mktsegment,
+                   count(*) AS n,
+                   round(sum(e.value), 4) AS total_value
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            GROUP BY 1, 2
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -277,3 +277,49 @@ def streaming_interval_join(
         f"SELECT l_event_id, r_event_id, l_user AS user_id, l_ts, r_ts, "
         f"r_value FROM {query_name}"
     )
+
+
+def streaming_enrich(
+    spark: SparkSession,
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    segment_col: str,
+    window: str = "1 hour",
+    query_name: str = "stream_enrich",
+    stage_dir: str | None = None,
+):
+    """STREAM-STATIC enrichment: the event stream joins a static
+    dimension (broadcast — re-read per micro-batch, so a dimension
+    refresh is picked up without restarting the query) and aggregates
+    per (event-time window, segment). The standard ingest-enrich-agg
+    layout: the unbounded side never shuffles for the join, state is
+    bounded by windows x segments, and complete-mode output makes the
+    result deterministic (equal to the batch plan over the same data,
+    which is exactly what the oracle asserts)."""
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events = normalize_ntz(events)
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    enriched = stream.join(F.broadcast(dim), on)
+    agg = (
+        enriched.groupBy(F.window("ts", window), F.col(segment_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"SELECT window.start AS window_start, {segment_col}, n, total_value "
+        f"FROM {query_name}"
+    )
