@@ -3507,24 +3507,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
-    # entries in insertion order, so the window ROTATES each round to give
-    # every query a driver row at least every other round. Round-7 window:
-    # (a) the three queries whose code or oracle changed this round —
-    # minhash_lsh (hashed-shingle verify + oracle), attribution
-    # (microsecond boundary + oracle), pagerank (decimal gather, one
-    # join per iteration; identical values); (b) the 12-entry r04-green
-    # tail that slipped the r6 window (explode_expansion ...
-    # combo_naming) — most overdue; (c) the head of the r05-green block
-    # in its standing order. The round-6 entries (all driver-green in
-    # CORRECTNESS_r06) move behind the window along with the remaining
-    # r05 block; grouped_outliers / domain_rebalance /
-    # temperature_sample changed only their broadcast-hint default
-    # (values identical) and sit just past the window.
+    # entries in insertion order, so the window ROTATES each round.
+    # Round-7 window: (a) the EIGHTEEN queries new this round — never
+    # driver-checked (boilerplate/PMI/gopher/winsorize/leakage/
+    # cross-corpus dedup/triangles/SCD2/KMV/Gram/interleave/canonical/
+    # linear-attribution/expectations/drift/rolling-distinct/
+    # co-occurrence/stream-enrich); (b) the five whose code or oracle
+    # changed this round — minhash_lsh (hashed-shingle verify + oracle),
+    # attribution (microsecond boundary + oracle), pagerank (decimal
+    # gather, one join/iteration), graph_closure + hierarchy_rollup
+    # (lazy fixed-rounds checkpoints) — all value-identical where only
+    # the plan moved; (c) the 12-entry r04-green tail that slipped the
+    # r6 window (most overdue), honoring the r6 rotation promise; the
+    # r05-green block heads the remainder and leads the r8 window.
     return {
-        # -- changed this round (code or oracle) --
+        # -- NEW this round: never driver-checked --
+        "boilerplate_strip": q_boilerplate_strip,
+        "pmi_collocations": q_pmi_collocations,
+        "gopher_quality": q_gopher_quality,
+        "winsorize": q_winsorize,
+        "split_leakage": q_split_leakage,
+        "dedup_against": q_dedup_against,
+        "triangle_count": q_triangle_count,
+        "scd2": q_scd2,
+        "kmv_distinct": q_kmv_distinct,
+        "gram_matrix": q_gram_matrix,
+        "mixture_interleave": q_mixture_interleave,
+        "canonical_docs": q_canonical_docs,
+        "linear_attribution": q_linear_attribution,
+        "expectations": q_expectations,
+        "quality_drift": q_quality_drift,
+        "rolling_distinct": q_rolling_distinct,
+        "cooccurrence": q_cooccurrence,
+        "stream_enrich": q_stream_enrich,
+        # -- code or oracle changed this round --
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
+        "graph_closure": q_graph_closure,
+        "hierarchy_rollup": q_hierarchy_rollup,
         # -- r04-green tail slipped by the r6 rotation --
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
@@ -3538,8 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docm_fix": q_docm_fix,
         "oncokb_names": q_oncokb_names,
         "combo_naming": q_combo_naming,
-        # -- r05-green block (head) --
-        "graph_closure": q_graph_closure,
+        # -- past 50: standing order (r05-green block first) --
         "lm_score": q_lm_score,
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
@@ -3574,7 +3594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "fingerprint": q_fingerprint,
         "statement_variant_link": q_statement_variant_link,
-        # -- past 50: r05-green block (tail) --
         "kb_ontology_load": q_kb_ontology_load,
         "variant_load": q_variant_load,
         "hgvs_parse": q_hgvs_parse,
@@ -3599,7 +3618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gsc_ontology": q_gsc_ontology,
         "asco_abstracts": q_asco_abstracts,
         "fda_approvals_year": q_fda_approvals_year,
-        # -- r06-green entries and the rest, standing order --
         "cohort_retention": q_cohort_retention,
         "incremental_join_agg": q_incremental_join_agg,
         "multiple_regression": q_multiple_regression,
@@ -3624,7 +3642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "embedding_quantized_topk": q_embedding_quantized_topk,
         "streaming_sessions": q_streaming_sessions,
-        "hierarchy_rollup": q_hierarchy_rollup,
         "pmc_fusions": q_pmc_fusions,
         "pmc_functional": q_pmc_functional,
         "docm_load": q_docm_load,
@@ -3661,26 +3678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
-        # -- NEW round 7: LLM-pipeline extensions (enter the driver
-        #    window next rotation; locally swept this round) --
-        "boilerplate_strip": q_boilerplate_strip,
-        "pmi_collocations": q_pmi_collocations,
-        "gopher_quality": q_gopher_quality,
-        "winsorize": q_winsorize,
-        "split_leakage": q_split_leakage,
-        "dedup_against": q_dedup_against,
-        "triangle_count": q_triangle_count,
-        "scd2": q_scd2,
-        "kmv_distinct": q_kmv_distinct,
-        "gram_matrix": q_gram_matrix,
-        "mixture_interleave": q_mixture_interleave,
-        "canonical_docs": q_canonical_docs,
-        "linear_attribution": q_linear_attribution,
-        "expectations": q_expectations,
-        "quality_drift": q_quality_drift,
-        "rolling_distinct": q_rolling_distinct,
-        "cooccurrence": q_cooccurrence,
-        "stream_enrich": q_stream_enrich,
     }
 
 
