@@ -3495,6 +3495,45 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment over documents — fold sizes
+    and membership are a pure md5 function of the id."""
+    from graphkb_spark.operators.sampling import kfold_assign
+
+    t = _t(spark, sf_dir, "documents")
+    out = kfold_assign(t["documents"], "doc_id", k=5)
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_range_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range_join with the bin width MEASURED from the left side's
+    median interval length (approx_percentile probe) — identical
+    results to any fixed bin, so the fixed-bin oracle verifies it."""
+    from graphkb_spark.operators.rangejoin import range_join_auto
+
+    t = _t(spark, sf_dir, "part", "supplier")
+    left = t["part"].select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") * 7) % 10000).alias("s"),
+        ((F.col("p_partkey") * 7) % 10000 + (F.col("p_size") % 20) + 1).alias("e"),
+    )
+    right = t["supplier"].select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 13) % 10000).alias("s"),
+        ((F.col("s_suppkey") * 13) % 10000 + 15).alias("e"),
+    )
+    out = range_join_auto(left, right, ("s", "e"), ("s", "e"))
+    return out.select(
+        F.col("l_id"), F.col("r_id"),
+        F.greatest("l_s", "r_s").alias("overlap_start"),
+        F.least("l_e", "r_e").alias("overlap_end"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3678,6 +3717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
+        "kfold_assign": q_kfold_assign,
+        "range_join_auto": q_range_join_auto,
     }
 
 
@@ -5935,6 +5976,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(e.value), 4) AS total_value
             FROM events e JOIN customer c ON c.c_custkey = e.user_id
             GROUP BY 1, 2
+        """,
+        "kfold_assign": """
+            SELECT fold, count(*) AS n,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                           1, 8))::BIGINT % 5 AS INT) AS fold
+              FROM documents)
+            GROUP BY fold
+        """,
+        # Bin width only tunes the physical plan: the plain range join
+        # is the oracle for ANY bin size, measured or fixed.
+        "range_join_auto": """
+            WITH l AS (
+              SELECT p_partkey AS l_id,
+                     (p_partkey * 7) % 10000 AS l_s,
+                     (p_partkey * 7) % 10000 + (p_size % 20) + 1 AS l_e
+              FROM part),
+            r AS (
+              SELECT s_suppkey AS r_id,
+                     (s_suppkey * 13) % 10000 AS r_s,
+                     (s_suppkey * 13) % 10000 + 15 AS r_e
+              FROM supplier)
+            SELECT l_id, r_id,
+                   greatest(l_s, r_s) AS overlap_start,
+                   least(l_e, r_e) AS overlap_end
+            FROM l JOIN r ON l_s <= r_e AND r_s <= l_e
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -93,3 +93,50 @@ def overlap_length(
     return F.greatest(
         F.least(l_end, r_end) - F.greatest(l_start, r_start), F.lit(0)
     )
+
+
+def auto_bin_size(
+    df: DataFrame,
+    start: str,
+    end: str,
+    quantile: float = 0.5,
+    floor: float = 1.0,
+) -> float:
+    """Measure, don't guess: the bin width that balances the range-join
+    fan-out/selectivity trade is the MEDIAN interval length (a narrow
+    interval joined at a huge bin scans everything in the bin; a wide
+    one at a tiny bin explodes into thousands of rows). One
+    ``approx_percentile`` aggregation (a mergeable sketch — single
+    scan, no sort) over the interval lengths; the result only tunes
+    the PHYSICAL plan, so any value preserves join results exactly."""
+    row = df.select(
+        F.percentile_approx(
+            F.col(end).cast("double") - F.col(start).cast("double"),
+            F.lit(quantile),
+        ).alias("q")
+    ).first()
+    return max(float(row["q"] or floor), floor)
+
+
+def range_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    on: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """``range_join`` with the bin width measured from the data: the
+    median interval length of the LEFT side (usually the bigger,
+    finer-grained side — variants against annotation spans). Two jobs:
+    the percentile probe, then the join; results are identical to any
+    fixed ``bin_size``."""
+    return range_join(
+        left,
+        right,
+        left_range,
+        right_range,
+        on=on,
+        bin_size=auto_bin_size(left, *left_range),
+        how=how,
+    )

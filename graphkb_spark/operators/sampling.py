@@ -450,3 +450,24 @@ def mixture_interleave(
     return ordered.withColumn("position", F.row_number().over(pos_w)).select(
         "position", id_col, source_col, "vtime"
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: adds ``fold``
+    (0..k-1) from the md5 of (salt, id) — the same contract as
+    ``split_assign`` (pure function of the id: stable across runs,
+    engines, and repartitioning, so fold membership can never drift
+    between a trainer and an evaluator). Narrow, zero shuffles."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        "fold",
+        hash_bucket(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), k
+        ).cast("int"),
+    )

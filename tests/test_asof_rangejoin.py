@@ -120,3 +120,47 @@ def test_overlap_length(spark):
     )
     r = df.collect()[0]
     assert r["o1"] == 5.0 and r["o2"] == 0.0
+
+
+def test_auto_bin_size_measures_median_and_preserves_results(spark):
+    from graphkb_spark.operators.rangejoin import (
+        auto_bin_size,
+        range_join,
+        range_join_auto,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i * 10, i * 10 + 4) for i in range(50)], "id long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(j, j * 25, j * 25 + 9) for j in range(20)], "id long, s long, e long"
+    )
+    assert abs(auto_bin_size(left, "s", "e") - 4.0) < 1e-9  # all lengths 4
+    auto = sorted(
+        (r.l_id, r.r_id)
+        for r in range_join_auto(left, right, ("s", "e"), ("s", "e")).collect()
+    )
+    for bs in (3.0, 50.0, 1000.0):
+        fixed = sorted(
+            (r.l_id, r.r_id)
+            for r in range_join(
+                left, right, ("s", "e"), ("s", "e"), bin_size=bs
+            ).collect()
+        )
+        assert fixed == auto  # bin width never changes the result set
+
+
+def test_kfold_assign_partitions_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.sampling import kfold_assign
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = kfold_assign(df, "doc_id", k=5)
+    counts = {r.fold: r.n for r in
+              out.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    assert sum(counts.values()) == 1000
+    assert all(100 < n < 300 for n in counts.values())  # roughly balanced
+    again = kfold_assign(df, "doc_id", k=5).withColumnRenamed("fold", "f2")
+    assert out.join(again, "doc_id").filter(F.col("fold") != F.col("f2")).count() == 0
