@@ -3534,6 +3534,15 @@ def q_range_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture health: volume, type-token ratio, and the
+    distinct-trigram fraction (templated-source detector)."""
+    from graphkb_spark.operators.corpus import diversity_report
+
+    t = _t(spark, sf_dir, "documents")
+    return diversity_report(t["documents"], "source", "text")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3719,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_recurrence": q_rollup_recurrence,
         "kfold_assign": q_kfold_assign,
         "range_join_auto": q_range_join_auto,
+        "diversity_report": q_diversity_report,
     }
 
 
@@ -6004,6 +6014,35 @@ def oracle_sql() -> dict[str, str]:
                    greatest(l_s, r_s) AS overlap_start,
                    least(l_e, r_e) AS overlap_end
             FROM l JOIN r ON l_s <= r_e AND r_s <= l_e
+        """,
+        "diversity_report": """
+            WITH base AS (
+              SELECT source, string_split(text, ' ') AS w
+              FROM documents WHERE length(text) > 0),
+            d AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(w)) AS BIGINT) AS n_tokens
+              FROM base GROUP BY source),
+            t AS (
+              SELECT source, count(DISTINCT tok) AS distinct_tokens
+              FROM (SELECT source, unnest(w) AS tok FROM base) GROUP BY source),
+            shs AS (
+              SELECT source,
+                     unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE [array_to_string(w[i:i+2], ' ')
+                                  for i in generate_series(1, len(w) - 2)]
+                            END) AS s
+              FROM base),
+            sh AS (
+              SELECT source, count(*) AS n_shingles,
+                     count(DISTINCT s) AS distinct_shingles
+              FROM shs GROUP BY source)
+            SELECT d.source, d.n_docs, d.n_tokens, t.distinct_tokens,
+                   round(CAST(t.distinct_tokens AS DOUBLE) / d.n_tokens, 6) AS ttr,
+                   sh.n_shingles, sh.distinct_shingles,
+                   round(CAST(sh.distinct_shingles AS DOUBLE) / sh.n_shingles, 6)
+                     AS distinct_shingle_frac
+            FROM d JOIN t ON t.source = d.source JOIN sh ON sh.source = d.source
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.operators.dedup import word_shingles
 from graphkb_spark.operators.text import TOKEN_REGEX
 
 
@@ -605,4 +606,61 @@ def pmi_collocations(
         )
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
+    )
+
+
+def diversity_report(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-source corpus diversity report — the mixture health metrics
+    a training-data run reports next to token counts: document and
+    token volume, type-token ratio (lexical diversity), and the
+    distinct-n-gram fraction (low values = templated/repetitive
+    sources; the aggregate cousin of the per-doc dup_ngram_frac).
+    Returns (source, n_docs, n_tokens, distinct_tokens, ttr,
+    n_shingles, distinct_shingles, distinct_shingle_frac).
+
+    Scale shape: one explode per granularity with a two-level
+    partial-aggregating rollup — (source, token) distinct collapses
+    map-side before the per-source count, so the shuffle carries at
+    most vocabulary x sources rows, never the corpus. Words split on
+    a single space for oracle parity."""
+    w = F.split(F.col(text_col), " ")
+    base = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(source_col), w.alias("__w")
+    )
+    docs = base.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__w")).cast("bigint").alias("n_tokens"),
+    )
+    toks = (
+        base.select(source_col, F.explode("__w").alias("__t"))
+        .groupBy(source_col)
+        .agg(F.countDistinct("__t").alias("distinct_tokens"))
+    )
+    sh = base.select(
+        source_col,
+        F.explode(word_shingles("__w", shingle_n)).alias("__s"),
+    ).groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("__s").alias("distinct_shingles"),
+    )
+    return (
+        docs.join(toks, source_col)
+        .join(sh, source_col)
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "distinct_tokens",
+            F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+            "n_shingles",
+            "distinct_shingles",
+            F.round(
+                F.col("distinct_shingles") / F.col("n_shingles"), 6
+            ).alias("distinct_shingle_frac"),
+        )
     )
