@@ -16,7 +16,10 @@ Checks:
 - ``mean_between`` observed = column mean; passes inside [lo, hi]
 
 Every ``observed`` is rounded to 6 digits; thresholds compare on the
-rounded value so any engine reaches the same verdict.
+rounded value so any engine reaches the same verdict. An EMPTY batch
+(or an all-null column for the fraction checks) yields a NULL
+observed and ``passed = False`` — a pipeline gate must fail loudly on
+a vanished batch, not vacuously pass it.
 """
 
 from __future__ import annotations
@@ -32,19 +35,19 @@ def _observed(rule: Mapping) -> F.Column:
     check = rule["check"]
     n = F.count(F.lit(1))
     if check == "not_null":
-        return F.round(F.count(c) / n, 6)
+        return F.round(F.try_divide(F.count(c), n), 6)
     if check == "unique":
-        return F.round(F.countDistinct(c) / n, 6)
+        return F.round(F.try_divide(F.countDistinct(c), n), 6)
     if check == "min":
         return F.round(F.min(c).cast("double"), 6)
     if check == "max":
         return F.round(F.max(c).cast("double"), 6)
     if check == "regex":
         hit = F.when(c.rlike(rule["pattern"]), 1).otherwise(0)
-        return F.round(F.sum(hit) / F.count(c), 6)
+        return F.round(F.try_divide(F.sum(hit), F.count(c)), 6)
     if check == "in_set":
         hit = F.when(c.isin(list(rule["values"])), 1).otherwise(0)
-        return F.round(F.sum(hit) / F.count(c), 6)
+        return F.round(F.try_divide(F.sum(hit), F.count(c)), 6)
     if check == "mean_between":
         return F.round(F.avg(c.cast("double")), 6)
     raise ValueError(f"unknown check: {check}")
@@ -52,15 +55,18 @@ def _observed(rule: Mapping) -> F.Column:
 
 def _passed(rule: Mapping, observed: F.Column) -> F.Column:
     check = rule["check"]
+    # NULL observed (empty batch / all-null column) -> explicit fail
+    fail_null = lambda cond: F.coalesce(cond, F.lit(False))  # noqa: E731
     if check in ("not_null", "unique", "regex", "in_set"):
-        return observed >= F.lit(float(rule.get("threshold", 1.0)))
+        return fail_null(observed >= F.lit(float(rule.get("threshold", 1.0))))
     if check == "min":
-        return observed >= F.lit(float(rule["bound"]))
+        return fail_null(observed >= F.lit(float(rule["bound"])))
     if check == "max":
-        return observed <= F.lit(float(rule["bound"]))
+        return fail_null(observed <= F.lit(float(rule["bound"])))
     if check == "mean_between":
-        return (observed >= F.lit(float(rule["lo"]))) & (
-            observed <= F.lit(float(rule["hi"]))
+        return fail_null(
+            (observed >= F.lit(float(rule["lo"])))
+            & (observed <= F.lit(float(rule["hi"])))
         )
     raise ValueError(f"unknown check: {check}")
 

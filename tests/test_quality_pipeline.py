@@ -216,3 +216,25 @@ def test_expectations_single_job_and_verdicts(spark):
     # ONE aggregation job: plan has a single (partial+final) agg pair
     plan = run_expectations(df, rules)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 4  # partial+final (+distinct pair)
+
+
+def test_expectations_empty_batch_fails_loudly(spark):
+    from graphkb_spark.operators.expectations import run_expectations
+
+    empty = spark.createDataFrame([], "id long, v double")
+    out = run_expectations(
+        empty,
+        [
+            {"column": "id", "check": "not_null"},
+            {"column": "v", "check": "max", "bound": 10},
+            {"column": "v", "check": "mean_between", "lo": 0, "hi": 5},
+        ],
+    ).collect()
+    assert len(out) == 3
+    assert all(r.observed is None and r.passed is False for r in out)
+    # all-null column: fraction checks fail, never divide-by-zero
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, name string")
+    out2 = run_expectations(
+        nulls, [{"column": "name", "check": "regex", "pattern": "x"}]
+    ).collect()
+    assert out2[0].passed is False
