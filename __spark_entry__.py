@@ -3543,6 +3543,18 @@ def q_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diversity_report(t["documents"], "source", "text")
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer projection of the quantized embeddings onto four
+    deterministic component vectors — the apply-side of the Gram/PCA
+    pipeline, bit-identical in any engine."""
+    from graphkb_spark.operators.similarity import project_quantized
+
+    t = _t(spark, sf_dir, "embeddings")
+    comps = [[((i * (k + 3)) % 7) - 3 for i in range(64)] for k in range(4)]
+    out = project_quantized(t["embeddings"], comps, "embedding")
+    return out.select("vec_id", "p0", "p1", "p2", "p3")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3729,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign": q_kfold_assign,
         "range_join_auto": q_range_join_auto,
         "diversity_report": q_diversity_report,
+        "embedding_project": q_embedding_project,
     }
 
 
@@ -6043,6 +6056,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sh.distinct_shingles AS DOUBLE) / sh.n_shingles, 6)
                      AS distinct_shingle_frac
             FROM d JOIN t ON t.source = d.source JOIN sh ON sh.source = d.source
+        """,
+        # Same quantization CTE as gram_matrix; exact integer dots.
+        "embedding_project": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+              FROM embeddings),
+            sc AS (
+              SELECT vec_id, xs,
+                     greatest(list_max(list_transform(xs, x -> abs(x))), 1e-12)
+                       / 127.0 AS scale
+              FROM v),
+            q AS (
+              SELECT vec_id,
+                     list_transform(xs, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+              FROM sc)
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i] * ([-3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3])[i])) AS BIGINT) AS p0,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i] * ([-3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3])[i])) AS BIGINT) AS p1,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i] * ([-3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3])[i])) AS BIGINT) AS p2,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i] * ([-3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3])[i])) AS BIGINT) AS p3
+            FROM q
         """,
         "transition_matrix": """
             WITH pairs AS (

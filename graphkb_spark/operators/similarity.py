@@ -428,3 +428,34 @@ def gram_matrix_quantized(
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
     )
+
+
+def project_quantized(
+    df: DataFrame,
+    components: list[list[int]],
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+) -> DataFrame:
+    """Project the int8-QUANTIZED embeddings onto integer component
+    vectors — the apply-side of the Gram/PCA pipeline
+    (``gram_matrix_quantized`` builds X^T X; an offline eigensolver
+    produces components; this operator materializes the projected
+    features). Integer dot products are exact, so the projection is
+    bit-deterministic in any engine — no pairwise-vs-sequential float
+    summation drift. Adds ``p0..p{k-1}`` (int64) per row.
+
+    Narrow Column algebra: each projection is one
+    ``aggregate(zip_with(...))`` over the quantized vector against a
+    LITERAL component array — zero shuffles, scan-speed, composes with
+    a downstream filter or ANN bucketing without a repartition."""
+    q = quantize_embeddings(df, vec_col=vec_col, bits_max=bits_max)
+    out = q
+    for k, comp in enumerate(components):
+        lit_comp = F.array(*[F.lit(int(x)).cast("long") for x in comp])
+        dot = F.aggregate(
+            F.zip_with(F.col("qvec"), lit_comp, lambda a, b: a.cast("long") * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"p{k}", dot)
+    return out

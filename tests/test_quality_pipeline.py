@@ -238,3 +238,23 @@ def test_expectations_empty_batch_fails_loudly(spark):
         nulls, [{"column": "name", "check": "regex", "pattern": "x"}]
     ).collect()
     assert out2[0].passed is False
+
+
+def test_project_quantized_matches_numpy(spark):
+    import numpy as np
+
+    from graphkb_spark.operators.similarity import (
+        project_quantized,
+        quantize_embeddings,
+    )
+
+    vecs = [[float(((i * 5 + j) % 9) - 4) for j in range(8)] for i in range(20)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "vec_id long, embedding array<float>")
+    comps = [[1, -1, 2, 0, 3, -2, 1, 0], [0, 1, 0, -1, 0, 1, 0, -1]]
+    out = {r.vec_id: (r.p0, r.p1) for r in
+           project_quantized(df, comps, "embedding").collect()}
+    q = {r.vec_id: np.array(r.qvec, dtype=np.int64) for r in
+         quantize_embeddings(df, "embedding").select("vec_id", "qvec").collect()}
+    for i in range(20):
+        assert out[i] == (int(q[i] @ np.array(comps[0])), int(q[i] @ np.array(comps[1])))
