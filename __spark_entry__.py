@@ -3555,6 +3555,22 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "p0", "p1", "p2", "p3")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the 5 most
+    similar vectors with a DIFFERENT label."""
+    from graphkb_spark.operators.similarity import hard_negative_mining
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = hard_negative_mining(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        F.round("cos_sim", 4).alias("cos_sim"), "rank",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3742,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_auto": q_range_join_auto,
         "diversity_report": q_diversity_report,
         "embedding_project": q_embedding_project,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -5296,6 +5313,25 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS exact_p95,
                    TRUE AS ok_p95
             FROM events GROUP BY event_type
+        """,
+        # cosine_topk with the cross-label constraint.
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+                     e.label AS neighbor_label,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id AND e.label <> q.query_label),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, query_label, neighbor_id, neighbor_label,
+                   round(sim, 4) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

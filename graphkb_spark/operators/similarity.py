@@ -459,3 +459,54 @@ def project_quantized(
         )
         out = out.withColumn(f"p{k}", dot)
     return out
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-NEGATIVE mining for contrastive training: for each query
+    (anchor), the top-k most-similar corpus vectors with a DIFFERENT
+    label — the near-misses that teach a contrastive model the most
+    (random negatives are trivially separable). Returns (query_id,
+    query_label, neighbor_id, neighbor_label, cos_sim, rank).
+
+    Same scale shape as ``cosine_topk``: the anchor set broadcasts
+    against ONE corpus scan, the label constraint filters before the
+    ranking window (WindowGroupLimit keeps k per anchor map-side). At
+    corpus scale swap the scan for the quantized/IVF candidate path —
+    the constraint composes the same way."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine("__qv", "__cv").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
