@@ -3584,7 +3584,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
-    # Round-7 window: (a) the EIGHTEEN queries new this round — never
+    # Round-7 window: (a) the TWENTY-THREE queries new this round — never
     # driver-checked (boilerplate/PMI/gopher/winsorize/leakage/
     # cross-corpus dedup/triangles/SCD2/KMV/Gram/interleave/canonical/
     # linear-attribution/expectations/drift/rolling-distinct/
@@ -3597,7 +3597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r6 window (most overdue), honoring the r6 rotation promise; the
     # r05-green block heads the remainder and leads the r8 window.
     return {
-        # -- NEW this round: never driver-checked --
         "boilerplate_strip": q_boilerplate_strip,
         "pmi_collocations": q_pmi_collocations,
         "gopher_quality": q_gopher_quality,
@@ -3616,13 +3615,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct": q_rolling_distinct,
         "cooccurrence": q_cooccurrence,
         "stream_enrich": q_stream_enrich,
-        # -- code or oracle changed this round --
+        "kfold_assign": q_kfold_assign,
+        "range_join_auto": q_range_join_auto,
+        "diversity_report": q_diversity_report,
+        "embedding_project": q_embedding_project,
+        "hard_negatives": q_hard_negatives,
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
         "graph_closure": q_graph_closure,
         "hierarchy_rollup": q_hierarchy_rollup,
-        # -- r04-green tail slipped by the r6 rotation --
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
         "embedding_topk": q_embedding_topk,
@@ -3635,7 +3637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docm_fix": q_docm_fix,
         "oncokb_names": q_oncokb_names,
         "combo_naming": q_combo_naming,
-        # -- past 50: standing order (r05-green block first) --
         "lm_score": q_lm_score,
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
@@ -3754,11 +3755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
-        "kfold_assign": q_kfold_assign,
-        "range_join_auto": q_range_join_auto,
-        "diversity_report": q_diversity_report,
-        "embedding_project": q_embedding_project,
-        "hard_negatives": q_hard_negatives,
     }
 
 
