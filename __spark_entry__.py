@@ -5425,7 +5425,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_kept,
                    round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-                              ELSE 63.0 / max(u) END, 4) AS est_distinct
+                              ELSE 63.0 / greatest(max(u), 1e-12) END, 4) AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY event_type
         """,
         # Degree-ordered wedge enumeration; every triangle credited to

@@ -426,6 +426,8 @@ def mixture_interleave(
     manifest, write sorted by vtime (range partition) instead of
     asking for a global position column."""
     weights = dict(weights or {})
+    if default_weight <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError("interleave weights must be > 0")
     w_expr = F.lit(float(default_weight))
     for src, wt in weights.items():
         w_expr = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w_expr)

@@ -130,7 +130,9 @@ def kmv_distinct(
         F.round(
             F.when(
                 F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
-            ).otherwise((F.lit(k - 1)) / F.max("__u")),
+            # the 2^-32 pathological hash u == 0.0 must not ANSI-fail
+            # the job; the floor matches the oracle exactly
+            ).otherwise(F.lit(k - 1) / F.greatest(F.max("__u"), F.lit(1e-12))),
             4,
         ).alias("est_distinct"),
     )
