@@ -15,6 +15,8 @@ import sys
 from collections.abc import Callable
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3571,6 +3573,33 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: deterministic int16 PCM synthesized per
+    document (s_i = ((doc_id*7 + i*i) % 2048) - 1024, 800 samples),
+    decoded by the numpy mapInPandas operator into per-frame RMS; the
+    oracle computes the identical energies straight from the formula —
+    proving the byte-level decoder, not just the plumbing."""
+    from graphkb_spark.multimodal.binary import pcm_frame_energy
+
+    t = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def synth_pcm(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in doc_id:
+            i = np.arange(800, dtype=np.int64)
+            s = ((int(d) * 7 + i * i) % 2048) - 1024
+            out.append(s.astype("<i2").tobytes())
+        return pd.Series(out)
+
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"), synth_pcm("doc_id").alias("payload")
+    )
+    return pcm_frame_energy(media, frame_samples=160)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3755,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
+        "pcm_energy": q_pcm_energy,
     }
 
 
@@ -6114,6 +6144,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(generate_series(1, 64),
                         i -> qv[i] * ([-3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3])[i])) AS BIGINT) AS p3
             FROM q
+        """,
+        # Ground-truth energies straight from the synth formula: the
+        # Spark side must decode the BYTES back to these numbers.
+        "pcm_energy": """
+            WITH frames AS (
+              SELECT doc_id AS media_id, f.f AS frame_idx,
+                     [ (((doc_id * 7 + (f.f * 160 + j) * (f.f * 160 + j)) % 2048)
+                        - 1024) for j in generate_series(0, 159) ] AS s
+              FROM documents, generate_series(0, 4) f(f))
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(160 AS INT) AS n_samples,
+                   round(sqrt(CAST(list_sum(list_transform(s, x -> x * x))
+                              AS DOUBLE) / 160), 6) AS energy
+            FROM frames
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -107,3 +107,27 @@ def test_streaming_interval_join_matches_batch(spark):
     out = streaming_interval_join(spark, df, query_name="t_stream_ij")
     got = {(r.l_event_id, r.r_event_id) for r in out.collect()}
     assert got == {(1, 2), (1, 3)}
+
+
+def test_pcm_frame_energy_decodes_real_bytes(spark):
+    import numpy as np
+
+    from graphkb_spark.multimodal.binary import pcm_frame_energy
+
+    samples = np.array([100, -100, 200, -200, 0, 50], dtype="<i2")
+    rows = [
+        (1, bytearray(samples.tobytes())),
+        (2, bytearray(samples.tobytes() + b"\x07")),  # truncated write
+        (3, bytearray(b"")),                          # empty -> no frames
+        (4, None),                                    # null -> no frames
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = pcm_frame_energy(df, frame_samples=4).collect()
+    got = {(r.media_id, r.frame_idx): (r.n_samples, r.energy) for r in out}
+    e0 = round(float(np.sqrt((100**2 + 100**2 + 200**2 + 200**2) / 4)), 6)
+    e1 = round(float(np.sqrt((0 + 50**2) / 2)), 6)
+    assert got[(1, 0)] == (4, e0)
+    assert got[(1, 1)] == (2, e1)       # final partial frame
+    assert got[(2, 0)] == (4, e0)       # odd trailing byte dropped
+    assert got[(2, 1)] == (2, e1)
+    assert not [k for k in got if k[0] in (3, 4)]
