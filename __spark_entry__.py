@@ -3613,7 +3613,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
-    # Round-7 window: (a) the TWENTY-THREE queries new this round — never
+    # Round-7 window: (a) the TWENTY-FOUR queries new this round — never
     # driver-checked (boilerplate/PMI/gopher/winsorize/leakage/
     # cross-corpus dedup/triangles/SCD2/KMV/Gram/interleave/canonical/
     # linear-attribution/expectations/drift/rolling-distinct/
@@ -3649,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_report": q_diversity_report,
         "embedding_project": q_embedding_project,
         "hard_negatives": q_hard_negatives,
+        "pcm_energy": q_pcm_energy,
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
@@ -3784,7 +3785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
-        "pcm_energy": q_pcm_energy,
     }
 
 
