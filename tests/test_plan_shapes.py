@@ -63,6 +63,12 @@ BUDGETS = [
     ("kmv_distinct", 2, 0, True),      # distinct + rank share partitioning
     ("mixture_interleave", 3, 0, True),# source rank + TakeOrdered + position
     ("linear_attribution", 2, 0, True),# user window + rollup reuse exchange
+    ("embedding_project", 0, 0, True), # narrow quantize+project, scan-speed
+    ("pcm_energy", 0, 2, True),        # synth UDF + decoder; zero shuffles
+    # broadcast-nested-loop IS the plan for a broadcast crossJoin
+    # (the audit's smj counter includes BNLJ), so no_smj=False
+    ("hard_negatives", 1, 0, False),
+    ("rolling_distinct", 2, 0, True),  # contribute-explode distinct + count
 ]
 
 
