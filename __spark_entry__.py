@@ -3600,6 +3600,15 @@ def q_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_frame_energy(media, frame_samples=160)
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health: decimal-exact mean/std plus
+    range per coordinate (dead/skewed-dimension detector)."""
+    from graphkb_spark.operators.similarity import embedding_dim_stats
+
+    t = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(t["embeddings"], "embedding")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3650,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_project": q_embedding_project,
         "hard_negatives": q_hard_negatives,
         "pcm_energy": q_pcm_energy,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
@@ -5358,6 +5368,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, query_label, neighbor_id, neighbor_label,
                    round(sim, 4) AS cos_sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # Decimal-exact per-dimension moments (summation-order-proof).
+        "embedding_dim_stats": """
+            WITH x AS (
+              SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings, generate_series(1, 64) g(i)),
+            st AS (
+              SELECT dim,
+                     CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(*) AS mu,
+                     CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(*) AS ex2,
+                     round(min(x), 6) AS min, round(max(x), 6) AS max
+              FROM x GROUP BY dim)
+            SELECT CAST(dim AS INT) AS dim, round(mu, 6) AS mean,
+                   round(sqrt(ex2 - mu * mu), 6) AS std, min, max
+            FROM st
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -510,3 +510,48 @@ def hard_negative_mining(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION statistics of an embedding column — the whitening
+    / feature-health diagnostic (a dead dimension has ~zero variance;
+    a scale-skewed one dominates distances): (dim, mean, std, min,
+    max) with decimal-exact moments, so the numbers are identical in
+    any engine regardless of aggregation order (the
+    ``grouped_outliers`` discipline applied per dimension).
+
+    Scale shape: one ``posexplode`` (rows x d — a projection, no
+    shuffle) into ONE partial-aggregating groupBy on the dimension
+    index; the shuffle carries d x partitions partial rows, never the
+    vectors."""
+    v = F.posexplode(F.col(vec_col))
+    base = df.select(v.alias("dim", "__x")).select(
+        "dim", F.col("__x").cast("double").alias("__x")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        base.groupBy("dim")
+        .agg(
+            (F.sum(F.col("__x").cast("decimal(38,10)")).cast("double") / n).alias("__mu"),
+            (
+                F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / n
+            ).alias("__ex2"),
+            F.round(F.min("__x"), 6).alias("min"),
+            F.round(F.max("__x"), 6).alias("max"),
+        )
+        .select(
+            "dim",
+            F.round(F.col("__mu"), 6).alias("mean"),
+            F.round(
+                F.sqrt(F.col("__ex2") - F.col("__mu") * F.col("__mu")), 6
+            ).alias("std"),
+            "min",
+            "max",
+        )
+    )
