@@ -3609,6 +3609,26 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dim_stats(t["embeddings"], "embedding")
 
 
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER survivorship: one golden record per user from the event
+    history — most frequent event_type (deterministic tie-break),
+    max value, earliest ts."""
+    from graphkb_spark.operators.reconcile import survivorship_merge
+
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].withColumn("first_ts", F.col("ts"))
+    out = survivorship_merge(
+        ev, "user_id",
+        mode_cols=["event_type"], max_cols=["value"], min_cols=["first_ts"],
+    )
+    return out.select(
+        "user_id",
+        F.round("value", 6).alias("max_value"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "event_type",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3660,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "pcm_energy": q_pcm_energy,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "survivorship": q_survivorship,
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
@@ -6185,6 +6206,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(list_sum(list_transform(s, x -> x * x))
                               AS DOUBLE) / 160), 6) AS energy
             FROM frames
+        """,
+        # Deterministic mode == rank-1 of (count desc, value asc).
+        "survivorship": """
+            WITH m AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type ASC) AS rn
+              FROM events GROUP BY user_id, event_type),
+            g AS (
+              SELECT user_id, round(max(value), 6) AS max_value,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+              FROM events GROUP BY user_id)
+            SELECT g.user_id, g.max_value, g.first_ts, m.event_type
+            FROM g JOIN m ON m.user_id = g.user_id AND m.rn = 1
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 RECONCILE_ACTION = "_action"
@@ -147,3 +147,53 @@ def reconcile(
         .alias(RECONCILE_ACTION)
     )
     return paired.select(*out_cols, action)
+
+
+def survivorship_merge(
+    df: DataFrame,
+    cluster_col: str,
+    mode_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP: build one golden record per
+    cluster by merging fields across the cluster's rows — the step
+    after matching/clustering that the reference performs implicitly
+    when it updates a matched record field-by-field
+    (src/graphkb.js:239-262 shouldUpdate); here it is explicit, with
+    per-field strategies: ``mode_cols`` take the most frequent
+    non-null value (ties break on the value ascending — deterministic,
+    unlike a bare ``mode()``), ``max_cols``/``min_cols`` take the
+    extreme. Returns one row per cluster.
+
+    Scale shape: every strategy is an algebraic aggregate with
+    map-side partials. The deterministic mode is
+    ``min_by(value, (-count, value))`` over a pre-counted
+    (cluster, value) table — two keyed aggregations per mode column,
+    joined back on the cluster key (cluster-cardinality-sized
+    tables; AQE picks the join build). No windows over raw rows."""
+    aggs: list[Column] = []
+    for c in max_cols:
+        aggs.append(F.max(c).alias(c))
+    for c in min_cols:
+        aggs.append(F.min(c).alias(c))
+    base = (
+        df.groupBy(cluster_col).agg(*aggs)
+        if aggs
+        else df.select(cluster_col).distinct()
+    )
+    out = base
+    for c in mode_cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(cluster_col, c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        pick = counts.groupBy(cluster_col).agg(
+            F.min_by(
+                F.col(c),
+                F.struct((-F.col("__n")).alias("a"), F.col(c).alias("b")),
+            ).alias(c)
+        )
+        out = out.join(pick, cluster_col, "left")
+    return out

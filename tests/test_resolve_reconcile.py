@@ -90,3 +90,22 @@ def test_reconcile_positional_pairing(spark):
     assert got[("g1", "s3")] == ("rid2", "update")   # positional pairing
     assert got[("g3", "s5")] == ("n3", "create")
     assert got[("g2", "s9")] == ("rid9", "delete")
+
+
+def test_survivorship_merge_strategies_and_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.reconcile import survivorship_merge
+
+    rows = [
+        (1, "b", 5.0), (1, "a", 9.0), (1, "b", 1.0), (1, "a", 2.0),  # tie a/b
+        (2, None, 3.0), (2, "z", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "cid long, name string, v double")
+    out = {r.cid: r for r in survivorship_merge(
+        df, "cid", mode_cols=["name"], max_cols=["v"]
+    ).collect()}
+    assert out[1].name == "a"       # 2-2 tie -> smallest value wins
+    assert out[1].v == 9.0
+    assert out[2].name == "z"       # nulls never win the mode
+    assert out[2].v == 7.0
