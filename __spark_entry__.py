@@ -3629,6 +3629,38 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal alignment: each user's value series interpolated at
+    synthetic half-hour probe timestamps (exact hits, lerps, and
+    out-of-range NULLs all exercised)."""
+    from graphkb_spark.operators.asof import interpolate_at
+
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].select("user_id", "ts", "value").filter(
+        F.col("user_id") < 40
+    )
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("__t0"))
+        .select(
+            "user_id",
+            F.explode(
+                F.array(*[
+                    (F.col("__t0") + F.expr(f"INTERVAL {30 * i} MINUTES"))
+                    for i in range(4)
+                ])
+            ).alias("ts"),
+        )
+    )
+    out = interpolate_at(ev, probes, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value_interp",
+        "method",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3681,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcm_energy": q_pcm_energy,
         "embedding_dim_stats": q_embedding_dim_stats,
         "survivorship": q_survivorship,
+        "interpolate": q_interpolate,
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
@@ -6220,6 +6253,49 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id)
             SELECT g.user_id, g.max_value, g.first_ts, m.event_type
             FROM g JOIN m ON m.user_id = g.user_id AND m.rn = 1
+        """,
+        # Two-sided neighbor windows over the probe/observation union;
+        # lerp on the exact microsecond base.
+        "interpolate": """
+            WITH ev AS (
+              SELECT user_id, ts, value FROM events WHERE user_id < 40),
+            pr AS (
+              SELECT user_id,
+                     min(ts) + CAST(i * 30 AS INT) * INTERVAL 1 MINUTE AS ts
+              FROM ev, generate_series(0, 3) g(i)
+              GROUP BY user_id, i),
+            un AS (
+              SELECT user_id, ts, CAST(value AS DOUBLE) AS v, 1 AS is_obs
+              FROM ev
+              UNION ALL
+              SELECT user_id, ts, NULL, 0 FROM pr),
+            marked AS (
+              SELECT user_id, ts, is_obs,
+                     last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                       OVER wb AS pv,
+                     last_value(CASE WHEN is_obs = 1 THEN epoch_us(ts) END
+                                IGNORE NULLS) OVER wb AS pt,
+                     first_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                       OVER wf AS nv,
+                     first_value(CASE WHEN is_obs = 1 THEN epoch_us(ts) END
+                                 IGNORE NULLS) OVER wf AS nt
+              FROM un
+              WINDOW wb AS (PARTITION BY user_id
+                            ORDER BY ts ASC, is_obs DESC, v ASC NULLS FIRST
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id
+                            ORDER BY ts ASC, is_obs DESC, v ASC NULLS FIRST
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(CASE WHEN pt = epoch_us(ts) THEN pv
+                         WHEN pt IS NOT NULL AND nt IS NOT NULL
+                         THEN pv + (epoch_us(ts) - pt)
+                                   / CAST(nt - pt AS DOUBLE) * (nv - pv)
+                         END, 6) AS value_interp,
+                   CASE WHEN pt = epoch_us(ts) THEN 'exact'
+                        WHEN pt IS NOT NULL AND nt IS NOT NULL THEN 'lerp'
+                        END AS method
+            FROM marked WHERE is_obs = 0
         """,
         "transition_matrix": """
             WITH pairs AS (

@@ -113,3 +113,82 @@ def asof_join(
         m["t"].alias("asof_time"),
         *[m[c].alias(f"asof_{c}") for c in payload],
     )
+
+
+def interpolate_at(
+    data: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation of a per-key time series at probe
+    timestamps — the temporal-alignment step that joins sensors /
+    metrics sampled on different clocks (the two-sided sibling of the
+    as-of join, which only looks backward). For each probe (key, ts):
+    the value lerped between the surrounding observations,
+    the observation itself at an exact hit, and NULL outside the
+    observed range. Returns (key, ts, value_interp, method) with
+    method in ('exact', 'lerp', NULL).
+
+    Scale shape: probes and observations UNION into one stream, ONE
+    shuffle on the key, and two frame-bounded windows (last
+    observation at-or-before, first at-or-after) — never a range
+    self-join (quadratic in observations x probes per key). The lerp
+    is two correctly-rounded IEEE ops on an exact microsecond time
+    base, rounded at the output, so any engine agrees."""
+    obs = data.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(1).alias("__is_obs"),
+    )
+    pr = probes.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(0).alias("__is_obs"),
+    )
+    # observations sort BEFORE a same-timestamp probe so both frames
+    # see an exact hit; __is_obs desc makes the order total with ties
+    both = obs.unionByName(pr)
+    # __v tiebreak makes the order total when duplicate-timestamp
+    # observations exist (probes carry null __v; nulls sort first and
+    # duplicate probes are identical rows anyway)
+    order = [F.col("__ts").asc(), F.col("__is_obs").desc(), F.col("__v").asc()]
+    w_back = (
+        Window.partitionBy("__k").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__k").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ov = F.when(F.col("__is_obs") == 1, F.col("__v"))
+    ot = F.when(F.col("__is_obs") == 1, F.unix_micros(F.col("__ts")))
+    marked = (
+        both.withColumn("__pv", F.last(ov, ignorenulls=True).over(w_back))
+        .withColumn("__pt", F.last(ot, ignorenulls=True).over(w_back))
+        .withColumn("__nv", F.first(ov, ignorenulls=True).over(w_fwd))
+        .withColumn("__nt", F.first(ot, ignorenulls=True).over(w_fwd))
+        .filter(F.col("__is_obs") == 0)
+    )
+    t = F.unix_micros(F.col("__ts"))
+    frac = (t - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    lerp = F.col("__pv") + frac * (F.col("__nv") - F.col("__pv"))
+    exact = F.col("__pt") == t
+    return marked.select(
+        F.col("__k").alias(key_col),
+        F.col("__ts").alias(ts_col),
+        F.round(
+            F.when(exact, F.col("__pv")).otherwise(
+                F.when(
+                    F.col("__pt").isNotNull() & F.col("__nt").isNotNull(), lerp
+                )
+            ),
+            6,
+        ).alias("value_interp"),
+        F.when(exact, F.lit("exact"))
+        .when(F.col("__pt").isNotNull() & F.col("__nt").isNotNull(), F.lit("lerp"))
+        .alias("method"),
+    )

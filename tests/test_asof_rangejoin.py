@@ -164,3 +164,25 @@ def test_kfold_assign_partitions_and_determinism(spark):
     assert all(100 < n < 300 for n in counts.values())  # roughly balanced
     again = kfold_assign(df, "doc_id", k=5).withColumnRenamed("fold", "f2")
     assert out.join(again, "doc_id").filter(F.col("fold") != F.col("f2")).count() == 0
+
+
+def test_interpolate_at_exact_lerp_and_range(spark):
+    import datetime as dt
+
+    from graphkb_spark.operators.asof import interpolate_at
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    data = spark.createDataFrame(
+        [(1, t0, 10.0), (1, t0 + 10 * m, 20.0)], "k long, ts timestamp, v double"
+    )
+    probes = spark.createDataFrame(
+        [(1, t0), (1, t0 + 4 * m), (1, t0 + 20 * m), (1, t0 - m)],
+        "k long, ts timestamp",
+    )
+    out = {r.ts: (r.value_interp, r.method) for r in
+           interpolate_at(data, probes, "k", "ts", "v").collect()}
+    assert out[t0] == (10.0, "exact")
+    assert out[t0 + 4 * m] == (14.0, "lerp")        # 10 + 0.4 * 10
+    assert out[t0 + 20 * m] == (None, None)         # past the last obs
+    assert out[t0 - m] == (None, None)              # before the first obs
