@@ -3661,6 +3661,32 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral paths: sessionize (30-min gap) then the most
+    common ordered event-type sequences, truncated at 8 steps."""
+    from graphkb_spark.operators.aggregate import top_paths
+    from graphkb_spark.streaming.incremental import sessionize
+
+    t = _t(spark, sf_dir, "events")
+    sess = sessionize(t["events"], "user_id", "ts", gap_minutes=30)
+    return top_paths(
+        sess, ["user_id", "session_id"], "ts", "event_type",
+        max_len=8, top_k=20, order_tiebreak="event_id",
+    )
+
+
+def q_priority_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling: 10 docs per lang, weight
+    proportional to length, without replacement (DLT priorities)."""
+    from graphkb_spark.operators.sampling import priority_sample_grouped
+
+    t = _t(spark, sf_dir, "documents")
+    out = priority_sample_grouped(
+        t["documents"], ["lang"], "doc_id", "n_chars", n_per_group=10
+    )
+    return out.select("lang", "doc_id", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3714,6 +3740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "survivorship": q_survivorship,
         "interpolate": q_interpolate,
+        "top_paths": q_top_paths,
+        "priority_sample_grouped": q_priority_sample_grouped,
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
@@ -6296,6 +6324,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pt IS NOT NULL AND nt IS NOT NULL THEN 'lerp'
                         END AS method
             FROM marked WHERE is_obs = 0
+        """,
+        # sessionize CTE + ordered list per session -> path counts.
+        "top_paths": """
+            WITH gaps AS (
+              SELECT event_id, user_id, event_type, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            sess AS (
+              SELECT user_id, event_type, ts, event_id,
+                     sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gaps),
+            paths AS (
+              SELECT array_to_string(
+                       (list(event_type ORDER BY ts ASC, event_id ASC))[1:8],
+                       '>') AS path,
+                     least(count(*), 8) AS n_steps
+              FROM sess GROUP BY user_id, session_id)
+            SELECT path, count(*) AS n, CAST(n_steps AS INT) AS n_steps
+            FROM paths GROUP BY path, n_steps
+            ORDER BY n DESC, path ASC LIMIT 20
+        """,
+        # DLT priorities ranked per language; (u+1)/2^32 never zero.
+        "priority_sample_grouped": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(n_chars AS DOUBLE)
+                         / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT + 1.0) / 4294967296.0) DESC,
+                         doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 10
         """,
         "transition_matrix": """
             WITH pairs AS (

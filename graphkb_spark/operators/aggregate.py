@@ -795,3 +795,50 @@ def rolling_distinct(
         .groupBy(*group_cols, "day")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
+
+
+def top_paths(
+    events: DataFrame,
+    session_cols: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    max_len: int = 8,
+    top_k: int = 20,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k behavioral PATHS: the most common ordered event-type
+    sequences per session (truncated at ``max_len`` steps) — the
+    product-analytics flow report, and the sequence-level sibling of
+    the Markov ``transition_matrix``. Returns (path, n, n_steps)
+    ordered by count desc (path asc tie-break).
+
+    Scale shape: one keyed aggregation collects each session's
+    (ts, type) list — bounded by session length, never a window over
+    the corpus — sorts it in-row (``array_sort`` on structs, pure
+    codegen), truncates, joins to a path string, then a
+    partial-aggregating count and a distributed ``orderBy().limit``
+    (TakeOrdered). Two shuffles total."""
+    order_cols = [F.col(ts_col)]
+    if order_tiebreak:
+        order_cols.append(F.col(order_tiebreak))
+    step = F.struct(*order_cols, F.col(type_col).alias("__t"))
+    paths = (
+        events.groupBy(*session_cols)
+        .agg(F.array_sort(F.collect_list(step)).alias("__steps"))
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice("__steps", 1, max_len), lambda s: s["__t"]
+                ),
+                ">",
+            ).alias("path"),
+            F.least(F.size("__steps"), F.lit(max_len)).alias("n_steps"),
+        )
+    )
+    return (
+        paths.groupBy("path", "n_steps")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("path", "n", F.col("n_steps").cast("int").alias("n_steps"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

@@ -473,3 +473,35 @@ def kfold_assign(
             F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), k
         ).cast("int"),
     )
+
+
+def priority_sample_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weight_col: str | Column,
+    n_per_group: int,
+) -> DataFrame:
+    """Per-GROUP weight-proportional sampling without replacement: the
+    ``n_per_group`` largest priorities (weight / md5-uniform —
+    Duffield-Lund-Thorup, same construction as ``priority_sample``)
+    within each group. The per-language / per-domain quota sampler:
+    deterministic, engine-replicable, and the ranking window carries a
+    WindowGroupLimit so only n rows per group survive the partial
+    sort — one keyed shuffle regardless of group sizes."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    pri = wcol.cast("double") / u
+    w = Window.partitionBy(*group_cols).orderBy(
+        pri.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

@@ -564,3 +564,39 @@ def test_cooccurrence_cap_and_threshold(spark):
     # cap=1 keeps one item per actor: no pairs survive
     assert not cooccurrence_edges(df, "actor", "item",
                                   min_shared=1, actor_cap=1).collect()
+
+
+def test_top_paths_orders_and_truncates(spark):
+    import datetime as dt
+
+    from graphkb_spark.operators.aggregate import top_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = []
+    # 3 sessions "a>b", 1 session "b>a", one 10-step session
+    for sess in range(3):
+        rows += [(sess, 1, t0, "a"), (sess, 1, t0 + s, "b")]
+    rows += [(3, 1, t0, "b"), (3, 1, t0 + s, "a")]
+    rows += [(4, 1, t0 + i * s, "x") for i in range(10)]
+    df = spark.createDataFrame(rows, "sid long, dummy long, ts timestamp, et string")
+    out = top_paths(df, ["sid"], "ts", "et", max_len=8, top_k=10)
+    got = [(r.path, r.n, r.n_steps) for r in out.collect()]
+    assert got[0] == ("a>b", 3, 2)
+    assert (">".join(["x"] * 8), 1, 8) in got  # truncated at 8 steps
+    assert ("b>a", 1, 2) in got
+
+
+def test_priority_sample_grouped_quota_and_determinism(spark):
+    from graphkb_spark.operators.sampling import priority_sample_grouped
+
+    rows = [(i, "g%d" % (i % 3), 1 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    out = priority_sample_grouped(df, ["grp"], "id", "w", n_per_group=5)
+    counts = {r.grp: r.n for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in
+                  priority_sample_grouped(df, ["grp"], "id", "w", 5).collect())
+    assert ids1 == ids2
