@@ -69,6 +69,12 @@ BUDGETS = [
     # (the audit's smj counter includes BNLJ), so no_smj=False
     ("hard_negatives", 1, 0, False),
     ("rolling_distinct", 2, 0, True),  # contribute-explode distinct + count
+    ("priority_sample_grouped", 1, 0, True),  # one quota window
+    ("top_paths", 3, 0, True),         # sessionize + collect + TakeOrdered
+    ("survivorship", 4, 0, False),     # base agg + per-mode-field aggs+joins
+    ("interpolate", 3, 0, False),      # probe build + union + keyed windows
+    ("embedding_dim_stats", 1, 0, True),  # posexplode + one dim agg
+    ("kfold_assign", 1, 0, True),      # narrow assign + count rollup
 ]
 
 
