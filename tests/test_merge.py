@@ -120,3 +120,17 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
     assert out["big"].n_kept == 64
     # KMV with k=64 has ~1/sqrt(62) ~ 13% relative error
     assert 3500 < out["big"].est_distinct < 6500
+
+
+def test_kmv_merged_matches_windowed_variant(spark):
+    from graphkb_spark.operators.sketch import kmv_distinct, kmv_distinct_merged
+
+    rows = [((i * 131) % 4001, "g%d" % (i % 4)) for i in range(10000)] + [
+        (i, "tiny") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    a = sorted(map(tuple, kmv_distinct(df, ["grp"], "v", k=64).collect()))
+    b = sorted(map(tuple, kmv_distinct_merged(df, ["grp"], "v", k=64).collect()))
+    assert a == b  # the mergeable accumulator is bit-identical
+    tiny = [r for r in b if r[0] == "tiny"][0]
+    assert tiny[1] == 20 and tiny[2] == 20.0  # exact below k
