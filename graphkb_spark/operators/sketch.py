@@ -113,8 +113,8 @@ def kmv_distinct(
     the distinct set — then a per-group ranking window over the
     distinct hashes and a k-row aggregate. The window input is
     cardinality-bounded (same class as the equi-depth histogram); for
-    corpus-scale cardinalities swap the ranking for a fixed-k
-    mergeable accumulator."""
+    corpus-scale cardinalities use ``kmv_distinct_merged`` below — the
+    fixed-k mergeable accumulator with bit-identical estimates."""
     u = (
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10)
         .cast("double")
