@@ -3687,6 +3687,16 @@ def q_priority_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "n_chars")
 
 
+def q_kmv_distinct_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-accumulator KMV variant (per-batch top-k + one
+    bounded merge — the corpus-scale path): bit-identical estimates to
+    kmv_distinct, so it shares the same oracle."""
+    from graphkb_spark.operators.sketch import kmv_distinct_merged
+
+    t = _t(spark, sf_dir, "events")
+    return kmv_distinct_merged(t["events"], ["event_type"], "user_id", k=64)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3742,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": q_interpolate,
         "top_paths": q_top_paths,
         "priority_sample_grouped": q_priority_sample_grouped,
+        "kmv_distinct_merged": q_kmv_distinct_merged,
         "minhash_lsh": q_minhash_lsh,
         "attribution": q_attribution,
         "pagerank": q_pagerank,
@@ -5552,6 +5563,22 @@ def oracle_sql() -> dict[str, str]:
         # KMV sketch: md5-uniform hashes, k smallest distinct per
         # group, (k-1)/u_k — bit-identical across engines.
         "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM events),
+            rk AS (
+              SELECT event_type, u,
+                     row_number() OVER (PARTITION BY event_type ORDER BY u ASC) AS r
+              FROM h)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                              ELSE 63.0 / greatest(max(u), 1e-12) END, 4) AS est_distinct
+            FROM rk WHERE r <= 64 GROUP BY event_type
+        """,
+        "kmv_distinct_merged": """
             WITH h AS (
               SELECT DISTINCT event_type,
                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
