@@ -5727,6 +5727,9 @@ def oracle_sql() -> dict[str, str]:
                            / len(w), 6) AS mean_word_len,
                      round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
                        AS dup_frac,
+                     CAST(len(list_filter(w,
+                             x -> list_contains(['a','the','and','of','to','in'], x)))
+                          AS BIGINT) AS n_stop,
                      round(CAST(len(list_filter(w,
                              x -> list_contains(['a','the','and','of','to','in'], x)))
                            AS DOUBLE) / len(w), 6) AS stop_frac
@@ -5735,9 +5738,10 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 20 AND n_words <= 100000) AS ok_words,
                    (mean_word_len >= 3.0 AND mean_word_len <= 7.0) AS ok_word_len,
                    (dup_frac <= 0.65) AS ok_dup,
+                   (n_stop >= 2) AS ok_stop,
                    ((n_words >= 20 AND n_words <= 100000)
                     AND (mean_word_len >= 3.0 AND mean_word_len <= 7.0)
-                    AND dup_frac <= 0.65) AS passes
+                    AND dup_frac <= 0.65 AND n_stop >= 2) AS passes
             FROM c
         """,
         # Per-group winsorization at p05/p95 (quantile_cont ==

@@ -543,6 +543,20 @@ def strip_boilerplate(
             F.col("kept_segments").cast("bigint").alias("kept_segments"),
             "clean_text",
         )
+        # honor the one-row-per-input-document contract: empty/NULL-text
+        # docs have zero segments but must still appear, or downstream
+        # joins on the cleaned corpus silently lose their ids
+        .unionByName(
+            df.filter(
+                F.col(text_col).isNull() | (F.length(F.col(text_col)) == 0)
+            ).select(
+                F.col(id_col),
+                F.col(source_col),
+                F.lit(0).cast("bigint").alias("n_segments"),
+                F.lit(0).cast("bigint").alias("kept_segments"),
+                F.lit("").alias("clean_text"),
+            )
+        )
     )
 
 

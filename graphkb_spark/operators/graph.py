@@ -85,7 +85,9 @@ def transitive_closure(
     also checkpoints LAZILY: the per-round RDD is shared (a DAG, not a
     copy), so the whole closure schedules as one job instead of one
     per round — measured 24% faster at sf0.1 — while the checkpoint
-    still truncates lineage for downstream consumers. Convergence mode
+    still truncates lineage for downstream consumers (every 3rd round
+    checkpoints eagerly to bound the unexecuted plan's growth — the
+    self-join would otherwise double the plan per round). Convergence mode
     must stay eager (each round's count materializes it anyway).
     Under-providing rounds silently truncates long paths; use the
     convergence mode (default) when depth is unknown.
@@ -99,7 +101,7 @@ def transitive_closure(
         .localCheckpoint(eager=check_convergence)
     )
     n = paths.count() if check_convergence else 0
-    for _ in range(rounds if rounds is not None else max_rounds):
+    for _r in range(rounds if rounds is not None else max_rounds):
         left = paths.alias("l")
         right = paths.alias("r")
         extended = left.join(
@@ -113,7 +115,12 @@ def transitive_closure(
             paths.unionByName(extended)
             .groupBy("src", "dst")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=check_convergence)
+            # lazy mode: each round references `paths` twice (self-join),
+            # so a purely lazy chain doubles the UNEXECUTED plan per
+            # round (~2^rounds join nodes) — an eager checkpoint every
+            # 3rd round bounds driver-side planning to ~8 joins per
+            # segment while keeping most of the single-job win
+            .localCheckpoint(eager=check_convergence or (_r % 3 == 2))
         )
         if check_convergence:
             n2 = paths.count()

@@ -199,9 +199,10 @@ def scd2_build(
     changed = F.lit(False)
     for c in attr_cols:
         prev = F.lag(c).over(w)
-        changed = changed | ~(
-            (F.col(c) == prev) | (F.col(c).isNull() & prev.isNull())
-        )
+        # null-safe (IS DISTINCT FROM): a NULL<->value transition IS a
+        # change; the plain ==-with-both-null special case evaluates to
+        # NULL there and filter() would silently drop the version row
+        changed = changed | ~F.col(c).eqNullSafe(prev)
     first_row = F.lag(ts_col).over(w).isNull()
     log = mutations.withColumn("__chg", first_row | changed).filter(F.col("__chg"))
     w2 = Window.partitionBy(*key_cols).orderBy(*order)

@@ -174,10 +174,14 @@ def kmv_distinct_merged(
             if not len(pdf):
                 continue
             out = []
-            for key, grp in pdf.groupby(list(group_cols), sort=False):
+            # dropna=False: a NULL group key is a real group — the
+            # Spark-groupBy sibling (kmv_distinct) emits its row, and
+            # the bit-identical contract requires this variant to match
+            for key, grp in pdf.groupby(list(group_cols), sort=False, dropna=False):
                 vals = np.unique(grp["__u"].to_numpy())  # sorted distinct
                 keep = vals[:k]
                 key = key if isinstance(key, tuple) else (key,)
+                key = tuple(None if pd.isna(kv) else kv for kv in key)
                 for v in keep:
                     out.append((*key, float(v)))
             yield pd.DataFrame(out, columns=[*group_cols, "__u"])

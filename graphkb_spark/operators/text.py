@@ -271,12 +271,15 @@ def gopher_quality_flags(
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 7.0,
     max_dup_frac: float = 0.65,
+    min_stop_hits: int = 2,
 ) -> DataFrame:
     """Gopher-style rule-based quality gate (Rae et al. 2021, Appendix
     A1.1): per-document word count, mean word length, duplicate-word
     fraction, and stopword fraction, each with a pass flag, plus the
-    conjunction. Returns (id, n_words, mean_word_len, dup_frac,
-    stop_frac, ok_words, ok_word_len, ok_dup, passes).
+    conjunction. The stopword rule follows the paper: a document must
+    contain at least ``min_stop_hits`` hits from the stop list (Rae et
+    al. require 2). Returns (id, n_words, mean_word_len, dup_frac,
+    stop_frac, ok_words, ok_word_len, ok_dup, ok_stop, passes).
 
     A NARROW operator — every signal is array algebra over the split
     word list inside whole-stage codegen; zero shuffles, scan-speed at
@@ -293,12 +296,12 @@ def gopher_quality_flags(
     dup_frac = F.round(
         F.lit(1.0) - F.size(F.array_distinct(w)) / n_words, 6
     )
-    stop_frac = F.round(
-        F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))) / n_words, 6
-    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    stop_frac = F.round(n_stop / n_words, 6)
     ok_words = (n_words >= min_words) & (n_words <= max_words)
     ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
     ok_dup = dup_frac <= max_dup_frac
+    ok_stop = n_stop >= min_stop_hits
     return df.filter(F.length(F.col(text_col)) > 0).select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
@@ -308,5 +311,6 @@ def gopher_quality_flags(
         ok_words.alias("ok_words"),
         ok_wl.alias("ok_word_len"),
         ok_dup.alias("ok_dup"),
-        (ok_words & ok_wl & ok_dup).alias("passes"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_wl & ok_dup & ok_stop).alias("passes"),
     )

@@ -373,3 +373,17 @@ def test_triangle_counts_small_graph(spark):
     )
     out2 = {r.node: r.n_triangles for r in triangle_counts(edges2).collect()}
     assert out2 == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_transitive_closure_fixed_rounds_deep_lazy_plan_bounded(spark):
+    # ADVICE r7: fixed-rounds lazy checkpointing must not blow up the
+    # unexecuted plan for larger `rounds` — every 3rd round is eager.
+    # rounds=6 covers depth 64; a 40-deep chain must close exactly.
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    got = {(r.src, r.dst): r.dist
+           for r in transitive_closure(e, rounds=6).collect()}
+    assert got[(0, 40)] == 40
+    assert got[(5, 25)] == 20
+    assert len(got) == 41 * 40 // 2

@@ -134,3 +134,44 @@ def test_kmv_merged_matches_windowed_variant(spark):
     assert a == b  # the mergeable accumulator is bit-identical
     tiny = [r for r in b if r[0] == "tiny"][0]
     assert tiny[1] == 20 and tiny[2] == 20.0  # exact below k
+
+
+def test_scd2_build_null_transitions_are_changes(spark):
+    # ADVICE r7 (medium): NULL<->value attribute transitions must open a
+    # new version; the non-null-safe comparison silently dropped them.
+    import datetime as dt
+
+    from graphkb_spark.operators.merge import scd2_build
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, None),                            # open with NULL
+        (1, t0 + dt.timedelta(days=1), "silver"), # NULL -> value: change
+        (1, t0 + dt.timedelta(days=2), None),     # value -> NULL: change
+        (1, t0 + dt.timedelta(days=3), None),     # NULL -> NULL: collapsed
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, tier string")
+    out = sorted(
+        scd2_build(df, ["user_id"], "ts", ["tier"]).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [r.tier for r in out] == [None, "silver", None]
+    assert out[0].valid_to == out[1].valid_from
+    assert out[1].valid_to == out[2].valid_from
+    assert [r.is_current for r in out] == [False, False, True]
+
+
+def test_kmv_merged_keeps_null_group_keys(spark):
+    # ADVICE r7: pandas groupby(dropna=True) made NULL group rows vanish
+    # from the mergeable variant while the Spark-groupBy sibling kept
+    # them — the bit-identical contract includes null groups.
+    from graphkb_spark.operators.sketch import kmv_distinct, kmv_distinct_merged
+
+    rows = [(i, "g") for i in range(30)] + [(i * 7, None) for i in range(25)]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    a = sorted(map(tuple, kmv_distinct(df, ["grp"], "v", k=64).collect()),
+               key=lambda t: (t[0] is None, t))
+    b = sorted(map(tuple, kmv_distinct_merged(df, ["grp"], "v", k=64).collect()),
+               key=lambda t: (t[0] is None, t))
+    assert a == b
+    assert any(t[0] is None for t in b)

@@ -258,3 +258,40 @@ def test_project_quantized_matches_numpy(spark):
          quantize_embeddings(df, "embedding").select("vec_id", "qvec").collect()}
     for i in range(20):
         assert out[i] == (int(q[i] @ np.array(comps[0])), int(q[i] @ np.array(comps[1])))
+
+
+def test_gopher_stopword_gate_enforced(spark):
+    # ADVICE r7: the stopword signal must gate `passes` (Rae et al.
+    # require >= 2 stop-list hits), not just be informational.
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["the quick brown fox jumps over a lazy dog"] * 3)),
+            (2, " ".join("word%d" % i for i in range(30))),  # zero stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1].ok_stop
+    assert not out[2].ok_stop and not out[2].passes
+    assert out[2].ok_words and out[2].ok_dup  # only the stop gate fails
+
+
+def test_strip_boilerplate_keeps_empty_text_docs(spark):
+    # ADVICE r7: one-row-per-input-document contract — empty/NULL text
+    # docs must appear with zero segments, not vanish.
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "one two three four five six seven eight"),
+            (2, "s1", ""),
+            (3, "s1", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(
+        df, "doc_id", "text", "source", seg_words=8
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (2, 3):
+        assert out[d].n_segments == 0
+        assert out[d].kept_segments == 0
+        assert out[d].clean_text == ""
