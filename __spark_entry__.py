@@ -3710,69 +3710,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
-    # Round-7 window: (a) the TWENTY-FOUR queries new this round — never
-    # driver-checked (boilerplate/PMI/gopher/winsorize/leakage/
-    # cross-corpus dedup/triangles/SCD2/KMV/Gram/interleave/canonical/
-    # linear-attribution/expectations/drift/rolling-distinct/
-    # co-occurrence/stream-enrich); (b) the five whose code or oracle
-    # changed this round — minhash_lsh (hashed-shingle verify + oracle),
-    # attribution (microsecond boundary + oracle), pagerank (decimal
-    # gather, one join/iteration), graph_closure + hierarchy_rollup
-    # (lazy fixed-rounds checkpoints) — all value-identical where only
-    # the plan moved; (c) the 12-entry r04-green tail that slipped the
-    # r6 window (most overdue), honoring the r6 rotation promise; the
-    # r05-green block heads the remainder and leads the r8 window.
+    # Round-8 window: (a) the seven queries whose code or oracle changed
+    # this round — gopher_quality (ok_stop gate added, Rae et al. rule),
+    # boilerplate_strip (one-row-per-doc contract), scd2 (null-safe
+    # change detection), kmv_distinct + kmv_distinct_merged (null group
+    # keys survive the pandas partial stage), graph_closure +
+    # hierarchy_rollup (every-3rd-round eager checkpoint bounds lazy
+    # plan growth); (b) the long-overdue r04/r05-green block that has
+    # been out of the window since round 6 (explode_expansion ...),
+    # honoring the r7 rotation promise; the 43 remaining r7-window
+    # entries move to the back (all driver-green in CORRECTNESS_r07,
+    # re-verified in this round's full local sweep).
     return {
-        "boilerplate_strip": q_boilerplate_strip,
-        "pmi_collocations": q_pmi_collocations,
         "gopher_quality": q_gopher_quality,
-        "winsorize": q_winsorize,
-        "split_leakage": q_split_leakage,
-        "dedup_against": q_dedup_against,
-        "triangle_count": q_triangle_count,
+        "boilerplate_strip": q_boilerplate_strip,
         "scd2": q_scd2,
         "kmv_distinct": q_kmv_distinct,
-        "gram_matrix": q_gram_matrix,
-        "mixture_interleave": q_mixture_interleave,
-        "canonical_docs": q_canonical_docs,
-        "linear_attribution": q_linear_attribution,
-        "expectations": q_expectations,
-        "quality_drift": q_quality_drift,
-        "rolling_distinct": q_rolling_distinct,
-        "cooccurrence": q_cooccurrence,
-        "stream_enrich": q_stream_enrich,
-        "kfold_assign": q_kfold_assign,
-        "range_join_auto": q_range_join_auto,
-        "diversity_report": q_diversity_report,
-        "embedding_project": q_embedding_project,
-        "hard_negatives": q_hard_negatives,
-        "pcm_energy": q_pcm_energy,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "survivorship": q_survivorship,
-        "interpolate": q_interpolate,
-        "top_paths": q_top_paths,
-        "priority_sample_grouped": q_priority_sample_grouped,
         "kmv_distinct_merged": q_kmv_distinct_merged,
-        "minhash_lsh": q_minhash_lsh,
-        "attribution": q_attribution,
-        "pagerank": q_pagerank,
         "graph_closure": q_graph_closure,
         "hierarchy_rollup": q_hierarchy_rollup,
-        "explode_expansion": q_explode_expansion,
-        "cross_expansion": q_cross_expansion,
-        "embedding_topk": q_embedding_topk,
-        "therapy_grouping": q_therapy_grouping,
-        "stable_hash_id": q_stable_hash_id,
-        "string_normalizers": q_string_normalizers,
-        "set_ops": q_set_ops,
-        "citation_phase_year": q_citation_phase_year,
-        "relevance_translate": q_relevance_translate,
-        "docm_fix": q_docm_fix,
-        "oncokb_names": q_oncokb_names,
-        "combo_naming": q_combo_naming,
-        "lm_score": q_lm_score,
-        "funnel": q_funnel,
-        "time_bucket_rollup": q_time_bucket_rollup,
         "grouped_percentiles": q_grouped_percentiles,
         "cube_rollup": q_cube_rollup,
         "pivot_events": q_pivot_events,
@@ -3888,6 +3844,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_validation_nested": q_spec_validation_nested,
         "full_reload_diff": q_full_reload_diff,
         "rollup_recurrence": q_rollup_recurrence,
+        "pmi_collocations": q_pmi_collocations,
+        "winsorize": q_winsorize,
+        "split_leakage": q_split_leakage,
+        "dedup_against": q_dedup_against,
+        "triangle_count": q_triangle_count,
+        "gram_matrix": q_gram_matrix,
+        "mixture_interleave": q_mixture_interleave,
+        "canonical_docs": q_canonical_docs,
+        "linear_attribution": q_linear_attribution,
+        "expectations": q_expectations,
+        "quality_drift": q_quality_drift,
+        "rolling_distinct": q_rolling_distinct,
+        "cooccurrence": q_cooccurrence,
+        "stream_enrich": q_stream_enrich,
+        "kfold_assign": q_kfold_assign,
+        "range_join_auto": q_range_join_auto,
+        "diversity_report": q_diversity_report,
+        "embedding_project": q_embedding_project,
+        "hard_negatives": q_hard_negatives,
+        "pcm_energy": q_pcm_energy,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "survivorship": q_survivorship,
+        "interpolate": q_interpolate,
+        "top_paths": q_top_paths,
+        "priority_sample_grouped": q_priority_sample_grouped,
+        "minhash_lsh": q_minhash_lsh,
+        "attribution": q_attribution,
+        "pagerank": q_pagerank,
+        "explode_expansion": q_explode_expansion,
+        "cross_expansion": q_cross_expansion,
+        "embedding_topk": q_embedding_topk,
+        "therapy_grouping": q_therapy_grouping,
+        "stable_hash_id": q_stable_hash_id,
+        "string_normalizers": q_string_normalizers,
+        "set_ops": q_set_ops,
+        "citation_phase_year": q_citation_phase_year,
+        "relevance_translate": q_relevance_translate,
+        "docm_fix": q_docm_fix,
+        "oncokb_names": q_oncokb_names,
+        "combo_naming": q_combo_naming,
+        "lm_score": q_lm_score,
+        "funnel": q_funnel,
+        "time_bucket_rollup": q_time_bucket_rollup,
     }
 
 
