@@ -3707,6 +3707,115 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_broadcast_dim_join(spark, "/root/testdata/sf0.001")
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for every user in the event
+    stream (depth 4, width 64 -- small enough that collisions occur and
+    the over-count guarantee is exercised), with the exact count and the
+    one-sided cms_ok check alongside."""
+    from graphkb_spark.operators.sketch import count_min_estimate
+
+    t = _t(spark, sf_dir, "events")
+    return count_min_estimate(t["events"], "user_id", depth=4, width=64)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust modified-z-score outliers (median/MAD) on event value per
+    event type -- the 50%-breakdown sibling of grouped_outliers."""
+    from graphkb_spark.operators.aggregate import mad_outliers
+
+    t = _t(spark, sf_dir, "events")
+    out = mad_outliers(
+        t["events"].select("event_id", "event_type", "value"),
+        ["event_type"],
+        "value",
+        threshold=3.5,
+    )
+    return out.select("event_id", "event_type", "value", "robust_z", "is_outlier")
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay to a final snapshot: the event stream read as a
+    change log per user ('error' events are tombstones, everything else
+    upserts type+value); last operation wins on (ts, event_id)."""
+    from graphkb_spark.operators.merge import cdc_replay
+
+    t = _t(spark, sf_dir, "events")
+    log = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    return cdc_replay(
+        log, ["user_id"], ["ts", "event_id"], "op", ["event_type", "value"]
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled event-value series per event type: one row per
+    (type, hour) from each type's first to last event, forward-filling
+    the most recent value; is_observed marks hours with real events."""
+    from graphkb_spark.operators.asof import gap_fill
+
+    t = _t(spark, sf_dir, "events")
+    return gap_fill(t["events"], "event_type", "ts", "value", step_seconds=3600)
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join: orders of NATION_10's customers
+    only -- the runtime-filter pattern that avoids shuffling the 99% of
+    fact rows that match nothing. Result identical to the plain join
+    (no false negatives), which is exactly what the oracle checks."""
+    from graphkb_spark.operators.bloom import bloom_prefilter_join
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    cust = (
+        t["customer"]
+        .join(
+            t["nation"].filter(F.col("n_name") == "NATION_10"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name")
+    )
+    joined = bloom_prefilter_join(t["orders"], cust, "o_custkey", "c_custkey")
+    return joined.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking over part names (window 5 on the
+    (p_name, p_partkey) total order): the candidate pairs a pairwise
+    matcher would score -- prefix-similar names land in one window."""
+    from graphkb_spark.operators.dedup import sorted_neighborhood_pairs
+
+    t = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(t["part"], "p_partkey", "p_name", window=5)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (BPE-ish tokens per whitespace
+    word, tokens per 100 chars) over the document corpus."""
+    from graphkb_spark.operators.text import tokenizer_fertility
+
+    t = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(t["documents"], "source", "text")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights toward the src7 slice of the corpus:
+    hashed-unigram (1024 buckets, add-1 smoothing) target-vs-raw
+    log-ratio summed per document, decimal-exact."""
+    from graphkb_spark.operators.sampling import dsir_log_weights
+
+    t = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        t["documents"], "doc_id", "text", F.col("source") == "src7", n_buckets=1024
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
@@ -3722,6 +3831,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries move to the back (all driver-green in CORRECTNESS_r07,
     # re-verified in this round's full local sweep).
     return {
+        "cms_counts": q_cms_counts,
+        "mad_outliers": q_mad_outliers,
+        "cdc_replay": q_cdc_replay,
+        "gap_fill": q_gap_fill,
+        "bloom_join": q_bloom_join,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "dsir_weights": q_dsir_weights,
         "gopher_quality": q_gopher_quality,
         "boilerplate_strip": q_boilerplate_strip,
         "scd2": q_scd2,
@@ -4202,6 +4319,144 @@ def oracle_sql() -> dict[str, str]:
         for lang, ws in text_ops.LANG_MARKERS.items()
     }
     return {
+        # Count-Min sketch, md5-derived and therefore engine-portable:
+        # the ESTIMATE itself is checked, not just an error bound.
+        "cms_counts": """
+            WITH b AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, v.d,
+                     ('0x' || substr(md5(v.d || ':' || CAST(user_id AS VARCHAR)),
+                      1, 8))::BIGINT % 64 AS bkt
+              FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) v(d)),
+            counters AS (SELECT d, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+            keys AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                            count(*) AS exact_count
+                     FROM events GROUP BY 1),
+            probes AS (
+              SELECT k.key, k.exact_count, v.d,
+                     ('0x' || substr(md5(v.d || ':' || k.key), 1, 8))::BIGINT % 64
+                       AS bkt
+              FROM keys k CROSS JOIN (VALUES (0),(1),(2),(3)) v(d)),
+            est AS (SELECT p.key, p.exact_count, min(c.c) AS est_count
+                    FROM probes p JOIN counters c ON c.d = p.d AND c.bkt = p.bkt
+                    GROUP BY 1, 2)
+            SELECT key, CAST(est_count AS BIGINT) AS est_count,
+                   CAST(exact_count AS BIGINT) AS exact_count,
+                   (est_count >= exact_count) AS cms_ok
+            FROM est
+        """,
+        # median/MAD modified z-score; quantile_cont == percentile
+        # parity is pinned by grouped_percentiles.
+        "mad_outliers": """
+            WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                         FROM events GROUP BY 1),
+            dev AS (SELECT e.event_id, e.event_type, e.value, m.m
+                    FROM events e JOIN med m USING (event_type)),
+            mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS md
+                    FROM dev GROUP BY 1)
+            SELECT d.event_id, d.event_type, d.value,
+                   CASE WHEN md > 0
+                        THEN round(0.6745 * (d.value - d.m) / md, 6) END AS robust_z,
+                   coalesce(abs(CASE WHEN md > 0
+                        THEN round(0.6745 * (d.value - d.m) / md, 6) END) > 3.5,
+                        FALSE) AS is_outlier
+            FROM dev d JOIN mad USING (event_type)
+        """,
+        # CDC replay: last op per key wins, deletes tombstone the key.
+        "cdc_replay": """
+            WITH log AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                     event_type, value
+              FROM events),
+            r AS (SELECT *, row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM log)
+            SELECT user_id, event_type, value FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        # hourly grid + forward fill on the exact microsecond time base.
+        "gap_fill": """
+            WITH obs AS (
+              SELECT event_type AS key,
+                     (epoch_us(ts) // 3600000000) * 3600 AS g,
+                     epoch_us(ts) AS t, value AS v, 1 AS is_obs
+              FROM events),
+            spans AS (SELECT key, min(g) AS lo, max(g) AS hi FROM obs GROUP BY key),
+            grid AS (SELECT key, unnest(range(lo, hi + 1, 3600)) AS g FROM spans),
+            gr AS (SELECT key, g, (g + 3600) * 1000000 - 1 AS t,
+                          CAST(NULL AS DOUBLE) AS v, 0 AS is_obs FROM grid),
+            u AS (SELECT key, g, t, v, is_obs FROM obs
+                  UNION ALL SELECT key, g, t, v, is_obs FROM gr),
+            f AS (SELECT key, g, v, is_obs,
+                    last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                      OVER (PARTITION BY key ORDER BY t, is_obs DESC, v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+                    last_value(CASE WHEN is_obs = 1 THEN g END IGNORE NULLS)
+                      OVER (PARTITION BY key ORDER BY t, is_obs DESC, v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fg
+                  FROM u)
+            SELECT key AS event_type, make_timestamp(g * 1000000) AS grid_ts,
+                   fv AS value_filled, (fg = g) AS is_observed
+            FROM f WHERE is_obs = 0
+        """,
+        # bloom prefilter never changes the answer: oracle is the plain
+        # selective join.
+        "bloom_join": """
+            SELECT o_orderkey, o_custkey, c_name, o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_10'
+        """,
+        # sorted-neighborhood: pairs within rank distance 5 on the
+        # (p_name, p_partkey) total order.
+        "sorted_neighborhood": """
+            WITH r AS (SELECT p_partkey AS id, CAST(p_name AS VARCHAR) AS key,
+                              row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+                       FROM part)
+            SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+                   CAST(b.rk - a.rk AS BIGINT) AS rank_distance
+            FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 5
+        """,
+        # fertility: shared token regex / whitespace split expressions.
+        "tokenizer_fertility": """
+            WITH per AS (
+              SELECT source,
+                     len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                       AS w,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS t,
+                     length(text) AS c
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(t) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(t) AS DOUBLE) / sum(w), 6) AS fertility,
+                   round(sum(t) * 100.0 / sum(c), 6) AS tokens_per_100_chars
+            FROM per GROUP BY source
+        """,
+        # DSIR hashed-unigram log-ratio, decimal-exact per-doc sum.
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, (source = 'src7') AS t,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE length(text) > 0),
+            tb AS (SELECT doc_id, t,
+                          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+                   FROM toks),
+            counts AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                              count(*) AS cr
+                       FROM tb GROUP BY b),
+            totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+            ratio AS (SELECT b,
+                        CAST(round(ln((ct + 1) / (tt + 1024))
+                                   - ln((cr + 1) / (tr + 1024)), 9)
+                             AS DECIMAL(20,9)) AS lr
+                      FROM counts, totals)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(round(sum(lr), 6) AS DOUBLE) AS log_weight
+            FROM tb JOIN ratio USING (b)
+            GROUP BY doc_id
+        """,
         # Recursive ancestor closure over the part hierarchy; on a tree
         # the min is the unique path length. Matches the pointer-doubling
         # Spark plan pair-for-pair.

@@ -842,3 +842,48 @@ def top_paths(
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation (Iglewicz & Hoaglin's modified z-score): z = 0.6745 *
+    (x - median) / MAD, flagged when |z| > ``threshold``. The robust
+    sibling of ``grouped_outliers`` (mean/stddev): a single wild value
+    inflates the stddev and MASKS other outliers, while the median and
+    MAD have a 50% breakdown point.
+
+    Returns every input row with (robust_z, is_outlier); robust_z is
+    NULL when MAD is zero (a constant group). Medians use the
+    interpolating ``percentile``, whose parity with DuckDB's
+    ``quantile_cont`` is pinned by grouped_percentiles.
+
+    Scale shape: two grouped percentile aggregations (each one shuffle
+    on the group key, partially aggregated) and two stats joins back —
+    stats is one row per group, so the joins are left to AQE: a
+    low-cardinality stats side broadcasts at runtime, a
+    high-cardinality one degrades to a shuffle join instead of an OOM
+    (the grouped_outliers lesson, ADVICE r6)."""
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(med, group_cols)
+    mad = with_med.groupBy(*group_cols).agg(
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+    )
+    out = with_med.join(mad, group_cols)
+    z = F.when(
+        F.col("__mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"), 6
+        ),
+    )
+    return out.select(
+        *df.columns,
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
+    )

@@ -192,3 +192,80 @@ def interpolate_at(
         .when(F.col("__pt").isNotNull() & F.col("__nt").isNotNull(), F.lit("lerp"))
         .alias("method"),
     )
+
+
+def gap_fill(
+    data: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regularize a per-key time series onto a fixed grid with
+    forward-fill: for each key, emit one row per ``step_seconds`` tick
+    from its first observation's bucket to its last, carrying the most
+    recent observed value at-or-before the tick. Returns (key,
+    grid_ts, value_filled, is_observed) — ``is_observed`` marks ticks
+    whose bucket contains at least one observation. The resample/
+    gap-fill primitive under rolling features and downsampled charts.
+
+    Scale shape: a per-key span aggregation (one shuffle, two-column
+    output), a NARROW ``explode(sequence(...))`` grid — never a
+    generate-then-join against a global calendar table — then grid and
+    observations UNION into one stream with a single keyed window doing
+    the forward fill (the interpolate_at pattern: one shuffle, no
+    range self-join). Grid size is data-bounded: a key spanning a year
+    at hourly steps is 8,760 rows, independent of its observation
+    count.
+
+    Ordering runs on the exact MICROSECOND time base (the
+    interpolate_at lesson): sub-second observations tie-break
+    identically in any engine, so the fill is bit-deterministic."""
+    k = F.col(key_col)
+    step = F.lit(int(step_seconds))
+    us = F.unix_micros(F.col(ts_col))
+    step_us = F.lit(int(step_seconds) * 1_000_000)
+    bucket = (F.floor(us / step_us) * step).cast("long")  # bucket start, seconds
+    obs = data.select(
+        k.alias("__k"),
+        bucket.alias("__g"),
+        us.alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(1).alias("__is_obs"),
+    )
+    spans = obs.groupBy("__k").agg(
+        F.min("__g").alias("__lo"), F.max("__g").alias("__hi")
+    )
+    grid = spans.select(
+        "__k",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("__g"),
+    ).select(
+        "__k",
+        "__g",
+        # tick sits at the last micro of its bucket, AFTER in-bucket obs
+        ((F.col("__g") + step) * F.lit(1_000_000) - 1).alias("__ts"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(0).alias("__is_obs"),
+    )
+    both = obs.unionByName(grid)
+    # total order: time, then observations before the tick row at the
+    # bucket edge, then value (duplicate-timestamp observations)
+    order = [F.col("__ts").asc(), F.col("__is_obs").desc(), F.col("__v").asc()]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ov = F.when(F.col("__is_obs") == 1, F.col("__v"))
+    oo = F.when(F.col("__is_obs") == 1, F.col("__g"))
+    filled = (
+        both.withColumn("__fv", F.last(ov, ignorenulls=True).over(w))
+        .withColumn("__fg", F.last(oo, ignorenulls=True).over(w))
+        .filter(F.col("__is_obs") == 0)
+    )
+    return filled.select(
+        F.col("__k").alias(key_col),
+        F.timestamp_seconds(F.col("__g")).alias("grid_ts"),
+        F.col("__fv").alias("value_filled"),
+        (F.col("__fg") == F.col("__g")).alias("is_observed"),
+    )

@@ -212,3 +212,36 @@ def scd2_build(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def cdc_replay(
+    log: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    attr_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Replay a change-data-capture log (upserts + deletes) into the
+    final snapshot: the LAST operation per key wins — an upsert
+    contributes its attribute values, a delete removes the key. The
+    log-structured generalization of the MERGE sink (K1/K3/K4): where
+    ``merge_upsert`` applies one batch against a target, this folds an
+    arbitrarily long history with no target at all (initial load /
+    disaster rebuild from the log).
+
+    ``order_cols`` must totally order each key's history (ts plus a
+    log sequence number for same-timestamp ties).
+
+    Scale shape: ONE shuffle on the key and a row_number window — no
+    iterative per-batch application, which at 100 TB of log would be
+    O(batches) passes. Late keys and hot keys partial-aggregate like
+    any keyed shuffle; AQE splits a skewed reduce partition."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .select(*key_cols, *attr_cols)
+    )

@@ -505,3 +505,63 @@ def priority_sample_grouped(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): score every document by how much its
+    hashed-unigram distribution looks like a TARGET slice of the
+    corpus vs the corpus overall — log w(d) = sum over tokens of
+    log p_target(bucket) - log p_raw(bucket), with add-1 smoothing
+    over ``n_buckets`` hashed buckets. Sampling proportional to
+    exp(log_weight) then upweights target-like general-web data.
+    Returns (id, n_tokens, log_weight), log_weight rounded to 6.
+
+    Scale shape: token explode (narrow, linear), ONE partial-agg
+    shuffle building the 2 x ``n_buckets`` bucket-count table, the
+    per-bucket log-ratio broadcast back onto the token stream (a
+    bucket-key equi-join against a <= n_buckets-row side), and ONE
+    keyed re-aggregation to documents. The per-bucket log-ratio is
+    rounded to 9 digits and carried as DECIMAL so the per-doc sum is
+    exact and partitioning-independent — the float-sum-order trap the
+    decimal-exact aggregations elsewhere in this repo avoid."""
+    w = F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    toks = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col), is_target.alias("__t"), w
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    tb = toks.select(id_col, "__t", bucket.alias("__b"))
+    counts = tb.groupBy("__b").agg(
+        F.sum(F.col("__t").cast("long")).alias("__ct"),
+        F.count(F.lit(1)).alias("__cr"),
+    )
+    totals = counts.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log((F.col("__ct") + 1) / (F.col("__tt") + F.lit(n_buckets)))
+            - F.log((F.col("__cr") + 1) / (F.col("__tr") + F.lit(n_buckets))),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("__lr"),
+    )
+    return (
+        tb.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("__lr"), 6).cast("double").alias("log_weight"),
+        )
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -207,4 +207,75 @@ def kmv_distinct_merged(
             ),
             4,
         ).alias("est_distinct"),
+    )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows of ``width`` counters; a key's estimate
+    is the MINIMUM of its counters, which over-counts (collisions only
+    add) and never under-counts. Returns one row per distinct key:
+    (key, est_count, exact_count, cms_ok) with ``cms_ok`` asserting the
+    one-sided guarantee est >= exact.
+
+    The sketch is md5-derived and therefore deterministic across
+    engines AND across partitionings (counter increments commute), so
+    unlike HLL-style sketches the ESTIMATE itself is oracle-checkable,
+    not just its error bound.
+
+    Scale shape: the update stream is a ``depth``-way posexplode (a
+    narrow map), partially aggregated into at most ``depth x width``
+    counter rows — the shuffle carries the SKETCH, never the keys,
+    which is the whole point at 100 TB. The per-key probe joins the
+    distinct-key table to the (tiny, broadcast-able) counter table;
+    exact counts ride the same distinct aggregation. In production
+    the probe side is a handful of queried keys; here every key is
+    probed so the oracle can verify the full sketch."""
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
+    k = F.col(key_col).cast("string")
+
+    def bucket(d: int) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}:"), k)), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(width),
+        )
+
+    rows = df.select(
+        k.alias("__key"),
+        F.explode(
+            F.array(*[F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+                      for d in range(depth)])
+        ).alias("__cell"),
+    ).select("__key", F.col("__cell.d").alias("d"), F.col("__cell.b").alias("b"))
+    counters = rows.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+    keys = (
+        df.groupBy(k.alias("__key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = keys.select(
+        "__key",
+        "exact_count",
+        F.explode(
+            F.array(*[F.struct(F.lit(d).alias("d"),
+                               F.pmod(F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("__key"))), 1, 8), 16, 10).cast("bigint"), F.lit(width)).alias("b"))
+                      for d in range(depth)])
+        ).alias("__cell"),
+    ).select("__key", "exact_count", F.col("__cell.d").alias("d"), F.col("__cell.b").alias("b"))
+    est = (
+        probes.join(counters, ["d", "b"])
+        .groupBy("__key", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.select(
+        F.col("__key").alias("key"),
+        F.col("est_count").cast("bigint").alias("est_count"),
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        (F.col("est_count") >= F.col("exact_count")).alias("cms_ok"),
     )

@@ -1,0 +1,140 @@
+"""Unit tests for the round-8 operators: Count-Min sketch, bloom
+pre-filter join, sorted-neighborhood blocking, MAD outliers, CDC
+replay, time-series gap fill, tokenizer fertility, DSIR weights."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_count_min_never_undercounts_and_exact_when_wide(spark):
+    from graphkb_spark.operators.sketch import count_min_estimate
+
+    rows = [(f"k{i % 7}",) for i in range(100)]
+    df = spark.createDataFrame(rows, ["key"])
+    narrow = {r.key: r for r in count_min_estimate(df, "key", depth=4, width=4).collect()}
+    assert len(narrow) == 7
+    for r in narrow.values():
+        assert r.cms_ok and r.est_count >= r.exact_count
+    # wide sketch: collisions vanish, estimate is exact
+    wide = count_min_estimate(df, "key", depth=4, width=4096).collect()
+    assert all(r.est_count == r.exact_count for r in wide)
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark):
+    from graphkb_spark.operators.bloom import bloom_prefilter_join
+
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(500)], ["k", "payload"])
+    small = spark.createDataFrame([(i * 7, f"d{i}") for i in range(20)], ["sk", "dim"])
+    got = sorted(
+        (r.k, r.payload, r.dim)
+        for r in bloom_prefilter_join(big, small, "k", "sk").collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.dim)
+        for r in big.join(small, big["k"] == small["sk"]).collect()
+    )
+    assert got == want and len(got) > 0
+    # tiny filter (every probe a false positive) still returns the exact join
+    got_fp = sorted(
+        (r.k, r.payload, r.dim)
+        for r in bloom_prefilter_join(big, small, "k", "sk", num_bits=64).collect()
+    )
+    assert got_fp == want
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from graphkb_spark.operators.dedup import sorted_neighborhood_pairs
+
+    names = ["apple", "apply", "appla", "banana", "bandana", "cherry", "cherrz", "date"]
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "name"])
+    w = 3
+    got = sorted(
+        (r.id_a, r.id_b, r.rank_distance)
+        for r in sorted_neighborhood_pairs(df, "id", "name", window=w).collect()
+    )
+    ranked = sorted(enumerate(names), key=lambda t: (t[1], t[0]))
+    want = sorted(
+        (ranked[i][0], ranked[j][0], j - i)
+        for i in range(len(ranked))
+        for j in range(i + 1, min(i + w + 1, len(ranked)))
+    )
+    assert got == want
+    # exactly-once: no duplicate pairs from the block explode
+    assert len(got) == len(set((a, b) for a, b, _ in got))
+
+
+def test_mad_outliers_flags_wild_value_and_nulls_constant_groups(spark):
+    from graphkb_spark.operators.aggregate import mad_outliers
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 500])]
+    rows += [("const", 100 + i, 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "value"])
+    out = {(r.grp, r.rid): r for r in mad_outliers(df, ["grp"], "value").collect()}
+    assert out[("a", 6)].is_outlier  # the 500
+    assert not any(out[("a", i)].is_outlier for i in range(6))
+    for i in range(4):
+        r = out[("const", 100 + i)]
+        assert r.robust_z is None and r.is_outlier is False
+
+
+def test_cdc_replay_last_op_wins_and_deletes_tombstone(spark):
+    from graphkb_spark.operators.merge import cdc_replay
+
+    rows = [
+        ("u1", 1, 1, "U", "a", 1.0),
+        ("u1", 2, 2, "U", "b", 2.0),   # final for u1
+        ("u2", 1, 3, "U", "x", 9.0),
+        ("u2", 3, 4, "D", None, None),  # u2 deleted
+        ("u3", 5, 5, "D", None, None),
+        ("u3", 5, 6, "U", "z", 7.0),   # same ts, higher seq wins
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "op", "attr", "val"])
+    got = {r.k: (r.attr, r.val)
+           for r in cdc_replay(df, ["k"], ["ts", "seq"], "op", ["attr", "val"]).collect()}
+    assert got == {"u1": ("b", 2.0), "u3": ("z", 7.0)}
+
+
+def test_gap_fill_grid_and_forward_fill(spark):
+    from graphkb_spark.operators.asof import gap_fill
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("k", t0, 1.0),                                   # hour 0
+        ("k", t0 + datetime.timedelta(hours=3), 4.0),     # hour 3
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"])
+    out = sorted(
+        (r.grid_ts, r.value_filled, r.is_observed)
+        for r in gap_fill(df, "key", "ts", "value", step_seconds=3600).collect()
+    )
+    hours = [datetime.datetime(2024, 1, 1, h) for h in range(4)]
+    assert [t for t, _, _ in out] == hours
+    assert [v for _, v, _ in out] == [1.0, 1.0, 1.0, 4.0]
+    assert [o for _, _, o in out] == [True, False, False, True]
+
+
+def test_tokenizer_fertility_counts(spark):
+    from graphkb_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("s1", "hello world"), ("s1", "a b, c!")], ["source", "text"]
+    )
+    r = tokenizer_fertility(df, "source", "text").collect()[0]
+    # "hello world" -> 2 tokens; "a b, c!" -> a b , c ! = 5 tokens
+    assert (r.n_docs, r.n_words, r.n_tokens) == (2, 5, 7)
+    assert abs(r.fertility - 7 / 5) < 1e-6
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from graphkb_spark.operators.sampling import dsir_log_weights
+
+    rows = [(i, "alpha beta gamma", "t") for i in range(5)]
+    rows += [(10 + i, "delta epsilon zeta", "r") for i in range(5)]
+    rows += [(100, "alpha beta gamma", "r"), (101, "delta epsilon zeta", "r")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = {r.doc_id: r for r in
+           dsir_log_weights(df, "doc_id", "text", F.col("src") == "t").collect()}
+    assert out[100].n_tokens == 3
+    # the target-vocabulary doc must outweigh the raw-only-vocabulary doc
+    assert out[100].log_weight > out[101].log_weight
