@@ -3816,6 +3816,116 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each click event looks up the
+    user's value-tier SCD2 version active at the click instant —
+    union + keyed forward-fill window, never a range join."""
+    from graphkb_spark.operators.merge import scd2_build, scd2_lookup
+
+    t = _t(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 20, F.lit("low"))
+        .when(F.col("value") < 55, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    mut = t["events"].select("user_id", "ts", tier.alias("tier"))
+    dim = scd2_build(mut, ["user_id"], "ts", ["tier"])
+    facts = t["events"].filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return scd2_lookup(facts, dim, ["user_id"], "ts", ["tier"])
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra per event type: estimated union /
+    Jaccard / intersection of first-half vs second-half active user
+    sets (k=64), bit-identical to the DuckDB replay of the sketch."""
+    from graphkb_spark.operators.sketch import kmv_set_similarity
+
+    t = _t(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("h1")
+    ).otherwise(F.lit("h2"))
+    ev = t["events"].select("event_type", "user_id", half.alias("half"))
+    return kmv_set_similarity(
+        ev, ["event_type"], "user_id", "half", "h1", "h2", k=64
+    )
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage: sorted-neighborhood candidate
+    pairs on customer name, scored with Fellegi-Sunter log2(m/u)
+    field-agreement weights on nation / market segment / phone
+    prefix."""
+    from graphkb_spark.operators.dedup import sorted_neighborhood_pairs
+    from graphkb_spark.operators.linkage import fellegi_sunter
+
+    t = _t(spark, sf_dir, "customer")
+    cust = t["customer"]
+    pairs = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=3)
+    attrs = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("c_balband"),
+    )
+    a = attrs.select(*[F.col(c).alias(c + "_a") for c in attrs.columns])
+    b = attrs.select(*[F.col(c).alias(c + "_b") for c in attrs.columns])
+    enriched = (
+        pairs.join(a, pairs["id_a"] == a["c_custkey_a"])
+        .join(b, pairs["id_b"] == b["c_custkey_b"])
+        .select(
+            "id_a", "id_b",
+            "c_nationkey_a", "c_nationkey_b",
+            "c_mktsegment_a", "c_mktsegment_b",
+            "c_balband_a", "c_balband_b",
+        )
+    )
+    scored = fellegi_sunter(
+        enriched,
+        [
+            ("nation", "c_nationkey_a", "c_nationkey_b", 0.9, 0.04),
+            ("segment", "c_mktsegment_a", "c_mktsegment_b", 0.9, 0.2),
+            ("balband", "c_balband_a", "c_balband_b", 0.95, 0.08),
+        ],
+        threshold=2.0,
+    )
+    return scored.select(
+        "id_a", "id_b", "agree_nation", "agree_segment", "agree_balband",
+        "match_score", "is_match",
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with embedding-
+    cosine ranking (query = vector 0) by reciprocal-rank fusion
+    (k=60, top-100 per list, fused top-50)."""
+    from graphkb_spark.operators.sampling import bm25_scores
+    from graphkb_spark.operators.similarity import cosine, rrf_fuse
+
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    lexical = bm25_scores(
+        t["documents"], "text", "doc_id", terms=["spark", "merge", "stream"]
+    )
+    emb = t["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    )
+    semantic = emb.crossJoin(qv).select(
+        "vec_id", cosine("__qv", "embedding").alias("cos_sim")
+    )
+    return rrf_fuse(
+        [("bm25", lexical, "bm25"),
+         ("cosine", semantic.withColumnRenamed("vec_id", "doc_id"), "cos_sim")],
+        "doc_id",
+        k=60,
+        per_list=100,
+        top_n=50,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
@@ -3831,6 +3941,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries move to the back (all driver-green in CORRECTNESS_r07,
     # re-verified in this round's full local sweep).
     return {
+        "scd2_lookup": q_scd2_lookup,
+        "kmv_set_ops": q_kmv_set_ops,
+        "fellegi_sunter": q_fellegi_sunter,
+        "rrf_fusion": q_rrf_fusion,
         "cms_counts": q_cms_counts,
         "mad_outliers": q_mad_outliers,
         "cdc_replay": q_cdc_replay,
@@ -4319,6 +4433,147 @@ def oracle_sql() -> dict[str, str]:
         for lang, ws in text_ops.LANG_MARKERS.items()
     }
     return {
+        # point-in-time SCD2 join: the oracle materializes the version
+        # intervals and applies the literal interval predicate; the
+        # Spark plan forward-fills instead — same answer.
+        "scd2_lookup": """
+            WITH src AS (
+              SELECT user_id, ts,
+                     CASE WHEN value < 20 THEN 'low'
+                          WHEN value < 55 THEN 'mid'
+                          ELSE 'high' END AS tier
+              FROM events),
+            chg AS (
+              SELECT user_id, tier, ts,
+                     lag(ts) OVER w IS NULL
+                       OR tier IS DISTINCT FROM lag(tier) OVER w AS keep
+              FROM src
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, tier ASC)),
+            ver AS (
+              SELECT user_id, tier, ts AS vf, lead(ts) OVER w2 AS vt
+              FROM (SELECT * FROM chg WHERE keep)
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, tier ASC)),
+            f AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT f.event_id, f.user_id, f.ts, v.tier
+            FROM f JOIN ver v ON f.user_id = v.user_id
+              AND f.ts >= v.vf AND (v.vt IS NULL OR f.ts < v.vt)
+        """,
+        # KMV set algebra: union sketch + shared-hash Jaccard, the
+        # kmv_distinct hash replayed bit-for-bit.
+        "kmv_set_ops": """
+            WITH ev AS (
+              SELECT event_type, user_id,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16'
+                          THEN 'h1' ELSE 'h2' END AS half
+              FROM events),
+            flags AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u,
+                     max(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS b
+              FROM ev GROUP BY 1, 2),
+            rk AS (SELECT *, row_number() OVER (
+                     PARTITION BY event_type ORDER BY u ASC) AS r
+                   FROM flags),
+            top AS (SELECT * FROM rk WHERE r <= 64)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(a * b) AS BIGINT) AS shared_kept,
+                   round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                              ELSE 63.0 / greatest(max(u), 1e-12) END, 4)
+                     AS est_union,
+                   round(CAST(sum(a * b) AS DOUBLE) / count(*), 4) AS jaccard_est,
+                   round((CAST(sum(a * b) AS DOUBLE) / count(*))
+                         * CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                                ELSE 63.0 / greatest(max(u), 1e-12) END, 4)
+                     AS est_intersection
+            FROM top GROUP BY event_type
+        """,
+        # Fellegi-Sunter over sorted-neighborhood candidate pairs.
+        "fellegi_sunter": """
+            WITH r AS (
+              SELECT c_custkey AS id, c_nationkey, c_mktsegment,
+                     floor(c_acctbal / 1000) AS pfx,
+                     row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+              FROM customer),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.c_nationkey AS na, b.c_nationkey AS nb,
+                     a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+                     a.pfx AS pa, b.pfx AS pb
+              FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3),
+            s AS (
+              SELECT id_a, id_b,
+                     (na IS NOT NULL AND na IS NOT DISTINCT FROM nb)
+                       AS agree_nation,
+                     (sa IS NOT NULL AND sa IS NOT DISTINCT FROM sb)
+                       AS agree_segment,
+                     (pa IS NOT NULL AND pa IS NOT DISTINCT FROM pb)
+                       AS agree_balband,
+                     round(
+                       CASE WHEN na IS NULL AND nb IS NULL THEN 0
+                            WHEN na IS NOT NULL AND na IS NOT DISTINCT FROM nb
+                            THEN log2(0.9 / 0.04) ELSE log2(0.1 / 0.96) END
+                     + CASE WHEN sa IS NULL AND sb IS NULL THEN 0
+                            WHEN sa IS NOT NULL AND sa IS NOT DISTINCT FROM sb
+                            THEN log2(0.9 / 0.2) ELSE log2(0.1 / 0.8) END
+                     + CASE WHEN pa IS NULL AND pb IS NULL THEN 0
+                            WHEN pa IS NOT NULL AND pa IS NOT DISTINCT FROM pb
+                            THEN log2(0.95 / 0.08) ELSE log2(0.05 / 0.92) END,
+                     6) AS match_score
+              FROM p)
+            SELECT id_a, id_b, agree_nation, agree_segment, agree_balband,
+                   match_score, (match_score > 2.0) AS is_match
+            FROM s
+        """,
+        # RRF hybrid fusion of the shared bm25 pipeline and the shared
+        # cosine expression.
+        "rrf_fusion": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), x -> x <> '') AS w
+              FROM documents),
+            stats AS (SELECT count(*) AS N, avg(len(w)) AS avgdl FROM w),
+            tf AS (
+              SELECT doc_id, t, count(*) AS tf, max(len(w)) AS dl
+              FROM w, unnest(w.w) AS u(t)
+              WHERE t IN ('spark', 'merge', 'stream')
+              GROUP BY doc_id, t),
+            dfq AS (SELECT t, count(*) AS df_ FROM tf GROUP BY t),
+            bmf AS (
+              SELECT doc_id,
+                     round(sum(
+                       ln(1 + (N - df_ + 0.5) / (df_ + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     ), 4) AS s
+              FROM tf JOIN dfq USING (t) CROSS JOIN stats
+              GROUP BY doc_id),
+            bm AS (SELECT doc_id AS id, s FROM bmf
+                   ORDER BY s DESC, id ASC LIMIT 100),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 0),
+            cosx AS (
+              SELECT e.vec_id AS id,
+                     list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[]))
+                       AS s
+              FROM embeddings e, q),
+            cs AS (SELECT id, s FROM cosx ORDER BY s DESC, id ASC LIMIT 100),
+            u AS (SELECT 'bm25' AS src, id, s FROM bm
+                  UNION ALL SELECT 'cosine', id, s FROM cs),
+            rk AS (SELECT src, id, row_number() OVER (
+                     PARTITION BY src ORDER BY s DESC, id ASC) AS r
+                   FROM u),
+            f AS (SELECT id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+                         CAST(count(*) AS BIGINT) AS n_lists
+                  FROM rk GROUP BY id)
+            SELECT id AS doc_id, rrf_score, n_lists
+            FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 50
+        """,
         # Count-Min sketch, md5-derived and therefore engine-portable:
         # the ESTIMATE itself is checked, not just an error bound.
         "cms_counts": """

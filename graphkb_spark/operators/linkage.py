@@ -1,0 +1,81 @@
+"""Probabilistic record linkage scoring (Fellegi & Sunter 1969).
+
+The reference resolves records with deterministic preference cascades
+(src/graphkb.js:convertRecordToQueryFilters and the J2 comparator);
+this module is the probabilistic generalization a 100 TB entity-
+resolution pipeline needs when keys are dirty: candidate pairs come
+from a blocking operator (``sorted_neighborhood_pairs``, MinHash LSH),
+and each pair is scored by summed field-agreement log-likelihood
+ratios — log2(m/u) for agreement, log2((1-m)/(1-u)) for disagreement,
+where m = P(agree | match) and u = P(agree | non-match).
+
+Everything is pure Column algebra over the already-blocked pair table:
+a NARROW per-row score at 100 TB, no shuffle beyond what blocking did.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, left column, right column, m, u)
+Field = tuple[str, str, float, float]
+
+
+def u_probability(df: DataFrame, col: str) -> DataFrame:
+    """Estimate u = P(field agrees | random non-match pair) from the
+    value-frequency distribution: u = sum_v (f_v / N)^2 — the chance
+    two independent draws collide. One partial-agg shuffle on the
+    value, then a scalar aggregate. Returned as a 1-row DataFrame so
+    callers can collect it into ``fellegi_sunter``'s field spec."""
+    freqs = df.groupBy(col).agg(F.count(F.lit(1)).alias("__f"))
+    return freqs.agg(
+        F.round(
+            F.sum(F.col("__f") * F.col("__f"))
+            / (F.sum("__f") * F.sum("__f")),
+            8,
+        ).alias("u")
+    )
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    fields: list[tuple[str, str, str, float, float]],
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Score candidate pairs with Fellegi-Sunter field-agreement
+    weights. ``fields`` is a list of (name, left_col, right_col, m, u);
+    each field contributes log2(m/u) on agreement (null-safe equality,
+    both-present), log2((1-m)/(1-u)) on disagreement, and 0 when both
+    sides are missing (no evidence). Returns the input pair columns
+    plus one ``agree_<name>`` flag per field, ``match_score`` (rounded
+    to 6) and ``is_match`` (score > threshold on the rounded value, so
+    the decision is bit-stable across engines).
+
+    The m/u parameters are inputs, not fitted here: u comes from
+    ``u_probability`` (value-collision mass), m from labeled data or
+    domain judgment — the standard practice before an EM fit."""
+    score: Column = F.lit(0.0)
+    agree_cols = []
+    for name, left, right, m, u in fields:
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"field {name}: m and u must be in (0, 1)")
+        lcol, rcol = F.col(left), F.col(right)
+        both_missing = lcol.isNull() & rcol.isNull()
+        agree = lcol.isNotNull() & lcol.eqNullSafe(rcol)
+        contrib = (
+            F.when(both_missing, F.lit(0.0))
+            .when(agree, F.lit(math.log2(m / u)))
+            .otherwise(F.lit(math.log2((1.0 - m) / (1.0 - u))))
+        )
+        score = score + contrib
+        agree_cols.append(agree.alias(f"agree_{name}"))
+    rounded = F.round(score, 6)
+    return pairs.select(
+        *pairs.columns,
+        *agree_cols,
+        rounded.alias("match_score"),
+        (rounded > threshold).alias("is_match"),
+    )

@@ -245,3 +245,84 @@ def cdc_replay(
         .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
         .select(*key_cols, *attr_cols)
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    fact_ts_col: str,
+    attr_cols: list[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (as-of) join of a fact stream against an SCD2
+    dimension: each fact row picks the dimension version whose
+    [valid_from, valid_to) interval contains the fact timestamp —
+    ``valid_from`` inclusive, ``valid_to`` exclusive, NULL valid_to
+    open-ended. Facts before a key's first version are dropped (inner
+    semantics). The consumption side of ``scd2_build``: together they
+    are the warehouse effective-dated-dimension pattern.
+
+    Scale shape: NOT a range join — an interval predicate would plan a
+    broadcast-nested-loop (or an O(versions x facts) range join) at
+    100 TB. Instead dim change points and facts UNION into one stream
+    and a single keyed window forward-fills the latest version struct
+    onto each fact (the ``gap_fill``/``interpolate_at`` pattern): ONE
+    shuffle on the key, zero self-joins. Zero-length versions (tied
+    ``valid_from`` from same-timestamp mutations) sort before the
+    effective version via the valid_to tie-break, so the fill picks the
+    same version the interval predicate would."""
+    ver = F.struct(
+        F.col(valid_from_col).alias("__vf"),
+        F.col(valid_to_col).alias("__vt"),
+        *[F.col(c) for c in attr_cols],
+    )
+    fact_struct = F.struct(*[F.col(c) for c in facts.columns])
+    ver_type = dim.select(ver.alias("x")).schema["x"].dataType
+    fact_type = facts.select(fact_struct.alias("x")).schema["x"].dataType
+    d = dim.select(
+        *[F.col(k) for k in key_cols],
+        F.col(valid_from_col).alias("__ts"),
+        F.lit(1).alias("__is_dim"),
+        F.col(valid_to_col).alias("__order_vt"),
+        ver.alias("__ver"),
+        F.lit(None).cast(fact_type).alias("__fact"),
+    )
+    f = facts.select(
+        *[F.col(k) for k in key_cols],
+        F.col(fact_ts_col).alias("__ts"),
+        F.lit(0).alias("__is_dim"),
+        F.lit(None).cast("timestamp").alias("__order_vt"),
+        F.lit(None).cast(ver_type).alias("__ver"),
+        fact_struct.alias("__fact"),
+    )
+    # dim rows first at a tied timestamp (valid_from inclusive); among
+    # tied dim rows the effective one (larger / open valid_to) LAST so
+    # the forward fill keeps it
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_dim").desc(),
+            F.col("__order_vt").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = d.unionByName(f).withColumn(
+        "__pick", F.last("__ver", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(
+            (F.col("__is_dim") == 0)
+            & F.col("__pick").isNotNull()
+            & (
+                F.col("__pick.__vt").isNull()
+                | (F.col("__ts") < F.col("__pick.__vt"))
+            )
+        )
+        .select(
+            *[F.col(f"__fact.{c}").alias(c) for c in facts.columns],
+            *[F.col(f"__pick.{c}").alias(c) for c in attr_cols],
+        )
+    )

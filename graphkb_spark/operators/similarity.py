@@ -555,3 +555,56 @@ def embedding_dim_stats(
             "max",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame, str]],
+    id_col: str,
+    k: int = 60,
+    per_list: int = 100,
+    top_n: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-retrieval combiner: given N scored rankings of the
+    same id space (lexical BM25, embedding cosine, ...), fuse them as
+    sum over lists of 1 / (k + rank). Rank, not score, so the lists
+    need no calibration against each other. ``rankings`` is a list of
+    (list_name, df, score_col); returns (id, rrf_score, n_lists) for
+    the fused top ``top_n``, ties broken by id.
+
+    Scale shape: each input list is cut to its top ``per_list`` by a
+    distributed orderBy().limit() (TakeOrdered — per-partition top-N,
+    then a bounded merge; no global sort, no unpartitioned window over
+    the corpus). Only then are ranks assigned, with a window
+    PARTITIONED by list name over at most N x per_list rows. The
+    corpus-scale work stays in the upstream scorers; fusion itself is
+    constant-size."""
+    parts = []
+    for name, df, score_col in rankings:
+        parts.append(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.col(score_col).cast("double").alias("__s"),
+            )
+            .orderBy(F.col("__s").desc(), F.col("__id").asc())
+            .limit(per_list)
+            .select("__id", "__s", F.lit(name).alias("__src"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("__src").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ranked = u.withColumn("__rk", F.row_number().over(w))
+    fused = ranked.groupBy("__id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__rk"))), 6).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("__id").asc())
+        .limit(top_n)
+        .select(F.col("__id").alias(id_col), "rrf_score", "n_lists")
+    )

@@ -279,3 +279,62 @@ def count_min_estimate(
         F.col("exact_count").cast("bigint").alias("exact_count"),
         (F.col("est_count") >= F.col("exact_count")).alias("cms_ok"),
     )
+
+
+def kmv_set_similarity(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA per group (Beyer et al. 2007, "On
+    synopses for distinct-value estimation"): from one pass over rows
+    labeled A or B, estimate |A ∪ B|, the Jaccard resemblance, and
+    |A ∩ B| — without ever materializing either set. The k smallest
+    distinct hashes of the UNION form the union sketch; the fraction of
+    those present in both sides estimates Jaccard; intersection =
+    jaccard x union. Returns (groups..., n_kept, shared_kept,
+    est_union, jaccard_est, est_intersection).
+
+    Like ``kmv_distinct``, the sketch is md5-derived: bit-identical in
+    any engine, so the ESTIMATES are oracle-checkable, not just their
+    error bounds.
+
+    Scale shape: one partial-aggregating groupBy on (group, hash) with
+    two bool-or flags — duplicates collapse map-side, the shuffle
+    carries at most the distinct set — then the per-group k-smallest
+    ranking window over distinct hashes and a k-row aggregate (the
+    kmv_distinct shape; use the merged-accumulator variant's
+    mapInPandas partial top-k for corpus-scale cardinalities)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    lab = F.col(label_col)
+    flags = (
+        df.filter(lab.isin([label_a, label_b]))
+        .groupBy(*group_cols, u.alias("__u"))
+        .agg(
+            F.max((lab == label_a).cast("int")).alias("__a"),
+            F.max((lab == label_b).cast("int")).alias("__b"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
+    topk = flags.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    n = F.count(F.lit(1))
+    est_union = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(k - 1) / F.greatest(F.max("__u"), F.lit(1e-12))
+    )
+    shared = F.sum(F.col("__a") * F.col("__b"))
+    jacc = shared / n
+    return topk.groupBy(*group_cols).agg(
+        n.alias("n_kept"),
+        shared.cast("bigint").alias("shared_kept"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(jacc, 4).alias("jaccard_est"),
+        F.round(jacc * est_union, 4).alias("est_intersection"),
+    )

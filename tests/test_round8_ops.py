@@ -138,3 +138,82 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert out[100].n_tokens == 3
     # the target-vocabulary doc must outweigh the raw-only-vocabulary doc
     assert out[100].log_weight > out[101].log_weight
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from graphkb_spark.operators.merge import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [
+            ("u1", "bronze", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 10)),
+            ("u1", "silver", datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 20)),
+            ("u1", "gold", datetime.datetime(2024, 1, 20), None),
+            # zero-length tie at 1/10 (same-instant double mutation)
+            ("u2", "x", datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 10)),
+            ("u2", "y", datetime.datetime(2024, 1, 10), None),
+        ],
+        ["user_id", "tier", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "u1", datetime.datetime(2023, 12, 31)),  # before any version
+            (2, "u1", datetime.datetime(2024, 1, 10)),   # at boundary -> silver
+            (3, "u1", datetime.datetime(2024, 1, 15)),   # mid -> silver
+            (4, "u1", datetime.datetime(2024, 2, 1)),    # open -> gold
+            (5, "u2", datetime.datetime(2024, 1, 10)),   # tie -> effective y
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {r.event_id: r.tier
+           for r in scd2_lookup(facts, dim, ["user_id"], "ts", ["tier"]).collect()}
+    assert got == {2: "silver", 3: "silver", 4: "gold", 5: "y"}
+
+
+def test_kmv_set_similarity_exact_below_k(spark):
+    from graphkb_spark.operators.sketch import kmv_set_similarity
+
+    rows = [("g", f"v{i}", "A") for i in range(10)]
+    rows += [("g", f"v{i}", "B") for i in range(5, 15)]  # overlap v5..v9
+    df = spark.createDataFrame(rows, ["grp", "val", "lab"])
+    r = kmv_set_similarity(df, ["grp"], "val", "lab", "A", "B", k=64).collect()[0]
+    assert r.n_kept == 15 and r.shared_kept == 5
+    assert r.est_union == 15.0
+    assert abs(r.jaccard_est - 5 / 15) < 1e-3
+    assert abs(r.est_intersection - 5.0) < 1e-3
+
+
+def test_fellegi_sunter_scoring(spark):
+    import math
+
+    from graphkb_spark.operators.linkage import fellegi_sunter
+
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "x", "p", "q"), (3, 4, None, None, "p", "p")],
+        ["id_a", "id_b", "fa", "fb", "ga", "gb"],
+    )
+    out = {r.id_a: r for r in fellegi_sunter(
+        pairs,
+        [("f", "fa", "fb", 0.9, 0.1), ("g", "ga", "gb", 0.8, 0.2)],
+        threshold=1.0,
+    ).collect()}
+    want12 = math.log2(0.9 / 0.1) + math.log2(0.2 / 0.8)  # agree f, disagree g
+    assert abs(out[1].match_score - round(want12, 6)) < 1e-9
+    assert out[1].agree_f and not out[1].agree_g
+    want34 = 0.0 + math.log2(0.8 / 0.2)  # both-missing f, agree g
+    assert abs(out[3].match_score - round(want34, 6)) < 1e-9
+    assert out[3].is_match == (round(want34, 6) > 1.0)
+
+
+def test_rrf_fuse_combines_ranks(spark):
+    from graphkb_spark.operators.similarity import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], ["id", "s"])
+    l2 = spark.createDataFrame([(2, 0.9), (4, 0.5)], ["id", "s"])
+    out = {r.id: r for r in
+           rrf_fuse([("a", l1, "s"), ("b", l2, "s")], "id", k=60, top_n=10).collect()}
+    assert out[2].n_lists == 2
+    assert abs(out[2].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[1].n_lists == 1 and abs(out[1].rrf_score - round(1 / 61, 6)) < 1e-9
+    # fused winner is the doc present in both lists
+    best = max(out.values(), key=lambda r: r.rrf_score)
+    assert best.id == 2
