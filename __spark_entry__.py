@@ -3926,6 +3926,61 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical all-pairs similarity: TF-IDF cosine >= 0.25 via
+    a term-keyed inverted-index self-join (never all-pairs), stop
+    terms pruned at 30% document frequency."""
+    from graphkb_spark.operators.similarity import tfidf_cosine_pairs
+
+    t = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        t["documents"], "doc_id", "text", threshold=0.25, max_df_frac=0.3
+    )
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of lineitems minimizing (price, quantity) — the
+    two-phase bucketed cummin, no unpartitioned window."""
+    from graphkb_spark.operators.aggregate import pareto_frontier_2d
+
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("lid"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return pareto_frontier_2d(li, "l_extendedprice", "l_quantity", "lid")
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=7) of the triangle-count co-occurrence
+    graph; fixed peels, checkpoint-bounded plans."""
+    from graphkb_spark.operators.graph import kcore
+
+    t = _t(spark, sf_dir, "lineitem")
+    edges = t["lineitem"].select(
+        (F.col("l_orderkey") % 20000).alias("src"),
+        ((F.col("l_partkey") * 3) % 20000).alias("dst"),
+    )
+    return kcore(edges, k=7, rounds=3)
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (quantized value,
+    user id) on events into 256 file buckets and report the
+    data-skipping min/max ranges per bucket."""
+    from graphkb_spark.operators.layout import zorder_layout_stats
+
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.least(F.floor(F.col("value") * 100), F.lit(65535))
+        .cast("bigint")
+        .alias("zx"),
+        (F.col("user_id") % 65536).alias("zy"),
+    )
+    return zorder_layout_stats(ev, "zx", "zy", bits=16, n_buckets=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
@@ -3941,6 +3996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries move to the back (all driver-green in CORRECTNESS_r07,
     # re-verified in this round's full local sweep).
     return {
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "pareto_frontier": q_pareto_frontier,
+        "kcore": q_kcore,
+        "zorder_stats": q_zorder_stats,
         "scd2_lookup": q_scd2_lookup,
         "kmv_set_ops": q_kmv_set_ops,
         "fellegi_sunter": q_fellegi_sunter,
@@ -4432,7 +4491,90 @@ def oracle_sql() -> dict[str, str]:
         )
         for lang, ws in text_ops.LANG_MARKERS.items()
     }
+    # Morton interleave as arithmetic (x bits at even positions, y at
+    # odd) — mirrors operators/layout.py:morton_interleave bit-for-bit.
+    morton = " + ".join(
+        f"((zx // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((zy // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(16)
+    )
+    # one k-core peel round over edge CTE e{r}: degrees -> survivors ->
+    # restricted edges (mirrors operators/graph.py:kcore, k=7)
+    kcore_round = (
+        "d{n} AS (SELECT node, count(*) AS c FROM "
+        "(SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}) "
+        "GROUP BY node), "
+        "s{n} AS (SELECT node FROM d{n} WHERE c >= 7), "
+        "e{n} AS (SELECT e.u, e.v FROM e{p} e "
+        "JOIN s{n} a ON e.u = a.node JOIN s{n} b ON e.v = b.node)"
+    )
+    kcore_rounds = ", ".join(kcore_round.format(n=r + 1, p=r) for r in range(3))
     return {
+        # inverted-index TF-IDF cosine pairs, stop terms pruned.
+        "tfidf_cosine_pairs": """
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), x -> x <> '')) AS t
+              FROM documents),
+            tf AS (SELECT id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+            nd AS (SELECT count(DISTINCT doc_id) AS N FROM documents),
+            dfq AS (SELECT t, count(*) AS df_ FROM tf GROUP BY t),
+            kept AS (SELECT t, df_, N FROM dfq, nd
+                     WHERE df_ >= 2 AND df_ <= 0.3 * N),
+            w AS (SELECT id, tf.t, tf.tf * ln(1 + CAST(N AS DOUBLE) / df_) AS w
+                  FROM tf JOIN kept ON tf.t = kept.t),
+            norms AS (SELECT id, sqrt(sum(w * w)) AS n FROM w GROUP BY id),
+            wn AS (SELECT w.t, w.id, w.w / n.n AS wn
+                   FROM w JOIN norms n USING (id)),
+            p AS (SELECT a.id AS id_a, b.id AS id_b,
+                         round(sum(a.wn * b.wn), 6) AS cos_sim
+                  FROM wn a JOIN wn b ON a.t = b.t AND a.id < b.id
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.25
+        """,
+        # 2-D skyline: the oracle uses the textbook single cummin
+        # window; the Spark plan buckets it — same frontier.
+        "pareto_frontier": """
+            WITH b AS (
+              SELECT l_orderkey * 100 + l_linenumber AS lid,
+                     CAST(l_extendedprice AS DOUBLE) AS x,
+                     CAST(l_quantity AS DOUBLE) AS y
+              FROM lineitem),
+            w AS (SELECT *, min(y) OVER (
+                     ORDER BY x, y, lid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                  FROM b)
+            SELECT lid, x AS l_extendedprice, y AS l_quantity
+            FROM w WHERE pm IS NULL OR y < pm
+        """,
+        # 3 unrolled k-core peel rounds over the co-occurrence graph.
+        "kcore": f"""
+            WITH e0 AS (
+              SELECT DISTINCT
+                     least(l_orderkey % 20000, (l_partkey * 3) % 20000) AS u,
+                     greatest(l_orderkey % 20000, (l_partkey * 3) % 20000) AS v
+              FROM lineitem
+              WHERE l_orderkey % 20000 <> (l_partkey * 3) % 20000),
+            {kcore_rounds}
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+            GROUP BY node
+        """,
+        # Z-order bucket stats from the arithmetic Morton interleave.
+        "zorder_stats": f"""
+            WITH q AS (
+              SELECT least(CAST(floor(value * 100) AS BIGINT), 65535) AS zx,
+                     user_id % 65536 AS zy
+              FROM events),
+            z AS (SELECT zx, zy, ({morton}) AS zval FROM q)
+            SELECT zval // 16777216 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(zx) AS x_min, max(zx) AS x_max,
+                   min(zy) AS y_min, max(zy) AS y_max
+            FROM z GROUP BY 1
+        """,
         # point-in-time SCD2 join: the oracle materializes the version
         # intervals and applies the literal interval predicate; the
         # Spark plan forward-fills instead — same answer.

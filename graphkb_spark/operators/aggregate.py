@@ -887,3 +887,73 @@ def mad_outliers(
         z.alias("robust_z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """2-D skyline (Borzsony, Kossmann & Stocker 2001): rows not
+    dominated by any other row — no other row with x' <= x AND y' <= y
+    and strictly smaller in at least one (both criteria MINIMIZED;
+    negate a column to maximize it). Exact duplicates of a frontier
+    point keep only the smallest id (ties are mutual non-dominators;
+    one representative is the useful answer). Returns the frontier
+    rows' (id, x, y).
+
+    Scale shape — the textbook solution is a sort + running min, which
+    is an UNPARTITIONED window. Here the cummin is split in two
+    phases (the sorted-neighborhood ranking trick): equal-width
+    x-range buckets from a broadcast min/max aggregate, a cummin
+    window WITHIN each bucket, and the cross-bucket prefix min from a
+    triangular broadcast join over the per-bucket min table (one row
+    per bucket). No single-partition funnel touches the data; the
+    frontier test is then a narrow filter."""
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    base = df.select(
+        F.col(id_col).alias("__pid"), x.alias("__x"), y.alias("__y")
+    )
+    stats = base.agg(
+        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+    bkt = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((F.col("__x") - F.col("__lo")) / width),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+    bucketed = base.crossJoin(F.broadcast(stats)).select(
+        "__pid", "__x", "__y", bkt.alias("__b")
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__x").asc(), F.col("__y").asc(), F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    with_prev = bucketed.withColumn("__pm_in", F.min("__y").over(w_in))
+    bucket_mins = bucketed.groupBy("__b").agg(F.min("__y").alias("__bm"))
+    prior = bucket_mins.select(
+        F.col("__b").alias("__pb"), F.col("__bm").alias("__pbm")
+    )
+    prefix = (
+        bucket_mins.join(F.broadcast(prior), F.col("__pb") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(F.min("__pbm").alias("__pm_prev"))
+    )
+    test = with_prev.join(F.broadcast(prefix), "__b").withColumn(
+        "__pm", F.least(F.col("__pm_in"), F.col("__pm_prev"))
+    )
+    return (
+        test.filter(F.col("__pm").isNull() | (F.col("__y") < F.col("__pm")))
+        .select(
+            F.col("__pid").alias(id_col),
+            F.col("__x").alias(x_col),
+            F.col("__y").alias(y_col),
+        )
+    )

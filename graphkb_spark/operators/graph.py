@@ -349,3 +349,62 @@ def cooccurrence_edges(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-core peeling over an undirected graph: repeatedly delete
+    vertices of degree < k; what survives ``rounds`` peels is (an
+    over-approximation of) the k-core — the standard density filter
+    before community detection, and the graph analogue of the corpus
+    quality gates. Returns (node, degree) of the surviving subgraph,
+    degree measured IN that subgraph.
+
+    Fixed-rounds contract (the ``transitive_closure`` lesson): each
+    peel is degree-count + semi-joins, a full shuffle round, so the
+    caller picks the round budget instead of paying a convergence
+    count per round. With ``rounds`` peels the result can only be
+    LARGER than the true k-core (peeling is monotone); on most graphs
+    degeneracy peeling converges in a handful of rounds. Plans stay
+    bounded: every peel rebuilds the edge set from a localCheckpoint
+    (lazy — the next round's shuffle materializes it), eager every 3rd
+    round so the unexecuted plan cannot grow with the round count.
+
+    Scale shape per round: one partial-agg shuffle for degrees and two
+    semi-joins (broadcast when the survivor set is small, AQE decides)
+    — never an all-pairs or a collect."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for r in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=(r % 3 == 2))
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )

@@ -608,3 +608,81 @@ def rrf_fuse(
         .limit(top_n)
         .select(F.col("__id").alias(id_col), "rrf_score", "n_lists")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.25,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Sparse lexical all-pairs similarity: TF-IDF vectors compared by
+    cosine through an INVERTED INDEX — the lexical sibling of the
+    embedding near-dup path, and the classic "all pairs similarity
+    search" shape (Bayardo et al. 2007): documents only meet on terms
+    they share, so the join is term-keyed, never all-pairs.
+
+    Weights: w = tf * ln(1 + N/df), L2-normalized per document over
+    the KEPT vocabulary; cosine = sum of products of shared-term
+    normalized weights. Terms in more than ``max_df_frac`` of
+    documents are dropped (stop-term pruning — they contribute little
+    weight but quadratic join fan-out), as are single-document terms
+    (they cannot produce a pair). Returns (id_a, id_b, cos_sim)
+    with id_a < id_b and round(cos_sim, 6) >= threshold — the
+    threshold applies to the ROUNDED value so the boundary decision is
+    bit-stable across engines.
+
+    Scale shape: tokenize + tf (one keyed shuffle), df + doc norms
+    (two partial-agg shuffles over bounded outputs), then the posting
+    self-join keyed on term with partial-agg pair accumulation. Hot
+    terms are pruned by max_df_frac; residual skew is AQE's skew-join
+    territory. This is the exact plan DISC all-pairs systems use at
+    corpus scale."""
+    words = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[^a-z0-9 ]", " "),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    tok = df.select(F.col(id_col).alias("__id"), F.explode(words).alias("__t"))
+    tf = tok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__N"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("__df") >= 2)
+            & (F.col("__df") <= F.lit(max_df_frac) * F.col("__N"))
+        )
+        .select("__t", "__df", "__N")
+    )
+    w = (
+        tf.join(kept, "__t")
+        .select(
+            "__id",
+            "__t",
+            (
+                F.col("__tf")
+                * F.log(F.lit(1.0) + F.col("__N") / F.col("__df"))
+            ).alias("__w"),
+        )
+    )
+    norms = w.groupBy("__id").agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
+    wn = w.join(norms, "__id").select(
+        "__t", "__id", (F.col("__w") / F.col("__n")).alias("__wn")
+    )
+    a = wn.select(
+        F.col("__t"), F.col("__id").alias("id_a"), F.col("__wn").alias("__wa")
+    )
+    b = wn.select(
+        F.col("__t"), F.col("__id").alias("id_b"), F.col("__wn").alias("__wb")
+    )
+    return (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("__wa") * F.col("__wb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -217,3 +217,72 @@ def test_rrf_fuse_combines_ranks(spark):
     # fused winner is the doc present in both lists
     best = max(out.values(), key=lambda r: r.rrf_score)
     assert best.id == 2
+
+
+def test_kcore_peels_pendants(spark):
+    from graphkb_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5: 2-core is the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    got = {r.node: r.degree for r in kcore(edges, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_tfidf_cosine_pairs_identical_docs(spark):
+    from graphkb_spark.operators.similarity import tfidf_cosine_pairs
+
+    docs = [
+        (1, "quick brown fox jumps"),
+        (2, "quick brown fox jumps"),
+        (3, "completely different words here"),
+        (4, "unrelated content entirely okay"),
+        (5, "quick brown fox leaps"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r.cos_sim
+           for r in tfidf_cosine_pairs(df, "doc_id", "text",
+                                       threshold=0.1, max_df_frac=0.9).collect()}
+    assert out[(1, 2)] == 1.0        # identical docs
+    assert 0.1 < out[(1, 5)] < 1.0   # 3 of 4 terms shared
+    assert (3, 4) not in out         # nothing shared
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from graphkb_spark.operators.aggregate import pareto_frontier_2d
+
+    pts = [(1, 5.0, 1.0), (2, 1.0, 5.0), (3, 3.0, 3.0), (4, 3.0, 4.0),
+           (5, 6.0, 1.0), (6, 2.0, 4.0), (7, 5.0, 1.0)]  # 7 duplicates 1
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    got = sorted(r.pid for r in pareto_frontier_2d(df, "x", "y", "pid").collect())
+
+    def dominated(p, q):
+        return q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+
+    frontier = [p for p in pts if not any(dominated(p, q) for q in pts if q != p)]
+    # exact duplicates keep only the smallest id
+    seen, want = set(), []
+    for p in sorted(frontier, key=lambda t: (t[1], t[2], t[0])):
+        if (p[1], p[2]) not in seen:
+            seen.add((p[1], p[2]))
+            want.append(p[0])
+    assert got == sorted(want)
+
+
+def test_morton_interleave_known_values(spark):
+    from graphkb_spark.operators.layout import morton_interleave, zorder_layout_stats
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (65535, 65535)], ["x", "y"])
+    out = sorted(
+        r.z for r in df.select(
+            morton_interleave(F.col("x"), F.col("y"), bits=16).alias("z")
+        ).collect()
+    )
+    # x=3 (bits 0,1 -> positions 0,2), y=5 (bits 0,2 -> positions 1,5):
+    # 1 + 4 + 2 + 32 = 39
+    assert out == [0, 39, (1 << 32) - 1]
+    stats = zorder_layout_stats(df, "x", "y", bits=16, n_buckets=256).collect()
+    assert sum(r.n_rows for r in stats) == 3
+    top = {r.bucket: r for r in stats}
+    assert top[255].x_min == 65535 and top[255].y_max == 65535
