@@ -71,6 +71,13 @@ HEADLINE = [
     # (0.32 vs 0.39 s); the rest are floor-bound against micro-oracles
     # and stay out of the headline (measurements in docs/FLOORS.md)
     "gopher_quality",
+    # round-8 promotion (same protocol): of the 16 new queries, three
+    # beat their DuckDB oracle at sf0.1 — kcore 2.1 vs 7.7 s,
+    # sorted_neighborhood 0.65 vs 2.3 s, fellegi_sunter 0.85 vs 1.5 s;
+    # the rest are floor-bound against micro-oracles and stay out
+    "kcore",
+    "sorted_neighborhood",
+    "fellegi_sunter",
 ]
 
 

@@ -647,7 +647,14 @@ def tfidf_cosine_pairs(
         lambda x: x != "",
     )
     tok = df.select(F.col(id_col).alias("__id"), F.explode(words).alias("__t"))
-    tf = tok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    # tf feeds three consumers (df counts, weights, norms); without a
+    # checkpoint each branch re-tokenizes the corpus — at 100 TB that
+    # is three full scans instead of one materialization
+    tf = (
+        tok.groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__N"))
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     kept = (
@@ -670,8 +677,12 @@ def tfidf_cosine_pairs(
         )
     )
     norms = w.groupBy("__id").agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
-    wn = w.join(norms, "__id").select(
-        "__t", "__id", (F.col("__w") / F.col("__n")).alias("__wn")
+    # the posting list is self-joined; checkpoint so both sides read
+    # ONE materialization instead of re-running the weight pipeline
+    wn = (
+        w.join(norms, "__id")
+        .select("__t", "__id", (F.col("__w") / F.col("__n")).alias("__wn"))
+        .localCheckpoint(eager=False)
     )
     a = wn.select(
         F.col("__t"), F.col("__id").alias("id_a"), F.col("__wn").alias("__wa")
