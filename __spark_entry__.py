@@ -3981,6 +3981,54 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout_stats(ev, "zx", "zy", bits=16, n_buckets=256)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment join (|A∩B|/|A| >= 0.7): quotes and
+    doc-inside-doc duplication that symmetric Jaccard misses; PPJoin
+    prefix on the contained side against the full posting list."""
+    from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+    t = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        t["documents"], "text", "doc_id", shingle_n=3, threshold=0.7
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan for the event landing zone: hourly
+    files per day partition, running-total packed into ~100 KB bins."""
+    from graphkb_spark.operators.layout import compaction_plan
+
+    t = _t(spark, sf_dir, "events")
+    files = (
+        t["events"]
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("part_date"),
+            F.hour("ts").alias("file_id"),
+        )
+        .agg((F.count(F.lit(1)) * 128).alias("size_bytes"))
+    )
+    return compaction_plan(files, "part_date", "file_id", "size_bytes", 100_000)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass profile of the orders table: exact
+    per-column null counts, distinct counts, numeric ranges."""
+    from graphkb_spark.operators.profile import table_profile
+
+    t = _t(spark, sf_dir, "orders")
+    return table_profile(t["orders"])
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k=4 k-means over the embeddings —
+    deterministic md5 init, integer-scaled exact centroid means,
+    bit-reproducible assignments."""
+    from graphkb_spark.operators.clustering import kmeans_train
+
+    t = _t(spark, sf_dir, "embeddings")
+    return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
@@ -3996,6 +4044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries move to the back (all driver-green in CORRECTNESS_r07,
     # re-verified in this round's full local sweep).
     return {
+        "containment_pairs": q_containment_pairs,
+        "compaction_plan": q_compaction_plan,
+        "table_profile": q_table_profile,
+        "kmeans_train": q_kmeans_train,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "pareto_frontier": q_pareto_frontier,
         "kcore": q_kcore,
@@ -4509,7 +4561,112 @@ def oracle_sql() -> dict[str, str]:
         "JOIN s{n} a ON e.u = a.node JOIN s{n} b ON e.v = b.node)"
     )
     kcore_rounds = ", ".join(kcore_round.format(n=r + 1, p=r) for r in range(3))
+    # one Lloyd round: assign (argmin distance, cluster tie-break) +
+    # integer-scaled exact centroid means (mirrors
+    # operators/clustering.py:kmeans_train bit-for-bit)
+    kmeans_round = (
+        "a{n} AS (SELECT p.id, c.cl, list_distance(p.v, c.v) AS d "
+        "FROM pts p CROSS JOIN c{p} c), "
+        "m{n} AS (SELECT id, min(d) AS md FROM a{n} GROUP BY id), "
+        "s{n} AS (SELECT a.id, min(a.cl) AS cl FROM a{n} a "
+        "JOIN m{n} m ON a.id = m.id AND a.d = m.md GROUP BY a.id), "
+        "e{n} AS (SELECT s.cl, generate_subscripts(p.v, 1) AS pos, "
+        "CAST(round(unnest(p.v) * 1000000000.0) AS BIGINT) AS vi "
+        "FROM s{n} s JOIN pts p ON s.id = p.id), "
+        "c{n} AS (SELECT cl, list(m ORDER BY pos) AS v FROM "
+        "(SELECT cl, pos, round(CAST(sum(vi) AS DOUBLE) / count(*) "
+        "/ 1000000000.0, 8) AS m FROM e{n} GROUP BY cl, pos) GROUP BY cl)"
+    )
+    kmeans_rounds = ", ".join(kmeans_round.format(n=r + 1, p=r) for r in range(2))
+    # per-column profile row (mirrors operators/profile.py)
+    prof_num = (
+        "SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        "CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        "round(CAST(min({c}) AS DOUBLE), 6) AS min_num, "
+        "round(CAST(max({c}) AS DOUBLE), 6) AS max_num FROM orders"
+    )
+    prof_str = (
+        "SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        "CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num "
+        "FROM orders"
+    )
+    profile_union = " UNION ALL ".join(
+        (prof_num if num else prof_str).format(c=c)
+        for c, num in [
+            ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+            ("o_totalprice", True), ("o_orderdate", False),
+            ("o_orderpriority", False),
+        ]
+    )
     return {
+        # directed containment, brute-force verified at oracle scale.
+        "containment_pairs": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM words)
+            SELECT id_a, id_b, containment FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(a.s), 6) AS containment
+              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+            WHERE containment >= 0.7
+        """,
+        # running-total bin packing per partition.
+        "compaction_plan": """
+            WITH f AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part_date, hour(ts) AS file_id,
+                     CAST(count(*) * 128 AS BIGINT) AS size_bytes
+              FROM events GROUP BY 1, 2),
+            p AS (
+              SELECT part_date, file_id, size_bytes,
+                     CAST(floor(coalesce(sum(size_bytes) OVER (
+                       PARTITION BY part_date
+                       ORDER BY size_bytes DESC, file_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 100000) AS INT) AS bin
+              FROM f)
+            SELECT part_date, file_id, size_bytes, bin,
+                   CAST(sum(size_bytes) OVER (PARTITION BY part_date, bin)
+                        AS BIGINT) AS bin_bytes
+            FROM p
+        """,
+        "table_profile": profile_union,
+        # two deterministic Lloyd rounds + final assignment.
+        "kmeans_train": f"""
+            WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings),
+            h AS (SELECT id, v,
+                         ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+                           AS hh
+                  FROM pts),
+            i0 AS (SELECT id, v, hh FROM h ORDER BY hh ASC, id ASC LIMIT 4),
+            c0 AS (SELECT CAST((SELECT count(*) FROM i0 j
+                                WHERE j.hh < i.hh
+                                   OR (j.hh = i.hh AND j.id < i.id)) AS INT) AS cl,
+                          i.v AS v
+                   FROM i0 i),
+            {kmeans_rounds},
+            af AS (SELECT p.id, c.cl, list_distance(p.v, c.v) AS d
+                   FROM pts p CROSS JOIN c2 c),
+            mf AS (SELECT id, min(d) AS md FROM af GROUP BY id)
+            SELECT a.id AS vec_id, CAST(min(a.cl) AS INT) AS cluster,
+                   round(min(m.md), 6) AS dist
+            FROM af a JOIN mf m ON a.id = m.id AND a.d = m.md
+            GROUP BY a.id
+        """,
         # inverted-index TF-IDF cosine pairs, stop terms pruned.
         "tfidf_cosine_pairs": """
             WITH tok AS (

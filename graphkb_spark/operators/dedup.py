@@ -970,3 +970,77 @@ def sorted_neighborhood_pairs(
     )
     # no dedup needed: a's two exploded blocks are distinct and b sits
     # in exactly one, so each qualifying pair joins exactly once
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT join: emit (id_a, id_b) when
+    |A ∩ B| / |A| >= t — the asymmetric cousin of ``ngram_jaccard_
+    pairs`` for catching quotes, partial copies, and doc-inside-doc
+    duplication that resemblance misses (a paragraph fully contained
+    in a book has tiny Jaccard but containment 1.0). Directed: both
+    (a in b) and (b in a) can appear. Returns (id_a, id_b,
+    containment), threshold applied to the 6-digit-rounded value.
+
+    Scale shape (PPJoin prefix logic, containment form): a pair with
+    containment >= t must share one of A's |A| - ceil(t|A|) + 1
+    globally RAREST shingles — so candidates come from joining A-side
+    prefixes against the full posting list, keyed on the rare
+    shingle; the hot-shingle quadratic bucket never forms. Exact
+    verification on the checkpointed shingle sets."""
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .repartition(n_part, "__id")
+        .select(
+            "__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh")
+        )
+        .localCheckpoint()
+    )
+    posting = base.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
+    )
+    freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = posting.join(freq, "shingle").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy(
+                F.col("df_").asc(), F.col("shingle").asc()
+            )
+        ),
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    prefix_a = ranked.filter(F.col("__rk") <= prefix_len).select("__id", "shingle")
+    cand = (
+        prefix_a.alias("x")
+        .join(posting.select("__id", "shingle").alias("y"), "shingle")
+        .filter(F.col("x.__id") != F.col("y.__id"))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base
+    cont = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"), 6
+    )
+    return (
+        cand.join(
+            sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"),
+            "id_b",
+        )
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

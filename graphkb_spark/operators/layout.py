@@ -13,7 +13,7 @@ the clustering benefit is measurable as range tightness.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,42 @@ def zorder_layout_stats(
             F.max("__y").alias("y_max"),
         )
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner: within each partition, pack files
+    (in deterministic (size desc, file) order) into output bins of
+    ~``target_bytes`` by running-total assignment — bin =
+    floor(cum_before / target). The maintenance pass every streaming
+    landing zone needs: micro-batch writes leave thousands of KB-scale
+    files per partition, and scan cost at 100 TB is dominated by file
+    count, not bytes. Returns (part, file, size, bin, bin_bytes).
+
+    Running-total packing overfills a bin by at most one file (vs
+    first-fit-decreasing's optimality gap) but is a pure prefix sum —
+    ONE shuffle on the partition key, one ordered window, no driver
+    loop over files. Deterministic: reruns produce the identical plan,
+    so a failed compaction job is safely re-entrant."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(size_col).desc(), F.col(file_col).asc()
+    )
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    planned = files.select(
+        F.col(part_col),
+        F.col(file_col),
+        F.col(size_col),
+        F.floor(cum_before / target_bytes).cast("int").alias("bin"),
+    )
+    wb = Window.partitionBy(part_col, "bin")
+    return planned.withColumn("bin_bytes", F.sum(size_col).over(wb))

@@ -75,6 +75,20 @@ BUDGETS = [
     ("interpolate", 3, 0, False),      # probe build + union + keyed windows
     ("embedding_dim_stats", 1, 0, True),  # posexplode + one dim agg
     ("kfold_assign", 1, 0, True),      # narrow assign + count rollup
+    # round-8 additions
+    ("zorder_stats", 1, 0, True),      # narrow Morton projection + one agg
+    ("tokenizer_fertility", 1, 0, True),  # narrow counts + one group agg
+    ("cdc_replay", 1, 0, True),        # single keyed window, no joins
+    ("gap_fill", 2, 0, True),          # span agg + union-fill window
+    ("scd2_lookup", 2, 0, True),       # scd2 window + union-fill window
+    ("kmv_set_ops", 2, 0, True),       # distinct-hash agg + rank window
+    ("cms_counts", 2, 0, True),        # counter agg + probe agg, bcast join
+    ("kcore", 2, 0, True),             # post-checkpoint: degree agg rounds
+    ("mad_outliers", 3, 0, True),      # two percentile aggs + AQE bcasts
+    ("bloom_join", 0, 0, True),        # narrow bit-test + broadcast join
+    ("dsir_weights", 4, 0, False),     # token agg, ratio bcast, doc agg
+    ("sorted_neighborhood", 6, 0, False),  # two-phase rank + block join
+    ("rrf_fusion", 5, 0, False),       # two TakeOrdered lists + fuse
 ]
 
 

@@ -286,3 +286,68 @@ def test_morton_interleave_known_values(spark):
     assert sum(r.n_rows for r in stats) == 3
     top = {r.bucket: r for r in stats}
     assert top[255].x_min == 65535 and top[255].y_max == 65535
+
+
+def test_containment_directed(spark):
+    from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated text body here")],
+        ["doc_id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r.containment
+           for r in ngram_containment_pairs(df, "text", "doc_id",
+                                            threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0          # small fully inside big
+    assert (2, 1) not in out           # big not inside small at 0.5
+    assert all(a != 3 and b != 3 for a, b in out)
+
+
+def test_compaction_plan_packs_by_running_total(spark):
+    from graphkb_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", "f1", 60), ("p", "f2", 50), ("p", "f3", 40), ("p", "f4", 10),
+         ("q", "g1", 5)],
+        ["part", "file", "size"],
+    )
+    out = {r.file: (r.bin, r.bin_bytes)
+           for r in compaction_plan(files, "part", "file", "size", 100).collect()}
+    # order f1(60) f2(50) f3(40) f4(10); cum_before 0,60,110,150
+    assert out["f1"] == (0, 110) and out["f2"] == (0, 110)
+    assert out["f3"] == (1, 50) and out["f4"] == (1, 50)
+    assert out["g1"] == (0, 5)
+
+
+def test_table_profile_counts_and_ranges(spark):
+    from graphkb_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None)],
+        ["k", "s", "v"],
+    )
+    prof = {r.column: r for r in table_profile(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_distinct == 2
+    assert prof["s"].n_null == 1 and prof["s"].min_num is None
+    assert prof["v"].n_null == 1 and prof["v"].min_num == 1.5
+    assert prof["v"].max_num == 2.5
+
+
+def test_kmeans_train_separates_blobs(spark):
+    from graphkb_spark.operators.clustering import kmeans_train
+
+    rows = [(i, [0.0 + i * 0.001, 0.0]) for i in range(10)]
+    rows += [(100 + i, [10.0 + i * 0.001, 10.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    out = kmeans_train(df, "id", "vec", k=2, rounds=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+    assert len(by_cluster) == 2
+    blobs = sorted(by_cluster.values(), key=lambda s: min(s))
+    assert blobs[0] == set(range(10))
+    assert blobs[1] == {100 + i for i in range(10)}
+    # after convergence every point is near its own centroid
+    assert all(r.dist < 1.0 for r in out)
