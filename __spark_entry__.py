@@ -4029,6 +4029,98 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair rules over orders (parts folded to 50 item
+    classes): Apriori-pruned pair join, directed confidence + lift."""
+    from graphkb_spark.operators.aggregate import association_rules
+
+    t = _t(spark, sf_dir, "lineitem")
+    baskets = t["lineitem"].select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    )
+    return association_rules(
+        baskets, "l_orderkey", "item", min_support=100, min_confidence=0.05
+    )
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: per-user pre-period spend as the
+    covariate for post-period spend, variants split on user id parity;
+    decimal-exact moments make theta and the adjusted means
+    bit-reproducible."""
+    from graphkb_spark.operators.aggregate import cuped_adjust
+
+    t = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    dec = "decimal(38,10)"
+    units = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("pre_value"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("post_value"),
+        )
+        .withColumn("variant", F.pmod(F.col("user_id"), F.lit(2)).cast("int"))
+    )
+    return cuped_adjust(units, "variant", "post_value", "pre_value")
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: recall@5 and MRR of the
+    quantized-rerank ANN against the exact cosine top-5 for the same
+    5 queries — both pipelines deterministic, so the metrics are
+    hash-checkable."""
+    from graphkb_spark.operators.similarity import cosine_topk, quantized_topk
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("erank")
+    )
+    approx = quantized_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("arank")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    recall = j.groupBy("query_id").agg(
+        F.round(F.count("arank") / F.lit(5.0), 4).alias("recall_at_5")
+    )
+    mrr = (
+        exact.filter(F.col("erank") == 1)
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("arank"), F.lit(0.0)), 4
+            ).alias("mrr"),
+        )
+    )
+    return recall.join(mrr, "query_id")
+
+
+def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending feed: hourly tumbling-window event-type
+    counts under a 2-hour watermark, top-3 per closed window ranked on
+    the emitted aggregates (never per-event state)."""
+    from graphkb_spark.streaming.incremental import streaming_windowed_topk
+
+    t = _t(spark, sf_dir, "events")
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    return streaming_windowed_topk(
+        spark,
+        t["events"].select("event_id", "ts", "event_type"),
+        query_name=f"q_stream_topk_{suffix}",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
@@ -4044,6 +4136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries move to the back (all driver-green in CORRECTNESS_r07,
     # re-verified in this round's full local sweep).
     return {
+        "association_rules": q_association_rules,
+        "cuped": q_cuped,
+        "ann_recall_eval": q_ann_recall_eval,
+        "stream_windowed_topk": q_stream_windowed_topk,
         "containment_pairs": q_containment_pairs,
         "compaction_plan": q_compaction_plan,
         "table_profile": q_table_profile,
@@ -4601,7 +4697,78 @@ def oracle_sql() -> dict[str, str]:
             ("o_orderpriority", False),
         ]
     )
-    return {
+    oracles = {
+        # Apriori-pruned directed pair rules.
+        "association_rules": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS b,
+                                  l_partkey % 50 AS i
+                           FROM lineitem),
+            nb AS (SELECT count(DISTINCT b) AS N FROM items),
+            cnt AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+            freq AS (SELECT i, c FROM cnt WHERE c >= 100),
+            pr AS (SELECT it.b, it.i FROM items it JOIN freq f ON it.i = f.i),
+            pairs AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS pair_n
+                      FROM pr a JOIN pr b2 ON a.b = b2.b AND a.i <> b2.i
+                      GROUP BY 1, 2 HAVING count(*) >= 100)
+            SELECT item_a, item_b, CAST(pair_n AS BIGINT) AS support_count,
+                   round(CAST(pair_n AS DOUBLE) / N, 6) AS support,
+                   round(CAST(pair_n AS DOUBLE) / ca, 6) AS confidence,
+                   round((CAST(pair_n AS DOUBLE) / ca)
+                         / (CAST(cb AS DOUBLE) / N), 6) AS lift
+            FROM pairs
+            JOIN (SELECT i AS item_a, c AS ca FROM freq) USING (item_a)
+            JOIN (SELECT i AS item_b, c AS cb FROM freq) USING (item_b), nb
+            WHERE round(CAST(pair_n AS DOUBLE) / ca, 6) >= 0.05
+        """,
+        # CUPED adjusted means from decimal-exact pooled moments.
+        "cuped": """
+            WITH units AS (
+              SELECT user_id,
+                     CAST(sum(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                        THEN value ELSE 0.0 END
+                                   AS DECIMAL(38,10))) AS DOUBLE) AS x,
+                     CAST(sum(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                        THEN value ELSE 0.0 END
+                                   AS DECIMAL(38,10))) AS DOUBLE) AS y,
+                     CAST(user_id % 2 AS INT) AS variant
+              FROM events GROUP BY user_id),
+            g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE)
+                           AS sxx,
+                         CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE)
+                           AS sxy
+                  FROM units),
+            p AS (SELECT variant, count(*) AS nu,
+                         CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS vy,
+                         CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS vx
+                  FROM units GROUP BY variant)
+            SELECT variant, CAST(nu AS BIGINT) AS n_units,
+                   round(vy / nu, 6) AS mean_metric,
+                   round(vy / nu
+                         - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                           * (vx / nu - sx / n), 6) AS mean_adjusted
+            FROM p, g
+        """,
+        # streaming windowed top-k: the oracle replays the tumbling
+        # count + rank in batch, keeping only windows the 2 h watermark
+        # closed (window_end <= max_ts - 2 h, the session-oracle rule).
+        "stream_windowed_topk": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            m AS (SELECT max(ts) AS mx FROM events),
+            r AS (SELECT ws, event_type, n,
+                         row_number() OVER (PARTITION BY ws
+                                            ORDER BY n DESC, event_type ASC)
+                           AS rank
+                  FROM c, m
+                  WHERE epoch_us(ws) + 3600000000 + 7200000000 <= epoch_us(mx))
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, n, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
+        """,
         # directed containment, brute-force verified at oracle scale.
         "containment_pairs": """
             WITH words AS (
@@ -8060,3 +8227,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE k % 2 = 0
         """,
     }
+    # retrieval eval composes the two (already-verified) ANN oracles:
+    # recall@5 and MRR of the quantized pipeline vs the exact one.
+    oracles["ann_recall_eval"] = f"""
+        WITH e0 AS (SELECT * FROM ({oracles["embedding_topk"]})),
+        a0 AS (SELECT * FROM ({oracles["embedding_quantized_topk"]})),
+        j AS (SELECT e0.query_id, e0.neighbor_id, e0.rank AS erank,
+                     a0.rank AS arank
+              FROM e0 LEFT JOIN a0
+                ON e0.query_id = a0.query_id
+               AND e0.neighbor_id = a0.neighbor_id),
+        r AS (SELECT query_id, round(count(arank) / 5.0, 4) AS recall_at_5
+              FROM j GROUP BY query_id),
+        m AS (SELECT query_id, round(coalesce(1.0 / arank, 0.0), 4) AS mrr
+              FROM j WHERE erank = 1)
+        SELECT r.query_id, recall_at_5, mrr
+        FROM r JOIN m ON r.query_id = m.query_id
+    """
+    return oracles

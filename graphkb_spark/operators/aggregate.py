@@ -957,3 +957,118 @@ def pareto_frontier_2d(
             F.col("__y").alias(y_col),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+    min_confidence: float = 0.2,
+) -> DataFrame:
+    """Pairwise association rules (Agrawal & Srikant's Apriori, pair
+    stage): directed rules a -> b with support count, support,
+    confidence = P(b|a) and lift = confidence / P(b). The
+    market-basket primitive under "frequently bought together" and
+    co-occurring-tag mining. Thresholds apply to the support COUNT and
+    the 6-digit-rounded confidence (bit-stable boundaries).
+
+    Scale shape: the Apriori property prunes FIRST — items below
+    min_support cannot appear in a frequent pair, so they never reach
+    the pair join; the pair generation is then a basket-keyed
+    self-join of the pruned item stream (partial-agg counted), never
+    an all-pairs across baskets. Hot baskets are AQE skew-join
+    territory; hot ITEMS are bounded by the prune."""
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = items.select(F.countDistinct("__b").alias("__N"))
+    counts = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    frequent = counts.filter(F.col("__cnt") >= min_support)
+    pruned = items.join(
+        frequent.select("__i"), "__i", "left_semi"
+    )
+    a = pruned.select("__b", F.col("__i").alias("item_a"))
+    b = pruned.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_support)
+    )
+    ca = frequent.select(F.col("__i").alias("item_a"), F.col("__cnt").alias("__ca"))
+    cb = frequent.select(F.col("__i").alias("item_b"), F.col("__cnt").alias("__cb"))
+    conf = F.col("pair_n") / F.col("__ca")
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("pair_n").cast("bigint").alias("support_count"),
+            F.round(F.col("pair_n") / F.col("__N"), 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("__cb") / F.col("__N")), 6).alias("lift"),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+    )
+
+
+def cuped_adjust(
+    units: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013):
+    adjust each experiment unit's metric by its pre-experiment
+    covariate, y_adj = y - theta * (x - mean(x)), theta = cov(x, y) /
+    var(x) POOLED across variants — the standard trick that cuts A/B
+    metric variance by the covariate's R^2 without biasing the delta.
+    Input is one row per unit; returns per variant (variant, n_units,
+    mean_metric, mean_adjusted), rounded to 6.
+
+    Engine-determinism: all five pooled moments and the per-variant
+    sums are DECIMAL(38,10) casts of values/products that carry few
+    decimal digits (the grouped_regression contract), so theta and the
+    adjusted means are bit-identical under any partitioning and in any
+    engine. One global aggregate + one per-variant aggregate — two
+    partial-agg shuffles, nothing else."""
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+
+    def dsum(c: Column, alias: str) -> Column:
+        return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
+
+    g = units.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        dsum(x, "__sx"),
+        dsum(y, "__sy"),
+        dsum(x * x, "__sxx"),
+        dsum(x * y, "__sxy"),
+    )
+    theta = (
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ) / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    per = units.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        dsum(y, "__vy"),
+        dsum(x, "__vx"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        F.col(variant_col),
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.round(F.col("__vy") / F.col("n_units"), 6).alias("mean_metric"),
+        F.round(
+            F.col("__vy") / F.col("n_units")
+            - theta
+            * (F.col("__vx") / F.col("n_units") - F.col("__sx") / F.col("__n")),
+            6,
+        ).alias("mean_adjusted"),
+    )

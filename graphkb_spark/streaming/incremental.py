@@ -323,3 +323,63 @@ def streaming_enrich(
         f"SELECT window.start AS window_start, {segment_col}, n, total_value "
         f"FROM {query_name}"
     )
+
+
+def streaming_windowed_topk(
+    spark: SparkSession,
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+    query_name: str = "stream_topk",
+    stage_dir: str | None = None,
+):
+    """Streaming trending-items: tumbling event-time windows with a
+    late-data watermark count each group, and the top ``k`` per closed
+    window are ranked — the "what's hot this hour" feed. Returns
+    (window_start, group, n, rank), rank <= k, ties to the smaller
+    group value.
+
+    Scale shape: the windowed count is the STREAM's stateful operator
+    (state bounded by watermark expiry; append mode emits only closed
+    windows). The top-k rank runs as a tiny batch window over the
+    emitted per-window aggregates — cardinality = windows x groups,
+    never the event stream — so no per-event ranking state exists
+    anywhere."""
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events = normalize_ntz(events)
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    counted = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    agg = spark.table(query_name)
+    w = Window.partitionBy("window").orderBy(
+        F.col("n").desc(), F.col(group_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col(group_col),
+            F.col("n"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

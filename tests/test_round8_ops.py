@@ -351,3 +351,62 @@ def test_kmeans_train_separates_blobs(spark):
     assert blobs[1] == {100 + i for i in range(10)}
     # after convergence every point is near its own centroid
     assert all(r.dist < 1.0 for r in out)
+
+
+def test_association_rules_confidence_and_lift(spark):
+    from graphkb_spark.operators.aggregate import association_rules
+
+    # x in 4 baskets, y in 3, {x,y} in 3 -> conf(x->y)=0.75, lift=0.75/(3/4)
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+            (4, "x"), (4, "z")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r.item_a, r.item_b): r for r in association_rules(
+        df, "basket", "item", min_support=2, min_confidence=0.0).collect()}
+    xy = out[("x", "y")]
+    assert xy.support_count == 3 and xy.confidence == 0.75
+    assert abs(xy.lift - 0.75 / (3 / 4)) < 1e-9
+    yx = out[("y", "x")]
+    assert yx.confidence == 1.0
+    assert ("x", "z") not in out  # z pruned below min_support
+
+
+def test_cuped_reduces_to_plain_mean_without_covariate_signal(spark):
+    from graphkb_spark.operators.aggregate import cuped_adjust
+
+    # y perfectly correlated with x: theta = slope, adjusted means equal
+    # across variants even though raw means differ via x imbalance
+    rows = [(i, i % 2, float(10 + i), float(2 * (10 + i))) for i in range(20)]
+    df = spark.createDataFrame(rows, ["uid", "variant", "x", "y"])
+    out = {r.variant: r for r in cuped_adjust(df, "variant", "y", "x").collect()}
+    assert out[0].n_units == 10 and out[1].n_units == 10
+    # raw means differ (odd ids have higher x hence higher y)
+    assert out[0].mean_metric != out[1].mean_metric
+    # adjustment removes the covariate-explained difference entirely
+    assert abs(out[0].mean_adjusted - out[1].mean_adjusted) < 1e-6
+
+
+def test_streaming_windowed_topk(spark):
+    import datetime
+
+    from graphkb_spark.streaming.incremental import streaming_windowed_topk
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hour 0: a x3, b x2, c x1; a late-hour event advances the watermark
+    for typ, n in [("a", 3), ("b", 2), ("c", 1)]:
+        for _ in range(n):
+            rows.append((eid, t0 + datetime.timedelta(minutes=eid), typ))
+            eid += 1
+    rows.append((99, t0 + datetime.timedelta(hours=6), "z"))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = streaming_windowed_topk(
+        spark, df, k=2, query_name="t_stream_topk_unit"
+    ).collect()
+    hour0 = sorted(
+        [(r.event_type, r.n, r.rank) for r in out
+         if r.window_start == "2024-01-01 00:00:00"]
+    )
+    assert hour0 == [("a", 3, 1), ("b", 2, 2)]
+    # the hour-6 window is never closed by the watermark -> absent
+    assert all(r.window_start != "2024-01-01 06:00:00" for r in out)
