@@ -4029,6 +4029,81 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join cardinality estimate: coordinated md5 key
+    sampling (1/16) of orders x customer on custkey, scaled back."""
+    from graphkb_spark.operators.sketch import join_size_estimate
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    return join_size_estimate(
+        t["orders"], t["customer"], "o_custkey", "c_custkey", sample_mod=16
+    )
+
+
+def q_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK audit: event user_ids against the customer key
+    space — orphan rows/keys and parent coverage in one summary row."""
+    from graphkb_spark.operators.validate import referential_check
+
+    t = _t(spark, sf_dir, "events", "customer")
+    return referential_check(t["events"], t["customer"], "user_id", "c_custkey")
+
+
+def q_ab_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B z-report on per-user spend (variants on user id
+    parity), decimal-exact moments end to end."""
+    from graphkb_spark.operators.aggregate import ab_delta
+
+    t = _t(spark, sf_dir, "events")
+    units = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("spend")
+        )
+        .withColumn("variant", F.pmod(F.col("user_id"), F.lit(2)).cast("int"))
+    )
+    return ab_delta(units, "variant", "spend", 0, 1)
+
+
+def q_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised EM fit (2 rounds) of Fellegi-Sunter m/u/p over the
+    customer sorted-neighborhood pairs — posteriors rounded to 9 and
+    decimal-summed, so the whole fit hash-matches the unrolled SQL
+    replay."""
+    from graphkb_spark.operators.dedup import sorted_neighborhood_pairs
+    from graphkb_spark.operators.linkage import fellegi_sunter, fellegi_sunter_em
+
+    t = _t(spark, sf_dir, "customer")
+    cust = t["customer"]
+    pairs = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=3)
+    attrs = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("c_balband"),
+    )
+    a = attrs.select(*[F.col(c).alias(c + "_a") for c in attrs.columns])
+    b = attrs.select(*[F.col(c).alias(c + "_b") for c in attrs.columns])
+    enriched = (
+        pairs.join(a, pairs["id_a"] == a["c_custkey_a"])
+        .join(b, pairs["id_b"] == b["c_custkey_b"])
+    )
+    scored = fellegi_sunter(
+        enriched,
+        [
+            ("nation", "c_nationkey_a", "c_nationkey_b", 0.9, 0.04),
+            ("segment", "c_mktsegment_a", "c_mktsegment_b", 0.9, 0.2),
+            ("balband", "c_balband_a", "c_balband_b", 0.95, 0.08),
+        ],
+    ).select("agree_nation", "agree_segment", "agree_balband")
+    return fellegi_sunter_em(
+        scored, ["agree_nation", "agree_segment", "agree_balband"], rounds=2
+    )
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair rules over orders (parts folded to 50 item
     classes): Apriori-pruned pair join, directed confidence + lift."""
@@ -4136,6 +4211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries move to the back (all driver-green in CORRECTNESS_r07,
     # re-verified in this round's full local sweep).
     return {
+        "join_size_estimate": q_join_size_estimate,
+        "referential_check": q_referential_check,
+        "ab_delta": q_ab_delta,
+        "fs_em": q_fs_em,
         "association_rules": q_association_rules,
         "cuped": q_cuped,
         "ann_recall_eval": q_ann_recall_eval,
@@ -4674,6 +4753,70 @@ def oracle_sql() -> dict[str, str]:
         "/ 1000000000.0, 8) AS m FROM e{n} GROUP BY cl, pos) GROUP BY cl)"
     )
     kmeans_rounds = ", ".join(kmeans_round.format(n=r + 1, p=r) for r in range(2))
+    # Fellegi-Sunter EM unroll (mirrors operators/linkage.py:
+    # fellegi_sunter_em): round 1 uses the literal init params as the
+    # SAME IEEE expressions Spark evaluates (1.0 - 0.9, not 0.1);
+    # round 2 pulls params from round 1's aggregate CTE.
+    _fs_fields = ["nation", "segment", "balband"]
+
+    def _fs_w_cte(n: int, m_of, u_of, p_of) -> str:
+        pm = p_of
+        pu = f"(1.0 - {p_of})"
+        for f in _fs_fields:
+            pm += (
+                f" * (CASE WHEN agree_{f} THEN {m_of(f)}"
+                f" ELSE (1.0 - {m_of(f)}) END)"
+            )
+            pu += (
+                f" * (CASE WHEN agree_{f} THEN {u_of(f)}"
+                f" ELSE (1.0 - {u_of(f)}) END)"
+            )
+        src = "fspairs" if n == 1 else f"fspairs, fsp{n - 1}"
+        return (
+            f"fsw{n} AS (SELECT "
+            + ", ".join(f"agree_{f}" for f in _fs_fields)
+            + f", CAST(round(({pm}) / (({pm}) + ({pu})), 9)"
+            f" AS DECIMAL(38,12)) AS w FROM {src})"
+        )
+
+    def _fs_agg_ctes(n: int) -> str:
+        swas = ", ".join(
+            f"CAST(sum(CASE WHEN agree_{f} THEN w"
+            f" ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS swa_{f}"
+            for f in _fs_fields
+        )
+        params = ", ".join(
+            f"round(swa_{f} / sw, 9) AS m_{f},"
+            f" round((ta_{f} - swa_{f}) / (n - sw), 9) AS u_{f}"
+            for f in _fs_fields
+        )
+        return (
+            f"fss{n} AS (SELECT CAST(sum(w) AS DOUBLE) AS sw,"
+            f" CAST(count(*) AS DOUBLE) AS n, {swas} FROM fsw{n}), "
+            f"fsp{n} AS (SELECT {params}, round(sw / n, 9) AS p"
+            f" FROM fss{n}, fst0)"
+        )
+
+    fs_em_rounds = ", ".join(
+        _fs_w_cte(
+            r,
+            (lambda f: "0.9") if r == 1 else (lambda f, rr=r: f"m_{f}"),
+            (lambda f: "0.1") if r == 1 else (lambda f, rr=r: f"u_{f}"),
+            "0.5" if r == 1 else "p",
+        )
+        + ", "
+        + _fs_agg_ctes(r)
+        for r in (1, 2)
+    )
+    fs_em_final = " UNION ALL ".join(
+        f"SELECT 'agree_{f}' AS field, m_{f} AS m_est, u_{f} AS u_est,"
+        f" p AS p_est FROM fsp2"
+        for f in _fs_fields
+    )
+    fs_em_totals = ", ".join(
+        f"CAST(sum(CASE WHEN agree_{f} THEN 1 ELSE 0 END) AS DOUBLE) AS ta_{f}"
+        for f in _fs_fields
+    )
     # per-column profile row (mirrors operators/profile.py)
     prof_num = (
         "SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
@@ -4698,6 +4841,95 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
     oracles = {
+        # coordinated-sample join size estimate.
+        "join_size_estimate": """
+            WITH lc AS (
+              SELECT o_custkey AS k, count(*) AS c FROM orders
+              WHERE ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                    % 16 = 0
+              GROUP BY 1),
+            rc AS (
+              SELECT c_custkey AS k, count(*) AS c FROM customer
+              WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                    % 16 = 0
+              GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS sampled_keys,
+                   CAST(coalesce(sum(lc.c * rc.c), 0) * 16 AS BIGINT)
+                     AS est_join_rows
+            FROM lc JOIN rc ON lc.k = rc.k
+        """,
+        # FK orphan + coverage audit.
+        "referential_check": """
+            WITH ck AS (SELECT user_id AS k, count(*) AS n FROM events
+                        GROUP BY 1),
+            pk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            o AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_orphan_rows,
+                         CAST(count(*) AS BIGINT) AS n_orphan_keys
+                  FROM ck WHERE k NOT IN (SELECT k FROM pk)),
+            c AS (SELECT CAST(sum(n) AS BIGINT) AS n_child FROM ck),
+            ps AS (SELECT CAST(count(*) AS BIGINT) AS n_parents FROM pk),
+            rs AS (SELECT CAST(count(*) AS BIGINT) AS n_referenced_parents
+                   FROM pk WHERE k IN (SELECT k FROM ck))
+            SELECT n_child, n_orphan_rows, n_orphan_keys,
+                   round(CAST(n_orphan_rows AS DOUBLE) / n_child, 6)
+                     AS orphan_frac,
+                   n_parents, n_referenced_parents
+            FROM c, o, ps, rs
+        """,
+        # Welch z-report from decimal-exact moments.
+        "ab_delta": """
+            WITH units AS (
+              SELECT user_id,
+                     CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS y,
+                     CAST(user_id % 2 AS INT) AS variant
+              FROM events GROUP BY user_id),
+            sa AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                          CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS s,
+                          CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE)
+                            AS ss
+                   FROM units WHERE variant = 0),
+            sb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                          CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS s,
+                          CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE)
+                            AS ss
+                   FROM units WHERE variant = 1)
+            SELECT CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                   round(sa.s / sa.n, 6) AS mean_a,
+                   round(sb.s / sb.n, 6) AS mean_b,
+                   round(sb.s / sb.n - sa.s / sa.n, 6) AS diff,
+                   round(sqrt((sa.ss - sa.s * sa.s / sa.n) / (sa.n - 1) / sa.n
+                            + (sb.ss - sb.s * sb.s / sb.n) / (sb.n - 1) / sb.n),
+                         6) AS se,
+                   round((sb.s / sb.n - sa.s / sa.n)
+                         / sqrt((sa.ss - sa.s * sa.s / sa.n) / (sa.n - 1) / sa.n
+                              + (sb.ss - sb.s * sb.s / sb.n) / (sb.n - 1)
+                                / sb.n), 6) AS z
+            FROM sa, sb
+        """,
+        # 2-round unrolled Fellegi-Sunter EM over the same pair table.
+        "fs_em": f"""
+            WITH r AS (
+              SELECT c_custkey AS id, c_nationkey, c_mktsegment,
+                     floor(c_acctbal / 1000) AS pfx,
+                     row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+              FROM customer),
+            p AS (
+              SELECT a.c_nationkey AS na, b.c_nationkey AS nb,
+                     a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+                     a.pfx AS pa, b.pfx AS pb
+              FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3),
+            fspairs AS (
+              SELECT (na IS NOT NULL AND na IS NOT DISTINCT FROM nb)
+                       AS agree_nation,
+                     (sa IS NOT NULL AND sa IS NOT DISTINCT FROM sb)
+                       AS agree_segment,
+                     (pa IS NOT NULL AND pa IS NOT DISTINCT FROM pb)
+                       AS agree_balband
+              FROM p),
+            fst0 AS (SELECT {fs_em_totals} FROM fspairs),
+            {fs_em_rounds}
+            {fs_em_final}
+        """,
         # Apriori-pruned directed pair rules.
         "association_rules": """
             WITH items AS (SELECT DISTINCT l_orderkey AS b,

@@ -1072,3 +1072,56 @@ def cuped_adjust(
             6,
         ).alias("mean_adjusted"),
     )
+
+
+def ab_delta(
+    units: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    variant_a,
+    variant_b,
+) -> DataFrame:
+    """Two-sample A/B readout: per-variant means and sample variances
+    from decimal-exact moments, Welch standard error and z-score of
+    the B-minus-A difference. One row: (n_a, n_b, mean_a, mean_b,
+    diff, se, z), rounded to 6. The unpaired sibling of
+    ``cuped_adjust`` (no p-value: erf is not portable Column algebra;
+    a z of 1.96 is the usual gate).
+
+    Engine-determinism: sums and sums-of-squares are DECIMAL(38,10)
+    casts (the grouped_regression contract), so the variance — and
+    therefore se and z — is bit-identical under any partitioning."""
+    y = F.col(metric_col).cast("double")
+
+    def side(v):
+        d = units.filter(F.col(variant_col) == v)
+        return d.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(y.cast("decimal(38,10)")).cast("double").alias("s"),
+            F.sum((y * y).cast("decimal(38,10)")).cast("double").alias("ss"),
+        )
+    a = side(variant_a).select(
+        F.col("n").alias("__na"), F.col("s").alias("__sa"), F.col("ss").alias("__ssa")
+    )
+    b = side(variant_b).select(
+        F.col("n").alias("__nb"), F.col("s").alias("__sb"), F.col("ss").alias("__ssb")
+    )
+    j = a.crossJoin(b)
+    ma = F.col("__sa") / F.col("__na")
+    mb = F.col("__sb") / F.col("__nb")
+    va = (F.col("__ssa") - F.col("__sa") * F.col("__sa") / F.col("__na")) / (
+        F.col("__na") - 1
+    )
+    vb = (F.col("__ssb") - F.col("__sb") * F.col("__sb") / F.col("__nb")) / (
+        F.col("__nb") - 1
+    )
+    se = F.sqrt(va / F.col("__na") + vb / F.col("__nb"))
+    return j.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb - ma, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round((mb - ma) / se, 6).alias("z"),
+    )

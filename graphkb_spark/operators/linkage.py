@@ -79,3 +79,76 @@ def fellegi_sunter(
         rounded.alias("match_score"),
         (rounded > threshold).alias("is_match"),
     )
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    rounds: int = 2,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    p0: float = 0.5,
+) -> DataFrame:
+    """Unsupervised EM fit of the Fellegi-Sunter m/u parameters
+    (Winkler 1988) over blocked candidate pairs with boolean
+    agreement columns: E-step scores each pair's match posterior under
+    the conditional-independence model, M-step re-estimates per-field
+    m = P(agree|match), u = P(agree|non-match) and the match prior p.
+    Fixed ``rounds`` (the iterative-operator contract), initialized
+    from (m0, u0, p0). Returns one row per field: (field, m_est,
+    u_est, p_est), all rounded to 9.
+
+    Engine-determinism: per-pair posteriors are pure row-local double
+    algebra (same expression tree in any engine), then ROUNDED to 9
+    digits and summed as DECIMAL(38,12) — so the M-step aggregates are
+    partitioning-independent and each round's parameters are
+    bit-identical; the fit is oracle-checkable like kmeans_train.
+
+    Scale shape per round: one narrow per-row projection + ONE scalar
+    aggregate (partial-agg, a handful of decimal sums); parameters
+    stay a 1-row broadcast. Nothing iterates over the driver."""
+    if not agree_cols:
+        raise ValueError("agree_cols must be non-empty")
+    # pairs feed one aggregate per round — materialize the (possibly
+    # expensive) blocking pipeline once
+    pairs = pairs.localCheckpoint(eager=False)
+    # per-field agreeing-pair totals are round-invariant: one job, once
+    agree_totals = pairs.agg(
+        *[
+            F.sum(F.col(c).cast("boolean").cast("long")).alias(c)
+            for c in agree_cols
+        ]
+    ).collect()[0]
+    m = {c: float(m0) for c in agree_cols}
+    u = {c: float(u0) for c in agree_cols}
+    p = float(p0)
+    for _ in range(rounds):
+        pm = F.lit(p)
+        pu = F.lit(1.0 - p)
+        for c in agree_cols:
+            a = F.col(c).cast("boolean")
+            pm = pm * F.when(a, F.lit(m[c])).otherwise(F.lit(1.0 - m[c]))
+            pu = pu * F.when(a, F.lit(u[c])).otherwise(F.lit(1.0 - u[c]))
+        w = F.round(pm / (pm + pu), 9).cast("decimal(38,12)")
+        aggs = [
+            F.sum(w).cast("double").alias("__sw"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        ]
+        for c in agree_cols:
+            a = F.col(c).cast("boolean")
+            aggs.append(
+                F.sum(F.when(a, w).otherwise(F.lit(0).cast("decimal(38,12)")))
+                .cast("double")
+                .alias(f"__swa_{c}")
+            )
+        r = pairs.agg(*aggs).collect()[0]
+        sw, cnt = r["__sw"], r["__n"]
+        for c in agree_cols:
+            swa = r[f"__swa_{c}"]
+            m[c] = round(swa / sw, 9)
+            u[c] = round((float(agree_totals[c]) - swa) / (cnt - sw), 9)
+        p = round(sw / cnt, 9)
+    rows = [(c, m[c], u[c], p) for c in agree_cols]
+    return pairs.sparkSession.createDataFrame(
+        rows, "field string, m_est double, u_est double, p_est double"
+    )

@@ -338,3 +338,50 @@ def kmv_set_similarity(
         F.round(jacc, 4).alias("jaccard_est"),
         F.round(jacc * est_union, 4).alias("est_intersection"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    sample_mod: int = 16,
+) -> DataFrame:
+    """Equi-join output-size estimation by deterministic key sampling
+    (end-biased / coordinated sampling, Estan & Naughton 2006): the
+    join size is sum over keys of fL(k) * fR(k); estimate it from the
+    keys whose md5 lands in bucket 0 of ``sample_mod`` — BOTH sides
+    sample the SAME keys (coordinated by the hash), so matched
+    frequency products survive sampling intact and the estimator is
+    unbiased with scale factor ``sample_mod``. The statistic a join
+    planner wants before committing 100 TB to a shuffle. Returns one
+    row: (sampled_keys, est_join_rows).
+
+    Scale shape: the hash filter prunes ~(1 - 1/mod) of both inputs AT
+    THE SCAN (narrow predicate), then two partial-agg key counts and a
+    join of two shrunken key tables. Cost is 1/mod of the real join's
+    build side, with zero wide rows moved."""
+    if sample_mod < 1:
+        raise ValueError("sample_mod must be >= 1")
+
+    def sampled_counts(df: DataFrame, key: str) -> DataFrame:
+        h = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(sample_mod),
+        )
+        return (
+            df.filter(h == 0)
+            .groupBy(F.col(key).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+    lc = sampled_counts(left, left_key)
+    rc = sampled_counts(right, right_key)
+    prod = lc.join(rc.withColumnRenamed("__c", "__c2"), "__k")
+    return prod.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_keys"),
+        (F.coalesce(F.sum(F.col("__c") * F.col("__c2")), F.lit(0)) * sample_mod)
+        .cast("bigint")
+        .alias("est_join_rows"),
+    )

@@ -265,3 +265,52 @@ def full_reload_diff(
             .alias("action"),
         )
     )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+) -> DataFrame:
+    """Cross-table referential-integrity audit — the FK sibling of the
+    single-table expectations gate: counts child rows whose foreign
+    key has no parent (orphans), distinct orphan keys, and parent
+    coverage (parents actually referenced). One summary row:
+    (n_child, n_orphan_rows, n_orphan_keys, orphan_frac, n_parents,
+    n_referenced_parents).
+
+    Scale shape: ONE distinct-key aggregation per side (partial-agg,
+    only keys shuffle — never child payloads) and a key-table
+    left-anti/semi pair that AQE broadcasts when the parent key table
+    is small. The child fact table is scanned once."""
+    ck = child.groupBy(F.col(fk_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pk = parent.select(F.col(pk_col).alias("__k")).distinct()
+    orphans = ck.join(pk, "__k", "left_anti")
+    o = orphans.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_orphan_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
+    )
+    c = ck.agg(F.sum("__n").cast("bigint").alias("n_child"))
+    referenced = pk.join(ck, "__k", "left_semi")
+    pstats = pk.agg(F.count(F.lit(1)).cast("bigint").alias("n_parents"))
+    rstats = referenced.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_referenced_parents")
+    )
+    return (
+        c.crossJoin(o)
+        .crossJoin(pstats)
+        .crossJoin(rstats)
+        .select(
+            "n_child",
+            "n_orphan_rows",
+            "n_orphan_keys",
+            F.round(F.col("n_orphan_rows") / F.col("n_child"), 6).alias(
+                "orphan_frac"
+            ),
+            "n_parents",
+            "n_referenced_parents",
+        )
+    )

@@ -410,3 +410,57 @@ def test_streaming_windowed_topk(spark):
     assert hour0 == [("a", 3, 1), ("b", 2, 2)]
     # the hour-6 window is never closed by the watermark -> absent
     assert all(r.window_start != "2024-01-01 06:00:00" for r in out)
+
+
+def test_join_size_estimate_unbiased_on_uniform_keys(spark):
+    from graphkb_spark.operators.sketch import join_size_estimate
+
+    left = spark.createDataFrame([(i % 100,) for i in range(2000)], ["k"])
+    right = spark.createDataFrame([(i,) for i in range(100)], ["k2"])
+    r = join_size_estimate(left, right, "k", "k2", sample_mod=4).collect()[0]
+    true_size = 2000  # every left row matches exactly one right key
+    # uniform 20-per-key frequencies: estimate = 20 * matched-sample-keys * 4
+    assert r.est_join_rows == r.sampled_keys * 20 * 4
+    assert 0.3 * true_size < r.est_join_rows < 3 * true_size
+    # mod=1 samples everything: exact
+    exact = join_size_estimate(left, right, "k", "k2", sample_mod=1).collect()[0]
+    assert exact.est_join_rows == true_size
+
+
+def test_referential_check_counts_orphans(spark):
+    from graphkb_spark.operators.validate import referential_check
+
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "d"), (9, "e"), (8, "f")],
+        ["fk", "payload"],
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    r = referential_check(child, parent, "fk", "pk").collect()[0]
+    assert r.n_child == 6 and r.n_orphan_rows == 3 and r.n_orphan_keys == 2
+    assert r.orphan_frac == 0.5
+    assert r.n_parents == 3 and r.n_referenced_parents == 2
+
+
+def test_ab_delta_zero_diff_on_identical_groups(spark):
+    from graphkb_spark.operators.aggregate import ab_delta
+
+    rows = [(i, i % 2, float(10 + (i // 2) % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["uid", "variant", "y"])
+    r = ab_delta(df, "variant", "y", 0, 1).collect()[0]
+    assert r.n_a == 20 and r.n_b == 20
+    assert r.diff == 0.0 and r.z == 0.0 and r.se > 0
+
+
+def test_fs_em_learns_separated_m_u(spark):
+    from graphkb_spark.operators.linkage import fellegi_sunter_em
+
+    # 100 "match-like" pairs agreeing on both fields, 900 noise pairs
+    rows = [(True, True)] * 100 + [(False, False)] * 850 + [(True, False)] * 50
+    df = spark.createDataFrame(rows, ["agree_f", "agree_g"])
+    out = {r.field: r for r in fellegi_sunter_em(
+        df, ["agree_f", "agree_g"], rounds=3).collect()}
+    # the agreeing block is absorbed into the match class: m stays high
+    # for g (only true in the match block), u low
+    assert out["agree_g"].m_est > 0.5
+    assert out["agree_g"].u_est < 0.2
+    assert 0.0 < out["agree_g"].p_est < 0.5
