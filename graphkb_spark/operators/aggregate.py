@@ -1125,3 +1125,99 @@ def ab_delta(
         F.round(se, 6).alias("se"),
         F.round((mb - ma) / se, 6).alias("z"),
     )
+
+
+def prefix_rollup(
+    df: DataFrame,
+    path_col: str,
+    value_col: str,
+    sep: str = " ",
+) -> DataFrame:
+    """Hierarchical prefix rollup: each row contributes to EVERY
+    prefix of its separator-delimited path ("a b c" -> "a", "a b",
+    "a b c") — the URL-directory / category-tree / partition-path
+    aggregation, computed in one pass instead of per-level queries.
+    Returns (prefix, depth, n, total) with the value sum
+    decimal-exact and rounded to 4.
+
+    Scale shape: the prefix explode is a NARROW transform (depth
+    multiplies rows by the path length, typically < 10), then one
+    partial-agg shuffle on the prefix. No self-joins, no recursion —
+    the closure is materialized by construction because prefixes
+    enumerate locally."""
+    parts = F.split(F.col(path_col), sep)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.struct(
+            F.array_join(F.slice(parts, 1, i), sep).alias("prefix"),
+            i.cast("int").alias("depth"),
+        ),
+    )
+    return (
+        df.select(
+            F.explode(prefixes).alias("__p"),
+            F.col(value_col).cast("decimal(38,10)").alias("__v"),
+        )
+        .groupBy(F.col("__p.prefix").alias("prefix"), F.col("__p.depth").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("__v").cast("double"), 4).alias("total"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) against ln(rank) for the top ``top_n`` terms — the
+    one-number corpus health check (natural text sits near -1;
+    boilerplate-heavy or synthetic corpora drift). Returns one row
+    (n_terms, slope, intercept), rounded to 6.
+
+    Engine-determinism: the regression inputs are ln() of exact
+    integer ranks/counts — identical doubles anywhere — and each
+    moment term is rounded to 9 digits then DECIMAL-summed (the
+    fellegi_sunter_em contract), so the closed-form fit is
+    bit-stable. Scale shape: token count (one shuffle), distributed
+    TakeOrdered top-N cut, the N-row ranking window on a declared
+    single partition, one scalar aggregate."""
+    counts = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("t").asc())
+        .limit(top_n)
+    )
+    # constant-valued but non-foldable partition key (build_vocab trick)
+    w = Window.partitionBy(F.pmod(F.col("freq"), F.lit(1))).orderBy(
+        F.col("freq").desc(), F.col("t").asc()
+    )
+    ranked = counts.select(
+        F.row_number().over(w).cast("double").alias("__r"),
+        F.col("freq").cast("double").alias("__f"),
+    )
+    x, y = F.log("__r"), F.log("__f")
+
+    def dsum(c: Column, alias: str) -> Column:
+        return F.sum(F.round(c, 9).cast("decimal(38,12)")).cast("double").alias(alias)
+
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        dsum(x, "__sx"),
+        dsum(y, "__sy"),
+        dsum(x * x, "__sxx"),
+        dsum(x * y, "__sxy"),
+    )
+    slope = (
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ) / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    return g.select(
+        F.col("__n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -314,3 +314,24 @@ def referential_check(
             "n_referenced_parents",
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity audit over quasi-identifier columns: every row's QI
+    combination must be shared by at least ``k`` rows, or the rows are
+    re-identifiable — the governance gate before a dataset leaves a
+    trust boundary. Returns one row per QI group: (qi..., group_n,
+    is_risky) with is_risky = group_n < k.
+
+    Scale shape: ONE partial-agg shuffle on the QI tuple. The risky
+    tail is by definition the small-group end, so the output is
+    dominated by exactly the rows a reviewer needs to see."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n")
+    ).withColumn("is_risky", F.col("group_n") < k)

@@ -464,3 +464,68 @@ def test_fs_em_learns_separated_m_u(spark):
     assert out["agree_g"].m_est > 0.5
     assert out["agree_g"].u_est < 0.2
     assert 0.0 < out["agree_g"].p_est < 0.5
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from graphkb_spark.operators.validate import k_anonymity
+
+    rows = [("a", 1)] * 6 + [("b", 2)] * 2
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    out = {(r.q1, r.q2): r for r in k_anonymity(df, ["q1", "q2"], k=5).collect()}
+    assert out[("a", 1)].group_n == 6 and not out[("a", 1)].is_risky
+    assert out[("b", 2)].group_n == 2 and out[("b", 2)].is_risky
+
+
+def test_prefix_rollup_every_level(spark):
+    from graphkb_spark.operators.aggregate import prefix_rollup
+
+    df = spark.createDataFrame(
+        [("a b c", 1.0), ("a b d", 2.0), ("a x", 4.0)], ["path", "v"]
+    )
+    out = {(r.prefix, r.depth): (r.n, r.total)
+           for r in prefix_rollup(df, "path", "v").collect()}
+    assert out[("a", 1)] == (3, 7.0)
+    assert out[("a b", 2)] == (2, 3.0)
+    assert out[("a b c", 3)] == (1, 1.0)
+    assert out[("a x", 2)] == (1, 4.0)
+
+
+def test_zipf_fit_recovers_slope(spark):
+    # freq = round(1000 / rank) is Zipf with slope -1
+    docs = []
+    for rank in range(1, 51):
+        docs.extend([(f"w{rank:03d}",)] * round(1000 / rank))
+    df = spark.createDataFrame(docs, ["text"])
+    from graphkb_spark.operators.aggregate import zipf_fit
+
+    r = zipf_fit(df, "text", top_n=50).collect()[0]
+    assert r.n_terms == 50
+    assert -1.05 < r.slope < -0.95
+
+
+def test_er_entities_pipeline_links_matching_neighbors(spark):
+    from graphkb_spark.operators.dedup import (
+        connected_components,
+        sorted_neighborhood_pairs,
+    )
+    from graphkb_spark.operators.linkage import fellegi_sunter
+
+    # smith-a/smith-b share every field; jones differs on all
+    rows = [(1, "smith a", 10, "X"), (2, "smith b", 10, "X"), (3, "jones", 99, "Y")]
+    df = spark.createDataFrame(rows, ["id", "name", "nat", "seg"])
+    pairs = sorted_neighborhood_pairs(df, "id", "name", window=2)
+    attrs_a = df.select(F.col("id").alias("ida"), F.col("nat").alias("na"),
+                        F.col("seg").alias("sa"))
+    attrs_b = df.select(F.col("id").alias("idb"), F.col("nat").alias("nb"),
+                        F.col("seg").alias("sb"))
+    e = (pairs.join(attrs_a, pairs["id_a"] == attrs_a["ida"])
+              .join(attrs_b, pairs["id_b"] == attrs_b["idb"]))
+    scored = fellegi_sunter(
+        e, [("nat", "na", "nb", 0.9, 0.05), ("seg", "sa", "sb", 0.9, 0.2)],
+        threshold=4.0,
+    )
+    matches = scored.filter(F.col("is_match")).select("id_a", "id_b")
+    comp = connected_components(matches, df.select("id"))
+    got = {r.node: r.comp for r in comp.collect()}
+    assert got[1] == got[2] == 1
+    assert got[3] == 3
