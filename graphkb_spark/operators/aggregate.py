@@ -1042,6 +1042,8 @@ def cuped_adjust(
     partial-agg shuffles, nothing else."""
     x = F.col(covariate_col).cast("double")
     y = F.col(metric_col).cast("double")
+    # the unit table feeds the pooled AND the per-variant aggregate
+    units = units.localCheckpoint(eager=False)
 
     def dsum(c: Column, alias: str) -> Column:
         return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
@@ -1092,6 +1094,8 @@ def ab_delta(
     casts (the grouped_regression contract), so the variance — and
     therefore se and z — is bit-identical under any partitioning."""
     y = F.col(metric_col).cast("double")
+    # one materialization feeds both variant scans
+    units = units.localCheckpoint(eager=False)
 
     def side(v):
         d = units.filter(F.col(variant_col) == v)

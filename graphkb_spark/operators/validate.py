@@ -284,10 +284,18 @@ def referential_check(
     only keys shuffle — never child payloads) and a key-table
     left-anti/semi pair that AQE broadcasts when the parent key table
     is small. The child fact table is scanned once."""
-    ck = child.groupBy(F.col(fk_col).alias("__k")).agg(
-        F.count(F.lit(1)).alias("__n")
+    # both key tables feed three aggregates each — materialize once so
+    # the child fact table is scanned exactly once
+    ck = (
+        child.groupBy(F.col(fk_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
     )
-    pk = parent.select(F.col(pk_col).alias("__k")).distinct()
+    pk = (
+        parent.select(F.col(pk_col).alias("__k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     orphans = ck.join(pk, "__k", "left_anti")
     o = orphans.agg(
         F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_orphan_rows"),
