@@ -383,3 +383,138 @@ def streaming_windowed_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def streaming_hopping_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "stream_hopping",
+    stage_dir: str | None = None,
+):
+    """Hopping (sliding) event-time windows: each event lands in
+    window/slide overlapping windows (2 here), counted per group with
+    late-data tolerance — the smoothing variant of the tumbling count
+    when a dashboard wants hourly totals refreshed every half hour.
+
+    Scale shape: the overlap factor multiplies STATE, not input — the
+    stream is scanned once and each row updates window/slide window
+    states; watermark expiry bounds the state exactly as in the
+    tumbling case."""
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    events = normalize_ntz(events)
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    counted = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.col(group_col),
+        F.col("n"),
+    )
+
+
+def streaming_upsert_foreachbatch(
+    spark: SparkSession,
+    mutations: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    attr_cols: Sequence[str] = ("event_type", "value"),
+    query_name: str = "stream_upsert",
+    stage_dir: str | None = None,
+):
+    """Streaming MERGE: a mutation stream applied to a keyed snapshot
+    via ``foreachBatch`` — every micro-batch reduces to its latest row
+    per key, then upserts into the target state (the pattern behind
+    every streaming-into-Delta/Iceberg MERGE pipeline; here the target
+    is an in-memory keyed snapshot for testability). Returns the final
+    snapshot: one row per key carrying the latest attrs by (ts,
+    arrival).
+
+    Scale shape: per batch, ONE keyed window over the batch (latest
+    per key) + one keyed outer-merge against the snapshot — the
+    incremental-merge shape; history is never rescanned. The snapshot
+    is checkpointed per batch to truncate lineage across batches."""
+    import tempfile
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_stream_{query_name}_")
+    mutations = normalize_ntz(mutations)
+    # key-partitioned staging: a key's history lives in ONE file, so
+    # every (ts, seq) tie is resolved inside a single batch's window
+    # and the final snapshot is independent of batch arrival order
+    mutations.repartition(4, *[F.col(k) for k in key_cols]).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(mutations.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    state = {"df": None}
+    all_cols = list(key_cols) + [ts_col, seq_col] + list(attr_cols)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(ts_col).desc(), F.col(seq_col).desc()
+        )
+        latest = (
+            batch.select(*all_cols)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["df"] is None:
+            state["df"] = latest.localCheckpoint()
+            return
+        tgt = state["df"]
+        # keep target rows not superseded, add the batch's latest rows
+        # that win on ts (ties: the newer batch wins)
+        joined = tgt.alias("t").join(
+            latest.alias("s"), list(key_cols), "full_outer"
+        )
+        take_src = F.col(f"s.{ts_col}").isNotNull() & (
+            F.col(f"t.{ts_col}").isNull()
+            | (F.col(f"s.{ts_col}") >= F.col(f"t.{ts_col}"))
+        )
+        merged = joined.select(
+            *[
+                F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+                for k in key_cols
+            ],
+            *[
+                F.when(take_src, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in [ts_col, seq_col, *attr_cols]
+            ],
+        )
+        state["df"] = merged.localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return state["df"]

@@ -529,3 +529,54 @@ def test_er_entities_pipeline_links_matching_neighbors(spark):
     got = {r.node: r.comp for r in comp.collect()}
     assert got[1] == got[2] == 1
     assert got[3] == 3
+
+
+def test_benford_audit_digit_extraction(spark):
+    from graphkb_spark.operators.validate import benford_audit
+
+    vals = [1.0, 12.5, 0.023, 950.0, 2.0, 0.29, 3000.0, -4.5, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r.digit: r for r in benford_audit(df, "v").collect()}
+    # leading digits: 1,1,2,9,2,2,3,4 (zero row dropped)
+    assert out[1].observed_n == 2 and out[2].observed_n == 3
+    assert out[9].observed_n == 1 and out[4].observed_n == 1
+    total = sum(r.observed_n for r in out.values())
+    assert total == 8
+    import math
+
+    assert abs(out[1].expected_frac - round(math.log10(2), 6)) < 1e-9
+
+
+def test_streaming_upsert_latest_per_key(spark):
+    import datetime
+
+    from graphkb_spark.streaming.incremental import streaming_upsert_foreachbatch
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 1.0),
+        (1, t0 + datetime.timedelta(hours=1), 2, "b", 2.0),   # wins for key 1
+        (2, t0, 3, "x", 5.0),
+        (2, t0, 4, "y", 6.0),                                 # same ts: seq wins
+        (3, t0, 5, "z", 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type", "value"])
+    out = {r.user_id: (r.event_id, r.event_type)
+           for r in streaming_upsert_foreachbatch(
+               spark, df, query_name="t_stream_upsert_unit").collect()}
+    assert out == {1: (2, "b"), 2: (4, "y"), 3: (5, "z")}
+
+
+def test_streaming_hopping_counts_two_windows_per_event(spark):
+    import datetime
+
+    from graphkb_spark.streaming.incremental import streaming_hopping_counts
+
+    t0 = datetime.datetime(2024, 1, 1, 1, 15)
+    rows = [(1, t0, "a"), (2, t0 + datetime.timedelta(hours=6), "z")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = [(r.window_start, r.event_type, r.n)
+           for r in streaming_hopping_counts(
+               spark, df, query_name="t_stream_hop_unit").collect()]
+    a_windows = sorted(w for w, t, _ in out if t == "a")
+    assert a_windows == ["2024-01-01 00:30:00", "2024-01-01 01:00:00"]
