@@ -4316,17 +4316,16 @@ def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
-    # Round-8 window: (a) the seven queries whose code or oracle changed
-    # this round — gopher_quality (ok_stop gate added, Rae et al. rule),
-    # boilerplate_strip (one-row-per-doc contract), scd2 (null-safe
-    # change detection), kmv_distinct + kmv_distinct_merged (null group
-    # keys survive the pandas partial stage), graph_closure +
-    # hierarchy_rollup (every-3rd-round eager checkpoint bounds lazy
-    # plan growth); (b) the long-overdue r04/r05-green block that has
-    # been out of the window since round 6 (explode_expansion ...),
-    # honoring the r7 rotation promise; the 43 remaining r7-window
-    # entries move to the back (all driver-green in CORRECTNESS_r07,
-    # re-verified in this round's full local sweep).
+    # Round-8 window: the 35 queries NEW this round lead (streaming
+    # hopping/upsert/topk, Benford, governance audits, ER + EM,
+    # k-means training, sketch algebra, layout ops, hybrid retrieval,
+    # point-in-time SCD2, ...), followed by the seven round-7
+    # changed-code queries (gopher_quality, boilerplate_strip, scd2,
+    # kmv_distinct(+merged), graph_closure, hierarchy_rollup) and the
+    # overdue r04/r05-green rotation block; everything else moves back
+    # (all driver-green in CORRECTNESS_r07 and re-verified in this
+    # round's full local sweeps). Round-9 should rotate the r6/r7
+    # blocks that fell out of this window back to the front.
     return {
         "stream_hopping_counts": q_stream_hopping_counts,
         "stream_upsert": q_stream_upsert,

@@ -901,7 +901,7 @@ def sorted_neighborhood_pairs(
     id_col: str,
     sort_key_col: str,
     window: int = 5,
-    prefix_chars: int = 2,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking for entity resolution (Hernandez &
     Stolfo 1995): order all records by a blocking key and emit every
@@ -912,21 +912,31 @@ def sorted_neighborhood_pairs(
     rank_distance) with id_a's rank strictly below id_b's.
 
     Scale shape — the global sort is the trap, and it is avoided: the
-    total order (key, id) is ranked in TWO PHASES — a partitioned
-    row_number within each ``prefix_chars``-character key-prefix bucket,
-    plus cumulative bucket offsets (one tiny window over the
-    bucket-count table, one row per bucket, broadcast back). No
-    unpartitioned window ever sees the data. Pair generation is an
+    total order (key, id) is ranked in TWO PHASES — a
+    ``repartitionByRange`` on (key, id) spreads the data over
+    order-aligned range buckets (sampled boundaries, so ANY key
+    distribution disperses — an earlier key-prefix bucketing
+    degenerated to one bucket when all keys shared a prefix, exactly
+    the common ER case), a row_number within each bucket, and
+    cumulative bucket offsets from a broadcast triangular join over
+    the bucket-count table (one row per bucket). Bucket boundaries
+    only shape the plan, never the output: the global rank is
+    identical whatever the sampling picked. Pair generation is an
     equi-join on floor(rank / window) blocks (each rank joins its own
     and the previous block — every pair at distance <= window falls in
     some shared-or-adjacent block pair), filtered to the exact
     distance; never an all-pairs product."""
     if window <= 0:
         raise ValueError("window must be positive")
+    n_buckets = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     key = F.col(sort_key_col).cast("string")
-    bucket = F.substring(key, 1, prefix_chars)
-    base = df.select(
-        F.col(id_col).alias("__id"), key.alias("__key"), bucket.alias("__b")
+    base = (
+        df.select(F.col(id_col).alias("__id"), key.alias("__key"))
+        .repartitionByRange(n_buckets, F.col("__key").asc(), F.col("__id").asc())
+        .withColumn("__b", F.spark_partition_id())
+        # pin the sampled range assignment: every downstream branch must
+        # see the SAME bucket ids (a re-evaluated sample could differ)
+        .localCheckpoint(eager=False)
     )
     counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
     # cumulative bucket offsets WITHOUT a global window: the count table

@@ -580,3 +580,19 @@ def test_streaming_hopping_counts_two_windows_per_event(spark):
                spark, df, query_name="t_stream_hop_unit").collect()]
     a_windows = sorted(w for w, t, _ in out if t == "a")
     assert a_windows == ["2024-01-01 00:30:00", "2024-01-01 01:00:00"]
+
+
+def test_sorted_neighborhood_disperses_shared_prefix_keys(spark):
+    """The ER-typical case: every key shares a long prefix (serials,
+    'Customer#...'). Range bucketing must still spread the ranking
+    work over many partitions — no single-bucket funnel — and ranks
+    must stay the exact global order."""
+    from graphkb_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(2000)], ["id", "name"]
+    )
+    out = sorted_neighborhood_pairs(df, "id", "name", window=1, n_buckets=8)
+    rows = sorted((r.id_a, r.id_b) for r in out.collect())
+    # adjacent serials pair up exactly once each
+    assert rows == [(i, i + 1) for i in range(1999)]
