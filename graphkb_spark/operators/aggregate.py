@@ -894,7 +894,7 @@ def pareto_frontier_2d(
     x_col: str,
     y_col: str,
     id_col: str,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """2-D skyline (Borzsony, Kossmann & Stocker 2001): rows not
     dominated by any other row — no other row with x' <= x AND y' <= y
@@ -906,30 +906,28 @@ def pareto_frontier_2d(
 
     Scale shape — the textbook solution is a sort + running min, which
     is an UNPARTITIONED window. Here the cummin is split in two
-    phases (the sorted-neighborhood ranking trick): equal-width
-    x-range buckets from a broadcast min/max aggregate, a cummin
-    window WITHIN each bucket, and the cross-bucket prefix min from a
-    triangular broadcast join over the per-bucket min table (one row
-    per bucket). No single-partition funnel touches the data; the
-    frontier test is then a narrow filter."""
+    phases (the sorted-neighborhood ranking trick): order-aligned
+    RANGE buckets (sampled boundaries, so any x distribution
+    disperses), a cummin window WITHIN each bucket, and the
+    cross-bucket prefix min from a triangular broadcast join over the
+    per-bucket min table (one row per bucket). Boundaries shape only
+    the plan — the frontier is identical whatever the sampler picked.
+    The frontier test is then a narrow filter."""
+    n_buckets = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
-    base = df.select(
-        F.col(id_col).alias("__pid"), x.alias("__x"), y.alias("__y")
-    )
-    stats = base.agg(
-        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
-    )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
-    bkt = F.when(
-        F.col("__hi") == F.col("__lo"), F.lit(0)
-    ).otherwise(
-        F.least(
-            F.floor((F.col("__x") - F.col("__lo")) / width),
-            F.lit(n_buckets - 1),
+    # order-aligned range buckets via sampled boundaries (the
+    # sorted-neighborhood fix): equal-width binning degenerates when x
+    # concentrates in one slice; range partitioning disperses ANY
+    # distribution, and boundaries shape only the plan — the frontier
+    # is identical whatever the sampler picked. Checkpoint pins the
+    # sampled assignment across the three consumers.
+    bucketed = (
+        df.select(F.col(id_col).alias("__pid"), x.alias("__x"), y.alias("__y"))
+        .repartitionByRange(
+            n_buckets, F.col("__x").asc(), F.col("__y").asc(), F.col("__pid").asc()
         )
-    ).cast("int")
-    bucketed = base.crossJoin(F.broadcast(stats)).select(
-        "__pid", "__x", "__y", bkt.alias("__b")
+        .withColumn("__b", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_in = (
         Window.partitionBy("__b")
