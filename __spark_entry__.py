@@ -4029,6 +4029,52 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift of event values, first half-month vs
+    second: 10 fixed-width bins, epsilon-smoothed per-bin terms."""
+    from graphkb_spark.operators.aggregate import psi_drift
+
+    t = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev = t["events"].select(
+        F.when(F.col("ts") < cut, F.lit("base")).otherwise(F.lit("cur")).alias(
+            "period"
+        ),
+        "value",
+    )
+    return psi_drift(ev, "period", "value", "base", "cur", n_bins=10)
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of users: recency/frequency/monetary quintile
+    scores against pooled percentile edges, no global sort."""
+    from graphkb_spark.operators.aggregate import rfm_scores
+
+    t = _t(spark, sf_dir, "events")
+    return rfm_scores(t["events"], "user_id", "ts", "value")
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events props JSON parsed
+    at scan speed (get_json_object), per-type stats of the extracted
+    field — exact integer sums, no Python."""
+    t = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("k").isNull().cast("long")).cast("bigint").alias("n_null"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("k_avg"),
+        )
+    )
+
+
 def q_stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window streaming counts (1 h window, 30 min slide):
     each event feeds two overlapping windows under the watermark."""
@@ -4327,6 +4373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's full local sweeps). Round-9 should rotate the r6/r7
     # blocks that fell out of this window back to the front.
     return {
+        "psi_drift": q_psi_drift,
+        "rfm": q_rfm,
+        "json_props": q_json_props,
         "stream_hopping_counts": q_stream_hopping_counts,
         "stream_upsert": q_stream_upsert,
         "benford": q_benford,
@@ -4964,6 +5013,97 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
     oracles = {
+        # PSI drift, identical bin and smoothing arithmetic.
+        "psi_drift": """
+            WITH scoped AS (
+              SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                          THEN 'base' ELSE 'cur' END AS per,
+                     CAST(value AS DOUBLE) AS v
+              FROM events),
+            st AS (SELECT min(v) AS lo, max(v) AS hi FROM scoped),
+            b1 AS (SELECT CASE WHEN hi = lo THEN 0
+                               ELSE CAST(least(floor((v - lo)
+                                    / ((hi - lo) / 10)), 9) AS INT) END AS bin,
+                          lo, hi, per
+                   FROM scoped, st),
+            b2 AS (SELECT bin,
+                          round(lo + bin * ((hi - lo) / 10), 6) AS lo_edge,
+                          CASE WHEN per = 'base' THEN 1 ELSE 0 END AS nb,
+                          CASE WHEN per = 'cur' THEN 1 ELSE 0 END AS nc
+                   FROM b1),
+            c AS (SELECT bin, lo_edge, sum(nb) AS n_base, sum(nc) AS n_cur
+                  FROM b2 GROUP BY 1, 2),
+            t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM c)
+            SELECT bin, lo_edge,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round(CAST(n_base AS DOUBLE) / tb, 6) AS frac_base,
+                   round(CAST(n_cur AS DOUBLE) / tc, 6) AS frac_cur,
+                   round((CAST(n_cur AS DOUBLE) / tc + 1e-6
+                          - (CAST(n_base AS DOUBLE) / tb + 1e-6))
+                         * ln((CAST(n_cur AS DOUBLE) / tc + 1e-6)
+                              / (CAST(n_base AS DOUBLE) / tb + 1e-6)), 6)
+                     AS psi_term
+            FROM c, t
+        """,
+        # RFM quintiles against pooled quantile_cont edges.
+        "rfm": """
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+            u AS (SELECT user_id,
+                         CAST(floor(min(epoch_us(m) - epoch_us(ts))
+                              / 1000000) AS BIGINT) AS recency_s,
+                         CAST(count(*) AS BIGINT) AS freq,
+                         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                           AS monetary
+                  FROM events, mx GROUP BY user_id),
+            e AS (SELECT quantile_cont(recency_s, 0.2) AS r0,
+                         quantile_cont(recency_s, 0.4) AS r1,
+                         quantile_cont(recency_s, 0.6) AS r2,
+                         quantile_cont(recency_s, 0.8) AS r3,
+                         quantile_cont(freq, 0.2) AS f0,
+                         quantile_cont(freq, 0.4) AS f1,
+                         quantile_cont(freq, 0.6) AS f2,
+                         quantile_cont(freq, 0.8) AS f3,
+                         quantile_cont(monetary, 0.2) AS m0,
+                         quantile_cont(monetary, 0.4) AS m1,
+                         quantile_cont(monetary, 0.6) AS m2,
+                         quantile_cont(monetary, 0.8) AS m3
+                  FROM u),
+            s AS (SELECT user_id, recency_s, freq, monetary,
+                         6 - (1 + CAST(recency_s > r0 AS INT)
+                                + CAST(recency_s > r1 AS INT)
+                                + CAST(recency_s > r2 AS INT)
+                                + CAST(recency_s > r3 AS INT)) AS r_score,
+                         1 + CAST(freq > f0 AS INT) + CAST(freq > f1 AS INT)
+                           + CAST(freq > f2 AS INT) + CAST(freq > f3 AS INT)
+                             AS f_score,
+                         1 + CAST(monetary > m0 AS INT)
+                           + CAST(monetary > m1 AS INT)
+                           + CAST(monetary > m2 AS INT)
+                           + CAST(monetary > m3 AS INT) AS m_score
+                  FROM u, e)
+            SELECT user_id, recency_s, freq, round(monetary, 4) AS monetary,
+                   CAST(r_score AS INT) AS r_score,
+                   CAST(f_score AS INT) AS f_score,
+                   CAST(m_score AS INT) AS m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                     || CAST(m_score AS VARCHAR) AS segment
+            FROM s
+        """,
+        # JSON column extraction parity.
+        "json_props": """
+            WITH x AS (SELECT event_type,
+                              CAST(json_extract_string(props, '$.k') AS INT)
+                                AS k
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   min(k) AS k_min, max(k) AS k_max,
+                   round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS k_avg
+            FROM x GROUP BY event_type
+        """,
         # hopping windows: every event contributes to the two slides
         # covering it; only watermark-closed windows emit.
         "stream_hopping_counts": """

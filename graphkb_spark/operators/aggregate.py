@@ -1223,3 +1223,141 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+    baseline,
+    current,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    period: fixed-width bins over the GLOBAL value range, per-period
+    mass, psi_term = (p_cur - p_base) * ln(p_cur / p_base) with
+    epsilon-smoothed fractions — the standard model-monitoring drift
+    score (PSI > 0.2 = investigate). Returns one row per bin:
+    (bin, lo_edge, n_base, n_cur, frac_base, frac_cur, psi_term),
+    fractions and terms rounded to 6; sum psi_term for the headline
+    number.
+
+    Scale shape: one broadcast min/max aggregate, a narrow bin
+    projection, ONE partial-agg shuffle on (bin) with conditional
+    counts. The distribution compare never joins the periods — both
+    ride the same aggregation."""
+    v = F.col(value_col).cast("double")
+    per = F.col(period_col)
+    scoped = df.filter(per.isin([baseline, current]))
+    stats = scoped.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("__lo")) / width), F.lit(n_bins - 1)
+        )
+    ).cast("int")
+    binned = scoped.crossJoin(F.broadcast(stats)).select(
+        bin_.alias("bin"),
+        F.round(F.col("__lo") + bin_ * width, 6).alias("lo_edge"),
+        (per == baseline).cast("long").alias("__b"),
+        (per == current).cast("long").alias("__c"),
+    )
+    counts = binned.groupBy("bin", "lo_edge").agg(
+        F.sum("__b").alias("n_base"), F.sum("__c").alias("n_cur")
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    p = F.col("n_base") / F.col("__tb") + epsilon
+    q = F.col("n_cur") / F.col("__tc") + epsilon
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "lo_edge",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.col("n_base") / F.col("__tb"), 6).alias("frac_base"),
+        F.round(F.col("n_cur") / F.col("__tc"), 6).alias("frac_cur"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """RFM customer scoring: per-user Recency (seconds before the
+    dataset's max timestamp), Frequency (event count), Monetary
+    (decimal-exact value sum), each cut into quintiles 1-5 against the
+    POOLED user distribution (5 = most recent / most frequent /
+    highest spend), plus the concatenated segment code ("545"). The
+    warehouse segmentation classic.
+
+    Scale shape: one keyed aggregation to users, one 1-row percentile
+    aggregate over the user table (interpolating ``percentile``, the
+    grouped_percentiles parity anchor), broadcast back as threshold
+    comparisons — no global sort, no ntile window."""
+    mx = events.agg(F.max(F.col(ts_col)).alias("__mx"))
+    users = (
+        events.crossJoin(F.broadcast(mx))
+        .groupBy(F.col(user_col))
+        .agg(
+            F.min(
+                F.unix_micros(F.col("__mx")) - F.unix_micros(F.col(ts_col))
+            ).alias("rec_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col(value_col).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            user_col,
+            # floor, not cast-truncation: cast(double->int) truncates in
+            # Spark but rounds in other engines; floor is unambiguous
+            F.floor(F.col("rec_us") / F.lit(1_000_000)).cast("long").alias(
+                "recency_s"
+            ),
+            F.col("freq").cast("bigint").alias("freq"),
+            "monetary",
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    edges = users.agg(
+        *[
+            F.expr(f"percentile(recency_s, {p})").alias(f"__r{i}")
+            for i, p in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(freq, {p})").alias(f"__f{i}")
+            for i, p in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(monetary, {p})").alias(f"__m{i}")
+            for i, p in enumerate(qs)
+        ],
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> Column:
+        c = F.col(col)
+        s = F.lit(1)
+        for i in range(4):
+            s = s + (c > F.col(f"__{prefix}{i}")).cast("int")
+        return (F.lit(6) - s) if invert else s
+
+    return users.crossJoin(F.broadcast(edges)).select(
+        user_col,
+        "recency_s",
+        "freq",
+        F.round("monetary", 4).alias("monetary"),
+        score("recency_s", "r", True).alias("r_score"),
+        score("freq", "f", False).alias("f_score"),
+        score("monetary", "m", False).alias("m_score"),
+        F.concat(
+            score("recency_s", "r", True).cast("string"),
+            score("freq", "f", False).cast("string"),
+            score("monetary", "m", False).cast("string"),
+        ).alias("segment"),
+    )

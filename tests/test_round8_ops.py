@@ -596,3 +596,39 @@ def test_sorted_neighborhood_disperses_shared_prefix_keys(spark):
     rows = sorted((r.id_a, r.id_b) for r in out.collect())
     # adjacent serials pair up exactly once each
     assert rows == [(i, i + 1) for i in range(1999)]
+
+
+def test_psi_drift_flags_shifted_distribution(spark):
+    from graphkb_spark.operators.aggregate import psi_drift
+
+    rows = [("base", float(v % 10)) for v in range(1000)]
+    rows += [("cur", float(v % 10) + 5.0) for v in range(1000)]  # shifted
+    df = spark.createDataFrame(rows, ["period", "v"])
+    out = psi_drift(df, "period", "v", "base", "cur", n_bins=10).collect()
+    psi = sum(r.psi_term for r in out)
+    assert psi > 0.2  # a 50% range shift is loud
+    same = psi_drift(df.filter("period = 'base'")
+                     .union(df.filter("period = 'base'")
+                            .withColumn("period", F.lit("cur"))),
+                     "period", "v", "base", "cur", n_bins=10).collect()
+    assert abs(sum(r.psi_term for r in same)) < 1e-6
+
+
+def test_rfm_scores_order_and_segment(spark):
+    import datetime
+
+    from graphkb_spark.operators.aggregate import rfm_scores
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user u gets u+1 events, newer and bigger for higher u
+    for u in range(10):
+        for i in range(u + 1):
+            rows.append((u, t0 + datetime.timedelta(days=u, minutes=i),
+                         float((u + 1) * 10)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r.user_id: r for r in rfm_scores(df, "user_id", "ts", "value").collect()}
+    assert out[9].r_score == 5 and out[9].f_score == 5 and out[9].m_score == 5
+    assert out[9].segment == "555"
+    assert out[0].r_score == 1 and out[0].f_score == 1 and out[0].m_score == 1
+    assert out[0].freq == 1 and out[9].freq == 10
