@@ -4029,6 +4029,45 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the exact top-15 candidates for 5
+    queries (k=5, lambda=0.7): greedy argmax of relevance minus
+    max-similarity-to-selected, DataFrame-parallel across queries."""
+    from graphkb_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cands = cosine_topk(emb, queries, k=15).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+    withv = cands.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(
+        withv, "query_id", "neighbor_id", "cos_sim", "vec", k=5, lam=0.7
+    )
+
+
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link-prediction negative sampling over the
+    co-occurrence graph: md5-proposed destinations, existing edges
+    anti-joined away, first 3 survivors per source."""
+    from graphkb_spark.operators.graph import negative_edge_samples
+
+    t = _t(spark, sf_dir, "lineitem")
+    edges = t["lineitem"].select(
+        (F.col("l_orderkey") % 20000).alias("src"),
+        ((F.col("l_partkey") * 3) % 20000).alias("dst"),
+    )
+    return negative_edge_samples(edges, n_nodes=20000, k=3)
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution drift of event values, first half-month vs
     second: 10 fixed-width bins, epsilon-smoothed per-bin terms."""
@@ -4373,6 +4412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's full local sweeps). Round-9 should rotate the r6/r7
     # blocks that fell out of this window back to the front.
     return {
+        "mmr_rerank": q_mmr_rerank,
+        "negative_edges": q_negative_edges,
         "psi_drift": q_psi_drift,
         "rfm": q_rfm,
         "json_props": q_json_props,
@@ -5013,6 +5054,119 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
     oracles = {
+        # greedy MMR unrolled: each round's pick joins the selected set.
+        "mmr_rerank": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, xs AS qv FROM v
+                  WHERE vec_id < 5),
+            sc AS (SELECT query_id, v.vec_id AS id,
+                          list_cosine_similarity(qv, v.xs) AS rel, v.xs AS cv
+                   FROM v, q WHERE v.vec_id <> query_id),
+            cand AS (SELECT query_id, id, rel, cv FROM (
+                       SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY rel DESC, id ASC) AS rk
+                       FROM sc) WHERE rk <= 15),
+            s1 AS (SELECT query_id, id, rel, cv, mmr FROM (
+                     SELECT query_id, id, rel, cv, 0.7 * rel AS mmr,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY (0.7 * rel) DESC, id ASC) AS rn
+                     FROM cand) WHERE rn = 1),
+            sel2 AS (SELECT query_id, id, cv FROM s1),
+            rem2 AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+                         SELECT 1 FROM sel2 s
+                         WHERE s.query_id = c.query_id AND s.id = c.id)),
+            ms2 AS (SELECT r.query_id, r.id,
+                             max(list_cosine_similarity(r.cv, s.cv)) AS ms
+                      FROM rem2 r JOIN sel2 s ON s.query_id = r.query_id
+                      GROUP BY 1, 2),
+            s2 AS (SELECT query_id, id, rel, cv, mmr FROM (
+                       SELECT r.query_id, r.id, r.rel, r.cv,
+                              0.7 * r.rel - (1.0 - 0.7) * m.ms AS mmr,
+                              row_number() OVER (
+                                PARTITION BY r.query_id
+                                ORDER BY (0.7 * r.rel - (1.0 - 0.7) * m.ms)
+                                         DESC, r.id ASC) AS rn
+                       FROM rem2 r JOIN ms2 m
+                         ON m.query_id = r.query_id AND m.id = r.id)
+                     WHERE rn = 1),
+            sel3 AS (SELECT query_id, id, cv FROM s1 UNION ALL SELECT query_id, id, cv FROM s2),
+            rem3 AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+                         SELECT 1 FROM sel3 s
+                         WHERE s.query_id = c.query_id AND s.id = c.id)),
+            ms3 AS (SELECT r.query_id, r.id,
+                             max(list_cosine_similarity(r.cv, s.cv)) AS ms
+                      FROM rem3 r JOIN sel3 s ON s.query_id = r.query_id
+                      GROUP BY 1, 2),
+            s3 AS (SELECT query_id, id, rel, cv, mmr FROM (
+                       SELECT r.query_id, r.id, r.rel, r.cv,
+                              0.7 * r.rel - (1.0 - 0.7) * m.ms AS mmr,
+                              row_number() OVER (
+                                PARTITION BY r.query_id
+                                ORDER BY (0.7 * r.rel - (1.0 - 0.7) * m.ms)
+                                         DESC, r.id ASC) AS rn
+                       FROM rem3 r JOIN ms3 m
+                         ON m.query_id = r.query_id AND m.id = r.id)
+                     WHERE rn = 1),
+            sel4 AS (SELECT query_id, id, cv FROM s1 UNION ALL SELECT query_id, id, cv FROM s2 UNION ALL SELECT query_id, id, cv FROM s3),
+            rem4 AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+                         SELECT 1 FROM sel4 s
+                         WHERE s.query_id = c.query_id AND s.id = c.id)),
+            ms4 AS (SELECT r.query_id, r.id,
+                             max(list_cosine_similarity(r.cv, s.cv)) AS ms
+                      FROM rem4 r JOIN sel4 s ON s.query_id = r.query_id
+                      GROUP BY 1, 2),
+            s4 AS (SELECT query_id, id, rel, cv, mmr FROM (
+                       SELECT r.query_id, r.id, r.rel, r.cv,
+                              0.7 * r.rel - (1.0 - 0.7) * m.ms AS mmr,
+                              row_number() OVER (
+                                PARTITION BY r.query_id
+                                ORDER BY (0.7 * r.rel - (1.0 - 0.7) * m.ms)
+                                         DESC, r.id ASC) AS rn
+                       FROM rem4 r JOIN ms4 m
+                         ON m.query_id = r.query_id AND m.id = r.id)
+                     WHERE rn = 1),
+            sel5 AS (SELECT query_id, id, cv FROM s1 UNION ALL SELECT query_id, id, cv FROM s2 UNION ALL SELECT query_id, id, cv FROM s3 UNION ALL SELECT query_id, id, cv FROM s4),
+            rem5 AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+                         SELECT 1 FROM sel5 s
+                         WHERE s.query_id = c.query_id AND s.id = c.id)),
+            ms5 AS (SELECT r.query_id, r.id,
+                             max(list_cosine_similarity(r.cv, s.cv)) AS ms
+                      FROM rem5 r JOIN sel5 s ON s.query_id = r.query_id
+                      GROUP BY 1, 2),
+            s5 AS (SELECT query_id, id, rel, cv, mmr FROM (
+                       SELECT r.query_id, r.id, r.rel, r.cv,
+                              0.7 * r.rel - (1.0 - 0.7) * m.ms AS mmr,
+                              row_number() OVER (
+                                PARTITION BY r.query_id
+                                ORDER BY (0.7 * r.rel - (1.0 - 0.7) * m.ms)
+                                         DESC, r.id ASC) AS rn
+                       FROM rem5 r JOIN ms5 m
+                         ON m.query_id = r.query_id AND m.id = r.id)
+                     WHERE rn = 1)
+            SELECT query_id, id AS neighbor_id, CAST(rank AS INT) AS rank,
+                   round(mmr, 6) AS mmr_score
+            FROM (SELECT query_id, id, 1 AS rank, mmr FROM s1 UNION ALL SELECT query_id, id, 2 AS rank, mmr FROM s2 UNION ALL SELECT query_id, id, 3 AS rank, mmr FROM s3 UNION ALL SELECT query_id, id, 4 AS rank, mmr FROM s4 UNION ALL SELECT query_id, id, 5 AS rank, mmr FROM s5)
+""",
+        # deterministic negative sampling, NOT EXISTS against real edges.
+        "negative_edges": """
+            WITH e AS (SELECT DISTINCT l_orderkey % 20000 AS u,
+                              (l_partkey * 3) % 20000 AS v
+                       FROM lineitem),
+            s AS (SELECT DISTINCT u FROM e),
+            c AS (SELECT u, i,
+                         ('0x' || substr(md5('neg' || ':'
+                            || CAST(u AS VARCHAR) || ':'
+                            || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 20000 AS d
+                  FROM s, unnest(generate_series(0, 8)) AS t(i)),
+            f AS (SELECT * FROM c WHERE u <> d AND NOT EXISTS (
+                    SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.d)),
+            r AS (SELECT u, d, row_number() OVER (
+                    PARTITION BY u ORDER BY i ASC) AS rn FROM f)
+            SELECT u AS src, d AS dst, CAST(rn AS INT) AS neg_rank
+            FROM r WHERE rn <= 3
+""",
         # PSI drift, identical bin and smoothing arithmetic.
         "psi_drift": """
             WITH scoped AS (

@@ -11,7 +11,7 @@ frontier is small; at scale the join keys are co-partitionable by rid).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -407,4 +407,67 @@ def kcore(
         .unionByName(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    n_nodes: int,
+    k: int = 3,
+    oversample: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    for every source node, propose md5-derived candidate destinations,
+    drop self-loops and EXISTING edges (true negatives only), keep the
+    first ``k`` per source in proposal order. Content-free hash
+    "randomness" (the split_assign contract), so corpora regenerate
+    the identical negative set on every run and in any engine.
+    Returns (src, dst, neg_rank).
+
+    Scale shape: candidates are a narrow explode (oversample * k per
+    source), the existing-edge check is ONE anti-join on (src, dst)
+    — partial and broadcast-able when the edge side is the smaller —
+    and the per-source cut is a keyed window over <= oversample * k
+    rows. Sources whose candidates all collide with real edges
+    under-fill (documented; raise ``oversample``)."""
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    m = k * oversample
+    srcs = edges.select(F.col(src).alias("__s")).distinct()
+    i = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__i")
+    cand = srcs.select("__s", i)
+    proposal = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("__s").cast("string"),
+                        F.col("__i").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_nodes),
+    )
+    cand = cand.select("__s", "__i", proposal.alias("__d")).filter(
+        F.col("__s") != F.col("__d")
+    )
+    existing = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).distinct()
+    negs = cand.join(existing, ["__s", "__d"], "left_anti")
+    w = Window.partitionBy("__s").orderBy(F.col("__i").asc())
+    return (
+        negs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__s").alias(src),
+            F.col("__d").alias(dst),
+            F.col("__rn").cast("int").alias("neg_rank"),
+        )
     )

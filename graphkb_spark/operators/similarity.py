@@ -697,3 +697,88 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("__wa") * F.col("__wb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the standard diversity pass over a retrieval candidate
+    list: greedily pick argmax of lam * relevance - (1 - lam) *
+    max-similarity-to-already-selected, so near-duplicate hits don't
+    crowd the top-k. Returns (query, id, rank, mmr_score), rank
+    1..k, score rounded to 6, ties to the smaller id.
+
+    Scale shape: the greedy loop is INHERENTLY k sequential steps, but
+    each step is DataFrame-parallel across ALL queries at once — one
+    keyed join of remaining candidates against the (<= step-per-query,
+    small) selected set, one per-query window argmax. Candidate lists
+    are bounded (they come from a top-m retrieval), so per-step state
+    is queries x m rows; both frames checkpoint per step to keep plans
+    flat. Nothing ever collects."""
+    if k < 1 or not 0.0 <= lam <= 1.0:
+        raise ValueError("k >= 1 and 0 <= lam <= 1 required")
+    remaining = candidates.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).cast("double").alias("__rel"),
+        F.col(vec_col).alias("__v"),
+    ).localCheckpoint(eager=False)
+    selected = None
+    picks = []
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = remaining.select(
+                "__q", "__id", "__rel", "__v",
+                (F.lit(lam) * F.col("__rel")).alias("__mmr"),
+            )
+        else:
+            sel = selected.select(
+                F.col("__q"), F.col("__v").alias("__sv")
+            )
+            ms = (
+                remaining.join(sel, "__q")
+                .groupBy("__q", "__id")
+                .agg(F.max(cosine("__v", "__sv")).alias("__ms"))
+            )
+            scored = remaining.join(ms, ["__q", "__id"]).select(
+                "__q", "__id", "__rel", "__v",
+                (
+                    F.lit(lam) * F.col("__rel")
+                    - F.lit(1.0 - lam) * F.col("__ms")
+                ).alias("__mmr"),
+            )
+        w = Window.partitionBy("__q").orderBy(
+            F.col("__mmr").desc(), F.col("__id").asc()
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__q", "__id", "__rel", "__v", "__mmr")
+            .localCheckpoint(eager=False)
+        )
+        picks.append(
+            pick.select(
+                "__q", "__id", F.lit(step).alias("rank"),
+                F.round("__mmr", 6).alias("mmr_score"),
+            )
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("__q", "__id"), ["__q", "__id"], "left_anti"
+        ).localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.col("__id").alias(id_col),
+        "rank",
+        "mmr_score",
+    )

@@ -632,3 +632,41 @@ def test_rfm_scores_order_and_segment(spark):
     assert out[9].segment == "555"
     assert out[0].r_score == 1 and out[0].f_score == 1 and out[0].m_score == 1
     assert out[0].freq == 1 and out[9].freq == 10
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from graphkb_spark.operators.similarity import mmr_rerank
+
+    # candidates: two near-identical top hits + one orthogonal; with
+    # lambda=0.5 the orthogonal doc must jump the duplicate
+    cands = spark.createDataFrame(
+        [
+            ("q", 1, 0.99, [1.0, 0.0]),
+            ("q", 2, 0.98, [1.0, 0.01]),   # clone of 1
+            ("q", 3, 0.60, [0.0, 1.0]),    # orthogonal
+        ],
+        ["query_id", "neighbor_id", "rel", "vec"],
+    )
+    out = {r.rank: r.neighbor_id
+           for r in mmr_rerank(cands, "query_id", "neighbor_id", "rel", "vec",
+                               k=3, lam=0.5).collect()}
+    assert out[1] == 1 and out[2] == 3 and out[3] == 2
+
+
+def test_negative_edges_never_hit_real_edges(spark):
+    from graphkb_spark.operators.graph import negative_edge_samples
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], ["src", "dst"]
+    )
+    out = negative_edge_samples(edges, n_nodes=50, k=3).collect()
+    real = {(i, (i + 1) % 50) for i in range(50)}
+    assert all((r.src, r.dst) not in real and r.src != r.dst for r in out)
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.src, []).append(r.neg_rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_src.values())
+    # determinism: a second run produces the identical set
+    again = negative_edge_samples(edges, n_nodes=50, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
