@@ -78,6 +78,14 @@ HEADLINE = [
     "kcore",
     "sorted_neighborhood",
     "fellegi_sunter",
+    # round-8 late-batch promotions (same protocol): fs_em 1.82 vs
+    # 2.65 s, mmr_rerank 2.92 vs 4.51 s, er_entities at parity
+    # (2.75 vs 2.74 s — the recursive ER pipeline, kept honest in the
+    # headline); the other 13 new queries are floor-bound against
+    # micro-oracles and stay out (measurements in docs/FLOORS.md)
+    "fs_em",
+    "mmr_rerank",
+    "er_entities",
 ]
 
 
