@@ -4029,6 +4029,18 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint per event type over the value series in
+    time order: the binary-segmentation split from decimal-exact
+    prefix sums, one shuffle."""
+    from graphkb_spark.operators.aggregate import mean_shift_changepoint
+
+    t = _t(spark, sf_dir, "events")
+    return mean_shift_changepoint(
+        t["events"], ["event_type"], ["ts", "event_id"], "value"
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-ranking of the exact top-15 candidates for 5
     queries (k=5, lambda=0.7): greedy argmax of relevance minus
@@ -4412,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's full local sweeps). Round-9 should rotate the r6/r7
     # blocks that fell out of this window back to the front.
     return {
+        "changepoint": q_changepoint,
         "mmr_rerank": q_mmr_rerank,
         "negative_edges": q_negative_edges,
         "psi_drift": q_psi_drift,
@@ -5054,6 +5067,30 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
     oracles = {
+        # mean-shift changepoint from the same exact prefix sums.
+        "changepoint": """
+            WITH o AS (
+              SELECT event_type AS k, value,
+                     row_number() OVER w AS i,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(38,10)))
+                          OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s,
+                     CAST(sum(CAST(value AS DECIMAL(38,10)))
+                          OVER (PARTITION BY event_type) AS DOUBLE) AS st
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+            f AS (SELECT k, n, i, s, st,
+                         s * s / i + (st - s) * (st - s) / (n - i) AS f
+                  FROM o WHERE i < n),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY k ORDER BY f DESC, i ASC) AS rn FROM f)
+            SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+                   CAST(i AS BIGINT) AS split_i,
+                   round(s / i, 6) AS left_mean,
+                   round((st - s) / (n - i), 6) AS right_mean,
+                   round((st - s) / (n - i) - s / i, 6) AS delta
+            FROM r WHERE rn = 1
+        """,
         # greedy MMR unrolled: each round's pick joins the selected set.
         "mmr_rerank": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs

@@ -1361,3 +1361,67 @@ def rfm_scores(
             score("monetary", "m", False).cast("string"),
         ).alias("segment"),
     )
+
+
+def mean_shift_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Single mean-shift changepoint per key (the first step of binary
+    segmentation): the split index minimizing the two-segment squared
+    error — equivalently maximizing S_i^2/i + (S_n - S_i)^2/(n - i)
+    over prefix sums — the step detector for telemetry level shifts,
+    deploy regressions, and metric breaks. Returns per key (n,
+    split_i, left_mean, right_mean, delta), means rounded to 6; keys
+    with fewer than 2 rows are omitted (no valid split). The caller
+    judges significance from delta (or runs ``psi_drift`` on the two
+    sides).
+
+    Engine-determinism: prefix and total sums are DECIMAL(38,10)
+    (exact, order-independent); the objective is then fixed double
+    algebra, identical in any engine, with ties to the earliest index.
+
+    Scale shape: ONE shuffle on the key — the running sum, the total
+    sum and the tie-broken argmax all share that partitioning (three
+    windows, one exchange). No self-joins, no per-candidate passes."""
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*key_cols)
+    dec = F.col(value_col).cast("decimal(38,10)")
+    base = df.select(
+        *key_cols,
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum(dec).over(wrun).cast("double").alias("__s"),
+        F.sum(dec).over(wall).cast("double").alias("__st"),
+    ).filter(F.col("__i") < F.col("__n"))
+    fobj = (
+        F.col("__s") * F.col("__s") / F.col("__i")
+        + (F.col("__st") - F.col("__s"))
+        * (F.col("__st") - F.col("__s"))
+        / (F.col("__n") - F.col("__i"))
+    )
+    wpick = Window.partitionBy(*key_cols).orderBy(
+        fobj.desc(), F.col("__i").asc()
+    )
+    return (
+        base.withColumn("__rn", F.row_number().over(wpick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.col("__n").cast("bigint").alias("n"),
+            F.col("__i").cast("bigint").alias("split_i"),
+            F.round(F.col("__s") / F.col("__i"), 6).alias("left_mean"),
+            F.round(
+                (F.col("__st") - F.col("__s")) / (F.col("__n") - F.col("__i")), 6
+            ).alias("right_mean"),
+            F.round(
+                (F.col("__st") - F.col("__s")) / (F.col("__n") - F.col("__i"))
+                - F.col("__s") / F.col("__i"),
+                6,
+            ).alias("delta"),
+        )
+    )

@@ -670,3 +670,18 @@ def test_negative_edges_never_hit_real_edges(spark):
     # determinism: a second run produces the identical set
     again = negative_edge_samples(edges, n_nodes=50, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_changepoint_finds_injected_step(spark):
+    from graphkb_spark.operators.aggregate import mean_shift_changepoint
+
+    rows = [("k", i, 10.0 if i <= 40 else 30.0) for i in range(1, 101)]
+    rows += [("flat", i, 7.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["key", "seq", "value"])
+    out = {r.key: r for r in mean_shift_changepoint(
+        df, ["key"], ["seq"], "value").collect()}
+    r = out["k"]
+    assert r.split_i == 40
+    assert r.left_mean == 10.0 and r.right_mean == 30.0 and r.delta == 20.0
+    # a flat series still returns its argmax split, delta 0
+    assert out["flat"].delta == 0.0
