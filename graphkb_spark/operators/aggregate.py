@@ -1249,7 +1249,8 @@ def psi_drift(
     ride the same aggregation."""
     v = F.col(value_col).cast("double")
     per = F.col(period_col)
-    scoped = df.filter(per.isin([baseline, current]))
+    # scoped rows feed the range aggregate AND the binning pass
+    scoped = df.filter(per.isin([baseline, current])).localCheckpoint(eager=False)
     stats = scoped.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
     bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
@@ -1263,9 +1264,10 @@ def psi_drift(
         (per == baseline).cast("long").alias("__b"),
         (per == current).cast("long").alias("__c"),
     )
+    # the bin table feeds the totals AND the final projection
     counts = binned.groupBy("bin", "lo_edge").agg(
         F.sum("__b").alias("n_base"), F.sum("__c").alias("n_cur")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
     )

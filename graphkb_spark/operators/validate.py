@@ -362,7 +362,13 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         F.regexp_replace(F.format_number(v, 10), r"[0.,]", ""), 1, 1
     ).cast("int")
     base = df.filter(v > 0).select(digit.alias("digit"))
-    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("observed_n"))
+    # the 9-row count table feeds the total AND the final projection —
+    # materialize once so the fact scan runs once
+    counts = (
+        base.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed_n"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("observed_n").alias("__t"))
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     return (

@@ -101,6 +101,13 @@ BUDGETS = [
     ("join_size_estimate", 3, 0, True),  # two sampled counts + key join
     ("containment_pairs", 4, 0, True),   # post-checkpoint posting join
     ("kmeans_train", 2, 0, False),     # k-row centroid broadcast = BNLJ
+    # round-8 batch 8-11
+    ("changepoint", 1, 0, True),       # three windows share one exchange
+    ("benford", 1, 0, False),          # digit agg + 1-row total BNLJ
+    ("json_props", 1, 0, True),        # narrow JSON extract + one agg
+    ("psi_drift", 2, 0, False),        # stats bcast + shared period agg
+    ("rfm", 2, 0, False),              # user agg + 1-row edges broadcast
+    ("negative_edges", 3, 0, True),    # distinct srcs/edges + anti-join
 ]
 
 
