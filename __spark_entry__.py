@@ -4029,6 +4029,27 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
 
 
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sample: 2000 events allocated
+    across event types by Neyman allocation (N_h * sigma_h), md5-rank
+    selection inside each stratum."""
+    from graphkb_spark.operators.sampling import neyman_stratified_sample
+
+    t = _t(spark, sf_dir, "events")
+    return neyman_stratified_sample(
+        t["events"], "event_type", "event_id", "value", budget=2000
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths: after
+    it, every source has the identical length distribution."""
+    from graphkb_spark.operators.aggregate import quantile_normalize
+
+    t = _t(spark, sf_dir, "documents")
+    return quantile_normalize(t["documents"], "source", "doc_id", "n_chars")
+
+
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-shift changepoint per event type over the value series in
     time order: the binary-segmentation split from decimal-exact
@@ -4424,6 +4445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's full local sweeps). Round-9 should rotate the r6/r7
     # blocks that fell out of this window back to the front.
     return {
+        "neyman_sample": q_neyman_sample,
+        "quantile_normalize": q_quantile_normalize,
         "changepoint": q_changepoint,
         "mmr_rerank": q_mmr_rerank,
         "negative_edges": q_negative_edges,
@@ -5067,6 +5090,50 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
     oracles = {
+        # Neyman allocation: decimal moments -> floored shares -> md5
+        # rank cut, replayed exactly.
+        "neyman_sample": """
+            WITH st AS (
+              SELECT event_type, count(*) AS N,
+                     CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,10)))
+                          AS DOUBLE) AS s,
+                     CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                          AS DECIMAL(38,10))) AS DOUBLE) AS ss
+              FROM events GROUP BY 1),
+            wts AS (SELECT event_type, N,
+                           N * sqrt(greatest(ss / N - (s / N) * (s / N), 0.0))
+                             AS w
+                    FROM st),
+            tot AS (SELECT sum(w) AS tw FROM wts),
+            alloc AS (SELECT event_type,
+                             CAST(least(floor(2000 * w / tw), N) AS INT)
+                               AS alloc_n
+                      FROM wts, tot),
+            rk AS (SELECT e.event_type, e.event_id, e.value, a.alloc_n,
+                          row_number() OVER (
+                            PARTITION BY e.event_type
+                            ORDER BY md5(e.event_type || ':'
+                                         || CAST(e.event_id AS VARCHAR)) ASC,
+                                     e.event_id ASC) AS r
+                   FROM events e JOIN alloc a ON e.event_type = a.event_type)
+            SELECT event_type, event_id, value, alloc_n
+            FROM rk WHERE r <= alloc_n
+        """,
+        # rank-wise cross-group means (quantile normalization).
+        "quantile_normalize": """
+            WITH rk AS (
+              SELECT source, doc_id, n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id ASC) AS INT) AS rank
+              FROM documents),
+            m AS (SELECT rank,
+                         round(CAST(sum(CAST(n_chars AS DECIMAL(38,10)))
+                               AS DOUBLE) / count(*), 6) AS normalized
+                  FROM rk GROUP BY rank)
+            SELECT r.source, r.doc_id, r.n_chars, r.rank, m.normalized
+            FROM rk r JOIN m ON r.rank = m.rank
+        """,
         # mean-shift changepoint from the same exact prefix sums.
         "changepoint": """
             WITH o AS (

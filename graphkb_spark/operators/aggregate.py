@@ -1427,3 +1427,41 @@ def mean_shift_changepoint(
             ).alias("delta"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization (the microarray/batch-effect
+    classic): rank values within each group, average the values at
+    each rank ACROSS groups, and give every row the mean of its rank —
+    after which every group has an identical distribution. Groups of
+    unequal size average over the groups that reach the rank (the
+    standard generalization). Returns (group, id, value, rank,
+    normalized), normalized rounded to 6.
+
+    Engine-determinism: per-rank means come from DECIMAL(38,10) sums
+    of 2-decimal-class inputs. Scale shape: one keyed ranking window
+    (group), one partial-agg shuffle on the rank, and a rank-keyed
+    join back — no global sort; the rank table is as long as the
+    largest group."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        group_col, id_col, F.col(value_col),
+        F.row_number().over(w).alias("rank"),
+    ).localCheckpoint(eager=False)
+    means = ranked.groupBy("rank").agg(
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("normalized")
+    )
+    return ranked.join(means, "rank").select(
+        group_col, id_col, value_col, "rank", "normalized"
+    )

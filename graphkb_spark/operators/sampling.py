@@ -565,3 +565,64 @@ def dsir_log_weights(
             F.round(F.sum("__lr"), 6).cast("double").alias("log_weight"),
         )
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-allocation stratified sampling (Neyman 1934): the
+    variance-optimal split of a sampling ``budget`` across strata,
+    n_h proportional to N_h * sigma_h — high-variance strata get more
+    rows than proportional allocation would give, minimizing the
+    variance of the estimated mean. Selection inside each stratum is
+    md5-ranked (content-free, bit-deterministic, the split_assign
+    contract). Returns the selected rows (stratum, id, value,
+    alloc_n); per-stratum allocation floors (total can undershoot the
+    budget by < n_strata; callers needing exact totals top up from
+    the largest remainders).
+
+    Engine-determinism: sigma_h comes from DECIMAL(38,10) moments
+    (population form), so allocations are bit-stable; the per-stratum
+    cut is a rank over md5 order. Scale shape: one keyed moment
+    aggregation (partial-agg), a broadcast of the per-stratum
+    allocation table, and ONE keyed ranking window."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum(v.cast("decimal(38,10)")).cast("double").alias("__s"),
+        F.sum((v * v).cast("decimal(38,10)")).cast("double").alias("__ss"),
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("__ss") / F.col("__N")
+            - (F.col("__s") / F.col("__N")) * (F.col("__s") / F.col("__N")),
+            F.lit(0.0),
+        )
+    )
+    weights = stats.select(
+        stratum_col, "__N", (F.col("__N") * sigma).alias("__w")
+    )
+    total = weights.agg(F.sum("__w").alias("__tw"))
+    alloc = weights.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        F.least(
+            F.floor(F.lit(budget) * F.col("__w") / F.col("__tw")),
+            F.col("__N"),
+        )
+        .cast("int")
+        .alias("alloc_n"),
+    )
+    h = F.md5(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(alloc), stratum_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("alloc_n"))
+        .select(stratum_col, id_col, value_col, "alloc_n")
+    )

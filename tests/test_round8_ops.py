@@ -685,3 +685,39 @@ def test_changepoint_finds_injected_step(spark):
     assert r.left_mean == 10.0 and r.right_mean == 30.0 and r.delta == 20.0
     # a flat series still returns its argmax split, delta 0
     assert out["flat"].delta == 0.0
+
+
+def test_neyman_allocates_by_variance(spark):
+    from graphkb_spark.operators.sampling import neyman_stratified_sample
+
+    rows = [("lowvar", i, 10.0) for i in range(100)]
+    rows += [("highvar", 1000 + i, float((i % 2) * 100)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["stratum", "id", "v"])
+    out = neyman_stratified_sample(df, "stratum", "id", "v", budget=60).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, 0)
+        by[r.stratum] += 1
+    # zero-variance stratum gets nothing; all budget flows to highvar
+    assert by.get("lowvar", 0) == 0
+    assert by["highvar"] == 60
+    # determinism
+    again = neyman_stratified_sample(df, "stratum", "id", "v", budget=60).collect()
+    assert sorted((r.stratum, r.id) for r in out) == sorted(
+        (r.stratum, r.id) for r in again)
+
+
+def test_quantile_normalize_equalizes_groups(spark):
+    from graphkb_spark.operators.aggregate import quantile_normalize
+
+    rows = [("a", i, float(i)) for i in range(10)]           # 0..9
+    rows += [("b", 100 + i, float(i * 10)) for i in range(10)]  # 0..90
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    out = quantile_normalize(df, "g", "id", "v").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.g, []).append(r.normalized)
+    # identical normalized distributions after QN
+    assert sorted(by_group["a"]) == sorted(by_group["b"])
+    # rank-1 mean = (0 + 0)/2 = 0; rank-10 mean = (9 + 90)/2 = 49.5
+    assert min(by_group["a"]) == 0.0 and max(by_group["a"]) == 49.5
