@@ -4029,6 +4029,52 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 anomaly scores per user over the value series: the
+    point is excluded from its own window so spikes cannot mask
+    themselves; decimal-exact windowed moments."""
+    from graphkb_spark.operators.aggregate import rolling_zscore
+
+    t = _t(spark, sf_dir, "events")
+    out = rolling_zscore(
+        t["events"].select("user_id", "ts", "event_id", "value"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+    )
+    return out.select(
+        "user_id", "event_id", "roll_mean", "roll_std", "zscore", "is_anomaly"
+    )
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 / lag-7 features with deltas and percent change
+    over the event value series — the forecasting feature frame."""
+    from graphkb_spark.operators.aggregate import lag_features
+
+    t = _t(spark, sf_dir, "events")
+    out = lag_features(
+        t["events"].select("user_id", "ts", "event_id", "value"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        lags=(1, 7),
+    )
+    return out.select(
+        "user_id", "event_id", "lag_1", "delta_1", "pct_change_1",
+        "lag_7", "delta_7", "pct_change_7",
+    )
+
+
+def q_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard rollup: top-10 parts by decimal-exact revenue, the
+    tail collapsed into one OTHER row, never sorted."""
+    from graphkb_spark.operators.aggregate import topn_with_other
+
+    t = _t(spark, sf_dir, "lineitem")
+    return topn_with_other(t["lineitem"], "l_partkey", "l_extendedprice", n=10)
+
+
 def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance-optimal stratified sample: 2000 events allocated
     across event types by Neyman allocation (N_h * sigma_h), md5-rank
@@ -4445,6 +4491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's full local sweeps). Round-9 should rotate the r6/r7
     # blocks that fell out of this window back to the front.
     return {
+        "rolling_zscore": q_rolling_zscore,
+        "lag_features": q_lag_features,
+        "topn_other": q_topn_other,
         "neyman_sample": q_neyman_sample,
         "quantile_normalize": q_quantile_normalize,
         "changepoint": q_changepoint,
@@ -5090,6 +5139,71 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
     oracles = {
+        # trailing-window z, point excluded from its own frame.
+        "rolling_zscore": """
+            WITH o AS (
+              SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+                     count(*) OVER w AS n,
+                     CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,10)))
+                          OVER w AS DOUBLE) AS s,
+                     CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                          AS DECIMAL(38,10))) OVER w AS DOUBLE) AS ss
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+            z AS (SELECT user_id, event_id,
+                         CASE WHEN n >= 1 THEN round(s / n, 6) END AS roll_mean,
+                         CASE WHEN n >= 2 THEN round(sqrt(greatest(
+                           (ss - s * s / n) / (n - 1), 0.0)), 6) END AS roll_std,
+                         CASE WHEN n >= 2 AND sqrt(greatest(
+                                (ss - s * s / n) / (n - 1), 0.0)) > 0
+                              THEN round((v - s / n) / sqrt(greatest(
+                                (ss - s * s / n) / (n - 1), 0.0)), 6)
+                         END AS zscore
+                  FROM o)
+            SELECT user_id, event_id, roll_mean, roll_std, zscore,
+                   coalesce(abs(zscore) > 3.0, FALSE) AS is_anomaly
+            FROM z
+        """,
+        # per-key lag/delta/pct-change features.
+        "lag_features": """
+            WITH o AS (
+              SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+                     lag(CAST(value AS DOUBLE), 1) OVER w AS l1,
+                     lag(CAST(value AS DOUBLE), 7) OVER w AS l7
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id,
+                   l1 AS lag_1, round(v - l1, 6) AS delta_1,
+                   CASE WHEN l1 IS NOT NULL AND l1 <> 0
+                        THEN round((v - l1) / l1, 6) END AS pct_change_1,
+                   l7 AS lag_7, round(v - l7, 6) AS delta_7,
+                   CASE WHEN l7 IS NOT NULL AND l7 <> 0
+                        THEN round((v - l7) / l7, 6) END AS pct_change_7
+            FROM o
+        """,
+        # top-N + OTHER rollup from decimal-exact per-key totals.
+        "topn_other": """
+            WITH agg AS (
+              SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS n,
+                     sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS td
+              FROM lineitem GROUP BY 1),
+            top AS (SELECT k, n, td, CAST(td AS DOUBLE) AS t FROM agg
+                    ORDER BY CAST(td AS DOUBLE) DESC, k ASC LIMIT 10),
+            tr AS (SELECT k AS l_partkey, CAST(n AS BIGINT) AS n_rows,
+                          round(t, 4) AS total,
+                          CAST(row_number() OVER (
+                            ORDER BY t DESC, k ASC) AS INT) AS rank
+                   FROM top),
+            oth AS (SELECT 'OTHER' AS l_partkey,
+                           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+                           round(coalesce(CAST(sum(td) AS DOUBLE), 0.0), 4)
+                             AS total,
+                           CAST(11 AS INT) AS rank
+                    FROM agg WHERE k NOT IN (SELECT k FROM top))
+            SELECT * FROM tr
+            UNION ALL SELECT * FROM oth WHERE n_rows > 0
+        """,
         # Neyman allocation: decimal moments -> floored shares -> md5
         # rank cut, replayed exactly.
         "neyman_sample": """

@@ -1465,3 +1465,140 @@ def quantile_normalize(
     return ranked.join(means, "rank").select(
         group_col, id_col, value_col, "rank", "normalized"
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly score per key: z of each point against
+    the mean/std of the previous ``window_rows`` rows (the point
+    itself EXCLUDED, so a spike cannot mask itself) — the standard
+    online telemetry anomaly gate. Returns every row plus (roll_mean,
+    roll_std, zscore, is_anomaly); the first rows of a key (fewer
+    than 2 predecessors) carry NULL z and are never flagged.
+
+    Engine-determinism: windowed sums and sums-of-squares are
+    DECIMAL(38,10) (exact under any partitioning); z is then fixed
+    double algebra rounded to 6. One keyed shuffle; both window
+    frames share it."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(v.cast("decimal(38,10)")).over(w).cast("double")
+    ss = F.sum((v * v).cast("decimal(38,10)")).over(w).cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when((n >= 2) & (std > 0), F.round((v - mean) / std, 6))
+    return df.select(
+        *df.columns,
+        F.when(n >= 1, F.round(mean, 6)).alias("roll_mean"),
+        F.when(n >= 2, F.round(std, 6)).alias("roll_std"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def lag_features(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    lags: Sequence[int] = (1, 7),
+) -> DataFrame:
+    """Feature engineering for sequence models: per-key lagged values,
+    deltas, and percent change for each requested lag — the columns a
+    forecasting or churn model trains on. Returns the input plus
+    (lag_<k>, delta_<k>, pct_change_<k>) per lag; pct_change is NULL
+    when the lagged value is 0 or missing, rounded to 6.
+
+    One keyed shuffle; every lag shares the same window ordering."""
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    v = F.col(value_col).cast("double")
+    cols = list(df.columns)
+    out = []
+    for k in lags:
+        lagged = F.lag(v, k).over(w)
+        out.append(lagged.alias(f"lag_{k}"))
+        out.append(F.round(v - lagged, 6).alias(f"delta_{k}"))
+        out.append(
+            F.when(
+                lagged.isNotNull() & (lagged != 0),
+                F.round((v - lagged) / lagged, 6),
+            ).alias(f"pct_change_{k}")
+        )
+    return df.select(*cols, *out)
+
+
+def topn_with_other(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n: int = 5,
+    other_label: str = "OTHER",
+) -> DataFrame:
+    """Reporting rollup: the top ``n`` keys by decimal-exact value sum
+    keep their identity, everything else collapses into one
+    ``other_label`` row — the shape every dashboard pie/leaderboard
+    needs without shipping the full key cardinality. Returns (key,
+    n_rows, total, rank) with the OTHER row ranked n+1.
+
+    Scale shape: one partial-agg shuffle on the key, a distributed
+    orderBy().limit() (TakeOrdered) cut for the top set, and a
+    broadcast anti-join to aggregate the tail — the tail is never
+    sorted."""
+    agg = (
+        df.groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            # keep the DECIMAL sum: the OTHER row re-aggregates these
+            # per-key totals, and a double re-sum would be
+            # partitioning-dependent
+            F.sum(F.col(value_col).cast("decimal(38,10)")).alias("__td"),
+        )
+        .withColumn("__t", F.col("__td").cast("double"))
+        .localCheckpoint(eager=False)
+    )
+    top = (
+        agg.orderBy(F.col("__t").desc(), F.col("__k").asc())
+        .limit(n)
+        .localCheckpoint(eager=False)
+    )
+    # declared single-partition rank over the n-row table (vocab trick)
+    w = Window.partitionBy(F.pmod(F.col("__n"), F.lit(1))).orderBy(
+        F.col("__t").desc(), F.col("__k").asc()
+    )
+    top_ranked = top.select(
+        F.col("__k").cast("string").alias(key_col),
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.round("__t", 4).alias("total"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+    other = (
+        agg.join(F.broadcast(top.select("__k")), "__k", "left_anti")
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.round(
+                F.coalesce(F.sum("__td").cast("double"), F.lit(0.0)), 4
+            ).alias("total"),
+        )
+        .select(
+            F.lit(other_label).alias(key_col),
+            "n_rows",
+            "total",
+            F.lit(n + 1).cast("int").alias("rank"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return top_ranked.unionByName(other)

@@ -721,3 +721,48 @@ def test_quantile_normalize_equalizes_groups(spark):
     assert sorted(by_group["a"]) == sorted(by_group["b"])
     # rank-1 mean = (0 + 0)/2 = 0; rank-10 mean = (9 + 90)/2 = 49.5
     assert min(by_group["a"]) == 0.0 and max(by_group["a"]) == 49.5
+
+
+def test_rolling_zscore_excludes_self_and_flags_spike(spark):
+    from graphkb_spark.operators.aggregate import rolling_zscore
+
+    rows = [("k", i, 10.0 + (i % 2) * 0.2) for i in range(1, 30)]
+    rows.append(("k", 30, 500.0))  # spike
+    df = spark.createDataFrame(rows, ["key", "seq", "value"])
+    out = {r.seq: r for r in rolling_zscore(
+        df, "key", ["seq"], "value", window_rows=20).collect()}
+    assert out[30].is_anomaly and out[30].zscore > 3
+    # the spike did not inflate its own baseline
+    assert abs(out[30].roll_mean - 10.1) < 0.2
+    assert out[1].zscore is None and not out[1].is_anomaly
+
+
+def test_lag_features_values(spark):
+    from graphkb_spark.operators.aggregate import lag_features
+
+    rows = [("k", i, float(i * 10)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, ["key", "seq", "value"])
+    out = {r.seq: r for r in lag_features(
+        df, "key", ["seq"], "value", lags=(1, 7)).collect()}
+    assert out[2].lag_1 == 10.0 and out[2].delta_1 == 10.0
+    assert out[2].pct_change_1 == 1.0
+    assert out[8].lag_7 == 10.0 and out[8].delta_7 == 70.0
+    assert out[1].lag_1 is None and out[1].pct_change_1 is None
+
+
+def test_topn_with_other_conserves_totals(spark):
+    from graphkb_spark.operators.aggregate import topn_with_other
+
+    rows = [(f"k{i % 7}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["key", "v"])
+    out = topn_with_other(df, "key", "v", n=3).collect()
+    assert len(out) == 4
+    assert sum(r.n_rows for r in out) == 100
+    assert abs(sum(r.total for r in out) - sum(float(i) for i in range(100))) < 1e-6
+    ranks = sorted(r.rank for r in out)
+    assert ranks == [1, 2, 3, 4]
+    other = [r for r in out if r.key == "OTHER"][0]
+    assert other.rank == 4
+    # top-3 totals all exceed the per-key tail totals
+    tops = [r.total for r in out if r.key != "OTHER"]
+    assert min(tops) >= max(0.0, other.total / 4)
