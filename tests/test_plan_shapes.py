@@ -108,6 +108,9 @@ BUDGETS = [
     ("psi_drift", 2, 0, False),        # stats bcast + shared period agg
     ("rfm", 2, 0, False),              # user agg + 1-row edges broadcast
     ("negative_edges", 3, 0, True),    # distinct srcs/edges + anti-join
+    ("rolling_zscore", 1, 0, True),    # one keyed window exchange
+    ("lag_features", 1, 0, True),      # one keyed window exchange
+    ("topn_other", 2, 0, True),        # post-checkpoint TakeOrdered + other
 ]
 
 
