@@ -5218,10 +5218,12 @@ def oracle_sql() -> dict[str, str]:
                            N * sqrt(greatest(ss / N - (s / N) * (s / N), 0.0))
                              AS w
                     FROM st),
-            tot AS (SELECT sum(w) AS tw FROM wts),
+            tot AS (SELECT sum(w) AS tw, sum(N) AS tN FROM wts),
             alloc AS (SELECT event_type,
-                             CAST(least(floor(2000 * w / tw), N) AS INT)
-                               AS alloc_n
+                             CAST(least(floor(CASE WHEN tw > 0
+                                              THEN 2000 * w / tw
+                                              ELSE 2000.0 * N / tN END), N)
+                                  AS INT) AS alloc_n
                       FROM wts, tot),
             rk AS (SELECT e.event_type, e.event_id, e.value, a.alloc_n,
                           row_number() OVER (
@@ -5507,12 +5509,15 @@ def oracle_sql() -> dict[str, str]:
         # Benford: printf mirrors format_number's fixed-10-decimal
         # rendering; stripping 0/./, leaves the first significant digit.
         "benford": """
-            WITH d AS (
-              SELECT CAST(substr(regexp_replace(
-                       printf('%.10f', abs(CAST(o_totalprice AS DOUBLE))),
-                       '[0.,]', '', 'g'), 1, 1) AS INT) AS digit
+            WITH d0 AS (
+              SELECT floor(round(abs(CAST(o_totalprice AS DOUBLE))
+                           / pow(10.0, floor(log10(
+                               abs(CAST(o_totalprice AS DOUBLE))))), 12)) AS d
               FROM orders WHERE abs(CAST(o_totalprice AS DOUBLE)) > 0),
-            c AS (SELECT digit, count(*) AS observed_n FROM d GROUP BY digit),
+            d AS (SELECT CAST(CASE WHEN d >= 10 THEN 1 ELSE d END AS INT)
+                         AS digit FROM d0),
+            c AS (SELECT digit, count(*) AS observed_n FROM d
+                  WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
             t AS (SELECT sum(observed_n) AS tot FROM c)
             SELECT digit, CAST(observed_n AS BIGINT) AS observed_n,
                    round(CAST(observed_n AS DOUBLE) / tot, 6) AS observed_frac,
@@ -5520,7 +5525,7 @@ def oracle_sql() -> dict[str, str]:
                    round((observed_n - log10(1.0 + 1.0 / digit) * tot)
                          * (observed_n - log10(1.0 + 1.0 / digit) * tot)
                          / (log10(1.0 + 1.0 / digit) * tot), 6) AS chi2_term
-            FROM c, t WHERE digit BETWEEN 1 AND 9
+            FROM c, t
         """,
         # k-anonymity group audit.
         "k_anonymity": """
@@ -5547,7 +5552,7 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
               SELECT t, count(*) AS freq FROM (
                 SELECT unnest(list_filter(string_split_regex(lower(text),
-                       '\s+'), x -> x <> '')) AS t
+                       '\\s+'), x -> x <> '')) AS t
                 FROM documents)
               GROUP BY t ORDER BY freq DESC, t ASC LIMIT 200),
             rk AS (SELECT CAST(row_number() OVER (
@@ -5586,14 +5591,14 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT id_a, id_b,
                      round(
-                       CASE WHEN na IS NULL AND nb IS NULL THEN 0
-                            WHEN na IS NOT NULL AND na IS NOT DISTINCT FROM nb
+                       CASE WHEN na IS NULL OR nb IS NULL THEN 0
+                            WHEN na = nb
                             THEN log2(0.9 / 0.04) ELSE log2(0.1 / 0.96) END
-                     + CASE WHEN sa IS NULL AND sb IS NULL THEN 0
-                            WHEN sa IS NOT NULL AND sa IS NOT DISTINCT FROM sb
+                     + CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+                            WHEN sa = sb
                             THEN log2(0.9 / 0.2) ELSE log2(0.1 / 0.8) END
-                     + CASE WHEN pa IS NULL AND pb IS NULL THEN 0
-                            WHEN pa IS NOT NULL AND pa IS NOT DISTINCT FROM pb
+                     + CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+                            WHEN pa = pb
                             THEN log2(0.95 / 0.08) ELSE log2(0.05 / 0.92) END,
                      6) AS match_score
               FROM p),
@@ -5977,14 +5982,14 @@ def oracle_sql() -> dict[str, str]:
                      (pa IS NOT NULL AND pa IS NOT DISTINCT FROM pb)
                        AS agree_balband,
                      round(
-                       CASE WHEN na IS NULL AND nb IS NULL THEN 0
-                            WHEN na IS NOT NULL AND na IS NOT DISTINCT FROM nb
+                       CASE WHEN na IS NULL OR nb IS NULL THEN 0
+                            WHEN na = nb
                             THEN log2(0.9 / 0.04) ELSE log2(0.1 / 0.96) END
-                     + CASE WHEN sa IS NULL AND sb IS NULL THEN 0
-                            WHEN sa IS NOT NULL AND sa IS NOT DISTINCT FROM sb
+                     + CASE WHEN sa IS NULL OR sb IS NULL THEN 0
+                            WHEN sa = sb
                             THEN log2(0.9 / 0.2) ELSE log2(0.1 / 0.8) END
-                     + CASE WHEN pa IS NULL AND pb IS NULL THEN 0
-                            WHEN pa IS NOT NULL AND pa IS NOT DISTINCT FROM pb
+                     + CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+                            WHEN pa = pb
                             THEN log2(0.95 / 0.08) ELSE log2(0.05 / 0.92) END,
                      6) AS match_score
               FROM p)

@@ -48,8 +48,11 @@ def fellegi_sunter(
     """Score candidate pairs with Fellegi-Sunter field-agreement
     weights. ``fields`` is a list of (name, left_col, right_col, m, u);
     each field contributes log2(m/u) on agreement (null-safe equality,
-    both-present), log2((1-m)/(1-u)) on disagreement, and 0 when both
-    sides are missing (no evidence). Returns the input pair columns
+    both-present), log2((1-m)/(1-u)) on disagreement when both sides
+    are present, and 0 when either side is missing (a missing value is
+    no evidence either way — the standard Fellegi-Sunter treatment, so
+    partially-populated records are not biased toward non-match).
+    Returns the input pair columns
     plus one ``agree_<name>`` flag per field, ``match_score`` (rounded
     to 6) and ``is_match`` (score > threshold on the rounded value, so
     the decision is bit-stable across engines).
@@ -63,10 +66,10 @@ def fellegi_sunter(
         if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
             raise ValueError(f"field {name}: m and u must be in (0, 1)")
         lcol, rcol = F.col(left), F.col(right)
-        both_missing = lcol.isNull() & rcol.isNull()
+        any_missing = lcol.isNull() | rcol.isNull()
         agree = lcol.isNotNull() & lcol.eqNullSafe(rcol)
         contrib = (
-            F.when(both_missing, F.lit(0.0))
+            F.when(any_missing, F.lit(0.0))
             .when(agree, F.lit(math.log2(m / u)))
             .otherwise(F.lit(math.log2((1.0 - m) / (1.0 - u))))
         )

@@ -608,15 +608,17 @@ def neyman_stratified_sample(
     weights = stats.select(
         stratum_col, "__N", (F.col("__N") * sigma).alias("__w")
     )
-    total = weights.agg(F.sum("__w").alias("__tw"))
+    total = weights.agg(
+        F.sum("__w").alias("__tw"), F.sum("__N").alias("__tN")
+    )
+    # all-zero-variance corpus => N_h*sigma_h weights sum to 0; fall
+    # back to proportional allocation instead of a NaN (empty) result
+    share = F.when(
+        F.col("__tw") > 0, F.lit(budget) * F.col("__w") / F.col("__tw")
+    ).otherwise(F.lit(budget) * F.col("__N") / F.col("__tN"))
     alloc = weights.crossJoin(F.broadcast(total)).select(
         stratum_col,
-        F.least(
-            F.floor(F.lit(budget) * F.col("__w") / F.col("__tw")),
-            F.col("__N"),
-        )
-        .cast("int")
-        .alias("alloc_n"),
+        F.least(F.floor(share), F.col("__N")).cast("int").alias("alloc_n"),
     )
     h = F.md5(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string")))
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())

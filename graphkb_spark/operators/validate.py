@@ -358,22 +358,29 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     One narrow digit extraction + one 9-row aggregation; scan-speed at
     any scale."""
     v = F.abs(F.col(value_col).cast("double"))
-    digit = F.substring(
-        F.regexp_replace(F.format_number(v, 10), r"[0.,]", ""), 1, 1
-    ).cast("int")
+    # arithmetic leading digit: v / 10^floor(log10 v) in [1, 10); the
+    # string route (format_number) drops sub-1e-10 values to "" and
+    # misattributes 9.99..9→10.0 roundings. Two fp guards: the inexact
+    # negative power (4e-11/1e-11 = 3.999..96) is absorbed by rounding
+    # the mantissa to 12 decimals before flooring, and log10 of an
+    # exact power of ten landing epsilon-low makes the ratio exactly
+    # 10 — that IS leading digit 1.
+    d0 = F.floor(F.round(v / F.pow(F.lit(10.0), F.floor(F.log10(v))), 12))
+    digit = F.when(d0 >= 10, F.lit(1)).otherwise(d0).cast("int")
     base = df.filter(v > 0).select(digit.alias("digit"))
     # the 9-row count table feeds the total AND the final projection —
     # materialize once so the fact scan runs once
     counts = (
-        base.groupBy("digit")
+        base.filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed_n"))
         .localCheckpoint(eager=False)
     )
+    # total over digits 1-9 only, so fractions sum to 1 by construction
     total = counts.agg(F.sum("observed_n").alias("__t"))
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     return (
         counts.crossJoin(F.broadcast(total))
-        .filter(F.col("digit").between(1, 9))
         .select(
             "digit",
             F.col("observed_n").cast("bigint").alias("observed_n"),
