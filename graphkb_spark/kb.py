@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 from graphkb_spark.core.schemas import (
     EDGE_SCHEMA,
     ONTOLOGY_TERM_SCHEMA,
@@ -409,7 +411,7 @@ def load_variants(
     # subtrees, and the consumers filter differently before any
     # exchange). localCheckpoint over persist: blocks free on GC, so
     # repeated loads in a long-lived session don't pin cache entries.
-    rows = rows.localCheckpoint()
+    rows = rows.transform(materialize)
 
     variants = (
         rows.filter(F.col("_error").isNull())

@@ -4,9 +4,14 @@ Partitioning strategy for scale (SURVEY §1.5): ``terms`` is partitioned
 by ``cls`` — every loader and query touches one or few classes, so
 partition pruning turns "resolve a Disease" into a scan of the Disease
 directory only; ``edges`` by ``edge_class`` for the same reason.
-``sources`` is tiny (one row per source). On a cluster these become
-Delta tables and `merge_upsert` becomes ``DeltaTable.merge`` — the
-layout and keys are identical.
+``sources`` is tiny (one row per source).
+
+Incremental upserts go through ``upsert_kb_table``, which dispatches on
+the session's capabilities (operators/merge_sink.py): with a Delta /
+Iceberg extension loaded it emits one native ``MERGE INTO`` (file-
+skipping, ACID — the 100 TB path); on plain parquet it computes the
+merge as a full-outer join and overwrites the table directory. Same
+semantics either way (golden-tested in tests/test_merge_sink.py).
 """
 
 from __future__ import annotations
@@ -14,6 +19,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+
+from graphkb_spark.core.materialize import materialize
 
 from graphkb_spark.core.schemas import (
     EDGE_SCHEMA,
@@ -31,7 +38,7 @@ def save_kb(kb: KnowledgeBase, path: str) -> None:
     checkpoint)."""
 
     def snap(df):
-        return df.localCheckpoint(eager=True)
+        return df.transform(materialize, eager=True)
 
     snap(kb.sources).write.mode("overwrite").parquet(os.path.join(path, "sources"))
     snap(kb.terms).write.mode("overwrite").partitionBy("cls").parquet(
@@ -67,3 +74,58 @@ def load_kb(spark: SparkSession, path: str) -> KnowledgeBase:
     if os.path.exists(spath):
         kb.statements = spark.read.parquet(spath)
     return kb
+
+
+_KB_TABLE_KEYS: dict[str, tuple[list[str], list[str]]] = {
+    # table -> (natural key, partition columns)
+    "sources": (["name"], []),
+    "terms": (["cls", "sourceId", "sourceIdVersion"], ["cls"]),
+    "edges": (["edge_class", "out_rid", "in_rid"], ["edge_class"]),
+}
+
+
+def upsert_kb_table(
+    spark: SparkSession,
+    kb_path: str,
+    table: str,
+    batch,
+    exclude: tuple[str, ...] = (),
+    delete_missing: bool = False,
+):
+    """MERGE a loader batch into one KB table, format-agnostically.
+
+    The reference's addRecord loop (src/graphkb.js:545-612) upserts one
+    record per round-trip; here the whole batch is ONE merge. With a
+    lakehouse extension loaded this is a native ``MERGE INTO
+    kb.<table>`` (only matched files rewrite); on plain parquet it is
+    the computed merge against ``<kb_path>/<table>``. Returns the
+    merged frame (computed path, with the ``_action`` audit column) or
+    the submitted SQL text (native path).
+    """
+    from graphkb_spark.operators.merge_sink import (
+        ComputedMergeWriter,
+        get_merge_writer,
+    )
+
+    if table not in _KB_TABLE_KEYS:
+        raise ValueError(f"unknown KB table {table!r}: {sorted(_KB_TABLE_KEYS)}")
+    on, partition_by = _KB_TABLE_KEYS[table]
+    writer = get_merge_writer(spark)
+    if isinstance(writer, ComputedMergeWriter):
+        return writer.merge(
+            os.path.join(kb_path, table),
+            batch,
+            on=on,
+            exclude=exclude,
+            soft_delete_col="deletedAt",
+            delete_missing=delete_missing,
+            partition_by=partition_by,
+        )
+    return writer.merge(
+        f"kb.{table}",
+        batch,
+        on=on,
+        exclude=exclude,
+        soft_delete_col="deletedAt",
+        delete_missing=delete_missing,
+    )

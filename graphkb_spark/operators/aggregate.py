@@ -11,6 +11,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 
 def recurrence_threshold(
     df: DataFrame,
@@ -927,7 +929,7 @@ def pareto_frontier_2d(
             n_buckets, F.col("__x").asc(), F.col("__y").asc(), F.col("__pid").asc()
         )
         .withColumn("__b", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     w_in = (
         Window.partitionBy("__b")
@@ -982,7 +984,7 @@ def association_rules(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     n_baskets = items.select(F.countDistinct("__b").alias("__N"))
     counts = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1041,7 +1043,7 @@ def cuped_adjust(
     x = F.col(covariate_col).cast("double")
     y = F.col(metric_col).cast("double")
     # the unit table feeds the pooled AND the per-variant aggregate
-    units = units.localCheckpoint(eager=False)
+    units = units.transform(materialize, eager=False)
 
     def dsum(c: Column, alias: str) -> Column:
         return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
@@ -1093,7 +1095,7 @@ def ab_delta(
     therefore se and z — is bit-identical under any partitioning."""
     y = F.col(metric_col).cast("double")
     # one materialization feeds both variant scans
-    units = units.localCheckpoint(eager=False)
+    units = units.transform(materialize, eager=False)
 
     def side(v):
         d = units.filter(F.col(variant_col) == v)
@@ -1250,7 +1252,7 @@ def psi_drift(
     v = F.col(value_col).cast("double")
     per = F.col(period_col)
     # scoped rows feed the range aggregate AND the binning pass
-    scoped = df.filter(per.isin([baseline, current])).localCheckpoint(eager=False)
+    scoped = df.filter(per.isin([baseline, current])).transform(materialize, eager=False)
     stats = scoped.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
     bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
@@ -1267,7 +1269,7 @@ def psi_drift(
     # the bin table feeds the totals AND the final projection
     counts = binned.groupBy("bin", "lo_edge").agg(
         F.sum("__b").alias("n_base"), F.sum("__c").alias("n_cur")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     totals = counts.agg(
         F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
     )
@@ -1324,7 +1326,7 @@ def rfm_scores(
             F.col("freq").cast("bigint").alias("freq"),
             "monetary",
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     qs = [0.2, 0.4, 0.6, 0.8]
     edges = users.agg(
@@ -1454,7 +1456,7 @@ def quantile_normalize(
     ranked = df.select(
         group_col, id_col, F.col(value_col),
         F.row_number().over(w).alias("rank"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     means = ranked.groupBy("rank").agg(
         F.round(
             F.sum(F.col(value_col).cast("decimal(38,10)")).cast("double")
@@ -1568,12 +1570,12 @@ def topn_with_other(
             F.sum(F.col(value_col).cast("decimal(38,10)")).alias("__td"),
         )
         .withColumn("__t", F.col("__td").cast("double"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     top = (
         agg.orderBy(F.col("__t").desc(), F.col("__k").asc())
         .limit(n)
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     # declared single-partition rank over the n-row table (vocab trick)
     w = Window.partitionBy(F.pmod(F.col("__n"), F.lit(1))).orderBy(

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 
 def _sq_l2(a: Column | str, b: Column | str) -> Column:
     """Squared Euclidean distance between two array<double> columns,
@@ -75,7 +77,7 @@ def kmeans_assign(
             - 1
         ).alias("cluster"),
         F.col("__v").alias("__c"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize, eager=True)
 
     assigned = None
     for it in range(n_iter):
@@ -105,7 +107,7 @@ def kmeans_assign(
         cents = (
             cents.join(means, "cluster", "left")
             .select("cluster", F.coalesce("__new", "__c").alias("__c"))
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
 
     return assigned.select(

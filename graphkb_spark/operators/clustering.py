@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 
 def _sq_dist(a: Column, b: Column) -> Column:
     """Euclidean distance via the same sequential fold an external
@@ -70,7 +72,7 @@ def kmeans_train(
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
         .repartition("__id")
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     hh = F.conv(
         F.substring(F.md5(F.col("__id").cast("string")), 1, 8), 16, 10
@@ -128,7 +130,7 @@ def kmeans_train(
                     lambda s: s["__mean"],
                 ).alias("__cv")
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False)
         )
     final = assign(centroids)
     return final.select(

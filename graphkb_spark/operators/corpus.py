@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 from graphkb_spark.operators.dedup import word_shingles
 from graphkb_spark.operators.text import TOKEN_REGEX
 
@@ -371,7 +373,7 @@ def bpe_train(
     )
     syms = words.select(
         "freq", F.split("w", "").alias("syms")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize, eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(n_merges):
@@ -414,8 +416,8 @@ def bpe_train(
         # lazy checkpoint: the next round's argmax collect triggers the
         # materialization anyway — eager would add one extra job per
         # round (16 jobs for 8 merges) purely to block earlier
-        syms = syms.select("freq", apply_merge.alias("syms")).localCheckpoint(
-            eager=False
+        syms = syms.select("freq", apply_merge.alias("syms")).transform(
+            materialize, eager=False
         )
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from graphkb_spark.core.materialize import materialize
+
 
 def normalized_text(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -269,7 +271,7 @@ def minhash_lsh_pairs(
         # is the "write signatures to a staging table" step, which also
         # restores fault-tolerance (localCheckpoint trades lineage
         # recovery for speed).
-        .localCheckpoint()
+        .transform(materialize)
     )
     # band keys only — never shuffle the shingle arrays through the
     # 16-way band join; they are joined back for the verify step
@@ -332,7 +334,7 @@ def ngram_jaccard_pairs(
         # shingle sets feed the posting list AND two verify joins;
         # localCheckpoint over persist so blocks free on GC (no cache
         # accumulation across calls in a long-lived session)
-        .localCheckpoint()
+        .transform(materialize)
     )
     posting = base.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle"))
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -439,7 +441,7 @@ def simhash_near_dups(
     # localCheckpoint materializes it once AND frees the blocks on GC
     # (persist leaked cache entries across calls; measured faster too —
     # the join sides read shuffle-free local blocks)
-    sh = simhash_chunks(df, text_col, id_col).localCheckpoint()
+    sh = simhash_chunks(df, text_col, id_col).transform(materialize)
     chunks = sh.select(
         "__id",
         "c0",
@@ -665,7 +667,7 @@ def connected_components(
     )
     comp = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    ).transform(materialize)
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -683,7 +685,7 @@ def connected_components(
                     (F.col("__nc") < F.col("comp")).alias("__changed"),
                 )
             )
-            nxt = nxt.localCheckpoint()
+            nxt = nxt.transform(materialize)
             changed = nxt.filter(F.col("__changed")).limit(1).count()
             comp = nxt.drop("__changed")
             if changed == 0:
@@ -722,7 +724,7 @@ def _minhash_sig_base(
     sig_udf = _np_minhash_udf(num_hashes)
     return shingled.select(
         "__id", "__sh", sig_udf("__sh").alias("__sig")
-    ).localCheckpoint()
+    ).transform(materialize)
 
 
 def _band_keys(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -936,7 +938,7 @@ def sorted_neighborhood_pairs(
         .withColumn("__b", F.spark_partition_id())
         # pin the sampled range assignment: every downstream branch must
         # see the SAME bucket ids (a re-evaluated sample could differ)
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
     # cumulative bucket offsets WITHOUT a global window: the count table
@@ -1011,7 +1013,7 @@ def ngram_containment_pairs(
         .select(
             "__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh")
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     posting = base.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")

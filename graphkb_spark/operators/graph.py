@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 
 def expand_neighbors(
     seeds: DataFrame,
@@ -51,7 +53,7 @@ def expand_neighbors(
         # truncate lineage each hop: without this the plan doubles per
         # iteration (hop k re-embeds every earlier hop's joins) — the
         # standard checkpoint step of any iterative DataFrame algorithm
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.transform(materialize, eager=False)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -98,7 +100,7 @@ def transitive_closure(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .withColumn("dist", F.lit(1).cast("long"))
-        .localCheckpoint(eager=check_convergence)
+        .transform(materialize, eager=check_convergence)
     )
     n = paths.count() if check_convergence else 0
     for _r in range(rounds if rounds is not None else max_rounds):
@@ -120,7 +122,7 @@ def transitive_closure(
             # round (~2^rounds join nodes) — an eager checkpoint every
             # 3rd round bounds driver-side planning to ~8 joins per
             # segment while keeping most of the single-job win
-            .localCheckpoint(eager=check_convergence or (_r % 3 == 2))
+            .transform(materialize, eager=check_convergence or (_r % 3 == 2))
         )
         if check_convergence:
             n2 = paths.count()
@@ -238,7 +240,7 @@ def pagerank(
         # out-degree joined once, outside the loop (dangling nodes keep
         # a null __deg but never appear as a join source below)
         .join(outdeg.withColumnRenamed("__s", "node"), "node", "left")
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     base = F.lit((100 - damping_pct) * scale // 100).cast("long")
     ranks = nodes.withColumn("rank_fx", F.lit(scale).cast("long"))
@@ -255,7 +257,7 @@ def pagerank(
         ranks = (
             nodes.join(summed, "node", "left")
             .select("node", "__deg", (base + gather).alias("rank_fx"))
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False)
         )
     return ranks.select(
         "node", F.round(F.col("rank_fx") / F.lit(float(scale)), 6).alias("rank")
@@ -288,7 +290,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     wedge = (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -387,7 +389,7 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     for r in range(rounds):
         deg = (
@@ -400,7 +402,7 @@ def kcore(
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=(r % 3 == 2))
+            .transform(materialize, eager=(r % 3 == 2))
         )
     return (
         e.select(F.col("u").alias("node"))

@@ -20,6 +20,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 # (name, left column, right column, m, u)
 Field = tuple[str, str, float, float]
 
@@ -114,7 +116,7 @@ def fellegi_sunter_em(
         raise ValueError("agree_cols must be non-empty")
     # pairs feed one aggregate per round — materialize the (possibly
     # expensive) blocking pipeline once
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(materialize, eager=False)
     # per-field agreeing-pair totals are round-invariant: one job, once
     agree_totals = pairs.agg(
         *[

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 
 def _dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -653,7 +655,7 @@ def tfidf_cosine_pairs(
     tf = (
         tok.groupBy("__id", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__N"))
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
@@ -682,7 +684,7 @@ def tfidf_cosine_pairs(
     wn = (
         w.join(norms, "__id")
         .select("__t", "__id", (F.col("__w") / F.col("__n")).alias("__wn"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     a = wn.select(
         F.col("__t"), F.col("__id").alias("id_a"), F.col("__wn").alias("__wa")
@@ -729,7 +731,7 @@ def mmr_rerank(
         F.col(id_col).alias("__id"),
         F.col(rel_col).cast("double").alias("__rel"),
         F.col(vec_col).alias("__v"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     selected = None
     picks = []
     for step in range(1, k + 1):
@@ -761,7 +763,7 @@ def mmr_rerank(
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("__q", "__id", "__rel", "__v", "__mmr")
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False)
         )
         picks.append(
             pick.select(
@@ -772,7 +774,7 @@ def mmr_rerank(
         selected = pick if selected is None else selected.unionByName(pick)
         remaining = remaining.join(
             pick.select("__q", "__id"), ["__q", "__id"], "left_anti"
-        ).localCheckpoint(eager=False)
+        ).transform(materialize, eager=False)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)

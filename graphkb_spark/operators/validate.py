@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from graphkb_spark.core.materialize import materialize
+
 SPEC_ERRORS_COL = "_spec_errors"
 
 
@@ -289,12 +291,12 @@ def referential_check(
     ck = (
         child.groupBy(F.col(fk_col).alias("__k"))
         .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     pk = (
         parent.select(F.col(pk_col).alias("__k"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     orphans = ck.join(pk, "__k", "left_anti")
     o = orphans.agg(
@@ -374,7 +376,7 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         base.filter(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed_n"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     # total over digits 1-9 only, so fractions sum to 1 by construction
     total = counts.agg(F.sum("observed_n").alias("__t"))

@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.core.materialize import materialize
+
 from graphkb_spark.operators.merge import merge_upsert
 from graphkb_spark.session import normalize_ntz
 
@@ -106,7 +108,7 @@ def streaming_upsert(
             .drop("__rn")
         )
         if state["target"] is None:
-            state["target"] = latest.localCheckpoint(eager=True)
+            state["target"] = latest.transform(materialize, eager=True)
         else:
             # newest-cursor-wins across batches: micro-batch order is not
             # event order (a late file can carry older rows), so the
@@ -119,7 +121,7 @@ def streaming_upsert(
                 combined.withColumn("__rn", F.row_number().over(w2))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
-                .localCheckpoint(eager=True)
+                .transform(materialize, eager=True)
             )
 
     stream = spark.readStream.schema(events.schema).option(
@@ -484,7 +486,7 @@ def streaming_upsert_foreachbatch(
             .drop("__rn")
         )
         if state["df"] is None:
-            state["df"] = latest.localCheckpoint()
+            state["df"] = latest.transform(materialize)
             return
         tgt = state["df"]
         # keep target rows not superseded, add the batch's latest rows
@@ -508,7 +510,7 @@ def streaming_upsert_foreachbatch(
                 for c in [ts_col, seq_col, *attr_cols]
             ],
         )
-        state["df"] = merged.localCheckpoint()
+        state["df"] = merged.transform(materialize)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

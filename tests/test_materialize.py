@@ -1,0 +1,126 @@
+"""Reliable-checkpoint abstraction: every iterative operator must
+produce bit-identical results whether its per-round materialization is
+localCheckpoint (single JVM), a reliable RDD checkpoint (cluster
+fault-tolerant), or a parquet staging table — and the materialized
+plan must actually truncate lineage in every mode."""
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from graphkb_spark.session import get_spark
+
+    return get_spark()
+
+
+@pytest.fixture()
+def reliable(spark, tmp_path):
+    """Context: flip the session into a fault-tolerant mode, restore."""
+    from graphkb_spark.core.materialize import (
+        disable_reliable_checkpoints,
+        enable_reliable_checkpoints,
+    )
+
+    def _enter(mode):
+        enable_reliable_checkpoints(spark, str(tmp_path / "ckpt"), mode=mode)
+
+    yield _enter
+    disable_reliable_checkpoints(spark)
+
+
+def _edges(spark):
+    # two components: a 4-cycle and a 3-chain, plus an isolated self-pair
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11), (11, 12), (20, 21)]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("mode", ["reliable", "parquet"])
+def test_iterative_operators_identical_under_reliable_modes(
+    spark, reliable, mode
+):
+    from graphkb_spark.operators.dedup import connected_components
+    from graphkb_spark.operators.graph import kcore, pagerank
+
+    edges = _edges(spark)
+    pairs = edges.toDF("id_a", "id_b")
+    nodes = (
+        pairs.selectExpr("id_a AS id")
+        .union(pairs.selectExpr("id_b AS id"))
+        .distinct()
+    )
+    local_cc = _rows(connected_components(pairs, nodes, max_iter=6))
+    local_pr = _rows(pagerank(edges, n_iter=4))
+    local_kc = _rows(kcore(edges, k=2, rounds=4))
+
+    reliable(mode)
+    assert _rows(connected_components(pairs, nodes, max_iter=6)) == local_cc
+    assert _rows(pagerank(edges, n_iter=4)) == local_pr
+    assert _rows(kcore(edges, k=2, rounds=4)) == local_kc
+
+
+def test_transitive_closure_identical_under_reliable_mode(spark, reliable):
+    from graphkb_spark.operators.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["src", "dst"]
+    )
+    local = _rows(transitive_closure(edges, rounds=4))
+    reliable("reliable")
+    assert _rows(transitive_closure(edges, rounds=4)) == local
+
+
+def test_reliable_mode_truncates_lineage(spark, reliable):
+    """The materialized plan must be a checkpoint/table scan, not the
+    original join tree — that IS the lineage cut executor recovery
+    replays from."""
+    from graphkb_spark.core.materialize import materialize
+
+    df = spark.range(100).toDF("id")
+    other = spark.range(100).toDF("id2")
+    joined = df.join(other, df.id == 99 - other.id2)
+
+    reliable("reliable")
+    plan = materialize(joined)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and ("Checkpoint" in plan or "LogicalRDD" in plan)
+
+    reliable("parquet")
+    from graphkb_spark.core.materialize import materialize as mat
+
+    plan2 = mat(joined)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan2 and "Relation" in plan2
+
+
+def test_parquet_mode_requires_dir(spark):
+    from graphkb_spark.core.materialize import (
+        DIR_CONF,
+        MODE_CONF,
+        disable_reliable_checkpoints,
+        materialize,
+    )
+
+    spark.conf.set(MODE_CONF, "parquet")
+    spark.conf.unset(DIR_CONF)
+    try:
+        with pytest.raises(ValueError, match="checkpoint.dir"):
+            materialize(spark.range(3).toDF("id"))
+    finally:
+        disable_reliable_checkpoints(spark)
+
+
+def test_bad_mode_rejected(spark):
+    from graphkb_spark.core.materialize import (
+        MODE_CONF,
+        checkpoint_mode,
+        disable_reliable_checkpoints,
+    )
+
+    spark.conf.set(MODE_CONF, "bogus")
+    try:
+        with pytest.raises(ValueError, match="bogus"):
+            checkpoint_mode(spark)
+    finally:
+        disable_reliable_checkpoints(spark)

@@ -1,0 +1,194 @@
+"""Pluggable MERGE sink: golden MERGE INTO SQL, syntactic validity
+against the real Spark parser, predicate equivalence with the
+computed-merge change detection, and the parquet fallback end-to-end."""
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from graphkb_spark.session import get_spark
+
+    return get_spark()
+
+
+GOLDEN = """\
+MERGE INTO kb.terms AS t
+USING batch AS s
+ON t.`cls` <=> s.`cls` AND t.`sourceId` <=> s.`sourceId`
+WHEN MATCHED AND (NOT (CASE WHEN trim(t.`name`) = '' THEN NULL ELSE t.`name` END <=> CASE WHEN trim(s.`name`) = '' THEN NULL ELSE s.`name` END) OR NOT ((coalesce(size(t.`subsets`), 0) = 0 AND coalesce(size(s.`subsets`), 0) = 0) OR array_sort(t.`subsets`) <=> array_sort(s.`subsets`))) THEN UPDATE SET
+    t.`name` = s.`name`,
+    t.`subsets` = s.`subsets`,
+    t.`comment` = s.`comment`
+WHEN NOT MATCHED THEN INSERT (`cls`, `sourceId`, `name`, `subsets`, `comment`, `deletedAt`)
+    VALUES (s.`cls`, s.`sourceId`, s.`name`, s.`subsets`, s.`comment`, false)
+WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.`deletedAt` = true"""
+
+
+def test_merge_into_sql_golden():
+    """The full K1 shape: null-safe keys, normalized change predicate,
+    excluded column refreshes without triggering, soft delete of rows
+    missing from the batch (src/graphkb.js:545-612, 521-533)."""
+    from graphkb_spark.operators.merge_sink import merge_into_sql
+
+    sql = merge_into_sql(
+        "kb.terms",
+        "batch",
+        on=["cls", "sourceId"],
+        source_cols=["cls", "sourceId", "name", "subsets", "comment"],
+        dtypes={"name": "string", "subsets": "array<string>", "comment": "string"},
+        exclude=["comment"],
+        soft_delete_col="deletedAt",
+        delete_missing=True,
+    )
+    assert sql == GOLDEN
+
+
+def test_generated_merge_parses_in_spark(spark):
+    """Vanilla Spark can't EXECUTE MERGE against parquet, but its SQL
+    parser is the same one Delta/Iceberg submit through — the golden
+    statement must be syntactically valid, not just pretty."""
+    plan = (
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(GOLDEN)
+    )
+    s = plan.toString()
+    assert "MergeIntoTable" in s or "Merge" in s
+
+
+def test_insert_adds_soft_delete_default():
+    from graphkb_spark.operators.merge_sink import merge_into_sql
+
+    sql = merge_into_sql(
+        "kb.terms", "batch", on=["id"], source_cols=["id", "v"],
+        soft_delete_col="deletedAt", delete_missing=False,
+    )
+    assert "INSERT (`id`, `v`, `deletedAt`)" in sql
+    assert "VALUES (s.`id`, s.`v`, false)" in sql
+    assert "NOT MATCHED BY SOURCE" not in sql
+
+
+def test_delete_missing_requires_soft_delete_col():
+    from graphkb_spark.operators.merge_sink import merge_into_sql
+
+    with pytest.raises(ValueError, match="soft_delete_col"):
+        merge_into_sql("t", "s", on=["id"], source_cols=["id", "v"],
+                       delete_missing=True)
+
+
+@pytest.mark.parametrize(
+    "dtype,pairs",
+    [
+        ("string", [("a", "a", True), ("a", "b", False), ("", None, True),
+                    (None, None, True), ("  ", None, True), ("a", None, False)]),
+        ("array<string>", [(["b", "a"], ["a", "b"], True), ([], None, True),
+                           (["a"], ["b"], False), (None, None, True)]),
+        ("bigint", [(1, 1, True), (1, 2, False), (None, None, True),
+                    (1, None, False)]),
+    ],
+)
+def test_sql_change_predicate_matches_column_predicate(spark, dtype, pairs):
+    """_norm_equal_sql must agree with merge._norm_equal on every
+    normalization rule — this predicate decides which files a 100 TB
+    MERGE rewrites."""
+    from graphkb_spark.operators.merge import _norm_equal
+    from graphkb_spark.operators.merge_sink import _norm_equal_sql
+
+    df = spark.createDataFrame(
+        [(t, s) for t, s, _ in pairs], f"tv {dtype}, sv {dtype}"
+    )
+    got = df.select(
+        _norm_equal(F.col("tv"), F.col("sv"), dtype).alias("col_eq"),
+        F.expr(_norm_equal_sql("tv", "sv", dtype)).alias("sql_eq"),
+    ).collect()
+    for (t, s, want), r in zip(pairs, got):
+        assert r.col_eq == r.sql_eq == want, (dtype, t, s)
+
+
+def test_computed_fallback_end_to_end(spark, tmp_path):
+    from graphkb_spark.operators.merge_sink import (
+        ComputedMergeWriter,
+        get_merge_writer,
+        merge_capable,
+    )
+
+    # sandbox has no Delta/Iceberg extension -> computed path
+    assert not merge_capable(spark)
+    w = get_merge_writer(spark)
+    assert isinstance(w, ComputedMergeWriter)
+
+    path = str(tmp_path / "tbl")
+    batch1 = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False)], "id bigint, v string, deletedAt boolean"
+    )
+    w.merge(path, batch1, on=["id"], soft_delete_col="deletedAt")
+    got = {r.id: r for r in spark.read.parquet(path).collect()}
+    assert got[1].v == "a" and got[2].v == "b"
+
+    # second batch: update 1, drop 2 (soft delete), insert 3
+    batch2 = spark.createDataFrame(
+        [(1, "a2", False), (3, "c", False)], "id bigint, v string, deletedAt boolean"
+    )
+    out = w.merge(
+        path, batch2, on=["id"], soft_delete_col="deletedAt",
+        delete_missing=True,
+    )
+    actions = {r.id: r._action for r in out.collect()}
+    assert actions == {1: "update", 2: "delete", 3: "create"}
+    got = {r.id: r for r in spark.read.parquet(path).collect()}
+    assert got[1].v == "a2"
+    assert got[2].deletedAt is True and got[2].v == "b"
+    assert got[3].v == "c" and got[3].deletedAt is False
+
+
+def test_sql_writer_renders_and_registers_view(spark):
+    """The SQL path up to (but not including) execution: statement is
+    rendered from the DataFrame's own schema and the batch is exposed
+    as the view the statement names."""
+    from graphkb_spark.operators.merge_sink import SqlMergeWriter, merge_into_sql
+
+    batch = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    sql = merge_into_sql(
+        "demo_target", "demo_view", on=["id"], source_cols=batch.columns,
+        dtypes=dict(batch.dtypes),
+    )
+    assert "MERGE INTO demo_target" in sql and "USING demo_view" in sql
+    # executing would need a Delta/Iceberg table; assert the failure is
+    # the engine's (table not mergeable), not ours (bad SQL)
+    writer = SqlMergeWriter(spark)
+    spark.range(1).toDF("id").withColumn("v", F.lit("x")) \
+        .write.mode("overwrite").saveAsTable("demo_target")
+    try:
+        with pytest.raises(Exception) as ei:
+            writer.merge("demo_target", batch, on=["id"])
+        assert "MERGE" in str(ei.value).upper() or "UnsupportedOperation" in str(ei.value)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS demo_target")
+
+
+def test_upsert_kb_table_partitioned_fallback(spark, tmp_path):
+    """KB-table upsert through the pluggable sink keeps the cls
+    partitioning (partition pruning is the read-path contract)."""
+    import os
+
+    from graphkb_spark.kb_io import upsert_kb_table
+
+    kb_path = str(tmp_path / "kb")
+    batch = spark.createDataFrame(
+        [("t1", "Disease", "D1", None, "flu"),
+         ("t2", "Therapy", "T1", None, "aspirin")],
+        "rid string, cls string, sourceId string, "
+        "sourceIdVersion string, name string",
+    )
+    upsert_kb_table(spark, kb_path, "terms", batch)
+    # partitioned layout on disk
+    assert os.path.isdir(os.path.join(kb_path, "terms", "cls=Disease"))
+    out = upsert_kb_table(
+        spark, kb_path, "terms",
+        batch.withColumn("name", F.expr("CASE WHEN cls='Disease' "
+                                        "THEN 'influenza' ELSE name END")),
+    )
+    actions = {r.sourceId: r._action for r in out.collect()}
+    assert actions == {"D1": "update", "T1": "noop"}
+    got = {r.sourceId: r.name for r in
+           spark.read.parquet(os.path.join(kb_path, "terms")).collect()}
+    assert got == {"D1": "influenza", "T1": "aspirin"}
