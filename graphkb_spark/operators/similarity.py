@@ -52,19 +52,35 @@ def cosine_topk(
     """Exact top-k by cosine: broadcast the (small) query set against
     the corpus scan; one window per query id picks the top k.
 
+    Norms are computed ONCE per side before the join (n + m array
+    aggregates), not per pair (3·n·m): per scored pair only the dot
+    product remains — identical doubles in identical order, so the
+    ranking is bit-stable vs the naive form, at a third of the HOF
+    work. At 100 TB the per-pair saving is the whole game.
+
     Returns (query_id, neighbor_id, cos_sim, rank). Self-matches are
     excluded when ids collide."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(vec_col).alias("__qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine("__qv", "__cv").alias("cos_sim"),
+            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -132,17 +148,25 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
         _ternary_sig(vec_col, n_planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(vec_col).alias("__qn"),
         _ternary_sig(vec_col, n_planes).alias("__bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -174,14 +198,16 @@ def ivf_topk(
         .limit(n_centroids)
         .drop("__h")
     )
-    bc = F.broadcast(cents)
+    # centroid norms once in the broadcast build, row norms once per
+    # row: the per-(row, centroid) work is one dot product
+    bc = F.broadcast(cents.withColumn("__cn", _norm("cvec")))
 
     def assign(df: DataFrame, idc: str, vc: str, n_take: int, out: str) -> DataFrame:
-        scored = df.crossJoin(bc).select(
+        scored = df.withColumn("__vn", _norm(vc)).crossJoin(bc).select(
             F.col(idc),
             F.col(vc),
             F.col("cid"),
-            cosine(vc, "cvec").alias("__cs"),
+            (_dot(vc, "cvec") / (F.col("__vn") * F.col("__cn"))).alias("__cs"),
         )
         w = Window.partitionBy(idc).orderBy(F.col("__cs").desc(), F.col("cid").asc())
         return (
@@ -205,9 +231,16 @@ def ivf_topk(
         "cell",
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.withColumn("__cn", _norm("__cv"))
+        .join(F.broadcast(q.withColumn("__qn", _norm("__qv"))), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos_sim"
+            ),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -244,18 +277,33 @@ def embedding_near_dups(
     standard banding trade — at a linear cost in scans."""
     sig = _ternary_sig(vec_col, n_planes)
     base = corpus.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__bucket")
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(vec_col).alias("__n"),
+        sig.alias("__bucket"),
     )
     a = base.select(
-        "__bucket", F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+        "__bucket",
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = base.select(
-        "__bucket", F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+        "__bucket",
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     return (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("__va", "__vb").alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -487,12 +535,14 @@ def hard_negative_mining(
             F.col(id_col).alias("query_id"),
             F.col(label_col).alias("query_label"),
             F.col(vec_col).alias("__qv"),
+            _norm(vec_col).alias("__qn"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
     )
     scored = (
         c.crossJoin(q)
@@ -503,7 +553,9 @@ def hard_negative_mining(
             "query_label",
             "neighbor_id",
             "neighbor_label",
-            cosine("__qv", "__cv").alias("cos_sim"),
+            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -726,31 +778,40 @@ def mmr_rerank(
     flat. Nothing ever collects."""
     if k < 1 or not 0.0 <= lam <= 1.0:
         raise ValueError("k >= 1 and 0 <= lam <= 1 required")
+    # norms computed once at the materialization boundary: every one of
+    # the k steps reuses them instead of re-deriving per candidate pair
     remaining = candidates.select(
         F.col(query_col).alias("__q"),
         F.col(id_col).alias("__id"),
         F.col(rel_col).cast("double").alias("__rel"),
         F.col(vec_col).alias("__v"),
+        _norm(vec_col).alias("__vn"),
     ).transform(materialize, eager=False)
     selected = None
     picks = []
     for step in range(1, k + 1):
         if selected is None:
             scored = remaining.select(
-                "__q", "__id", "__rel", "__v",
+                "__q", "__id", "__rel", "__v", "__vn",
                 (F.lit(lam) * F.col("__rel")).alias("__mmr"),
             )
         else:
             sel = selected.select(
-                F.col("__q"), F.col("__v").alias("__sv")
+                F.col("__q"),
+                F.col("__v").alias("__sv"),
+                F.col("__vn").alias("__svn"),
             )
             ms = (
                 remaining.join(sel, "__q")
                 .groupBy("__q", "__id")
-                .agg(F.max(cosine("__v", "__sv")).alias("__ms"))
+                .agg(
+                    F.max(
+                        _dot("__v", "__sv") / (F.col("__vn") * F.col("__svn"))
+                    ).alias("__ms")
+                )
             )
             scored = remaining.join(ms, ["__q", "__id"]).select(
-                "__q", "__id", "__rel", "__v",
+                "__q", "__id", "__rel", "__v", "__vn",
                 (
                     F.lit(lam) * F.col("__rel")
                     - F.lit(1.0 - lam) * F.col("__ms")
@@ -762,7 +823,7 @@ def mmr_rerank(
         pick = (
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("__q", "__id", "__rel", "__v", "__mmr")
+            .select("__q", "__id", "__rel", "__v", "__vn", "__mmr")
             .transform(materialize, eager=False)
         )
         picks.append(
