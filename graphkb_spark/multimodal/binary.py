@@ -1,11 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The Spark-side plumbing (schema, partition sizing, Arrow batch shape,
-mapInPandas signatures) is real and tested; the actual media decode is
-stubbed behind ``DECODERS`` because the image/audio libraries are not
-in this container — swap in PIL/torchaudio implementations with the
-same (bytes) -> dict contract on a real cluster.
+Two decoder registries with the same (bytes) -> dict contract:
+
+- ``REAL_DECODERS`` — actual media decoding, capability-gated at
+  import: PIL / soundfile / av upgrades when those libraries exist,
+  else pure-stdlib parsers that are still REAL (PNG/JPEG/GIF/BMP
+  dimensions from the container headers, WAV duration via the
+  ``wave`` module, MP4 duration from the ISO-BMFF ``mvhd`` box).
+  Header parsing is what production feature-extraction does anyway —
+  dimensions/duration never require pixel/sample decode.
+- ``DECODERS`` — deterministic digest-derived fakes, kept as the
+  oracle-checkable harness: the correctness queries feed text bytes
+  through the full mapInPandas/Arrow round-trip and verify every cell
+  against DuckDB, which needs decode output that is a pure function
+  of the payload bytes in both engines.
+
+``extract_features(media, decoders=REAL_DECODERS)`` selects the real
+path; per-row failures land in ``decode_error`` either way (quarantine
+semantics — a corrupt file must never kill a 100 TB job).
 
 Scale notes: binary payloads blow up task sizes — the readers set
 ``maxRecordsPerBatch`` low so Arrow batches stay bounded, and media
@@ -16,6 +29,9 @@ sidecar so filters prune before any payload is read.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -75,12 +91,162 @@ DECODERS = {
 }
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+# --- real decoders (capability-gated) --------------------------------
+
+
+def _image_dims_from_headers(b: bytes) -> tuple[int, int]:
+    """Width/height from container headers — no pixel decode needed.
+
+    Handles the four formats that cover essentially all web corpora:
+    PNG (IHDR), JPEG (SOF segment walk), GIF (logical screen), BMP
+    (BITMAPINFOHEADER). Raises ValueError for anything else."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return w, h
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOFn frame header
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError("corrupt JPEG segment stream")
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # no payload
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                return w, h
+            i += 2 + seglen
+        raise ValueError("JPEG without SOF frame header")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack_from("<HH", b, 6)
+        return w, h
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack_from("<ii", b, 18)
+        return w, abs(h)  # negative height = top-down DIB
+    raise ValueError("unrecognized image container")
+
+
+def _wav_duration_s(b: bytes) -> float:
+    try:
+        with wave.open(io.BytesIO(b)) as f:
+            rate = f.getframerate()
+            if rate <= 0:
+                raise ValueError("WAV with zero frame rate")
+            return f.getnframes() / rate
+    except wave.Error as exc:
+        raise ValueError(f"not a RIFF/WAVE payload: {exc}") from exc
+
+
+def _mp4_duration_s(b: bytes) -> float:
+    """Duration from the ISO-BMFF ``moov``/``mvhd`` box — the metadata
+    walk ffprobe does, in ~20 lines of stdlib. Raises ValueError for
+    non-MP4 containers (mkv/webm need real ffmpeg bindings)."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i:i + 4], "big")
+            kind = buf[i + 4:i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    break
+                size = int.from_bytes(buf[i + 8:i + 16], "big")
+            if size < 8 or i + size > end:
+                break
+            yield kind, i + 8, i + size
+            i += size
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) container")
+    for kind, s, e in boxes(b, 0, len(b)):
+        if kind != b"moov":
+            continue
+        for k2, s2, e2 in boxes(b, s, e):
+            if k2 != b"mvhd":
+                continue
+            version = b[s2]
+            if version == 1:
+                timescale = int.from_bytes(b[s2 + 20:s2 + 24], "big")
+                duration = int.from_bytes(b[s2 + 24:s2 + 32], "big")
+            else:
+                timescale = int.from_bytes(b[s2 + 12:s2 + 16], "big")
+                duration = int.from_bytes(b[s2 + 16:s2 + 20], "big")
+            if timescale <= 0:
+                raise ValueError("mvhd with zero timescale")
+            return duration / timescale
+    raise ValueError("MP4 without moov/mvhd box")
+
+
+def _build_real_decoders() -> dict:
+    """Best real decoder per kind, capability-gated at import time:
+    the optional libraries upgrade the stdlib parsers when installed
+    (PIL opens dozens of formats; soundfile reads flac/ogg; av probes
+    any container), and the stdlib parsers keep the contract real —
+    not stubbed — in minimal environments like this one."""
+    try:  # pragma: no cover - not installed in this container
+        from PIL import Image
+
+        def image(payload: bytes) -> dict:
+            with Image.open(io.BytesIO(payload)) as im:
+                return {"width": im.width, "height": im.height, "duration_s": None}
+    except ImportError:
+
+        def image(payload: bytes) -> dict:
+            w, h = _image_dims_from_headers(payload)
+            return {"width": w, "height": h, "duration_s": None}
+
+    try:  # pragma: no cover - not installed in this container
+        import soundfile as sf
+
+        def audio(payload: bytes) -> dict:
+            info = sf.info(io.BytesIO(payload))
+            return {"width": None, "height": None,
+                    "duration_s": info.frames / info.samplerate}
+    except ImportError:
+
+        def audio(payload: bytes) -> dict:
+            return {"width": None, "height": None,
+                    "duration_s": _wav_duration_s(payload)}
+
+    try:  # pragma: no cover - not installed in this container
+        import av
+
+        def video(payload: bytes) -> dict:
+            with av.open(io.BytesIO(payload)) as container:
+                dur = (container.duration or 0) / 1_000_000
+                streams = container.streams.video
+                w = streams[0].width if streams else None
+                h = streams[0].height if streams else None
+                return {"width": w, "height": h, "duration_s": dur}
+    except ImportError:
+
+        def video(payload: bytes) -> dict:
+            return {"width": None, "height": None,
+                    "duration_s": _mp4_duration_s(payload)}
+
+    return {"image": image, "audio": audio, "video": video}
+
+
+REAL_DECODERS = _build_real_decoders()
+
+
+def extract_features(media: DataFrame, decoders: dict | None = None) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas.
 
-    Per-row decode failures land in ``decode_error`` (quarantine
-    semantics, like every parser in this engine) — a corrupt file must
-    never kill a 100 TB job."""
+    ``decoders`` selects the registry: ``REAL_DECODERS`` for actual
+    media (default for production), ``DECODERS`` (the deterministic
+    digest fakes, and this function's default for backward
+    compatibility with the oracle-checked plumbing queries). Per-row
+    decode failures land in ``decode_error`` (quarantine semantics,
+    like every parser in this engine) — a corrupt file must never kill
+    a 100 TB job."""
+    registry = DECODERS if decoders is None else decoders
 
     def safe(decoder):
         def decode(payload: bytes) -> dict:
@@ -113,7 +279,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             # the batch (no per-row DataFrame row construction)
             for kind in pd.unique(out["kind"]):
                 mask = (out["kind"] == kind).to_numpy()
-                decoder = DECODERS.get(kind)
+                decoder = registry.get(kind)
                 if decoder is None:
                     out.loc[mask, "decode_error"] = f"unknown media kind {kind!r}"
                     continue
