@@ -4034,7 +4034,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd rounds of k=4 k-means over the embeddings —
     deterministic md5 init, integer-scaled exact centroid means,
     bit-reproducible assignments."""
-    from graphkb_spark.operators.clustering import kmeans_train
+    from graphkb_spark.operators.cluster import kmeans_train
 
     t = _t(spark, sf_dir, "embeddings")
     return kmeans_train(t["embeddings"], "vec_id", "embedding", k=4, rounds=2)

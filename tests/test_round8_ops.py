@@ -336,7 +336,7 @@ def test_table_profile_counts_and_ranges(spark):
 
 
 def test_kmeans_train_separates_blobs(spark):
-    from graphkb_spark.operators.clustering import kmeans_train
+    from graphkb_spark.operators.cluster import kmeans_train
 
     rows = [(i, [0.0 + i * 0.001, 0.0]) for i in range(10)]
     rows += [(100 + i, [10.0 + i * 0.001, 10.0]) for i in range(10)]
