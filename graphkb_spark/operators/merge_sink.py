@@ -35,6 +35,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from graphkb_spark.core.materialize import materialize
 from graphkb_spark.operators.merge import ACTION_COL, merge_upsert
 
 _MERGE_EXTENSIONS = (
@@ -218,7 +219,7 @@ class ComputedMergeWriter:
             delete_missing=delete_missing,
         )
         # materialize before overwriting files the plan still reads
-        out = merged.localCheckpoint(eager=True)
+        out = merged.transform(materialize, eager=True)
         writer = out.drop(ACTION_COL).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -192,3 +192,22 @@ def test_upsert_kb_table_partitioned_fallback(spark, tmp_path):
     got = {r.sourceId: r.name for r in
            spark.read.parquet(os.path.join(kb_path, "terms")).collect()}
     assert got == {"D1": "influenza", "T1": "aspirin"}
+
+
+def test_merge_sql_parses_for_hostile_identifiers(spark):
+    """Quoting property: whatever the column names (spaces, keywords,
+    unicode, embedded backticks), the rendered statement must parse."""
+    from graphkb_spark.operators.merge_sink import merge_into_sql
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    hostile = [
+        ["select", "from"], ["a b", "c-d"], ["é", "漢字"],
+        ["we`ird", "nor`mal"], ["UPPER", "MiXeD"],
+    ]
+    for cols in hostile:
+        sql = merge_into_sql(
+            "t", "s", on=[cols[0]], source_cols=cols,
+            dtypes={c: "string" for c in cols},
+            soft_delete_col="del", delete_missing=True,
+        )
+        parser.parsePlan(sql)  # raises ParseException on bad quoting
