@@ -102,3 +102,31 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         df.write.mode("error").parquet(path)
         return spark.read.parquet(path)
     return df.localCheckpoint(eager=eager)
+
+
+def clear_parquet_staging(spark: SparkSession) -> int:
+    """Delete all ``stage-*`` directories under the checkpoint dir.
+
+    Parquet-mode staging tables are intentionally never deleted while
+    a job runs (open plans still scan them; surviving a driver restart
+    for manual recovery is the point of the mode). Call this BETWEEN
+    jobs — the same lifecycle as Spark's own cleaned-on-exit RDD
+    checkpoint files. Returns the number of stage dirs removed; uses
+    the JVM's Hadoop FileSystem so it works for hdfs://, s3a://, and
+    local paths alike."""
+    root = spark.conf.get(DIR_CONF, None)
+    if not root:
+        return 0
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return 0
+    removed = 0
+    for status in fs.listStatus(path):
+        p = status.getPath()
+        if p.getName().startswith("stage-"):
+            fs.delete(p, True)
+            removed += 1
+    return removed

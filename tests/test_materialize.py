@@ -124,3 +124,23 @@ def test_bad_mode_rejected(spark):
             checkpoint_mode(spark)
     finally:
         disable_reliable_checkpoints(spark)
+
+
+def test_clear_parquet_staging(spark, tmp_path):
+    from graphkb_spark.core.materialize import (
+        clear_parquet_staging,
+        disable_reliable_checkpoints,
+        enable_reliable_checkpoints,
+        materialize,
+    )
+
+    enable_reliable_checkpoints(spark, str(tmp_path / "ckpt"), mode="parquet")
+    try:
+        a = materialize(spark.range(10).toDF("id"))
+        b = materialize(spark.range(5).toDF("id"))
+        assert a.count() == 10 and b.count() == 5
+        removed = clear_parquet_staging(spark)
+        assert removed == 2
+        assert clear_parquet_staging(spark) == 0
+    finally:
+        disable_reliable_checkpoints(spark)
