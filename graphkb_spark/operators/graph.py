@@ -277,12 +277,17 @@ def triangle_counts(
     Returns (node, n_triangles) for nodes in at least one triangle.
 
     Scale shape: the degree-ordered orientation (a<b<c on normalized
-    edges) is the classic trick that caps wedge counts — every wedge
-    is generated exactly once, so no triangle is counted twice and no
-    post-hoc /6 division hides duplicate work. Three exchanges: edge
-    distinct, the wedge join on the middle node, the closing join on
-    (a, c); AQE splits a hub node's wedge bucket. The closing join is
-    output-bound (wedges x edge-existence), never all-pairs."""
+    edges) caps wedge counts: edges are oriented low→high by
+    (degree, id) — the classic compact-forward orientation — so every
+    node's out-degree is O(sqrt(m)) and total wedge work is O(m^1.5)
+    regardless of hub degree (an ID-ordered orientation would leave a
+    mid-ID hub with quadratic wedges). Every wedge is generated
+    exactly once (out-neighbor pairs of one source, ordered by the
+    same key), so no triangle is counted twice and no post-hoc /6
+    division hides duplicate work. Exchanges: edge distinct, the
+    degree aggregate, two degree-lookup joins, the wedge self-join on
+    the source, and the output-bound closing join on (b, c) — never
+    all-pairs; AQE splits any residual skew."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -292,12 +297,52 @@ def triangle_counts(
         .distinct()
         .transform(materialize, eager=False)
     )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .transform(materialize, eager=False)
+    )
+    # orient each edge from the (degree, id)-smaller endpoint to the
+    # larger; carry the head's key so wedge ordering needs no re-join.
+    # deg (node-sized, tiny vs edges) is pinned so the three downstream
+    # uses of `keyed` don't re-aggregate it; keyed itself is NOT pinned
+    # — each use is one broadcast join off the pinned e/deg scans,
+    # cheaper than a write barrier of all m oriented edges
+    uk = F.struct(F.col("__du").alias("d"), F.col("u").alias("n"))
+    vk = F.struct(F.col("__dv").alias("d"), F.col("v").alias("n"))
+    keyed = (
+        e.join(
+            deg.select(F.col("node").alias("u"), F.col("__deg").alias("__du")), "u"
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("__deg").alias("__dv")), "v"
+        )
+        .select(
+            F.when(uk < vk, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(uk < vk, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.greatest(uk, vk).alias("hk"),
+        )
+    )
+    # no second materialize: e is pinned above and deg is a
+    # broadcast-sized lookup, so the three downstream uses of `keyed`
+    # each re-derive it with one broadcast join off the pinned scan —
+    # cheaper than a second full write barrier of all m edges
     wedge = (
-        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b")
+        keyed.select(
+            F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hk").alias("bk")
+        )
+        .join(
+            keyed.select(
+                F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("hk").alias("ck")
+            ),
+            "a",
+        )
+        .filter(F.col("bk") < F.col("ck"))
     )
     tri = wedge.join(
-        e.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+        keyed.select(F.col("lo").alias("b"), F.col("hi").alias("c")), ["b", "c"]
     )
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
