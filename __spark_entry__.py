@@ -4488,6 +4488,52 @@ def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: bigram-LM score
+    per document, exact tertile cutoffs from ONE scalar aggregate
+    broadcast back — never an ntile window over the corpus."""
+    from graphkb_spark.operators.corpus import perplexity_buckets
+
+    t = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(t["documents"], "doc_id", "text")
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth fit over the 3-gram shingle
+    vocabulary (the MinHash/dedup state table): V(N) = K * N^beta via
+    first-occurrence positions (two-phase prefix-sum doc offsets +
+    one groupBy-min), 16 prefix checkpoints, decimal-summed OLS."""
+    from graphkb_spark.operators.corpus import heaps_fit
+
+    t = _t(spark, sf_dir, "documents")
+    return heaps_fit(t["documents"], "doc_id", "text", shingle_n=3)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings (deterministic md5
+    init), within-cluster cosine pairs only (equi-join on cluster —
+    never all-pairs), drop docs with a lower-id near-twin."""
+    from graphkb_spark.operators.dedup import semantic_dedup
+
+    t = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        t["embeddings"], "vec_id", "embedding", k=8, rounds=2, tau=0.35
+    )
+
+
+def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band planner evaluated on the corpus's own near-dup
+    pair mass: expected banding recall 1-(1-s^r)^b per (b, r)
+    factorization of a 64-hash budget, over exact-Jaccard pairs from
+    the PPJoin prefix-filter join."""
+    from graphkb_spark.operators.dedup import lsh_band_tuning
+
+    t = _t(spark, sf_dir, "documents")
+    return lsh_band_tuning(
+        t["documents"], "text", "doc_id", num_hashes=64, sim_floor=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round.
@@ -4502,6 +4548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's full local sweeps). Round-9 should rotate the r6/r7
     # blocks that fell out of this window back to the front.
     return {
+        "semantic_dedup": q_semantic_dedup,
+        "lsh_band_tuning": q_lsh_band_tuning,
+        "perplexity_buckets": q_perplexity_buckets,
+        "heaps_fit": q_heaps_fit,
         "rolling_zscore": q_rolling_zscore,
         "lag_features": q_lag_features,
         "topn_other": q_topn_other,
@@ -5149,6 +5199,179 @@ def oracle_sql() -> dict[str, str]:
         ]
     )
     oracles = {
+        # SemDeDup: the kmeans_train CTE chain (k=8, 2 Lloyd rounds)
+        # + within-cluster cosine pairs, keep-lowest-id policy.
+        "semantic_dedup": f"""
+            WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings),
+            h AS (SELECT id, v,
+                         ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+                           AS hh
+                  FROM pts),
+            i0 AS (SELECT id, v, hh FROM h ORDER BY hh ASC, id ASC LIMIT 8),
+            c0 AS (SELECT CAST((SELECT count(*) FROM i0 j
+                                WHERE j.hh < i.hh
+                                   OR (j.hh = i.hh AND j.id < i.id)) AS INT) AS cl,
+                          i.v AS v
+                   FROM i0 i),
+            {kmeans_rounds},
+            af AS (SELECT p.id, c.cl, list_distance(p.v, c.v) AS d
+                   FROM pts p CROSS JOIN c2 c),
+            mf AS (SELECT id, min(d) AS md FROM af GROUP BY id),
+            sfin AS (SELECT a.id, CAST(min(a.cl) AS INT) AS cl
+                     FROM af a JOIN mf m ON a.id = m.id AND a.d = m.md
+                     GROUP BY a.id),
+            memb AS (SELECT sfin.id, sfin.cl, p.v
+                     FROM sfin JOIN pts p USING (id)),
+            prs AS (SELECT a.cl, a.id AS ia, b.id AS ib,
+                           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+                    FROM memb a JOIN memb b
+                      ON a.cl = b.cl AND a.id < b.id),
+            kept AS (SELECT ib, min(ia) AS dup_of FROM prs
+                     WHERE sim >= 0.35 GROUP BY ib),
+            d2 AS (SELECT k.ib, k.dup_of, p.sim
+                   FROM kept k JOIN prs p
+                     ON p.ib = k.ib AND p.ia = k.dup_of)
+            SELECT m.id AS vec_id, m.cl AS cluster,
+                   d2.ib IS NULL AS keep, d2.dup_of, d2.sim AS dup_sim
+            FROM memb m LEFT JOIN d2 ON m.id = d2.ib
+        """,
+        # band planner over PPJoin exact-Jaccard pairs (>= 0.5):
+        # decimal-summed S-curve mean per (b, r) factorization of 64.
+        "lsh_band_tuning": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              for i in generate_series(1, len(w) - 2)])
+                     END AS s
+              FROM words),
+            pr AS (
+              SELECT round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))), 4) AS s
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+            cfg AS (SELECT CAST(b AS BIGINT) AS bands,
+                           CAST(64 // b AS BIGINT) AS rows_per_band
+                    FROM unnest([1, 2, 4, 8, 16, 32, 64]) AS t(b)),
+            sc AS (SELECT bands, rows_per_band, s,
+                          1.0 - power(1.0 - power(s, rows_per_band), bands)
+                            AS p,
+                          power(1.0 - power(0.5, 1.0 / bands),
+                                1.0 / rows_per_band) AS s50
+                   FROM pr, cfg)
+            SELECT bands, rows_per_band,
+                   round(max(s50), 4) AS s50,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(CAST(sum(CAST(round(p, 9) AS DECIMAL(38,12)))
+                              AS DOUBLE) / count(*), 6) AS exp_recall,
+                   CAST(sum(CASE WHEN p >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_likely
+            FROM sc GROUP BY bands, rows_per_band
+        """,
+        # CCNet tertile bucketing over the bigram-LM scores; cutoffs
+        # are exact linear-interpolation percentiles rounded to 6.
+        "perplexity_buckets": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] AS w1,
+                     array_to_string(t[i:i+1], ' ') AS bigram
+              FROM tok, unnest(generate_series(1, greatest(len(t) - 1, 0)))
+                          AS u(i)),
+            c2 AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+            c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
+            scored AS (
+              SELECT bg.doc_id,
+                     log2(CAST(c2.c AS DOUBLE) / c1.c) AS lp
+              FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)),
+            sc AS (SELECT doc_id, round(avg(lp), 6) AS avg_log2_prob,
+                          count(*) AS n_bigrams
+                   FROM scored GROUP BY doc_id),
+            cuts AS (SELECT round(quantile_cont(avg_log2_prob, 1.0/3), 6)
+                              AS p33,
+                            round(quantile_cont(avg_log2_prob, 2.0/3), 6)
+                              AS p67
+                     FROM sc)
+            SELECT doc_id, avg_log2_prob, n_bigrams,
+                   CASE WHEN avg_log2_prob >= p67 THEN 'head'
+                        WHEN avg_log2_prob >= p33 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc, cuts
+        """,
+        # Heaps fit over 3-gram shingles: the oracle may use a plain
+        # window cumsum for doc offsets (Spark side uses the two-phase
+        # range-bucket prefix sum); decimal-summed OLS moments.
+        "heaps_fit": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS w
+              FROM documents),
+            tw AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE [array_to_string(w[i:i+2], ' ')
+                                for i in generate_series(1, len(w) - 2)]
+                     END AS t
+              FROM tok WHERE len(w) > 0),
+            docs AS (SELECT doc_id, len(t) AS n FROM tw WHERE len(t) > 0),
+            o AS (SELECT doc_id,
+                         sum(n) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n AS doff
+                  FROM docs),
+            pos AS (SELECT t[i] AS token, o.doff + i AS gp
+                    FROM tw JOIN o USING (doc_id),
+                         unnest(generate_series(1, len(t))) AS u(i)),
+            fp AS (SELECT token, min(gp) AS fpos FROM pos GROUP BY token),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM docs),
+            cps AS (SELECT N, j,
+                           greatest(1, CAST(floor(N * j / 16.0) AS BIGINT))
+                             AS cp
+                    FROM tot, unnest(generate_series(1, 16)) AS s(j)),
+            curve AS (SELECT j, cp, max(N) AS N,
+                             CAST(count(*) AS DOUBLE) AS v
+                      FROM fp, cps WHERE fp.fpos <= cps.cp GROUP BY j, cp),
+            g AS (SELECT CAST(count(*) AS DOUBLE) AS c,
+                         CAST(max(v) AS BIGINT) AS vocab,
+                         max(N) AS N,
+                         CAST(sum(CAST(round(ln(CAST(cp AS DOUBLE)), 9)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(round(ln(v), 9)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(round(ln(CAST(cp AS DOUBLE))
+                              * ln(CAST(cp AS DOUBLE)), 9)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                         CAST(sum(CAST(round(ln(CAST(cp AS DOUBLE)) * ln(v), 9)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                         CAST(sum(CAST(round(ln(v) * ln(v), 9)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS syy
+                  FROM curve)
+            , g2 AS (SELECT N, vocab, c, sx, sy,
+                          c * sxy - sx * sy AS num,
+                          c * sxx - sx * sx AS den,
+                          c * syy - sy * sy AS deny
+                   FROM g),
+            g3 AS (SELECT N, vocab, c, sx, sy, num, den, deny,
+                          CASE WHEN deny = 0 THEN 0.0
+                               WHEN den <> 0 THEN num / den END AS beta
+                   FROM g2)
+            SELECT N AS n_tokens, vocab,
+                   round(beta, 6) AS beta,
+                   round((sy - beta * sx) / c, 6) AS ln_k,
+                   CASE WHEN den <> 0 AND deny <> 0
+                        THEN round(num * num / (den * deny), 6) END AS r2
+            FROM g3
+        """,
         # trailing-window z, point excluded from its own frame.
         "rolling_zscore": """
             WITH o AS (

@@ -680,3 +680,159 @@ def diversity_report(
             ).alias("distinct_shingle_frac"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (``lm_score``) and label
+    it head / middle / tail by exact score tertiles — the standard
+    first curation cut of a web corpus (keep head+middle, drop or
+    down-weight tail). Returns (id, avg_log2_prob, n_bigrams, bucket).
+
+    Scale shape: ``lm_score`` is linear (vocab-sized count tables,
+    keyed joins); the tertile cutoffs are ONE scalar aggregate
+    broadcast back over the scored table — no global sort, no
+    corpus-sized window (an ``ntile(3)`` over all docs would funnel
+    the corpus through one partition; the cutoff-join shape is the
+    100-TB answer). Cutoffs are exact linear-interpolation
+    percentiles rounded to 6 so the bucket boundary is
+    engine-stable."""
+    scored = lm_score(df, id_col, text_col)
+    cuts = scored.agg(
+        F.round(F.percentile("avg_log2_prob", F.lit(1.0 / 3)), 6).alias("__p33"),
+        F.round(F.percentile("avg_log2_prob", F.lit(2.0 / 3)), 6).alias("__p67"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "avg_log2_prob",
+        "n_bigrams",
+        F.when(F.col("avg_log2_prob") >= F.col("__p67"), F.lit("head"))
+        .when(F.col("avg_log2_prob") >= F.col("__p33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth V(N) = K * N^beta over the
+    corpus read in ``id_col`` order — the planning number for
+    tokenizer vocab sizing and dedup-state budgets (how fast does the
+    distinct-unit table grow as the corpus scales? natural text sits
+    near beta ~ 0.5; beta near 1 means unbounded junk vocabulary,
+    beta near 0 means heavy repetition). ``shingle_n > 1`` fits the
+    n-gram-shingle vocabulary instead of single tokens — that IS the
+    MinHash/exact-dedup state table, so its growth exponent is the
+    number that sizes dedup state at 100 TB. Returns one row
+    (n_tokens, vocab, beta, ln_k, r2), rounded to 6.
+
+    Scale shape: the curve is NOT built by re-scanning a growing
+    prefix (quadratic) or by a corpus-wide window. Each token's FIRST
+    global position is a groupBy-min over (token, doc_offset +
+    in-doc position), where per-doc offsets come from the
+    sorted-neighborhood two-phase prefix sum (range-bucketed
+    row_number + broadcast triangular bucket offsets — no
+    single-partition funnel); then V(n) for each of the
+    ``n_checkpoints`` geometric-free prefix cuts n_j = max(1,
+    floor(N*j/c)) is one vocab-sized semi-count: count(first_pos <=
+    n_j). The OLS moments are 9-digit-rounded DECIMAL sums (the
+    ``zipf_fit`` engine-determinism contract)."""
+    unit = tokens(text_col)
+    if shingle_n > 1:
+        toks = (
+            df.select(F.col(id_col).alias("__id"), unit.alias("__w"))
+            .filter(F.size("__w") > 0)
+            .select("__id", word_shingles("__w", shingle_n).alias("__t"))
+        )
+    else:
+        toks = df.select(F.col(id_col).alias("__id"), unit.alias("__t"))
+    docs = toks.select("__id", F.size("__t").alias("__n")).filter(
+        F.col("__n") > 0
+    )
+    nb = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartitionByRange(nb, F.col("__id").asc())
+        .withColumn("__b", F.spark_partition_id())
+        .transform(materialize, eager=False)
+    )
+    counts = base.groupBy("__b").agg(F.sum("__n").alias("__bn"))
+    prior = counts.select(F.col("__b").alias("__pb"), F.col("__bn").alias("__pn"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("__pb") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(F.coalesce(F.sum("__pn"), F.lit(0)).alias("__off"))
+    )
+    w_in = Window.partitionBy("__b").orderBy(F.col("__id").asc())
+    doc_off = (
+        base.withColumn("__cum", F.sum("__n").over(w_in))
+        .join(F.broadcast(offsets), "__b")
+        .select("__id", (F.col("__off") + F.col("__cum") - F.col("__n")).alias("__doff"))
+    )
+    first = (
+        toks.join(doc_off, "__id")
+        .select(
+            F.col("__doff"),
+            F.posexplode("__t").alias("__p", "token"),
+        )
+        .select("token", (F.col("__doff") + F.col("__p") + 1).alias("__gp"))
+        .groupBy("token")
+        .agg(F.min("__gp").alias("__fp"))
+    )
+    total = docs.agg(F.sum("__n").cast("bigint").alias("__N"))
+    cps = total.select(
+        "__N", F.explode(F.sequence(F.lit(1), F.lit(n_checkpoints))).alias("__j")
+    ).select(
+        "__N",
+        "__j",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.col("__N") * F.col("__j") / F.lit(n_checkpoints)),
+        ).alias("__cp"),
+    )
+    curve = (
+        first.crossJoin(F.broadcast(cps))
+        .filter(F.col("__fp") <= F.col("__cp"))
+        .groupBy("__j", "__cp", "__N")
+        .agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    )
+    x, y = F.log(F.col("__cp").cast("double")), F.log("__v")
+
+    def dsum(c: Column, alias: str) -> Column:
+        return F.sum(F.round(c, 9).cast("decimal(38,12)")).cast("double").alias(alias)
+
+    g = curve.groupBy("__N").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"),
+        F.max(F.col("__v")).cast("bigint").alias("__vocab"),
+        dsum(x, "__sx"),
+        dsum(y, "__sy"),
+        dsum(x * x, "__sxx"),
+        dsum(x * y, "__sxy"),
+        dsum(y * y, "__syy"),
+    )
+    num = F.col("__c") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__c") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = F.col("__c") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    # degenerate fits: a flat vocabulary curve (deny = 0, e.g. a
+    # single-token corpus) has slope 0 by definition and no meaningful
+    # r2; a degenerate x-range (den = 0) has no fit at all
+    beta = F.when(deny == 0, F.lit(0.0)).otherwise(
+        F.when(den != 0, num / den)
+    )
+    ln_k = (F.col("__sy") - beta * F.col("__sx")) / F.col("__c")
+    r2 = F.when((den != 0) & (deny != 0), (num * num) / (den * deny))
+    return g.select(
+        F.col("__N").alias("n_tokens"),
+        F.col("__vocab").alias("vocab"),
+        F.round(beta, 6).alias("beta"),
+        F.round(ln_k, 6).alias("ln_k"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -1056,3 +1056,149 @@ def ngram_containment_pairs(
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 2,
+    tau: float = 0.7,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): cluster
+    the corpus embeddings with k-means, then inside each cluster mark
+    every document whose cosine similarity to a LOWER-id cluster-mate
+    reaches ``tau`` as a duplicate of the smallest such mate —
+    keep-lowest-id, the deterministic form of the paper's
+    keep-one-per-epsilon-ball policy. Returns one row per vector:
+    (id, cluster, keep, dup_of, dup_sim) with dup_of/dup_sim NULL for
+    keepers; dup_sim rounded to 4.
+
+    Scale shape — the whole point of clustering first: the pairwise
+    cosine join is an EQUI-join on the cluster id, never an all-pairs
+    product; k grows with the corpus (the paper uses ~100k clusters
+    for billions of docs) so per-cluster membership — and the
+    quadratic term — stays bounded, and AQE skew-split handles a hot
+    cluster. Norms are computed once per row BEFORE the join (the
+    cosine_topk contract: 2 array aggregates per row, not 3 per
+    pair). Training is ``kmeans_train`` (deterministic md5 init,
+    integer-scaled centroid sums, fixed rounds)."""
+    from graphkb_spark.operators.cluster import kmeans_train
+
+    asn = kmeans_train(df, id_col, vec_col, k=k, rounds=rounds)
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("__v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    memb = asn.select(
+        F.col(id_col).alias("__id"), "cluster"
+    ).join(vecs, "__id")
+    a = memb.select(
+        F.col("cluster"),
+        F.col("__id").alias("__ia"),
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = memb.select(
+        F.col("cluster"),
+        F.col("__id").alias("__ib"),
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(
+            "cluster",
+            "__ia",
+            "__ib",
+            F.round(dot / (F.col("__na") * F.col("__nb")), 4).alias("__sim"),
+        )
+        .filter(F.col("__sim") >= tau)
+    )
+    dup = pairs.groupBy("__ib").agg(
+        F.min(F.struct(F.col("__ia"), F.col("__sim"))).alias("__m")
+    )
+    return (
+        memb.join(dup, memb["__id"] == dup["__ib"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.col("__ib").isNull().alias("keep"),
+            F.col("__m.__ia").alias("dup_of"),
+            F.col("__m.__sim").alias("dup_sim"),
+        )
+    )
+
+
+def lsh_band_tuning(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    sim_floor: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH band planning against the corpus's OWN similarity
+    mass: for every (bands, rows_per_band) factorization of the
+    signature budget, the expected recall of the banding S-curve
+    P(candidate | s) = 1 - (1 - s^r)^b over the corpus's actual
+    near-duplicate pairs (exact n-gram Jaccard >= ``sim_floor``).
+    Returns one row per config: (bands, rows_per_band, s50 — the
+    similarity where collision probability crosses 1/2 —, n_pairs,
+    exp_recall, n_likely — pairs with collision prob >= 0.9).
+    This is how ``minhash_lsh_pairs``'s (bands, rows) should be
+    chosen instead of folklore defaults: pick the cheapest config
+    whose exp_recall on the corpus sample meets the target.
+
+    Scale shape: the pair table comes from the PPJoin prefix-filter
+    join (linear candidate generation); the config table is a handful
+    of rows cross-joined broadcast; one partial-agg per config."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, threshold=sim_floor
+    ).select(F.round("jaccard", 4).alias("__s"))
+    configs = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    spark = df.sparkSession
+    cfg = spark.createDataFrame(configs, ["bands", "rows_per_band"])
+    p = 1.0 - F.pow(
+        1.0 - F.pow(F.col("__s"), F.col("rows_per_band")), F.col("bands")
+    )
+    s50 = F.pow(
+        1.0 - F.pow(F.lit(0.5), 1.0 / F.col("bands")),
+        1.0 / F.col("rows_per_band"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(cfg))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.round(F.max(s50), 4).alias("s50"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            # 9-digit-rounded DECIMAL sum (zipf_fit contract) so the
+            # mean is summation-order-independent across engines
+            F.round(
+                F.sum(F.round(p, 9).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("exp_recall"),
+            F.sum(F.when(p >= 0.9, 1).otherwise(0)).cast("bigint").alias("n_likely"),
+        )
+    )

@@ -37,6 +37,18 @@ def get_spark(app_name: str = "graphkb_spark", cpus: int | None = None) -> Spark
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Opt-in fault-tolerant materialization for EVERY materialize() site
+    # (iterative operators, multi-consumer staging) without code edits:
+    #   GRAPHKB_CHECKPOINT_MODE=reliable|parquet  [GRAPHKB_CHECKPOINT_DIR=...]
+    # On a cluster GRAPHKB_CHECKPOINT_DIR would be an HDFS/S3 path.
+    ckpt_mode = os.environ.get("GRAPHKB_CHECKPOINT_MODE", "")
+    if ckpt_mode:
+        from graphkb_spark.core.materialize import enable_reliable_checkpoints
+
+        ckpt_dir = os.environ.get(
+            "GRAPHKB_CHECKPOINT_DIR", f"/tmp/graphkb_ckpt_{os.getpid()}"
+        )
+        enable_reliable_checkpoints(spark, ckpt_dir, mode=ckpt_mode)
     return spark
 
 

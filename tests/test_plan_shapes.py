@@ -111,6 +111,11 @@ BUDGETS = [
     ("rolling_zscore", 1, 0, True),    # one keyed window exchange
     ("lag_features", 1, 0, True),      # one keyed window exchange
     ("topn_other", 2, 0, True),        # post-checkpoint TakeOrdered + other
+    # round-9 additions
+    ("semantic_dedup", 6, 0, False),   # kmeans + cluster equi-join pairs
+    ("lsh_band_tuning", 5, 0, False),  # PPJoin pairs + bcast config agg
+    ("perplexity_buckets", 7, 0, False),  # lm_score joins + 1-row cutoffs
+    ("heaps_fit", 7, 0, False),        # two-phase offsets + first-pos agg
 ]
 
 
