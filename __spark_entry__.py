@@ -4536,18 +4536,19 @@ def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
-    # entries in insertion order, so the window ROTATES each round.
-    # Round-8 window: the 35 queries NEW this round lead (streaming
-    # hopping/upsert/topk, Benford, governance audits, ER + EM,
-    # k-means training, sketch algebra, layout ops, hybrid retrieval,
-    # point-in-time SCD2, ...), followed by the seven round-7
-    # changed-code queries (gopher_quality, boilerplate_strip, scd2,
-    # kmv_distinct(+merged), graph_closure, hierarchy_rollup) and the
-    # overdue r04/r05-green rotation block; everything else moves back
-    # (all driver-green in CORRECTNESS_r07 and re-verified in this
-    # round's full local sweeps). Round-9 should rotate the r6/r7
-    # blocks that fell out of this window back to the front.
-    return {
+    # entries in insertion order, so the window ROTATES each round. The
+    # rotation is now an explicit list (_R9_WINDOW below) applied over the
+    # registry literal, so future rounds edit a 50-name list instead of
+    # reordering a 215-entry dict.
+    # Round-9 window: the 4 queries NEW this round lead, then every query
+    # whose implementation changed this round (materialize() rewiring of
+    # all iterative operators, the merge-sink/kb_io writer interface, the
+    # Fellegi-Sunter/Neyman/Benford edge-case fixes, the similarity-norm
+    # precompute, the pre-trained-BPE encode, the cluster-module merge,
+    # the triangle wedge reorder, the multimodal decoder gating), then an
+    # overdue block of r6/r7-window queries that haven't been driver-
+    # checked since. Everything else is green in the full local sweep.
+    all_q = {
         "semantic_dedup": q_semantic_dedup,
         "lsh_band_tuning": q_lsh_band_tuning,
         "perplexity_buckets": q_perplexity_buckets,
@@ -4764,6 +4765,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
+    ordered = {k: all_q[k] for k in _R9_WINDOW}
+    ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
+    return ordered
+
+
+# The driver-gate window: first 50 registry entries, re-verified by the
+# driver each round at sf0.01. See the ordering-contract note in queries().
+_R9_WINDOW = [
+    # new in round 9
+    "semantic_dedup",
+    "lsh_band_tuning",
+    "perplexity_buckets",
+    "heaps_fit",
+    # code changed in round 9: edge-case fixes
+    "fellegi_sunter",
+    "fs_em",
+    "er_entities",
+    "neyman_sample",
+    "benford",
+    # pre-trained BPE encode split
+    "bpe_encode",
+    "bpe_train",
+    # materialize() rewiring of every iterative operator
+    "pagerank",
+    "kcore",
+    "graph_closure",
+    "hierarchy_rollup",
+    "triangle_count",
+    "dedup_components",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "sorted_neighborhood",
+    "mmr_rerank",
+    "kmeans_train",
+    "kmeans_assign",
+    # merge-sink writer interface + streaming merge paths
+    "incremental_merge",
+    "stream_upsert",
+    "merge_upsert",
+    "full_reload_diff",
+    # similarity-norm precompute
+    "embedding_topk",
+    "embedding_quantized_topk",
+    "embedding_dups",
+    "embedding_lsh",
+    "embedding_ivf",
+    "ann_recall_eval",
+    "hard_negatives",
+    # multimodal decoder gating
+    "multimodal_features",
+    "multimodal_resize",
+    "pcm_energy",
+    # aggregate/validate materialize touch-ups
+    "zipf_fit",
+    "topn_other",
+    "expectations",
+    # overdue r6/r7-window rotation block
+    "grouped_percentiles",
+    "cube_rollup",
+    "pivot_events",
+    "rolling_average",
+    "histogram_bins",
+    "grouped_regression",
+    "salted_skew_join",
+    "sessionize",
+    "edit_distance_join",
+    "decontaminate",
+]
 
 
 def _pii_oracle_sql() -> str:
@@ -5334,13 +5403,16 @@ def oracle_sql() -> dict[str, str]:
                          unnest(generate_series(1, len(t))) AS u(i)),
             fp AS (SELECT token, min(gp) AS fpos FROM pos GROUP BY token),
             tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM docs),
-            cps AS (SELECT N, j,
-                           greatest(1, CAST(floor(N * j / 16.0) AS BIGINT))
-                             AS cp
+            bks AS (SELECT ((fpos - 1) * 16) // N + 1 AS j,
+                           count(*) AS bc
+                    FROM fp, tot GROUP BY 1),
+            cps AS (SELECT N, j, (N * j + 15) // 16 AS cp
                     FROM tot, unnest(generate_series(1, 16)) AS s(j)),
-            curve AS (SELECT j, cp, max(N) AS N,
-                             CAST(count(*) AS DOUBLE) AS v
-                      FROM fp, cps WHERE fp.fpos <= cps.cp GROUP BY j, cp),
+            curve AS (SELECT c.j, c.cp, c.N,
+                             CAST(sum(coalesce(b.bc, 0)) OVER (
+                               ORDER BY c.j ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS DOUBLE) AS v
+                      FROM cps c LEFT JOIN bks b ON b.j = c.j),
             g AS (SELECT CAST(count(*) AS DOUBLE) AS c,
                          CAST(max(v) AS BIGINT) AS vocab,
                          max(N) AS N,

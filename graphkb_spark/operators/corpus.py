@@ -741,10 +741,11 @@ def heaps_fit(
     in-doc position), where per-doc offsets come from the
     sorted-neighborhood two-phase prefix sum (range-bucketed
     row_number + broadcast triangular bucket offsets — no
-    single-partition funnel); then V(n) for each of the
-    ``n_checkpoints`` geometric-free prefix cuts n_j = max(1,
-    floor(N*j/c)) is one vocab-sized semi-count: count(first_pos <=
-    n_j). The OLS moments are 9-digit-rounded DECIMAL sums (the
+    single-partition funnel). Each distinct token then maps to its
+    checkpoint bucket with EXACT integer arithmetic — j = (fp-1)*c
+    DIV N + 1 against checkpoints cp_j = ceil(N*j/c) — so V(cp_j) is
+    a c-row cumulative sum, never a c-fold replication of the vocab
+    table. The OLS moments are 9-digit-rounded DECIMAL sums (the
     ``zipf_fit`` engine-determinism contract)."""
     unit = tokens(text_col)
     if shingle_n > 1:
@@ -755,6 +756,8 @@ def heaps_fit(
         )
     else:
         toks = df.select(F.col(id_col).alias("__id"), unit.alias("__t"))
+    # feeds the size table AND the position explode — compute once
+    toks = materialize(toks, eager=False)
     docs = toks.select("__id", F.size("__t").alias("__n")).filter(
         F.col("__n") > 0
     )
@@ -788,21 +791,29 @@ def heaps_fit(
         .agg(F.min("__gp").alias("__fp"))
     )
     total = docs.agg(F.sum("__n").cast("bigint").alias("__N"))
-    cps = total.select(
-        "__N", F.explode(F.sequence(F.lit(1), F.lit(n_checkpoints))).alias("__j")
-    ).select(
-        "__N",
-        "__j",
-        F.greatest(
-            F.lit(1),
-            F.floor(F.col("__N") * F.col("__j") / F.lit(n_checkpoints)),
-        ).alias("__cp"),
+    c = n_checkpoints
+    # exact-integer bucket: the smallest j with ceil(N*j/c) >= fp
+    buckets = (
+        first.crossJoin(F.broadcast(total))
+        .select(F.expr(f"((__fp - 1) * {c}) DIV __N + 1").alias("__j"))
+        .groupBy("__j")
+        .agg(F.count(F.lit(1)).alias("__bc"))
     )
+    cps = total.select(
+        "__N", F.explode(F.sequence(F.lit(1), F.lit(c))).alias("__j")
+    ).select(
+        "__N", "__j", F.expr(f"(__N * __j + {c - 1}) DIV {c}").alias("__cp")
+    )
+    # c-row cumulative sum on a declared single partition (tiny by
+    # construction — the zipf_fit ranking-window pattern)
+    w_c = Window.partitionBy(F.pmod(F.col("__j"), F.lit(1))).orderBy("__j")
     curve = (
-        first.crossJoin(F.broadcast(cps))
-        .filter(F.col("__fp") <= F.col("__cp"))
-        .groupBy("__j", "__cp", "__N")
-        .agg(F.count(F.lit(1)).cast("double").alias("__v"))
+        cps.join(F.broadcast(buckets), "__j", "left")
+        .withColumn(
+            "__v",
+            F.sum(F.coalesce("__bc", F.lit(0))).over(w_c).cast("double"),
+        )
+        .select("__j", "__cp", "__N", "__v")
     )
     x, y = F.log(F.col("__cp").cast("double")), F.log("__v")
 
