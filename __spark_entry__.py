@@ -4488,6 +4488,31 @@ def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression: micro-batches of documents are
+    MinHash-banded and band-joined against the accumulated state;
+    id-ordered arrival makes the stream equal to the static
+    keep-lowest-id rule, so the full streaming pipeline is value-hash
+    verified against the batch minhash_lsh oracle."""
+    from graphkb_spark.streaming.incremental import streaming_minhash_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    return streaming_minhash_dedup(
+        spark,
+        t["documents"],
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=16,
+        jaccard_threshold=0.6,
+        hasher="md5",
+        query_name=f"q_stream_mhd_{suffix}",
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing: bigram-LM score
     per document, exact tertile cutoffs from ONE scalar aggregate
@@ -4549,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # overdue block of r6/r7-window queries that haven't been driver-
     # checked since. Everything else is green in the full local sweep.
     all_q = {
+        "stream_minhash_dedup": q_stream_minhash_dedup,
         "semantic_dedup": q_semantic_dedup,
         "lsh_band_tuning": q_lsh_band_tuning,
         "perplexity_buckets": q_perplexity_buckets,
@@ -4774,6 +4800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver each round at sf0.01. See the ordering-contract note in queries().
 _R9_WINDOW = [
     # new in round 9
+    "stream_minhash_dedup",
     "semantic_dedup",
     "lsh_band_tuning",
     "perplexity_buckets",
@@ -4831,7 +4858,6 @@ _R9_WINDOW = [
     "salted_skew_join",
     "sessionize",
     "edit_distance_join",
-    "decontaminate",
 ]
 
 
@@ -9552,4 +9578,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.query_id, recall_at_5, mrr
         FROM r JOIN m ON r.query_id = m.query_id
     """
+    # streaming near-dup suppression: id-ordered arrival makes the
+    # stream equal to the static keep-lowest-id rule, so its oracle is
+    # the minhash_lsh pair replica with the final select flipped to
+    # per-document keep flags.
+    oracles["stream_minhash_dedup"] = oracles["minhash_lsh"].replace(
+        "SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.6",
+        "SELECT d.doc_id, dx.id_b IS NULL AS keep FROM documents d "
+        "LEFT JOIN (SELECT DISTINCT id_b FROM jac WHERE j >= 0.6) dx "
+        "ON d.doc_id = dx.id_b",
+    )
     return oracles

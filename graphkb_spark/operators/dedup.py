@@ -184,50 +184,23 @@ def minhash_signature(col: str | Column, num_hashes: int = 64, shingle_n: int = 
     return minhash_signature_from_hashes(shingle_hashes(col, shingle_n), num_hashes)
 
 
-def minhash_lsh_pairs(
+def _minhash_state(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.8,
-    hasher: str = "xxhash64",
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    hasher: str,
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding, verified with
-    exact Jaccard over the HASHED shingle sets. Returns
-    (id_a, id_b, jaccard), id_a<id_b.
-
-    Plan: signature scan (no shuffle) -> explode bands -> shuffle on
-    (band, hash) -> within-bucket self-join -> distinct pairs ->
-    broadcast-free verify join back to shingle sets.
-
-    The staged per-doc state is the hashed shingle set
-    (array<bigint>, distinct AFTER hashing) — never the shingle
-    strings: 3-4x smaller localCheckpoint blocks and Arrow batches,
-    and the verify ``array_intersect``/``array_union`` compares longs
-    instead of strings. Verify Jaccard is therefore defined on the
-    hash domain; a 31-bit digest collision (p ~ 2^-31 per in-doc pair)
-    can merge two shingles and perturb a Jaccard in the 4th decimal —
-    irrelevant for near-dup detection, and the external oracle
-    replicates the identical hashed-set definition, so results still
-    match bit-for-bit.
-
-    ``hasher``: ``"xxhash64"`` (fastest digest) or ``"md5"``
-    (hex-fold digest — plain ANSI arithmetic, so an external oracle
-    can verify the exact candidate set and banding, not just the
-    verified pairs). Both feed the same Arrow-batched numpy affine
-    family minima; the pure-JVM alternatives were measured and kept
-    non-default (docs/FLOORS.md): the interpreted ``aggregate`` HOF is
-    ~2.6x slower, and an explode + 32-way codegen'd min-agg is ~0.3 s
-    slower end-to-end at sf0.1 (one extra job + re-shuffle, since a
-    localCheckpoint boundary drops the partitioning info the agg could
-    have reused).
-    ``num_partitions``: pre-join spread of the signature computation;
-    defaults to ``defaultParallelism`` locally — on a cluster leave it
-    None and let AQE size the exchanges instead.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The shared MinHash-LSH state tables: ``base`` = one row per doc
+    (__id, __sh hashed shingle set, __sig signature), materialized
+    once (it feeds both the band join and the verify join); ``banded``
+    = (__id, band, bhash) band keys only, so shingle arrays never ride
+    the band exchange. Used by the batch pair join
+    (``minhash_lsh_pairs``) and the streaming suppressor
+    (``streaming/incremental.py:streaming_minhash_dedup``)."""
     rows_per_band = num_hashes // bands
     # The words array is computed BEFORE the repartition: the Exchange
     # is a hard projection boundary, so downstream shingle lambdas read
@@ -289,6 +262,57 @@ def minhash_lsh_pairs(
             )
         ).alias("__b"),
     ).select("__id", F.col("__b.band").alias("band"), F.col("__b.bhash").alias("bhash"))
+    return base, banded
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    hasher: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with
+    exact Jaccard over the HASHED shingle sets. Returns
+    (id_a, id_b, jaccard), id_a<id_b.
+
+    Plan: signature scan (no shuffle) -> explode bands -> shuffle on
+    (band, hash) -> within-bucket self-join -> distinct pairs ->
+    broadcast-free verify join back to shingle sets.
+
+    The staged per-doc state is the hashed shingle set
+    (array<bigint>, distinct AFTER hashing) — never the shingle
+    strings: 3-4x smaller localCheckpoint blocks and Arrow batches,
+    and the verify ``array_intersect``/``array_union`` compares longs
+    instead of strings. Verify Jaccard is therefore defined on the
+    hash domain; a 31-bit digest collision (p ~ 2^-31 per in-doc pair)
+    can merge two shingles and perturb a Jaccard in the 4th decimal —
+    irrelevant for near-dup detection, and the external oracle
+    replicates the identical hashed-set definition, so results still
+    match bit-for-bit.
+
+    ``hasher``: ``"xxhash64"`` (fastest digest) or ``"md5"``
+    (hex-fold digest — plain ANSI arithmetic, so an external oracle
+    can verify the exact candidate set and banding, not just the
+    verified pairs). Both feed the same Arrow-batched numpy affine
+    family minima; the pure-JVM alternatives were measured and kept
+    non-default (docs/FLOORS.md): the interpreted ``aggregate`` HOF is
+    ~2.6x slower, and an explode + 32-way codegen'd min-agg is ~0.3 s
+    slower end-to-end at sf0.1 (one extra job + re-shuffle, since a
+    localCheckpoint boundary drops the partitioning info the agg could
+    have reused).
+    ``num_partitions``: pre-join spread of the signature computation;
+    defaults to ``defaultParallelism`` locally — on a cluster leave it
+    None and let AQE size the exchanges instead.
+    """
+    base, banded = _minhash_state(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hasher,
+        num_partitions,
+    )
 
     a = banded.select("band", "bhash", F.col("__id").alias("id_a"))
     b = banded.select("band", "bhash", F.col("__id").alias("id_b"))

@@ -520,3 +520,153 @@ def streaming_upsert_foreachbatch(
     q.processAllAvailable()
     q.stop()
     return state["df"]
+
+
+def streaming_minhash_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+    hasher: str = "md5",
+    n_batches: int = 4,
+    query_name: str = "stream_minhash_dedup",
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate suppression — the incremental-corpus-
+    ingestion pattern of an LLM data pipeline: documents arrive in
+    micro-batches; each batch is MinHash-banded, band-joined against
+    the ACCUMULATED band state (plus itself), exact-verified on the
+    hashed shingle sets, and every document's bands are appended to
+    state whether it survived or not. A document is suppressed iff
+    some earlier-arriving (or same-batch lower-id) document is a
+    verified near-dup — with id-ordered arrival this equals the static
+    keep-lowest-id rule, so the WHOLE streaming pipeline is verified
+    against the batch ``minhash_lsh`` oracle. Returns one row per
+    document: (id, keep).
+
+    Scale shape per batch: the band join is an equi-join on
+    (band, bhash) between the batch's bands (small) and the state
+    table (corpus-sized but keyed — at cluster scale a bucketed
+    staging table, here materialize()); shingle arrays never ride the
+    band exchange (the ``_minhash_state`` contract); state grows
+    linearly with corpus (bands + hashed shingle sets — the same
+    footprint the batch join materializes). The ntile staging below is
+    the batch-ARRIVAL SIMULATOR for a file stream, not part of the
+    operator's dataflow."""
+    import os
+    import tempfile
+
+    from graphkb_spark.operators.dedup import _minhash_state
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_{query_name}_")
+    docs = normalize_ntz(docs).select(
+        F.col(id_col).alias("__did"), F.col(text_col).alias("__text")
+    )
+    # ---- arrival simulator: id-ordered range files, ascending mtimes
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("__did").asc())
+    staged = docs.withColumn("__bk", F.ntile(n_batches).over(w))
+    for k in range(1, n_batches + 1):
+        part_dir = os.path.join(stage_dir, f"b{k:04d}")
+        staged.filter(F.col("__bk") == k).drop("__bk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+    # one file per trigger, in mtime order = id order
+    files = []
+    for k in range(1, n_batches + 1):
+        d = os.path.join(stage_dir, f"b{k:04d}")
+        fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        src = os.path.join(d, fs[0])
+        dst = os.path.join(stage_dir, f"batch-{k:04d}.parquet")
+        os.replace(src, dst)
+        os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+        files.append(dst)
+    schema = spark.read.parquet(files[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "batch-*.parquet"))
+    )
+
+    state: dict[str, DataFrame | None] = {"bands": None, "sh": None, "out": None}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        base, banded = _minhash_state(
+            batch, "__text", "__did", num_hashes, bands, shingle_n, hasher
+        )
+        sh = base.select(F.col("__id"), F.col("__sh"))
+        # within-batch candidates: lower id suppresses higher
+        cand = (
+            banded.select("band", "bhash", F.col("__id").alias("id_a"))
+            .join(
+                banded.select("band", "bhash", F.col("__id").alias("id_b")),
+                ["band", "bhash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+        if state["bands"] is not None:
+            # cross-batch: every state doc arrived earlier (id-ordered
+            # ranges), so it is the suppressing side unconditionally
+            cand_x = (
+                state["bands"]
+                .select("band", "bhash", F.col("__id").alias("id_a"))
+                .join(
+                    banded.select("band", "bhash", F.col("__id").alias("id_b")),
+                    ["band", "bhash"],
+                )
+                .select("id_a", "id_b")
+            )
+            cand = cand.unionByName(cand_x)
+            sh_a = sh_a.unionByName(
+                state["sh"].select(
+                    F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
+                )
+            )
+        pairs = cand.dropDuplicates(["id_a", "id_b"])
+        verified = (
+            pairs.join(sh_a, "id_a")
+            .join(
+                sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")),
+                "id_b",
+            )
+            .filter(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+                >= jaccard_threshold
+            )
+            .select("id_b")
+            .distinct()
+        )
+        out = base.join(
+            verified, base["__id"] == verified["id_b"], "left"
+        ).select(
+            F.col("__id").alias(id_col),
+            F.col("id_b").isNull().alias("keep"),
+        )
+        # accumulate: ALL docs' bands/shingles enter state (a suppressed
+        # doc still suppresses later twins — the pairwise lower-id rule)
+        state["bands"] = (
+            banded
+            if state["bands"] is None
+            else state["bands"].unionByName(banded)
+        ).transform(materialize)
+        state["sh"] = (
+            sh if state["sh"] is None else state["sh"].unionByName(sh)
+        ).transform(materialize)
+        state["out"] = (
+            out if state["out"] is None else state["out"].unionByName(out)
+        ).transform(materialize)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return state["out"]

@@ -200,3 +200,49 @@ def test_heaps_fit_partition_invariant(spark):
     a = heaps_fit(docs, "doc_id", "text", shingle_n=2).collect()
     b = heaps_fit(docs.repartition(11), "doc_id", "text", shingle_n=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ------------------------------------------------- streaming minhash dedup
+def test_streaming_minhash_dedup_suppressed_doc_still_suppresses(spark):
+    """A~B and B~C but A!~C: B is dropped in its batch, yet its bands
+    stay in state, so C (arriving later) is dropped too — the pairwise
+    lower-id rule, not keep-set-only suppression."""
+    from graphkb_spark.streaming.incremental import streaming_minhash_dedup
+
+    base = "a b c d e f g h i j k l".split()
+    b = base[:-1] + ["m"]          # differs in last shingle only
+    c = ["z"] + b[1:]              # differs from B in first shingle only
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(b)), (3, " ".join(c))],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.keep
+        for r in streaming_minhash_dedup(
+            spark, docs, "doc_id", "text",
+            num_hashes=32, bands=16, jaccard_threshold=0.8,
+            hasher="md5", n_batches=3,
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_streaming_minhash_dedup_batch_count_invariant(spark):
+    from graphkb_spark.session import load_table
+    from graphkb_spark.streaming.incremental import streaming_minhash_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    runs = []
+    for nb in (2, 5):
+        runs.append(
+            sorted(
+                tuple(r)
+                for r in streaming_minhash_dedup(
+                    spark, docs, "doc_id", "text",
+                    num_hashes=32, bands=16, jaccard_threshold=0.6,
+                    hasher="md5", n_batches=nb,
+                    query_name=f"t_smd_{nb}",
+                ).collect()
+            )
+        )
+    assert runs[0] == runs[1]

@@ -55,7 +55,24 @@ QUERIES = [
     "er_entities",
     "embedding_quantized_topk",
     "segment_dedup",
+    "heaps_fit",
+    # semantic_dedup is probed via _semantic_dedup_scaled below: the
+    # SemDeDup contract is k grows with the corpus (per-cluster
+    # membership — and the quadratic within-cluster term — stays
+    # bounded), so the probe scales k with the multiplier instead of
+    # replaying the registry's fixed k=8.
+    "semantic_dedup",
 ]
+
+
+def _semantic_dedup_scaled(spark, sf_dir: str, mult: int):
+    from graphkb_spark.operators.dedup import semantic_dedup
+    from graphkb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=8 * mult, rounds=2, tau=0.35
+    )
 
 
 def _splice_texts(texts: list[str], k: int) -> list[str]:
@@ -170,9 +187,13 @@ def run_probe() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    scales = [("x1", SF_BASE), ("x3", str(SCALE_ROOT / "x3")), ("x10", str(SCALE_ROOT / "x10"))]
+    scales = [
+        ("x1", SF_BASE, 1),
+        ("x3", str(SCALE_ROOT / "x3"), 3),
+        ("x10", str(SCALE_ROOT / "x10"), 10),
+    ]
     results: dict[str, dict[str, dict[str, float]]] = {}
-    for label, sf_dir in scales:
+    for label, sf_dir, mult in scales:
         results[label] = {}
         for q in QUERIES:
             best = None
@@ -181,7 +202,10 @@ def run_probe() -> None:
             for attempt in range(2):
                 sw0 = _shuffle_write_bytes(port)
                 t0 = time.perf_counter()
-                rows = qs[q](spark, sf_dir).count()
+                if q == "semantic_dedup":
+                    rows = _semantic_dedup_scaled(spark, sf_dir, mult).count()
+                else:
+                    rows = qs[q](spark, sf_dir).count()
                 wall = time.perf_counter() - t0
                 sw = _shuffle_write_bytes(port) - sw0
                 best = wall if best is None else min(best, wall)
