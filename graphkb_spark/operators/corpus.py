@@ -425,6 +425,18 @@ def bpe_train(
     )
 
 
+# The shipped tokenizer artifact: 8 merge rules trained once on the
+# documents corpus (bpe_train at sf0.01) and frozen — exactly how
+# production tokenizers ship (GPT-2's merges.txt). Encoding must NOT
+# re-train: the artifact is a constant, the encode is pure scan-speed
+# string algebra. Note rule 6 ("m"+"er") consumes rule 1's output —
+# real BPE sequencing, so application order matters and is preserved.
+PRETRAINED_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
 def bpe_encode(
     df: DataFrame,
     id_col: str,
