@@ -4532,6 +4532,88 @@ def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_categorical_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence profile (entropy / MI / NMI / chi-square
+    / Cramer's V) of order priority vs order status — the
+    feature-selection and label-leakage screen. Sparse-table chi2:
+    sum over observed cells of ((o-e)^2/e - e) plus n covers the zero
+    cells without generating them."""
+    from graphkb_spark.operators.evaluation import categorical_dependence
+
+    t = _t(spark, sf_dir, "orders")
+    return categorical_dependence(t["orders"], "o_orderpriority", "o_orderstatus")
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on event values, first
+    half-month vs second (psi_drift's bin-free companion): D found as
+    an exact DECIMAL(38,0) ECDF cross-product max via the two-phase
+    bucketed running sum — no unpartitioned window, no float ECDFs."""
+    from graphkb_spark.operators.evaluation import ks_two_sample
+
+    t = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev = t["events"].select(
+        F.when(F.col("ts") < cut, F.lit("base")).otherwise(F.lit("cur")).alias(
+            "period"
+        ),
+        "value",
+    )
+    return ks_two_sample(ev, "period", "value", "base", "cur")
+
+
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney ROC AUC of the first embedding dimension as a
+    scorer for the low-label classes (label < 5): midrank sum per
+    distinct score (exact under ties), two-phase bucketed running
+    count, DECIMAL(38,0) rank arithmetic."""
+    from graphkb_spark.operators.evaluation import auc_mann_whitney
+
+    t = _t(spark, sf_dir, "embeddings")
+    scored = t["embeddings"].select(
+        (F.col("label") < 5).cast("long").alias("y"),
+        F.col("embedding")[0].cast("double").alias("score"),
+    )
+    return auc_mann_whitney(scored, "y", "score")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + ECE terms for a synthetic calibrated
+    classifier: predicted probability and Bernoulli outcome both
+    md5-derived from doc_id (content-free hash randomness, the
+    split_assign contract), so the curve regenerates identically in
+    any engine; 10 fixed-width bins."""
+    from graphkb_spark.operators.evaluation import calibration_bins
+
+    t = _t(spark, sf_dir, "documents")
+    hp = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cal:p:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 1000000
+    hl = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cal:l:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 1000000
+    scored = t["documents"].select(
+        (hp / F.lit(1000000.0)).alias("prob"),
+        F.when(hl < hp, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return calibration_bins(scored, "y", "prob", n_bins=10)
+
+
+def q_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weight health per document source (the post-check
+    for any weighted-sampling stage): Kish effective sample size,
+    ESS ratio, max-weight share, and weight CV, with n_chars as the
+    sampling weight."""
+    from graphkb_spark.operators.evaluation import weight_diagnostics
+
+    t = _t(spark, sf_dir, "documents")
+    return weight_diagnostics(t["documents"], "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round. The
@@ -4547,6 +4629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # overdue block of r6/r7-window queries that haven't been driver-
     # checked since. Everything else is green in the full local sweep.
     all_q = {
+        "categorical_dependence": q_categorical_dependence,
+        "ks_drift": q_ks_drift,
+        "auc_eval": q_auc_eval,
+        "calibration_bins": q_calibration_bins,
+        "weight_diagnostics": q_weight_diagnostics,
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "semantic_dedup": q_semantic_dedup,
         "lsh_band_tuning": q_lsh_band_tuning,
@@ -4772,6 +4859,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in queries().
 _R9_WINDOW = [
+    # new in round 9 (late batch: evaluation-stats family)
+    "categorical_dependence",
+    "ks_drift",
+    "auc_eval",
+    "calibration_bins",
+    "weight_diagnostics",
     # new in round 9
     "stream_minhash_dedup",
     "semantic_dedup",
