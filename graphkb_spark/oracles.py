@@ -4762,4 +4762,201 @@ def build_oracles() -> dict[str, str]:
         "LEFT JOIN (SELECT DISTINCT id_b FROM jac WHERE j >= 0.6) dx "
         "ON d.doc_id = dx.id_b",
     )
+    # the replace() above is string surgery on minhash_lsh's final
+    # SELECT; if that line is ever reworded the replace silently
+    # no-ops and this oracle becomes the pair query — fail loudly.
+    assert oracles["stream_minhash_dedup"] != oracles["minhash_lsh"], (
+        "stream_minhash_dedup oracle substitution did not match "
+        "minhash_lsh's final SELECT — update the replace() pattern"
+    )
+
+    # -- statistical evaluation operators (operators/evaluation.py) --
+    # Shared determinism contract with zipf_fit / fs_em: every float
+    # term entering a sum is round(x, 9) then DECIMAL(38,12)-summed
+    # (order-invariant), count/rank arithmetic stays integer-exact,
+    # outputs round to 6. Expression shapes mirror evaluation.py
+    # token-for-token so both engines round the same doubles.
+
+    # Dependence profile of o_orderpriority vs o_orderstatus.
+    # Sparse chi2: sum over observed cells of ((o-e)^2/e - e) plus n
+    # covers the never-materialized zero cells exactly.
+    oracles["categorical_dependence"] = """
+        WITH cells AS (
+            SELECT coalesce(CAST(o_orderpriority AS VARCHAR),
+                            chr(0) || 'null') AS x,
+                   coalesce(CAST(o_orderstatus AS VARCHAR),
+                            chr(0) || 'null') AS y,
+                   CAST(count(*) AS BIGINT) AS nxy
+            FROM orders GROUP BY 1, 2),
+        mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+               FROM cells GROUP BY x),
+        my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+               FROM cells GROUP BY y),
+        tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+        hx AS (SELECT CAST(sum(CAST(round(
+                        -(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_x,
+                      CAST(count(*) AS BIGINT) AS card_x
+               FROM mx, tot),
+        hy AS (SELECT CAST(sum(CAST(round(
+                        -(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_y,
+                      CAST(count(*) AS BIGINT) AS card_y
+               FROM my, tot),
+        j AS (SELECT CAST(nxy AS DOUBLE) AS o,
+                     CAST(nx AS DOUBLE) AS nxd,
+                     CAST(ny AS DOUBLE) AS nyd,
+                     CAST(n AS DOUBLE) AS nd
+              FROM cells JOIN mx USING (x) JOIN my USING (y), tot),
+        st AS (SELECT
+                 CAST(sum(CAST(round(
+                     (o / nd) * ln(o * nd / (nxd * nyd)), 9)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS mi_raw,
+                 CAST(sum(CAST(round(
+                     (o - nxd * nyd / nd) * (o - nxd * nyd / nd)
+                     / (nxd * nyd / nd) - nxd * nyd / nd, 9)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS chi_part
+               FROM j)
+        SELECT CAST(n AS BIGINT) AS n, card_x, card_y,
+               round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+               round(mi_raw, 6) AS mi,
+               round(CASE WHEN h_x > 0 AND h_y > 0
+                          THEN mi_raw / sqrt(h_x * h_y) END, 6) AS nmi,
+               round(chi_part + n, 6) AS chi2,
+               CAST((card_x - 1) * (card_y - 1) AS BIGINT) AS dof,
+               round(CASE WHEN least(card_x - 1, card_y - 1) > 0
+                          THEN sqrt(greatest(chi_part + n, 0.0)
+                                    / (n * least(card_x - 1, card_y - 1)))
+                     END, 6) AS cramers_v
+        FROM st, hx, hy, tot
+    """
+
+    # KS two-sample D on event values, first half-month vs second:
+    # exact integer ECDF cross-products (cum_a*n_b - cum_b*n_a), only
+    # the final division rounds; at_value = smallest argmax.
+    oracles["ks_drift"] = """
+        WITH ev AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 'base' ELSE 'cur' END AS period,
+                   CAST(value AS DOUBLE) AS v
+            FROM events),
+        vc AS (SELECT v,
+                      CAST(sum(CASE WHEN period = 'base'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS na_s,
+                      CAST(sum(CASE WHEN period = 'cur'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS nb_s
+               FROM ev GROUP BY v),
+        cum AS (SELECT v,
+                       sum(na_s) OVER (ORDER BY v) AS ca,
+                       sum(nb_s) OVER (ORDER BY v) AS cb
+                FROM vc),
+        tot AS (SELECT CAST(sum(na_s) AS BIGINT) AS na,
+                       CAST(sum(nb_s) AS BIGINT) AS nb FROM vc),
+        gaps AS (SELECT v,
+                        abs(CAST(ca AS HUGEINT) * nb
+                            - CAST(cb AS HUGEINT) * na) AS d,
+                        na, nb
+                 FROM cum, tot),
+        md AS (SELECT max(d) AS mdv FROM gaps)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(CAST(mdv AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+                 AS d_stat,
+               round(min(v), 6) AS at_value
+        FROM gaps, md WHERE d = mdv GROUP BY na, nb, mdv
+    """
+
+    # Mann-Whitney AUC of embedding[0] scoring label < 5: midrank sum
+    # per distinct score via 2*R = sum p_s*(2*B_s + c_s + 1), exact
+    # integer rank arithmetic.
+    oracles["auc_eval"] = """
+        WITH sc AS (
+            SELECT CAST(embedding[1] AS DOUBLE) AS s,
+                   CAST(CASE WHEN label < 5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS l
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding[1] IS NOT NULL),
+        g AS (SELECT s, CAST(sum(l) AS BIGINT) AS pos_s,
+                     CAST(count(*) AS BIGINT) AS n_s
+              FROM sc GROUP BY s),
+        cum AS (SELECT pos_s, n_s,
+                       CAST(sum(n_s) OVER (ORDER BY s) AS BIGINT) AS cn
+                FROM g),
+        agg AS (SELECT sum(CAST(pos_s AS HUGEINT)
+                           * (2 * CAST(cn - n_s AS HUGEINT) + n_s + 1))
+                         AS r2,
+                       CAST(sum(pos_s) AS HUGEINT) AS np,
+                       CAST(sum(n_s) - sum(pos_s) AS HUGEINT) AS nn
+                FROM cum)
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               round(CASE WHEN np > 0 AND nn > 0 THEN
+                   CAST(r2 - np * (np + 1) AS DOUBLE)
+                   / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+               END, 6) AS auc
+        FROM agg
+    """
+
+    # Reliability bins + ECE terms for the md5-derived synthetic
+    # classifier (content-free hash randomness, split_assign contract);
+    # 10 fixed-width bins, decimal-summed mean probabilities.
+    oracles["calibration_bins"] = """
+        WITH scored AS (
+            SELECT (('0x' || substr(md5('cal:p:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000000) / 1000000.0 AS prob,
+                   CASE WHEN ('0x' || substr(md5('cal:l:'
+                              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 1000000
+                           < ('0x' || substr(md5('cal:p:'
+                              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 1000000
+                        THEN 1 ELSE 0 END AS y
+            FROM documents),
+        b AS (SELECT CAST(least(greatest(
+                       CAST(floor(prob * 10) AS BIGINT), 0), 9) AS INT)
+                       AS bin,
+                     prob, y
+              FROM scored
+              WHERE prob IS NOT NULL AND y IS NOT NULL),
+        per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(prob, 9) AS DECIMAL(38,12))) AS sp,
+                       CAST(sum(y) AS BIGINT) AS pos
+                FROM b GROUP BY bin),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per)
+        SELECT bin, n,
+               round(CAST(sp AS DOUBLE) / n, 6) AS mean_prob,
+               round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+               round(CAST(pos AS DOUBLE) / n
+                     - CAST(sp AS DOUBLE) / n, 6) AS gap,
+               round(CAST(n AS DOUBLE) / t
+                     * abs(CAST(pos AS DOUBLE) / n
+                           - CAST(sp AS DOUBLE) / n), 6) AS ece_term
+        FROM per, tot ORDER BY bin
+    """
+
+    # Kish ESS / weight-concentration diagnostics per document source
+    # with n_chars as the sampling weight; round-9 decimal moment sums.
+    oracles["weight_diagnostics"] = """
+        WITH w AS (
+            SELECT source AS grp, CAST(n_chars AS DOUBLE) AS wv
+            FROM documents
+            WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+        g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(wv, 9) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS sw,
+                     CAST(sum(CAST(round(wv * wv, 9) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS sww,
+                     max(wv) AS mw
+              FROM w GROUP BY grp)
+        SELECT grp AS "group", n,
+               round(sw, 6) AS sum_w,
+               round(sw * sw / sww, 6) AS ess,
+               round(sw * sw / sww / CAST(n AS DOUBLE), 6) AS ess_ratio,
+               round(mw / sw, 6) AS max_w_frac,
+               round(sqrt(greatest(
+                   CAST(n AS DOUBLE) * sww / (sw * sw) - 1, 0.0)), 6) AS cv
+        FROM g
+    """
     return oracles
