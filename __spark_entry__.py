@@ -4851,80 +4851,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R9_WINDOW}
+    ordered = {k: all_q[k] for k in _R10_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
 
 # The driver-gate window: first 50 registry entries, re-verified by the
-# driver each round at sf0.01. See the ordering-contract note in queries().
-_R9_WINDOW = [
-    # new in round 9 (late batch: evaluation-stats family)
+# driver each round at sf0.01. See the ordering-contract note in
+# queries(). Round-10 composition: (a) every query whose code or oracle
+# changed this round, (b) the five names that sat at positions 51-55 of
+# the round-9 list and thus silently fell outside the 50-entry gate
+# (ADVICE r9), (c) the least-recently-driver-checked tail — staleness
+# computed from the union of CORRECTNESS_r0*.json windows (the 15
+# last checked in round 3, the 13 from round 4, and the first 11 of
+# the round-5 block).
+_R10_WINDOW = [
+    # (a) changed in round 10: the evaluation family gained its DuckDB
+    # oracles (driver must flip the 5 no_oracle rows green) and
+    # perplexity_buckets now stages the scored table once
     "categorical_dependence",
     "ks_drift",
     "auc_eval",
     "calibration_bins",
     "weight_diagnostics",
-    # new in round 9
-    "stream_minhash_dedup",
-    "semantic_dedup",
-    "lsh_band_tuning",
     "perplexity_buckets",
-    "heaps_fit",
-    # code changed in round 9: edge-case fixes
-    "fellegi_sunter",
-    "fs_em",
-    "er_entities",
-    "neyman_sample",
-    "benford",
-    # pre-trained BPE encode split
-    "bpe_encode",
-    "bpe_train",
-    # materialize() rewiring of every iterative operator
-    "pagerank",
-    "kcore",
-    "graph_closure",
-    "hierarchy_rollup",
-    "triangle_count",
-    "dedup_components",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "sorted_neighborhood",
-    "mmr_rerank",
-    "kmeans_train",
-    "kmeans_assign",
-    # merge-sink writer interface + streaming merge paths
-    "incremental_merge",
-    "stream_upsert",
-    "merge_upsert",
-    "full_reload_diff",
-    # similarity-norm precompute
-    "embedding_topk",
-    "embedding_quantized_topk",
-    "embedding_dups",
-    "embedding_lsh",
-    "embedding_ivf",
-    "ann_recall_eval",
-    "hard_negatives",
-    # multimodal decoder gating
-    "multimodal_features",
-    "multimodal_resize",
-    "pcm_energy",
-    # aggregate/validate materialize touch-ups
-    "zipf_fit",
-    "topn_other",
-    "expectations",
-    # overdue r6/r7-window rotation block
-    "grouped_percentiles",
-    "cube_rollup",
-    "pivot_events",
-    "rolling_average",
+    # (b) fell out of the round-9 gate at positions 51-55
     "histogram_bins",
     "grouped_regression",
     "salted_skew_join",
     "sessionize",
     "edit_distance_join",
+    # (c) stalest: last driver-checked in round 3
+    "asco_abstracts",
+    "bm25_scores",
+    "chembl_load",
+    "dbsnp_docsum",
+    "dnf_expansion",
+    "entrez_gene_load",
+    "entrez_refseq",
+    "fallback_cascade",
+    "fda_approvals_year",
+    "fda_srs_load",
+    "gsc_ontology",
+    "hgnc_load",
+    "refseq_ladder",
+    "stratified_sample",
+    "top1_per_group",
+    # (c) stalest: last driver-checked in round 4
+    "broadcast_dim_join",
+    "consensus_agg",
+    "duplicate_names",
+    "hotspot_load",
+    "latest_per_key",
+    "normalized_key_join",
+    "oncokb_statements",
+    "pricing_summary",
+    "recurrence_rollup",
+    "rollup_recurrence",
+    "semi_join_exists",
+    "spec_validation",
+    "spec_validation_nested",
+    # (c) stalest: round-5 block, alphabetical
+    "asof_join",
+    "chunk_documents",
+    "civic_sync",
+    "civic_sync_reconcile",
+    "classifier_score",
+    "decontaminate",
+    "dedup_fillscore",
+    "dup_ngram_frac",
+    "edit_distance_join_k2",
+    "embedding_quantize",
+    "filter_dsl_neighbors",
 ]
+assert len(_R10_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R10_WINDOW)}"
+)
+assert len(set(_R10_WINDOW)) == 50, "duplicate name in _R10_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:

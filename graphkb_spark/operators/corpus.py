@@ -713,7 +713,10 @@ def perplexity_buckets(
     100-TB answer). Cutoffs are exact linear-interpolation
     percentiles rounded to 6 so the bucket boundary is
     engine-stable."""
-    scored = lm_score(df, id_col, text_col)
+    # two consumers (tertile cutoffs + the bucket projection) — stage
+    # the scored table once or the full bigram-LM pipeline (two joins,
+    # three shuffles) runs twice
+    scored = materialize(lm_score(df, id_col, text_col), eager=False)
     cuts = scored.agg(
         F.round(F.percentile("avg_log2_prob", F.lit(1.0 / 3)), 6).alias("__p33"),
         F.round(F.percentile("avg_log2_prob", F.lit(2.0 / 3)), 6).alias("__p67"),

@@ -144,3 +144,88 @@ def test_clear_parquet_staging(spark, tmp_path):
         assert clear_parquet_staging(spark) == 0
     finally:
         disable_reliable_checkpoints(spark)
+
+
+# ------------------------------------------------------------------ #
+# Streaming paths under reliable checkpoint mode (VERDICT r9 #6):     #
+# the state stores + foreachBatch MERGE had only ever executed with   #
+# localCheckpoint materialization. The streaming machinery itself is  #
+# mode-independent; what reliable mode reroutes is every per-batch    #
+# snapshot/state materialize() — so outputs must be identical.        #
+# ------------------------------------------------------------------ #
+
+def _events(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # (user, ts-offset-minutes, event_id, type, value)
+        (1, 0, 100, "a", 1.0),
+        (1, 30, 101, "b", 2.0),
+        (2, 5, 102, "a", 3.0),
+        (2, 5, 103, "c", 4.0),   # same ts: higher event_id wins
+        (3, 50, 104, "b", 5.0),
+        (1, 10, 105, "c", 6.0),  # older than 101: must NOT win
+    ]
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(u, t0 + dt.timedelta(minutes=m), e, ty, v)
+         for u, m, e, ty, v in rows],
+        ["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+
+def test_stream_upsert_identical_under_reliable_mode(spark, reliable):
+    from graphkb_spark.streaming.incremental import (
+        streaming_upsert_foreachbatch,
+    )
+
+    ev = _events(spark)
+    local = _rows(
+        streaming_upsert_foreachbatch(
+            spark, ev, query_name="rt_upsert_local"
+        ).select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    reliable("reliable")
+    got = _rows(
+        streaming_upsert_foreachbatch(
+            spark, ev, query_name="rt_upsert_rel"
+        ).select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    assert got == local
+    # sanity: latest-per-key semantics actually exercised
+    assert any(r[2] == 101 for r in got)          # user 1 kept event 101
+    assert not any(r[2] == 105 for r in got)      # stale update lost
+
+
+def test_stream_minhash_dedup_identical_under_reliable_mode(spark, reliable):
+    from graphkb_spark.streaming.incremental import streaming_minhash_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",  # near-dup of 0
+        "completely different content about spark shuffle partitions",
+        "the quick brown fox jumps over the lazy dog again and again",   # exact dup of 0
+        "another unrelated document mentioning parquet row groups",
+        "completely different content about spark shuffle partitions ok",  # near-dup of 2
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    local = _rows(
+        streaming_minhash_dedup(
+            spark, docs, "doc_id", "text", n_batches=3,
+            query_name="rt_mhd_local",
+        )
+    )
+    reliable("reliable")
+    got = _rows(
+        streaming_minhash_dedup(
+            spark, docs, "doc_id", "text", n_batches=3,
+            query_name="rt_mhd_rel",
+        )
+    )
+    assert got == local
+    keep = dict(got)
+    assert keep[0] is True and keep[3] is False   # exact dup suppressed

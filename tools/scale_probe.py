@@ -62,6 +62,22 @@ QUERIES = [
     # bounded), so the probe scales k with the multiplier instead of
     # replaying the registry's fixed k=8.
     "semantic_dedup",
+    # round-10 extension (VERDICT r9 #5): the iterative/graph tail,
+    # where fixed-round structure could hide superlinear state growth.
+    # pagerank/graph_closure read the scaled part hierarchy directly;
+    # hierarchy_rollup additionally rolls the scaled lineitem facts;
+    # bpe_train/dedup_components read the scaled documents. kcore is
+    # probed via _kcore_scaled below: the registry query folds keys
+    # into a FIXED 20k-node space, so replayed copies would densify
+    # the same graph (degree x mult — a different workload) instead
+    # of growing it; the scaled variant widens the node space with
+    # the multiplier, holding average degree constant.
+    "pagerank",
+    "graph_closure",
+    "hierarchy_rollup",
+    "bpe_train",
+    "dedup_components",
+    "kcore",
 ]
 
 
@@ -73,6 +89,27 @@ def _semantic_dedup_scaled(spark, sf_dir: str, mult: int):
     return semantic_dedup(
         emb, "vec_id", "embedding", k=8 * mult, rounds=2, tau=0.35
     )
+
+
+def _kcore_scaled(spark, sf_dir: str, mult: int):
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.graph import kcore
+    from graphkb_spark.session import load_table
+
+    n = 20000 * mult
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % n).alias("src"),
+        ((F.col("l_partkey") * 3) % n).alias("dst"),
+    )
+    return kcore(edges, k=7, rounds=3)
+
+
+SCALED_VARIANTS = {
+    "semantic_dedup": _semantic_dedup_scaled,
+    "kcore": _kcore_scaled,
+}
 
 
 def _splice_texts(texts: list[str], k: int) -> list[str]:
@@ -120,6 +157,28 @@ def gen_scaled(mult: int, out_dir: Path) -> None:
             ]
         parts_list.append(pa.table(d))
     pq.write_table(pa.concat_tables(parts_list), out_dir / "part.parquet")
+
+    # lineitem (kcore edge stream + hierarchy_rollup facts): copy k
+    # shifts both graph keys by k*ID_STEP so copy-k facts join the
+    # copy-k part hierarchy — arrow-compute column shift, no Python
+    # row loop over the 600k x mult rows
+    import pyarrow.compute as pc
+
+    li = pq.read_table(f"{SF_BASE}/lineitem.parquet")
+    parts_list = [li]
+    for k in range(1, mult):
+        shifted = li.set_column(
+            li.schema.get_field_index("l_orderkey"),
+            "l_orderkey",
+            pc.add(li.column("l_orderkey"), k * ID_STEP),
+        )
+        shifted = shifted.set_column(
+            shifted.schema.get_field_index("l_partkey"),
+            "l_partkey",
+            pc.add(shifted.column("l_partkey"), k * ID_STEP),
+        )
+        parts_list.append(shifted)
+    pq.write_table(pa.concat_tables(parts_list), out_dir / "lineitem.parquet")
 
     cust = pq.read_table(f"{SF_BASE}/customer.parquet").to_pydict()
     parts_list = []
@@ -202,8 +261,8 @@ def run_probe() -> None:
             for attempt in range(2):
                 sw0 = _shuffle_write_bytes(port)
                 t0 = time.perf_counter()
-                if q == "semantic_dedup":
-                    rows = _semantic_dedup_scaled(spark, sf_dir, mult).count()
+                if q in SCALED_VARIANTS:
+                    rows = SCALED_VARIANTS[q](spark, sf_dir, mult).count()
                 else:
                     rows = qs[q](spark, sf_dir).count()
                 wall = time.perf_counter() - t0
@@ -217,7 +276,7 @@ def run_probe() -> None:
             print(f"{label:>4} {q:<26} {best:7.2f}s rows={rows:>9} "
                   f"shuffleW={sw / 1e6:8.2f} MB", flush=True)
 
-    out_path = Path(__file__).resolve().parent.parent / "docs" / "scale_probe_r9.json"
+    out_path = Path(__file__).resolve().parent.parent / "docs" / "scale_probe_r10.json"
     out_path.write_text(json.dumps(results, indent=2))
     print(f"\nwrote {out_path}")
 
