@@ -1222,6 +1222,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_components, computed by the
+    alternating large-star/small-star contraction (Kiveris et al.) —
+    the O(log^2 n)-round escape hatch for high-diameter pair graphs
+    where min-label propagation's O(diameter) rounds would dominate.
+    Shares dedup_components' oracle: the output is definitionally
+    identical (min reachable id per node)."""
+    from graphkb_spark.operators.dedup import connected_components
+
+    t = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", shingle_n=3, threshold=0.8
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        t["documents"].select("doc_id"),
+        id_col="doc_id",
+        algorithm="star",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -4784,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
         "pii_redact": q_pii_redact,
@@ -4875,6 +4897,9 @@ _R10_WINDOW = [
     "calibration_bins",
     "weight_diagnostics",
     "perplexity_buckets",
+    # new in round 10: star-contraction CC behind the
+    # connected_components flag (shares dedup_components' oracle)
+    "dedup_components_star",
     # (b) fell out of the round-9 gate at positions 51-55
     "histogram_bins",
     "grouped_regression",
@@ -4922,7 +4947,6 @@ _R10_WINDOW = [
     "dup_ngram_frac",
     "edit_distance_join_k2",
     "embedding_quantize",
-    "filter_dsl_neighbors",
 ]
 assert len(_R10_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R10_WINDOW)}"

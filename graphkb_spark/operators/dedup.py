@@ -665,6 +665,8 @@ def connected_components(
     id_col: str = "id",
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iter: int = 25,
+    algorithm: str = "label_prop",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERING: collapse a similarity-pair list into
     canonical groups — ``(node, component)`` where component is the
@@ -672,16 +674,32 @@ def connected_components(
     themselves). The canonical-doc-per-cluster step every large-scale
     dedup pipeline needs after pair generation (minhash/simhash/ngram).
 
-    Min-label propagation: comp(n) <- min(comp(n), min over neighbors
-    comp(m)) until fixpoint. Each iteration is one aggregation over the
-    (undirected) edge list + a join back to the labels — 2 shuffles per
-    round, O(graph diameter) rounds, and near-dup graphs are
-    short-diameter (dup clusters are dense). Labels are
-    ``localCheckpoint``-ed every round to truncate the growing lineage
-    (the standard Spark iterative-algorithm discipline); the per-round
-    convergence count is a driver action on an aggregated frame, not a
-    data collect.
+    Two flag-selected algorithms, identical output contract:
+
+    - ``label_prop`` (default): comp(n) <- min(comp(n), min over
+      neighbors comp(m)) until fixpoint. 2 shuffles per round,
+      O(graph diameter) rounds — the right default for near-dup
+      graphs, whose dup clusters are dense and short-diameter.
+    - ``star``: alternating large-star / small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC'14). Each round re-wires every node toward its
+      neighborhood minimum, halving component height — O(log^2 n)
+      rounds REGARDLESS of diameter, so a 10k-link chain (pathological
+      for propagation) converges in ~a dozen rounds. Costs more per
+      round (two grouped re-wirings + dedup vs one), so it's the
+      escape hatch for high-diameter graphs, not the default.
+
+    Every round is ``materialize()``-d to truncate lineage; per-round
+    convergence checks are driver actions on aggregated/limited
+    frames, never data collects. ``stats``, when passed, receives
+    ``{"rounds": n}`` for round-count assertions in tests.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, nodes, id_col, pair_cols, max_iter, stats)
+    if algorithm != "label_prop":
+        raise ValueError(
+            f"algorithm={algorithm!r}: expected 'label_prop' or 'star'"
+        )
     a, b = pair_cols
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -718,7 +736,103 @@ def connected_components(
         # unpersist on every exit path — a mid-iteration failure must
         # not leave the edge list pinned in the block manager
         edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = _ + 1 if max_iter else 0
     return comp
+
+
+def _cc_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    pair_cols: tuple[str, str],
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (see
+    connected_components docstring). State is an undirected edge set;
+    each round:
+
+    - large-star: every node u computes m = min(N(u) + {u}) and every
+      STRICTLY LARGER neighbor v > u is re-wired to (v, m) — tall
+      branches collapse toward local minima;
+    - small-star: edges directed large->small; every node u computes
+      m = min of its smaller neighborhood (+ itself) and rewires those
+      neighbors AND itself to m — flattening each partial star.
+
+    Both steps preserve connectivity exactly (each replaces edges
+    within one node's closed neighborhood by a star on the same
+    vertex set), and the fixpoint is a forest of stars rooted at
+    component minima. Convergence = the small-star output equals the
+    previous round's (checked with exceptAll().limit(1) — a driver
+    action on an already-deduped frame, not a collect)."""
+    a, b = pair_cols
+    e = (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .transform(materialize)
+    )
+    rounds = 0
+    prev = None
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("__m")
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("v"), F.col("__m")).alias("lo"),
+                F.greatest(F.col("v"), F.col("__m")).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # ---- small-star ----
+        # direct large -> small; group the small neighborhood of each u
+        dirn = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        smin = dirn.groupBy("u").agg(F.min("v").alias("__m"))
+        rewired = dirn.join(smin, "u").select(
+            F.col("v").alias("x"), F.col("__m").alias("m")
+        )
+        selfed = smin.select(F.col("u").alias("x"), F.col("__m").alias("m"))
+        e = (
+            rewired.unionByName(selfed)
+            .filter(F.col("x") != F.col("m"))
+            .select(
+                F.least(F.col("x"), F.col("m")).alias("lo"),
+                F.greatest(F.col("x"), F.col("m")).alias("hi"),
+            )
+            .distinct()
+            .transform(materialize)
+        )
+        rounds += 1
+        if prev is not None:
+            diff = (
+                e.exceptAll(prev).limit(1).count()
+                + prev.exceptAll(e).limit(1).count()
+            )
+            if diff == 0:
+                break
+        prev = e
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint: stars (hi -> lo=root). comp(hi) = lo, comp(root) = root,
+    # singletons (no edges) = themselves.
+    labels = e.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+    )
 
 
 def _minhash_sig_base(

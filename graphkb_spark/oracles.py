@@ -4770,6 +4770,10 @@ def build_oracles() -> dict[str, str]:
         "minhash_lsh's final SELECT — update the replace() pattern"
     )
 
+    # star-contraction CC computes the same (node, min-reachable-id)
+    # labeling as min-label propagation by definition — one oracle.
+    oracles["dedup_components_star"] = oracles["dedup_components"]
+
     # -- statistical evaluation operators (operators/evaluation.py) --
     # Shared determinism contract with zipf_fit / fs_em: every float
     # term entering a sum is round(x, 9) then DECIMAL(38,12)-summed

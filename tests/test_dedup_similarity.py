@@ -323,3 +323,60 @@ def test_contamination_flags_null_text(spark, docs):
     row = out[3]
     assert not row.contaminated
     assert row.n_shingles == 0 and row.n_hit == 0 and row.hit_frac == 0.0
+
+
+def test_star_cc_matches_label_prop_bruteforce(spark):
+    """The alternating large/small-star variant must produce the exact
+    (node, min-reachable-id) labeling of the default algorithm on an
+    assorted graph: chains, a cycle, a clique, singletons."""
+    from graphkb_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 1), (10, 11), (11, 12),
+             (12, 10), (20, 21), (20, 22), (21, 22)]
+    node_ids = sorted({n for e in edges for n in e} | {9, 99})
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id int")
+    want = {
+        r.node: r.comp
+        for r in connected_components(pairs, nodes).collect()
+    }
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs, nodes, algorithm="star"
+        ).collect()
+    }
+    assert got == want
+    assert got[12] == 10 and got[22] == 20 and got[9] == 9
+
+
+def test_star_cc_path_graph_logarithmic_rounds(spark):
+    """A 100-link chain is the pathological case for min-label
+    propagation (O(diameter) ~ 100 rounds); the star contraction must
+    label it correctly in O(log n) rounds — the reason the flag
+    exists."""
+    from graphkb_spark.operators.dedup import connected_components
+
+    n = 100
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    stats = {}
+    out = connected_components(
+        pairs, nodes, algorithm="star", max_iter=25, stats=stats
+    )
+    labels = {r.node: r.comp for r in out.collect()}
+    assert labels == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 10, stats
+
+
+def test_star_cc_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    from graphkb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    nodes = spark.createDataFrame([(1,), (2,)], "id int")
+    with _pytest.raises(ValueError):
+        connected_components(pairs, nodes, algorithm="bogus")
