@@ -238,7 +238,11 @@ def ks_two_sample(
     g = F.col(group_col)
     v = F.col(value_col).cast("double")
     vc = (
-        df.filter(g.isin([a, b]))
+        # a NULL observation has no place in an ECDF — and engines
+        # disagree on NULL sort position (Spark windows put NULLs
+        # first, ANSI ORDER BY defaults NULLS LAST), so the filter is
+        # also what keeps the statistic engine-portable (ADVICE r10)
+        df.filter(g.isin([a, b]) & v.isNotNull())
         .select(v.alias("__v"), (g == a).cast("long").alias("__ca"),
                 (g == b).cast("long").alias("__cb"))
         .groupBy("__v")

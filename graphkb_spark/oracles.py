@@ -4845,7 +4845,7 @@ def build_oracles() -> dict[str, str]:
             SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
                         THEN 'base' ELSE 'cur' END AS period,
                    CAST(value AS DOUBLE) AS v
-            FROM events),
+            FROM events WHERE value IS NOT NULL),
         vc AS (SELECT v,
                       CAST(sum(CASE WHEN period = 'base'
                                     THEN 1 ELSE 0 END) AS BIGINT) AS na_s,

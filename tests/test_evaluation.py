@@ -184,6 +184,24 @@ def test_ks_matches_bruteforce(spark, avals, bvals, n_buckets):
     assert r.at_value == pytest.approx(at, abs=1e-6)
 
 
+def test_ks_ignores_null_values(spark):
+    """ADVICE r10: NULL observations must not enter the ECDF (engines
+    disagree on NULL sort position, and a NULL has no place in a
+    distribution statistic) — result is identical to the NULL-free
+    sample."""
+    from graphkb_spark.operators.evaluation import ks_two_sample
+
+    clean = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 9.0)]
+    noisy = clean + [("a", None), ("b", None), ("b", None)]
+    df_c = spark.createDataFrame(clean, ["grp", "val"])
+    df_n = spark.createDataFrame(noisy, ["grp", "val"])
+    [rc] = ks_two_sample(df_c, "grp", "val", "a", "b").collect()
+    [rn] = ks_two_sample(df_n, "grp", "val", "a", "b").collect()
+    assert (rn.n_a, rn.n_b, rn.d_stat, rn.at_value) == (
+        rc.n_a, rc.n_b, rc.d_stat, rc.at_value
+    )
+
+
 def test_ks_identical_samples_is_zero(spark):
     """Same values in both groups -> D == 0 (all-ties edge); the
     argmax tie-break picks the smallest value."""
