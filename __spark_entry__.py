@@ -1204,36 +1204,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: exact n-gram Jaccard pairs collapsed into
-    canonical groups by iterative min-label propagation (the
-    canonical-doc step after pair generation; operators/dedup.py
-    connected_components). Iterative DataFrame algorithm — per-round
-    convergence actions are part of the operator's contract."""
+    """Near-dup clustering: MinHash-LSH verified pairs collapsed into
+    canonical groups (the canonical-doc step after pair generation;
+    operators/dedup.py connected_components, algorithm='auto' —
+    min-label propagation with the star-contraction escalation for
+    high-diameter graphs). Pair input switched from the exact n-gram
+    prefix join to the banded MinHash join in round 11 (VERDICT r10
+    #1): the scale probe showed prefix-join candidates growing
+    quadratically under fixed-vocabulary corpus growth, while the
+    banded join's x10 wall is ~3.6x — the pair generator every
+    100-TB dedup pipeline actually feeds CC with. Iterative DataFrame
+    algorithm — per-round convergence actions are part of the
+    operator's contract."""
     from graphkb_spark.operators.dedup import connected_components
 
     t = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        t["documents"], "text", "doc_id", shingle_n=3, threshold=0.8
+    pairs = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id",
+        num_hashes=32, bands=16, jaccard_threshold=0.6, hasher="md5",
     )
     return connected_components(
         pairs.select("id_a", "id_b"),
         t["documents"].select("doc_id"),
         id_col="doc_id",
+        algorithm="auto",
     )
 
 
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering contract as dedup_components, computed by the
     alternating large-star/small-star contraction (Kiveris et al.) —
-    the O(log^2 n)-round escape hatch for high-diameter pair graphs
-    where min-label propagation's O(diameter) rounds would dominate.
-    Shares dedup_components' oracle: the output is definitionally
-    identical (min reachable id per node)."""
+    the O(log^2 n)-round path for high-diameter pair graphs where
+    min-label propagation's O(diameter) rounds would dominate (the
+    'auto' default only escalates to it on demand; this query pins the
+    pure-star path). Shares dedup_components' oracle and MinHash pair
+    input: the output is definitionally identical (min reachable id
+    per node)."""
     from graphkb_spark.operators.dedup import connected_components
 
     t = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        t["documents"], "text", "doc_id", shingle_n=3, threshold=0.8
+    pairs = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id",
+        num_hashes=32, bands=16, jaccard_threshold=0.6, hasher="md5",
     )
     return connected_components(
         pairs.select("id_a", "id_b"),
@@ -4873,85 +4885,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R10_WINDOW}
+    ordered = {k: all_q[k] for k in _R11_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
 
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in
-# queries(). Round-10 composition: (a) every query whose code or oracle
-# changed this round, (b) the five names that sat at positions 51-55 of
-# the round-9 list and thus silently fell outside the 50-entry gate
-# (ADVICE r9), (c) the least-recently-driver-checked tail — staleness
-# computed from the union of CORRECTNESS_r0*.json windows (the 15
-# last checked in round 3, the 13 from round 4, and the first 11 of
-# the round-5 block).
-_R10_WINDOW = [
-    # (a) changed in round 10: the evaluation family gained its DuckDB
-    # oracles (driver must flip the 5 no_oracle rows green) and
-    # perplexity_buckets now stages the scored table once
-    "categorical_dependence",
-    "ks_drift",
-    "auc_eval",
-    "calibration_bins",
-    "weight_diagnostics",
-    "perplexity_buckets",
-    # new in round 10: star-contraction CC behind the
-    # connected_components flag (shares dedup_components' oracle)
+# queries(). Round-11 composition: (a) every query whose code or oracle
+# changed this round — the PPJoin filter family (ngram_jaccard and its
+# consumers canonical_docs / lsh_band_tuning), the CC queries (pair
+# input switched to MinHash-LSH, algorithm='auto', star label-agg fix,
+# new oracle) plus er_entities (label-prop loop refactor), and ks_drift
+# (NULL-value filter on both engines); (b) the least-recently-driver-
+# checked tail — staleness computed from the union of
+# CORRECTNESS_r0*.json windows (the 16 names last checked in round 5,
+# then the first 27 of the round-6 block, alphabetical).
+_R11_WINDOW = [
+    # (a) changed in round 11
+    "ngram_jaccard",
+    "dedup_components",
     "dedup_components_star",
-    # (b) fell out of the round-9 gate at positions 51-55
-    "histogram_bins",
-    "grouped_regression",
-    "salted_skew_join",
-    "sessionize",
-    "edit_distance_join",
-    # (c) stalest: last driver-checked in round 3
-    "asco_abstracts",
-    "bm25_scores",
-    "chembl_load",
-    "dbsnp_docsum",
-    "dnf_expansion",
-    "entrez_gene_load",
-    "entrez_refseq",
-    "fallback_cascade",
-    "fda_approvals_year",
-    "fda_srs_load",
-    "gsc_ontology",
-    "hgnc_load",
-    "refseq_ladder",
-    "stratified_sample",
-    "top1_per_group",
-    # (c) stalest: last driver-checked in round 4
-    "broadcast_dim_join",
-    "consensus_agg",
-    "duplicate_names",
-    "hotspot_load",
-    "latest_per_key",
-    "normalized_key_join",
-    "oncokb_statements",
-    "pricing_summary",
-    "recurrence_rollup",
-    "rollup_recurrence",
-    "semi_join_exists",
-    "spec_validation",
-    "spec_validation_nested",
-    # (c) stalest: round-5 block, alphabetical
-    "asof_join",
-    "chunk_documents",
-    "civic_sync",
-    "civic_sync_reconcile",
-    "classifier_score",
-    "decontaminate",
-    "dedup_fillscore",
-    "dup_ngram_frac",
-    "edit_distance_join_k2",
-    "embedding_quantize",
+    "canonical_docs",
+    "lsh_band_tuning",
+    "er_entities",
+    "ks_drift",
+    # (b) stalest: last driver-checked in round 5
+    "filter_dsl_neighbors",
+    "fingerprint",
+    "graph_neighbors",
+    "hgvs_parse",
+    "kb_ontology_load",
+    "lang_id",
+    "quality_score",
+    "range_join",
+    "reconcile",
+    "segment_dedup",
+    "statement_variant_link",
+    "stream_interval_join",
+    "tfidf_topk",
+    "token_budget_sample",
+    "token_count",
+    "variant_load",
+    # (b) stalest: round-6 block, alphabetical
+    "anti_join_incremental",
+    "approx_distinct",
+    "approx_quantiles",
+    "cgl_load",
+    "cohort_retention",
+    "dedup_exact",
+    "docm_load",
+    "domain_rebalance",
+    "equidepth_histogram",
+    "filter_dsl_nested",
+    "filter_dsl_pagination",
+    "filter_dsl_subquery",
+    "grouped_outliers",
+    "incremental_agg",
+    "incremental_join_agg",
+    "key_skew_profile",
+    "merge_intervals",
+    "multiple_regression",
+    "ngram_counts",
+    "oov_rate",
+    "pii_redact",
+    "pmc_functional",
+    "pmc_fusions",
+    "priority_sample",
+    "repetition_score",
+    "sequence_pack",
+    "simhash",
 ]
-assert len(_R10_WINDOW) == 50, (
-    f"driver gate window must be exactly 50 names, got {len(_R10_WINDOW)}"
+assert len(_R11_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R11_WINDOW)}"
 )
-assert len(set(_R10_WINDOW)) == 50, "duplicate name in _R10_WINDOW"
+assert len(set(_R11_WINDOW)) == 50, "duplicate name in _R11_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:

@@ -78,6 +78,12 @@ QUERIES = [
     "bpe_train",
     "dedup_components",
     "kcore",
+    # round-11 (VERDICT r10 #1): measure the exact n-gram path
+    # directly — the PPJoin length+positional filters landed this
+    # round; dedup_components itself now reads MinHash-LSH pairs, so
+    # the prefix join needs its own probe line to stay honest about
+    # the residual Sum(df^2) term on fixed-vocabulary corpora.
+    "ngram_jaccard",
 ]
 
 
@@ -266,7 +272,11 @@ def run_probe() -> None:
                 else:
                     rows = qs[q](spark, sf_dir).count()
                 wall = time.perf_counter() - t0
-                sw = _shuffle_write_bytes(port) - sw0
+                # clamp at 0: the UI-REST counter sums COMPLETE stages,
+                # and stages can retire from the store between the two
+                # samples, making the raw delta go negative (VERDICT
+                # r10 "what's wrong" #2)
+                sw = max(0, _shuffle_write_bytes(port) - sw0)
                 best = wall if best is None else min(best, wall)
             results[label][q] = {
                 "sec": round(best, 3),
@@ -276,7 +286,10 @@ def run_probe() -> None:
             print(f"{label:>4} {q:<26} {best:7.2f}s rows={rows:>9} "
                   f"shuffleW={sw / 1e6:8.2f} MB", flush=True)
 
-    out_path = Path(__file__).resolve().parent.parent / "docs" / "scale_probe_r10.json"
+    tag = os.environ.get("PROBE_TAG", "r11")
+    out_path = (
+        Path(__file__).resolve().parent.parent / "docs" / f"scale_probe_{tag}.json"
+    )
     out_path.write_text(json.dumps(results, indent=2))
     print(f"\nwrote {out_path}")
 
