@@ -1255,6 +1255,20 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repeated-passage detection (Lee et al. 2022
+    ExactSubstr, distributed as a k-gram postings profile): maximal
+    per-document spans of 5-token grams occurring >= 2 times in the
+    corpus — the spans a cleaning pass would cut (operators/dedup.py
+    repeated_spans). Positions are 0-based inclusive token indexes;
+    the 60-bit gram digest is ANSI md5 arithmetic, so the oracle
+    reproduces spans exactly."""
+    from graphkb_spark.operators.dedup import repeated_spans
+
+    t = _t(spark, sf_dir, "documents")
+    return repeated_spans(t["documents"], "text", "doc_id", k=5, min_count=2)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -4817,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "repeated_spans": q_repeated_spans,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -4900,9 +4915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (NULL-value filter on both engines); (b) the least-recently-driver-
 # checked tail — staleness computed from the union of
 # CORRECTNESS_r0*.json windows (the 16 names last checked in round 5,
-# then the first 27 of the round-6 block, alphabetical).
+# then the first 26 of the round-6 block, alphabetical; simhash — also
+# round-6-stale — yielded its slot to the new repeated_spans query and
+# stays green in the full local sweep + this round's interleaved A/B).
 _R11_WINDOW = [
-    # (a) changed in round 11
+    # (a) new/changed in round 11
+    "repeated_spans",
     "ngram_jaccard",
     "dedup_components",
     "dedup_components_star",
@@ -4954,7 +4972,6 @@ _R11_WINDOW = [
     "priority_sample",
     "repetition_score",
     "sequence_pack",
-    "simhash",
 ]
 assert len(_R11_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R11_WINDOW)}"

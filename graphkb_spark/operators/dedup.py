@@ -466,6 +466,87 @@ def ngram_jaccard_pairs(
     return out
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact-substring repeated-passage detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr pass): every token position
+    whose k-token gram occurs >= ``min_count`` times in the WHOLE
+    corpus (within-document repeats count too — boilerplate repeating
+    inside one page is still boilerplate) is duplicated; overlapping or
+    adjacent duplicated grams merge into maximal per-document spans.
+    Returns (id, span_start, span_end, span_tokens), 0-based inclusive
+    token indexes — the spans a cleaning pass would cut.
+
+    Spark shape instead of the paper's suffix array: a suffix array is
+    a single-machine construction; the distributed equivalent is the
+    k-gram postings profile. posexplode the k-grams WITH start
+    positions, hash each gram to a 60-bit md5-prefix digest (8 bytes
+    cross the count shuffle per gram, not the gram string — and 60
+    bits keeps digest collisions negligible where the 31-bit minhash
+    field would not), partial-agg count per digest (map-side combine,
+    one shuffle), semi-join the >= min_count digests back, then
+    gaps-and-islands the surviving positions per document (window by
+    id; a new island starts when the gap to the previous duplicated
+    position exceeds k, since equal-length intervals sorted by start
+    merge exactly when start_next <= start_prev + k). All Column
+    algebra; the digest is ANSI-replicable so the DuckDB oracle
+    reproduces spans bit-for-bit. Documents shorter than k tokens emit
+    no spans (whole-document duplicates are ``exact_dedup``'s job)."""
+    if k < 1 or min_count < 2:
+        raise ValueError("k must be >= 1 and min_count >= 2")
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .filter(F.size("__w") >= k)
+        .repartition(n_part, "__id")
+    )
+    grams = base.select(
+        "__id", F.posexplode(word_shingles(F.col("__w"), k)).alias("__p", "__g")
+    ).select(
+        "__id",
+        "__p",
+        F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("bigint").alias("__d"),
+    )
+    # positions feed the count AND the join-back; materialize once so
+    # the normalize/shingle/md5 scan doesn't run twice
+    grams = grams.transform(materialize)
+    dup_digests = (
+        grams.groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__d")
+    )
+    pos = grams.join(dup_digests, "__d").select("__id", "__p")
+    win = Window.partitionBy("__id").orderBy("__p")
+    brk = F.when(F.col("__p") - F.lag("__p").over(win) > k, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    isl = pos.withColumn("__b", brk).withColumn(
+        "__isl",
+        F.sum("__b").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("__id", "__isl")
+        .agg(
+            F.min("__p").cast("bigint").alias("span_start"),
+            (F.max("__p") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as 4 x 16-bit chunk columns (c0..c3), entirely in
     JVM Column algebra over md5 token hashes — no Python in the path,

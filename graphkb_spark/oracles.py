@@ -2636,6 +2636,39 @@ def build_oracles() -> dict[str, str]:
         # pairs (VERDICT r10 #1 — the probe-proven linear scale path),
         # so the oracle must replicate that banding pipeline, not the
         # exact n-gram join.
+        # Exact-substring repeated passages: identical normalize /
+        # 5-gram / md5-prefix digest pipeline, duplicated digests
+        # (count >= 2 corpus-wide), gaps-and-islands span merge.
+        "repeated_spans": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest([{'p': i - 1,
+                              'd': ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT}
+                             for i in generate_series(1, len(w) - 4)]) AS u
+              FROM words WHERE len(w) >= 5),
+            e AS (SELECT doc_id, u.p AS p, u.d AS d FROM g),
+            f AS (SELECT d FROM e GROUP BY d HAVING count(*) >= 2),
+            dp AS (SELECT doc_id, p FROM e JOIN f USING (d)),
+            m AS (SELECT doc_id, p,
+                         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                    ORDER BY p) > 5
+                              THEN 1 ELSE 0 END AS b
+                  FROM dp),
+            i AS (SELECT doc_id, p,
+                         sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+                  FROM m)
+            SELECT doc_id,
+                   CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(p) + 4 AS BIGINT) AS span_end,
+                   CAST(max(p) + 4 - min(p) + 1 AS BIGINT) AS span_tokens
+            FROM i GROUP BY doc_id, isl
+        """,
         "dedup_fillscore": """
             WITH ranked AS (
               SELECT lang, source, doc_id, n_chars,

@@ -398,6 +398,78 @@ def test_star_cc_path_graph_logarithmic_rounds(spark):
     assert stats["rounds"] <= 10, stats
 
 
+def brute_repeated_spans(rows, k, min_count):
+    """Literal ExactSubstr reference: normalize, k-grams with
+    positions, corpus-wide counts, merge duplicated positions whose
+    gap <= k into maximal spans."""
+    import re
+    from collections import Counter
+
+    toks = {
+        i: [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+        for i, t in rows
+    }
+    grams = {
+        i: [" ".join(w[p:p + k]) for p in range(len(w) - k + 1)]
+        for i, w in toks.items() if len(w) >= k
+    }
+    counts = Counter(g for gs in grams.values() for g in gs)
+    out = set()
+    for i, gs in grams.items():
+        dup = [p for p, g in enumerate(gs) if counts[g] >= min_count]
+        start = prev = None
+        for p in dup:
+            if start is None:
+                start = prev = p
+            elif p - prev > k:
+                out.add((i, start, prev + k - 1, prev + k - start))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            out.add((i, start, prev + k - 1, prev + k - start))
+    return out
+
+
+def test_repeated_spans_matches_bruteforce(spark):
+    """Cross-doc shared passages, a within-doc repeat, docs shorter
+    than k, and a random small-vocab corpus — spans must equal the
+    literal reference exactly."""
+    import random
+
+    from graphkb_spark.operators.dedup import repeated_spans
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(9)]
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "x y alpha beta gamma delta epsilon q r s t u v w"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "p q one two three four five p q one two three four five"),
+        (5, "too short"),
+    ] + [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 20))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k, mc in [(5, 2), (3, 2), (3, 3)]:
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in repeated_spans(df, "text", "doc_id", k=k, min_count=mc).collect()
+        }
+        assert got == brute_repeated_spans(rows, k, mc), (k, mc)
+
+
+def test_repeated_spans_rejects_bad_params(spark):
+    from graphkb_spark.operators.dedup import repeated_spans
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        repeated_spans(df, "text", "doc_id", k=0)
+    with pytest.raises(ValueError):
+        repeated_spans(df, "text", "doc_id", min_count=1)
+
+
 def test_auto_cc_path_graph_escalates(spark):
     """VERDICT r10 #7: algorithm='auto' must converge on the 100-link
     chain WITHOUT the caller knowing to pass the star flag — label-prop
