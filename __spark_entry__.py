@@ -1269,6 +1269,19 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(t["documents"], "text", "doc_id", k=5, min_count=2)
 
 
+def q_repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cleaning pass: cut every repeated 5-gram passage
+    (corpus count >= 2) out of each document — (doc_id, n_tokens,
+    removed_tokens, clean_text) over the normalized token stream
+    (operators/dedup.py cut_repeated_spans). The oracle rebuilds the
+    spans with the identical digest pipeline and re-joins the kept
+    tokens in order."""
+    from graphkb_spark.operators.dedup import cut_repeated_spans
+
+    t = _t(spark, sf_dir, "documents")
+    return cut_repeated_spans(t["documents"], "text", "doc_id", k=5, min_count=2)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -4832,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "repeated_spans": q_repeated_spans,
+        "repeated_span_cut": q_repeated_span_cut,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -4915,12 +4929,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (NULL-value filter on both engines); (b) the least-recently-driver-
 # checked tail — staleness computed from the union of
 # CORRECTNESS_r0*.json windows (the 16 names last checked in round 5,
-# then the first 26 of the round-6 block, alphabetical; simhash — also
-# round-6-stale — yielded its slot to the new repeated_spans query and
-# stays green in the full local sweep + this round's interleaved A/B).
+# then the first 25 of the round-6 block, alphabetical; simhash and
+# sequence_pack — also round-6-stale — yielded their slots to the new
+# repeated_spans / repeated_span_cut queries and stay green in the full
+# local sweep, simhash additionally in this round's interleaved A/B).
 _R11_WINDOW = [
     # (a) new/changed in round 11
     "repeated_spans",
+    "repeated_span_cut",
     "ngram_jaccard",
     "dedup_components",
     "dedup_components_star",
@@ -4971,7 +4987,6 @@ _R11_WINDOW = [
     "pmc_fusions",
     "priority_sample",
     "repetition_score",
-    "sequence_pack",
 ]
 assert len(_R11_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R11_WINDOW)}"

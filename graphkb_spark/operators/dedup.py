@@ -547,6 +547,50 @@ def repeated_spans(
     )
 
 
+def cut_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The cleaning half of ExactSubstr (companion to
+    ``repeated_spans``): remove every repeated-passage span from each
+    document and return (id, n_tokens, removed_tokens, clean_text) —
+    clean_text over the NORMALIZED token stream (the span indexes are
+    token positions in that stream, so the cut is exact there; callers
+    needing raw-text surgery map token indexes back through their own
+    tokenizer offsets).
+
+    Pure Column algebra: spans collapse to one array per doc
+    (collect_list of disjoint-by-construction intervals), and an
+    indexed ``filter`` HOF keeps token i iff no span covers it —
+    per-token work is O(spans-per-doc), spans are maximal-merged and
+    few. Docs with no spans pass through unchanged (the exists() over
+    the null span array coalesces to false — no fill-in join)."""
+    spans = repeated_spans(df, text_col, id_col, k, min_count, num_partitions)
+    slist = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    base = df.select(F.col(id_col).alias(id_col), words(text_col).alias("__w"))
+    j = base.join(slist, id_col, "left")
+    covered = lambda i: F.coalesce(  # noqa: E731
+        F.exists(
+            F.col("__spans"),
+            lambda s: (s["span_start"] <= i) & (i <= s["span_end"]),
+        ),
+        F.lit(False),
+    )
+    kept = F.filter(F.col("__w"), lambda x, i: ~covered(i))
+    return j.select(
+        id_col,
+        F.size("__w").cast("bigint").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("bigint").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as 4 x 16-bit chunk columns (c0..c3), entirely in
     JVM Column algebra over md5 token hashes — no Python in the path,

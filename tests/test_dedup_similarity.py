@@ -460,6 +460,41 @@ def test_repeated_spans_matches_bruteforce(spark):
         assert got == brute_repeated_spans(rows, k, mc), (k, mc)
 
 
+def test_cut_repeated_spans_matches_bruteforce(spark):
+    """The cleaning pass must keep exactly the tokens outside the
+    brute-force spans, in order; fully-duplicated docs come back
+    empty, sub-k docs untouched."""
+    import re
+
+    from graphkb_spark.operators.dedup import cut_repeated_spans
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "x y alpha beta gamma delta epsilon q r s t u v w"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "p q one two three four five p q one two three four five"),
+        (5, "too short"),
+    ]
+    k, mc = 5, 2
+    spans = brute_repeated_spans(rows, k, mc)
+    want = {}
+    for i, t in rows:
+        w = [x for x in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if x]
+        cov = set()
+        for (d, s, e, _n) in spans:
+            if d == i:
+                cov.update(range(s, e + 1))
+        kept = [x for p, x in enumerate(w) if p not in cov]
+        want[i] = (len(w), len(w) - len(kept), " ".join(kept))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+        for r in cut_repeated_spans(df, "text", "doc_id", k=k, min_count=mc).collect()
+    }
+    assert got == want
+    assert got[4][2] == "" and got[5][1] == 0
+
+
 def test_repeated_spans_rejects_bad_params(spark):
     from graphkb_spark.operators.dedup import repeated_spans
 
