@@ -84,6 +84,9 @@ QUERIES = [
     # the prefix join needs its own probe line to stay honest about
     # the residual Sum(df^2) term on fixed-vocabulary corpora.
     "ngram_jaccard",
+    # round-11 addition: the ExactSubstr span profile (k-gram postings
+    # + gaps-and-islands) — linear by design, measured to confirm
+    "repeated_spans",
 ]
 
 
@@ -252,10 +255,20 @@ def run_probe() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # PROBE_MULTS / PROBE_QUERIES narrow a run, e.g. a focused x30
+    # extension point on the dedup path without re-measuring the tail
+    mults = [
+        int(x) for x in os.environ.get("PROBE_MULTS", "1,3,10").split(",")
+    ]
+    only = {
+        q for q in os.environ.get("PROBE_QUERIES", "").split(",") if q
+    }
+    global QUERIES
+    if only:
+        QUERIES = [q for q in QUERIES if q in only]
     scales = [
-        ("x1", SF_BASE, 1),
-        ("x3", str(SCALE_ROOT / "x3"), 3),
-        ("x10", str(SCALE_ROOT / "x10"), 10),
+        (f"x{m}", SF_BASE if m == 1 else str(SCALE_ROOT / f"x{m}"), m)
+        for m in mults
     ]
     results: dict[str, dict[str, dict[str, float]]] = {}
     for label, sf_dir, mult in scales:
@@ -293,25 +306,29 @@ def run_probe() -> None:
     out_path.write_text(json.dumps(results, indent=2))
     print(f"\nwrote {out_path}")
 
-    # markdown table: growth factors vs x1
-    print("\n| query | x1 s | x3 s | x10 s | x10/x1 wall | x10/x1 shuffle | x10/x1 rows |")
-    print("|---|---|---|---|---|---|---|")
+    # markdown table: growth factors between the smallest and largest
+    # measured scale
+    lo, hi = scales[0][0], scales[-1][0]
+    cols = " | ".join(f"{s[0]} s" for s in scales)
+    print(f"\n| query | {cols} | {hi}/{lo} wall | {hi}/{lo} shuffle | {hi}/{lo} rows |")
+    print("|---" * (len(scales) + 4) + "|")
     for q in QUERIES:
-        r1, r10 = results["x1"][q], results["x10"][q]
-        r3 = results["x3"][q]
-        wf = r10["sec"] / max(r1["sec"], 1e-9)
-        sf_ = (r10["shuffle_mb"] / r1["shuffle_mb"]) if r1["shuffle_mb"] else float("nan")
-        rf = r10["rows"] / max(r1["rows"], 1)
-        print(f"| {q} | {r1['sec']} | {r3['sec']} | {r10['sec']} | "
-              f"{wf:.1f}x | {sf_:.1f}x | {rf:.1f}x |")
+        r1, rn = results[lo][q], results[hi][q]
+        wf = rn["sec"] / max(r1["sec"], 1e-9)
+        sf_ = (rn["shuffle_mb"] / r1["shuffle_mb"]) if r1["shuffle_mb"] else float("nan")
+        rf = rn["rows"] / max(r1["rows"], 1)
+        mid = " | ".join(str(results[s[0]][q]["sec"]) for s in scales)
+        print(f"| {q} | {mid} | {wf:.1f}x | {sf_:.1f}x | {rf:.1f}x |")
 
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "gen":
-        gen_scaled(3, SCALE_ROOT / "x3")
-        gen_scaled(10, SCALE_ROOT / "x10")
-        for d in ("x3", "x10"):
+        gen_mults = [int(x) for x in (sys.argv[2:] or ["3", "10"])]
+        for m in gen_mults:
+            gen_scaled(m, SCALE_ROOT / f"x{m}")
+        for m in gen_mults:
+            d = f"x{m}"
             total = sum(f.stat().st_size for f in (SCALE_ROOT / d).glob("*.parquet"))
             print(f"{d}: {total / 1e6:.1f} MB")
     elif cmd == "run":
