@@ -99,6 +99,13 @@ HEADLINE = [
     # micro-oracles and stay out (scout table in docs/FLOORS.md).
     "dedup_components",
     "ngram_jaccard",
+    # round-11 promotion (same protocol, measured this round):
+    # repeated_span_cut at parity with its oracle (0.93 vs 0.80 s —
+    # the ExactSubstr cleaning pass, kept honest in the headline);
+    # repeated_spans alone is 2.5x its micro-oracle (1.68 vs 0.68 s,
+    # stage-count floor: count shuffle + broadcast-back + window) and
+    # stays out (FLOORS.md).
+    "repeated_span_cut",
 ]
 
 
