@@ -349,9 +349,19 @@ def ngram_jaccard_pairs(
     Detection", WWW'08) — all three filters are lossless, so the output
     is the exact all-pairs Jaccard join:
 
-    - **prefix filter**: a pair with jaccard >= t must share a shingle
-      among each side's n - ceil(t*n) + 1 *globally rarest* shingles,
-      so only those prefix postings generate candidates;
+    - **prefix filter, asymmetric (index/probe)**: order each pair by
+      (set size, id); the larger (probe) side x must share a shingle
+      among its |x| - ceil(t*|x|) + 1 globally rarest shingles, and
+      the smaller (indexed) side y among only its
+      |y| - ceil(2t/(1+t)*|y|) + 1 rarest — valid because the required
+      overlap is both >= ceil(t*|x|) (I >= t*U >= t*max) and
+      >= ceil(2t/(1+t)*|y|) (I >= t/(1+t)*(|x|+|y|)), and for ANY two
+      overlap lower bounds a_x, a_y <= I the smallest shared element
+      must sit inside BOTH truncated prefixes (if it fell outside
+      prefix_{|x|-a_x+1}(x), all shared elements would sit in x's last
+      a_x - 1 positions, capping I < a_x — contradiction; same on y).
+      The shorter index prefix is PPJoin's inverted-index asymmetry,
+      re-expressed as a size-ordered hash join;
     - **length filter**: jaccard >= t forces
       min(|x|,|y|) >= t * max(|x|,|y|) (the intersection is at most
       the smaller set and at least t * the union) — applied inside the
@@ -407,46 +417,60 @@ def ngram_jaccard_pairs(
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
+    index_len = (
+        F.col("__n")
+        - F.ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("__n") - F.lit(1e-9)
+        ).cast("int")
+        + F.lit(1)
+    )
     prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
-        "__id", "__n", "__rk", "shingle"
+        "__id", "__n", "__rk", "shingle", (F.col("__rk") <= index_len).alias("__ix")
     )
     x = prefix.select(
-        F.col("__id").alias("id_a"),
-        F.col("__n").alias("__na"),
-        F.col("__rk").alias("__pa"),
+        F.col("__id").alias("__il"),
+        F.col("__n").alias("__nl"),
+        F.col("__rk").alias("__pl"),
         "shingle",
     )
-    y = prefix.select(
-        F.col("__id").alias("id_b"),
-        F.col("__n").alias("__nb"),
-        F.col("__rk").alias("__pb"),
+    y = prefix.filter("__ix").select(
+        F.col("__id").alias("__is"),
+        F.col("__n").alias("__ns"),
+        F.col("__rk").alias("__ps"),
         "shingle",
     )
-    # required overlap for jaccard >= t: I/(na+nb-I) >= t  <=>
-    # I >= t*(na+nb)/(1+t); the epsilon guards integral t*(na+nb)
+    # required overlap for jaccard >= t: I/(nl+ns-I) >= t  <=>
+    # I >= t*(nl+ns)/(1+t); the epsilon guards integral t*(nl+ns)
     # against float rounding inside ceil (same artifact as prefix_len)
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__nl") + F.col("__ns"))
         - F.lit(1e-9)
     )
     cand = (
         x.join(y, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: min >= t*max (Catalyst folds these into the
-        # join condition — out-of-band rows die inside the hash join)
+        # size-ordered orientation: y is the indexed (smaller) side —
+        # strict (n, id) lexicographic order dedups orientation and is
+        # what licenses y's shorter index prefix
         .filter(
-            F.least("__na", "__nb")
-            >= F.lit(threshold) * F.greatest("__na", "__nb") - F.lit(1e-9)
+            (F.col("__ns") < F.col("__nl"))
+            | ((F.col("__ns") == F.col("__nl")) & (F.col("__is") < F.col("__il")))
         )
+        # length filter: small side >= t * large side (Catalyst folds
+        # these into the join condition — out-of-band rows die inside
+        # the hash join)
+        .filter(F.col("__ns") >= F.lit(threshold) * F.col("__nl") - F.lit(1e-9))
         # positional filter: 1 + min(remaining suffix) must reach alpha
         .filter(
             F.lit(1)
             + F.least(
-                F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+                F.col("__nl") - F.col("__pl"), F.col("__ns") - F.col("__ps")
             )
             >= alpha
         )
-        .select("id_a", "id_b")
+        .select(
+            F.least("__il", "__is").alias("id_a"),
+            F.greatest("__il", "__is").alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = base
