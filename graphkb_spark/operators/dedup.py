@@ -417,15 +417,8 @@ def ngram_jaccard_pairs(
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
-    index_len = (
-        F.col("__n")
-        - F.ceil(
-            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("__n") - F.lit(1e-9)
-        ).cast("int")
-        + F.lit(1)
-    )
     prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
-        "__id", "__n", "__rk", "shingle", (F.col("__rk") <= index_len).alias("__ix")
+        "__id", "__n", "__rk", "shingle"
     )
     x = prefix.select(
         F.col("__id").alias("__il"),
@@ -433,11 +426,23 @@ def ngram_jaccard_pairs(
         F.col("__rk").alias("__pl"),
         "shingle",
     )
-    y = prefix.filter("__ix").select(
+    y = prefix.select(
         F.col("__id").alias("__is"),
         F.col("__n").alias("__ns"),
         F.col("__rk").alias("__ps"),
         "shingle",
+    )
+    # index-prefix bound for the smaller side, evaluated INSIDE the
+    # join (not as a y-side pre-filter): both join inputs stay
+    # plan-identical, so the shingle exchange is computed once and
+    # reused — the asymmetric pruning still kills the candidate row
+    # before it reaches the dedup shuffle, which is the quadratic term
+    index_len_s = (
+        F.col("__ns")
+        - F.ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("__ns") - F.lit(1e-9)
+        ).cast("int")
+        + F.lit(1)
     )
     # required overlap for jaccard >= t: I/(nl+ns-I) >= t  <=>
     # I >= t*(nl+ns)/(1+t); the epsilon guards integral t*(nl+ns)
@@ -455,6 +460,7 @@ def ngram_jaccard_pairs(
             (F.col("__ns") < F.col("__nl"))
             | ((F.col("__ns") == F.col("__nl")) & (F.col("__is") < F.col("__il")))
         )
+        .filter(F.col("__ps") <= index_len_s)
         # length filter: small side >= t * large side (Catalyst folds
         # these into the join condition — out-of-band rows die inside
         # the hash join)

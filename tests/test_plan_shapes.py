@@ -113,9 +113,21 @@ BUDGETS = [
     ("topn_other", 2, 0, True),        # post-checkpoint TakeOrdered + other
     # round-9 additions
     ("semantic_dedup", 6, 0, False),   # kmeans + cluster equi-join pairs
-    ("lsh_band_tuning", 5, 0, False),  # PPJoin pairs + bcast config agg
+    # PPJoin pairs + bcast config agg; +1 in round 11: the asymmetric
+    # index/probe prefix orientation broke one exchange reuse inside
+    # the pair feed (all 6 are AQE-broadcast at this SF) — accepted,
+    # it bought the 2.2x candidate cut measured at x10 in SCALING.md
+    ("lsh_band_tuning", 6, 0, False),
     ("perplexity_buckets", 7, 0, False),  # lm_score joins + 1-row cutoffs
     ("heaps_fit", 7, 0, False),        # two-phase offsets + first-pos agg
+    # round-11 additions
+    # gram-count agg + per-doc window; the duplicated-digest set comes
+    # back as a broadcast join, never a second full-table shuffle
+    ("repeated_spans", 2, 0, True),
+    ("repeated_span_cut", 2, 0, True),  # span bcast onto docs + same core
+    # full PPJoin stack: posting freq agg + rank window + asymmetric
+    # prefix join + two verify joins, all broadcast-hash at this SF
+    ("ngram_jaccard", 5, 0, True),
 ]
 
 
