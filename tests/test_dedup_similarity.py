@@ -529,6 +529,35 @@ def test_auto_cc_path_graph_escalates(spark):
     assert stats["star_rounds"] <= 10, stats
 
 
+def test_auto_cc_escalation_mixed_components(spark):
+    """Escalation must be correct on a MIXED graph: two long chains
+    (forcing the star pass), a dense triangle, and singletons — every
+    node labeled with its component minimum, one row per node."""
+    from graphkb_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 39)]          # chain 0..39
+        + [(i, i + 1) for i in range(100, 129)]     # chain 100..129
+        + [(200, 201), (201, 202), (200, 202)]      # triangle
+    )
+    node_ids = sorted({n for e in edges for n in e} | {300, 301})
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id int")
+    stats = {}
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs, nodes, algorithm="auto", escalate_after=4, stats=stats
+        ).collect()
+    }
+    want = {i: 0 for i in range(0, 40)}
+    want.update({i: 100 for i in range(100, 130)})
+    want.update({200: 200, 201: 200, 202: 200, 300: 300, 301: 301})
+    assert got == want
+    assert stats["escalated"] is True
+    assert len(got) == len(node_ids)
+
+
 def test_auto_cc_short_diameter_no_escalation(spark):
     """auto on a dense short-diameter graph (the common near-dup case)
     must stay on the propagation path — no star pass, same labels."""
