@@ -1282,6 +1282,22 @@ def q_repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_repeated_spans(t["documents"], "text", "doc_id", k=5, min_count=2)
 
 
+def q_exactsubstr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style exact 8-gram benchmark decontamination: every 50th
+    document plays the eval set; a corpus doc is contaminated if it
+    shares ANY 8-token exact span with it (operators/dedup.py
+    exact_substring_contamination — broadcast bench digests, corpus
+    gram stream never shuffles). Complements the overlap-fraction
+    `decontaminate` query: this one trips on a single verbatim leak."""
+    from graphkb_spark.operators.dedup import exact_substring_contamination
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 50 == 0)
+    return exact_substring_contamination(
+        t["documents"], bench, "text", "doc_id", k=8, min_hits=1
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -4846,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "repeated_spans": q_repeated_spans,
         "repeated_span_cut": q_repeated_span_cut,
+        "exactsubstr_decontaminate": q_exactsubstr_decontaminate,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -4929,14 +4946,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (NULL-value filter on both engines); (b) the least-recently-driver-
 # checked tail — staleness computed from the union of
 # CORRECTNESS_r0*.json windows (the 16 names last checked in round 5,
-# then the first 25 of the round-6 block, alphabetical; simhash and
-# sequence_pack — also round-6-stale — yielded their slots to the new
-# repeated_spans / repeated_span_cut queries and stay green in the full
-# local sweep, simhash additionally in this round's interleaved A/B).
+# then the first 24 of the round-6 block, alphabetical; simhash,
+# sequence_pack and repetition_score — also round-6-stale — yielded
+# their slots to the new repeated_spans / repeated_span_cut /
+# exactsubstr_decontaminate queries and stay green in the full local
+# sweep, simhash additionally in this round's interleaved A/B).
 _R11_WINDOW = [
     # (a) new/changed in round 11
     "repeated_spans",
     "repeated_span_cut",
+    "exactsubstr_decontaminate",
     "ngram_jaccard",
     "dedup_components",
     "dedup_components_star",
@@ -4986,7 +5005,6 @@ _R11_WINDOW = [
     "pmc_functional",
     "pmc_fusions",
     "priority_sample",
-    "repetition_score",
 ]
 assert len(_R11_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R11_WINDOW)}"

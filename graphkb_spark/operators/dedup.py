@@ -621,6 +621,73 @@ def cut_repeated_spans(
     )
 
 
+def exact_substring_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    min_hits: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact k-gram benchmark decontamination (the GPT-3 appendix-C /
+    FineWeb recipe: a training document is contaminated if it shares
+    ANY k-token exact span with the evaluation set; k=13 is the
+    canonical choice). Complements ``contamination_flags`` (distinct-
+    shingle overlap FRACTION): the fraction test scores fuzzy overlap,
+    this one trips on a single verbatim leaked passage regardless of
+    document length. Returns one row per corpus doc: (id, n_grams,
+    k_gram_hits, contaminated).
+
+    Scale shape: the benchmark's distinct gram digests are a bounded
+    side (eval sets are small by definition) — Spark broadcasts them
+    into the probe join, so the corpus-side gram stream never
+    shuffles; the per-doc hit count partial-aggregates map-side keyed
+    by the already-co-partitioned doc id. Same 60-bit ANSI md5-prefix
+    digest as ``repeated_spans`` (oracle-replicable; collision odds
+    negligible at eval-set scale). Corpus docs shorter than k tokens
+    have n_grams 0 and are never contaminated."""
+    if k < 1 or min_hits < 1:
+        raise ValueError("k must be >= 1 and min_hits >= 1")
+    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    digest = lambda g: F.conv(  # noqa: E731
+        F.substring(F.md5(g), 1, 15), 16, 10
+    ).cast("bigint")
+    bench_d = (
+        benchmark.select(words(text_col).alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select(F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select(digest(F.col("__g")).alias("__d"))
+        .distinct()
+    )
+    base = corpus.select(
+        F.col(id_col).alias("__id"), words(text_col).alias("__w")
+    ).repartition(n_part, "__id")
+    grams = base.filter(F.size("__w") >= k).select(
+        "__id", F.explode(word_shingles(F.col("__w"), k)).alias("__g")
+    ).select("__id", digest(F.col("__g")).alias("__d"))
+    hits = (
+        grams.join(F.broadcast(bench_d), "__d")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        base.select(
+            "__id",
+            F.greatest(F.size("__w") - F.lit(k - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+        )
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("bigint").alias("k_gram_hits"),
+            (F.coalesce(F.col("__h"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as 4 x 16-bit chunk columns (c0..c3), entirely in
     JVM Column algebra over md5 token hashes — no Python in the path,

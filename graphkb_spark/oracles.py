@@ -2719,6 +2719,35 @@ def build_oracles() -> dict[str, str]:
                    coalesce(a.ct, '') AS clean_text
             FROM words w LEFT JOIN agg a USING (doc_id)
         """,
+        # Exact 8-gram benchmark decontamination: identical digest
+        # pipeline, bench = every 50th doc, per-doc hit counts.
+        "exactsubstr_decontaminate": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            bd AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS d
+              FROM (SELECT unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS g
+                    FROM words WHERE doc_id % 50 = 0 AND len(w) >= 8)),
+            cg AS (
+              SELECT doc_id,
+                     unnest([('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+                             for i in generate_series(1, len(w) - 7)]) AS d
+              FROM words WHERE len(w) >= 8),
+            hits AS (
+              SELECT doc_id, count(*) AS h
+              FROM cg JOIN bd USING (d) GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(greatest(len(w.w) - 7, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.h, 0) AS BIGINT) AS k_gram_hits,
+                   coalesce(h.h, 0) >= 1 AS contaminated
+            FROM words w LEFT JOIN hits h USING (doc_id)
+        """,
         "dedup_fillscore": """
             WITH ranked AS (
               SELECT lang, source, doc_id, n_chars,

@@ -495,6 +495,54 @@ def test_cut_repeated_spans_matches_bruteforce(spark):
     assert got[4][2] == "" and got[5][1] == 0
 
 
+def test_exact_substring_contamination_bruteforce(spark):
+    """GPT-3-style k-gram decontamination vs a literal reference:
+    verbatim leaked span -> contaminated; fuzzy similarity below a
+    full k-gram -> clean; short docs never contaminated."""
+    import re
+
+    from graphkb_spark.operators.dedup import exact_substring_contamination
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today morning"),
+        (2, "completely different text about catalyst and tungsten engines"),
+        (3, "prefix words then the secret eval passage appears here verbatim ok"),
+        (4, "short doc"),
+        (5, "the secret eval passage appears here but truncated"),
+    ]
+    bench_rows = [
+        (100, "the secret eval passage appears here verbatim and more"),
+        (101, "the quick brown fox jumps over the lazy dog today evening"),
+    ]
+    k, mh = 6, 1
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    bgrams = set()
+    for _, t in bench_rows:
+        w = toks(t)
+        bgrams.update(" ".join(w[p:p + k]) for p in range(len(w) - k + 1))
+    want = {}
+    for i, t in corpus_rows:
+        w = toks(t)
+        gs = [" ".join(w[p:p + k]) for p in range(len(w) - k + 1)]
+        hits = sum(1 for g in gs if g in bgrams)
+        want[i] = (max(len(w) - k + 1, 0), hits, hits >= mh)
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.k_gram_hits, r.contaminated)
+        for r in exact_substring_contamination(
+            corpus, bench, "text", "doc_id", k=k, min_hits=mh
+        ).collect()
+    }
+    assert got == want
+    assert got[1][2] and got[3][2]        # leaked spans flagged
+    assert got[2][2] is False             # unrelated doc clean
+    assert got[4] == (0, 0, False)        # sub-k doc never contaminated
+
+
 def test_repeated_spans_rejects_bad_params(spark):
     from graphkb_spark.operators.dedup import repeated_spans
 
