@@ -125,6 +125,9 @@ BUDGETS = [
     # back as a broadcast join, never a second full-table shuffle
     ("repeated_spans", 2, 0, True),
     ("repeated_span_cut", 2, 0, True),  # span bcast onto docs + same core
+    # bench-digest distinct + per-doc hit agg + doc fill-in; the corpus
+    # gram stream probes a broadcast, never shuffles (flat at x10)
+    ("exactsubstr_decontaminate", 3, 0, True),
     # full PPJoin stack: posting freq agg + rank window + asymmetric
     # prefix join + two verify joins, all broadcast-hash at this SF
     ("ngram_jaccard", 5, 0, True),
