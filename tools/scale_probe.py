@@ -87,6 +87,13 @@ QUERIES = [
     # round-11 addition: the ExactSubstr span profile (k-gram postings
     # + gaps-and-islands) — linear by design, measured to confirm
     "repeated_spans",
+    # round-12 (VERDICT r11 #1b): the same exact PPJoin join on a
+    # corpus whose VOCABULARY grows with the data (Heaps-law regime) —
+    # the fixed-vocab rows above measure the Sum(df^2) worst case; this
+    # row shows the common case where per-shingle df stays bounded and
+    # the join is linear. Implemented as a SCALED_VARIANT that tags a
+    # word fraction per copy (see _ngram_jaccard_heaps).
+    "ngram_jaccard_heaps",
 ]
 
 
@@ -115,9 +122,45 @@ def _kcore_scaled(spark, sf_dir: str, mult: int):
     return kcore(edges, k=7, rounds=3)
 
 
+def _ngram_jaccard_heaps(spark, sf_dir: str, mult: int):
+    """Exact n-gram Jaccard join under VOCABULARY GROWTH (VERDICT r11
+    #1b). The splice-scaled documents reuse one fixed word vocabulary,
+    so every posting list grows with the corpus and the exact join pays
+    its Sum(df^2) lower bound — the worst case. Real corpora follow
+    Heaps' law (vocabulary ~ N^beta): per-shingle df stays bounded as
+    the corpus grows. This variant recreates that regime from the same
+    scaled parquet by tagging ~1/3 of each copy's words with the copy
+    index (Column algebra, crc32-hash-deterministic): a 3-gram shingle
+    survives untagged with p=(2/3)^3~0.30, so ~70% of each copy's
+    shingles are copy-unique and the shared-vocab tail stays constant
+    — df per shingle ~flat, candidates ~linear."""
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.dedup import ngram_jaccard_pairs
+    from graphkb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    copy = (F.col("doc_id") / F.lit(ID_STEP)).cast("bigint")
+    tagged = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.when(
+                    F.crc32(F.concat_ws("", w, copy.cast("string"))) % 3 == 0,
+                    F.concat_ws("~", w, copy.cast("string")),
+                ).otherwise(w),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return ngram_jaccard_pairs(tagged, "text", "doc_id", shingle_n=3, threshold=0.6)
+
+
 SCALED_VARIANTS = {
     "semantic_dedup": _semantic_dedup_scaled,
     "kcore": _kcore_scaled,
+    "ngram_jaccard_heaps": _ngram_jaccard_heaps,
 }
 
 
@@ -263,17 +306,26 @@ def run_probe() -> None:
     only = {
         q for q in os.environ.get("PROBE_QUERIES", "").split(",") if q
     }
-    global QUERIES
-    if only:
-        QUERIES = [q for q in QUERIES if q in only]
+    # local filter, not a `global` rebind: a second run_probe() in the
+    # same process must see the full list again (ADVICE r11)
+    queries = [q for q in QUERIES if q in only] if only else list(QUERIES)
     scales = [
         (f"x{m}", SF_BASE if m == 1 else str(SCALE_ROOT / f"x{m}"), m)
         for m in mults
     ]
+    # throwaway warm-up before ANY measured cell: JIT/codegen/Arrow/
+    # parquet-footer caches otherwise inflate the first measured query
+    # (VERDICT r11 "what's wrong" #2 — the committed JSON should be
+    # load-bearing without warm-rerun footnotes)
+    warm_q = queries[0]
+    if warm_q in SCALED_VARIANTS:
+        SCALED_VARIANTS[warm_q](spark, scales[0][1], scales[0][2]).count()
+    else:
+        qs[warm_q](spark, scales[0][1]).count()
     results: dict[str, dict[str, dict[str, float]]] = {}
     for label, sf_dir, mult in scales:
         results[label] = {}
-        for q in QUERIES:
+        for q in queries:
             best = None
             rows = 0
             sw = 0
@@ -312,7 +364,7 @@ def run_probe() -> None:
     cols = " | ".join(f"{s[0]} s" for s in scales)
     print(f"\n| query | {cols} | {hi}/{lo} wall | {hi}/{lo} shuffle | {hi}/{lo} rows |")
     print("|---" * (len(scales) + 4) + "|")
-    for q in QUERIES:
+    for q in queries:
         r1, rn = results[lo][q], results[hi][q]
         wf = rn["sec"] / max(r1["sec"], 1e-9)
         sf_ = (rn["shuffle_mb"] / r1["shuffle_mb"]) if r1["shuffle_mb"] else float("nan")
