@@ -4595,6 +4595,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with two-level (hierarchical) k-means assignment —
+    the bounded-flops mode for k-grows-with-N (VERDICT r11 #2):
+    k_coarse=ceil(sqrt(8))=3 coarse cells trained first, then 3 fine
+    centroids per cell; a point only ever scores its own cell's fine
+    codebook. Same within-cluster keep-lowest-id dedup policy."""
+    from graphkb_spark.operators.dedup import semantic_dedup
+
+    t = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        t["embeddings"], "vec_id", "embedding", k=8, rounds=2, tau=0.35,
+        assignment="two_level",
+    )
+
+
 def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash band planner evaluated on the corpus's own near-dup
     pair mass: expected banding recall 1-(1-s^r)^b per (b, r)
@@ -4712,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weight_diagnostics": q_weight_diagnostics,
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_two": q_semantic_dedup_two,
         "lsh_band_tuning": q_lsh_band_tuning,
         "perplexity_buckets": q_perplexity_buckets,
         "heaps_fit": q_heaps_fit,

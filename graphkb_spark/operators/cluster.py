@@ -163,9 +163,27 @@ def kmeans_train(
         .repartition("__id")
         .transform(materialize, eager=False)
     )
-    hh = F.conv(
+    final = _lloyd(pts, k, rounds, scale)
+    return final.select(
+        F.col("__id").alias(id_col),
+        F.col("__cl").alias("cluster"),
+        F.round("__d", 6).alias("dist"),
+    )
+
+
+def _init_hash() -> Column:
+    """Deterministic init ordering hash: first 8 md5 hex chars of the
+    id as a bigint (shared by flat and two-level training so the
+    k_coarse=1 degenerate case is EXACTLY the flat run)."""
+    return F.conv(
         F.substring(F.md5(F.col("__id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
+
+
+def _lloyd(pts: DataFrame, k: int, rounds: int, scale: int) -> DataFrame:
+    """The kmeans_train Lloyd loop over a prepared (__id, __v) frame;
+    returns the final assignment (__id, __cl, __d)."""
+    hh = _init_hash()
     init = pts.withColumn("__hh", hh).orderBy("__hh", "__id").limit(k)
     # ordinal cluster ids WITHOUT a window: triangular count over the
     # k-row table (broadcast both sides; k is tiny by construction)
@@ -221,9 +239,128 @@ def kmeans_train(
             )
             .transform(materialize, eager=False)
         )
-    final = assign(centroids)
+    return assign(centroids)
+
+
+def kmeans_train_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_coarse: int = 4,
+    k_fine: int = 4,
+    rounds: int = 2,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Hierarchical (two-level) Lloyd training — the bounded-flops
+    assignment mode for cluster counts that grow with the corpus
+    (VERDICT r11 #2). Flat Lloyd pays N*k distance evaluations per
+    round; under the SemDeDup contract k grows with N, so the total is
+    quadratic even though every step is map-only. Two-level restores
+    linearity: train ``k_coarse`` coarse centroids on the corpus
+    (N*k_coarse flops/round), then train ``k_fine`` centroids
+    INDEPENDENTLY inside each coarse cell (each point only ever scores
+    against its own cell's fine codebook — N*k_fine flops/round). With
+    k_coarse = k_fine = sqrt(k) the per-round bill drops from N*k to
+    2*N*sqrt(k) — the standard hierarchical k-means trade: the
+    partition is no longer the flat Lloyd optimum (a point near a cell
+    boundary may have a closer fine centroid in a neighboring cell),
+    which SemDeDup tolerates by design (clustering is a blocking
+    heuristic; the paper itself uses approximate k-means at scale).
+
+    Determinism matches ``kmeans_train`` exactly: md5-prefix init
+    ordering (per cell for the fine level — a row_number window keyed
+    by cell), integer-scaled exact centroid sums, 8-decimal means,
+    (dist, cluster) argmin tie-break. ``k_coarse=1`` degenerates to
+    the flat run bit-for-bit (one cell holding everything, fine init =
+    global init) — pinned by test. Returns (id, cluster, dist) with
+    ``cluster = cell * k_fine + fine`` (flat numbering, disjoint across
+    cells); cells with fewer than k_fine members simply train fewer
+    fine centroids.
+
+    Scale shape: the fine codebook is k_coarse*k_fine rows TOTAL and
+    broadcasts whole; the per-cell equi-join is map-side against the
+    already-materialized (id, v, cell) frame, so each fine round adds
+    zero exchanges beyond the k*d-row centroid aggregation."""
+    if k_coarse < 1 or k_fine < 1 or rounds < 0:
+        raise ValueError("k_coarse/k_fine must be >= 1 and rounds >= 0")
+    pts = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .repartition("__id")
+        .transform(materialize, eager=False)
+    )
+    cells = _lloyd(pts, k_coarse, rounds, scale).select(
+        "__id", F.col("__cl").alias("__cell")
+    )
+    ptsc = pts.join(cells, "__id").transform(materialize, eager=False)
+
+    # fine init: the k_fine members with the lowest (md5-prefix, id)
+    # per cell — same ordering as the flat init, restricted to the cell
+    wcell = Window.partitionBy("__cell").orderBy(F.col("__hh").asc(), F.col("__id").asc())
+    fine = (
+        ptsc.withColumn("__hh", _init_hash())
+        .withColumn("__rn", F.row_number().over(wcell))
+        .filter(F.col("__rn") <= k_fine)
+        .select(
+            "__cell",
+            (F.col("__rn") - 1).cast("int").alias("__fcl"),
+            F.col("__v").alias("__cv"),
+        )
+        .transform(materialize, eager=False)
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = ptsc.join(F.broadcast(cents), "__cell").select(
+            "__id",
+            "__cell",
+            "__fcl",
+            _sq_dist(F.col("__v"), F.col("__cv")).alias("__d"),
+        )
+        return (
+            scored.groupBy("__id", "__cell")
+            .agg(F.min(F.struct(F.col("__d"), F.col("__fcl"))).alias("__m"))
+            .select(
+                "__id",
+                "__cell",
+                F.col("__m.__fcl").alias("__fcl"),
+                F.col("__m.__d").alias("__d"),
+            )
+        )
+
+    for _ in range(rounds):
+        asn = assign(fine).select("__id", "__cell", "__fcl")
+        members = ptsc.join(asn.select("__id", "__fcl"), "__id")
+        exploded = members.select(
+            "__cell", "__fcl", F.posexplode("__v").alias("__pos", "__val")
+        ).select(
+            "__cell",
+            "__fcl",
+            "__pos",
+            F.round(F.col("__val") * scale).cast("bigint").alias("__vi"),
+        )
+        dims = exploded.groupBy("__cell", "__fcl", "__pos").agg(
+            F.round(
+                F.sum("__vi").cast("double") / F.count(F.lit(1)) / F.lit(float(scale)),
+                8,
+            ).alias("__mean")
+        )
+        fine = (
+            dims.groupBy("__cell", "__fcl")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__mean")))
+                    ),
+                    lambda s: s["__mean"],
+                ).alias("__cv")
+            )
+            .transform(materialize, eager=False)
+        )
+    final = assign(fine)
     return final.select(
         F.col("__id").alias(id_col),
-        F.col("__cl").alias("cluster"),
+        (F.col("__cell").cast("bigint") * k_fine + F.col("__fcl")).alias("cluster"),
         F.round("__d", 6).alias("dist"),
     )

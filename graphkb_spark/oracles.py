@@ -380,6 +380,25 @@ def build_oracles() -> dict[str, str]:
         "/ 1000000000.0, 8) AS m FROM e{n} GROUP BY cl, pos) GROUP BY cl)"
     )
     kmeans_rounds = ", ".join(kmeans_round.format(n=r + 1, p=r) for r in range(2))
+    # one fine-level Lloyd round of the two-level (hierarchical)
+    # trainer: assignment is an equi-join on the coarse cell (each
+    # point scores only its own cell's fine centroids — mirrors
+    # operators/cluster.py:kmeans_train_two_level bit-for-bit)
+    fine_round = (
+        "fa{n} AS MATERIALIZED (SELECT p.id, p.cell, c.fcl, list_distance(p.v, c.v) AS d "
+        "FROM ptsc p JOIN f{p} c ON p.cell = c.cell), "
+        "fm{n} AS (SELECT id, min(d) AS md FROM fa{n} GROUP BY id), "
+        "fs{n} AS (SELECT a.id, a.cell, min(a.fcl) AS fcl FROM fa{n} a "
+        "JOIN fm{n} m ON a.id = m.id AND a.d = m.md GROUP BY a.id, a.cell), "
+        "fe{n} AS (SELECT s.cell, s.fcl, generate_subscripts(p.v, 1) AS pos, "
+        "CAST(round(unnest(p.v) * 1000000000.0) AS BIGINT) AS vi "
+        "FROM fs{n} s JOIN pts p ON s.id = p.id), "
+        "f{n} AS MATERIALIZED (SELECT cell, fcl, list(m ORDER BY pos) AS v FROM "
+        "(SELECT cell, fcl, pos, round(CAST(sum(vi) AS DOUBLE) / count(*) "
+        "/ 1000000000.0, 8) AS m FROM fe{n} GROUP BY cell, fcl, pos) "
+        "GROUP BY cell, fcl)"
+    )
+    fine_rounds = ", ".join(fine_round.format(n=r + 1, p=r) for r in range(2))
     # Fellegi-Sunter EM unroll (mirrors operators/linkage.py:
     # fellegi_sunter_em): round 1 uses the literal init params as the
     # SAME IEEE expressions Spark evaluates (1.0 - 0.9, not 0.1);
@@ -493,6 +512,66 @@ def build_oracles() -> dict[str, str]:
             memb AS (SELECT sfin.id, sfin.cl, p.v
                      FROM sfin JOIN pts p USING (id)),
             prs AS (SELECT a.cl, a.id AS ia, b.id AS ib,
+                           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+                    FROM memb a JOIN memb b
+                      ON a.cl = b.cl AND a.id < b.id),
+            kept AS (SELECT ib, min(ia) AS dup_of FROM prs
+                     WHERE sim >= 0.35 GROUP BY ib),
+            d2 AS (SELECT k.ib, k.dup_of, p.sim
+                   FROM kept k JOIN prs p
+                     ON p.ib = k.ib AND p.ia = k.dup_of)
+            SELECT m.id AS vec_id, m.cl AS cluster,
+                   d2.ib IS NULL AS keep, d2.dup_of, d2.sim AS dup_sim
+            FROM memb m LEFT JOIN d2 ON m.id = d2.ib
+        """,
+        # SemDeDup with two-level (hierarchical) assignment: coarse
+        # kmeans chain (k_coarse=3, the kmeans_round template), final
+        # coarse assign -> cells, per-cell fine init (row_number over
+        # (md5-prefix, id)), 2 fine rounds (equi-join on cell), flat
+        # cluster numbering cell*3+fcl, then the identical
+        # within-cluster cosine keep-lowest-id policy.
+        "semantic_dedup_two": f"""
+            WITH pts AS MATERIALIZED (SELECT vec_id AS id,
+                         CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings),
+            h AS MATERIALIZED (SELECT id, v,
+                         ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+                           AS hh
+                  FROM pts),
+            i0 AS (SELECT id, v, hh FROM h ORDER BY hh ASC, id ASC LIMIT 3),
+            c0 AS (SELECT CAST((SELECT count(*) FROM i0 j
+                                WHERE j.hh < i.hh
+                                   OR (j.hh = i.hh AND j.id < i.id)) AS INT) AS cl,
+                          i.v AS v
+                   FROM i0 i),
+            {kmeans_rounds},
+            caf AS (SELECT p.id, c.cl, list_distance(p.v, c.v) AS d
+                    FROM pts p CROSS JOIN c2 c),
+            cmf AS (SELECT id, min(d) AS md FROM caf GROUP BY id),
+            cells AS MATERIALIZED (SELECT a.id, CAST(min(a.cl) AS INT) AS cell
+                      FROM caf a JOIN cmf m ON a.id = m.id AND a.d = m.md
+                      GROUP BY a.id),
+            ptsc AS MATERIALIZED (SELECT p.id, p.v, c.cell
+                     FROM pts p JOIN cells c USING (id)),
+            f0 AS MATERIALIZED (SELECT cell,
+                          CAST(row_number() OVER (PARTITION BY cell
+                               ORDER BY hh ASC, id ASC) - 1 AS INT) AS fcl,
+                          v
+                   FROM h JOIN cells USING (id)
+                   QUALIFY row_number() OVER (PARTITION BY cell
+                           ORDER BY hh ASC, id ASC) <= 3),
+            {fine_rounds},
+            ff AS MATERIALIZED (SELECT p.id, p.cell, c.fcl,
+                          list_distance(p.v, c.v) AS d
+                   FROM ptsc p JOIN f2 c ON p.cell = c.cell),
+            ffm AS (SELECT id, min(d) AS md FROM ff GROUP BY id),
+            fin AS MATERIALIZED (SELECT a.id,
+                           CAST(a.cell * 3 + min(a.fcl) AS BIGINT) AS cl
+                    FROM ff a JOIN ffm m ON a.id = m.id AND a.d = m.md
+                    GROUP BY a.id, a.cell),
+            memb AS MATERIALIZED (SELECT fin.id, fin.cl, p.v
+                     FROM fin JOIN pts p USING (id)),
+            prs AS MATERIALIZED (SELECT a.cl, a.id AS ia, b.id AS ib,
                            round(list_cosine_similarity(a.v, b.v), 4) AS sim
                     FROM memb a JOIN memb b
                       ON a.cl = b.cl AND a.id < b.id),

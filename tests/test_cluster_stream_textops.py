@@ -40,6 +40,81 @@ def test_kmeans_deterministic_and_empty_cluster_safe(spark):
     assert len(a) == 8
 
 
+def test_two_level_kmeans_degenerates_to_flat(spark):
+    """VERDICT r11 #2 done-criterion: with k_coarse=1 the hierarchical
+    trainer IS the flat trainer — one cell holds everything, the
+    per-cell fine init equals the global md5 init, and every round's
+    assignment/update is bit-identical. Pinned exactly (cluster AND
+    dist)."""
+    from graphkb_spark.operators.cluster import (
+        kmeans_train,
+        kmeans_train_two_level,
+    )
+
+    rows = [
+        (i, [float((i * 7) % 5), float((i * 3) % 4), float(i % 3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    flat = {
+        r.vec_id: (int(r.cluster), r.dist)
+        for r in kmeans_train(df, "vec_id", "embedding", k=5, rounds=2).collect()
+    }
+    two = {
+        r.vec_id: (int(r.cluster), r.dist)
+        for r in kmeans_train_two_level(
+            df, "vec_id", "embedding", k_coarse=1, k_fine=5, rounds=2
+        ).collect()
+    }
+    assert flat == two
+
+
+def test_two_level_kmeans_contract(spark):
+    """Hierarchical mode: one row per vector, clusters live in the
+    flat numbering cell*k_fine+fine, separated planted blobs never
+    share a cluster, and reruns are bit-identical."""
+    from graphkb_spark.operators.cluster import kmeans_train_two_level
+
+    rows = [(i, [50.0 + (i % 3) * 0.1, 0.0]) for i in range(8)] + [
+        (i, [-50.0 - (i % 3) * 0.1, 1.0]) for i in range(8, 16)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_train_two_level(
+        df, "vec_id", "embedding", k_coarse=2, k_fine=2, rounds=2
+    ).collect()
+    assert len(out) == 16
+    assert all(0 <= r.cluster < 4 for r in out)
+    left = {r.cluster for r in out if r.vec_id < 8}
+    right = {r.cluster for r in out if r.vec_id >= 8}
+    assert not (left & right)
+    rerun = kmeans_train_two_level(
+        df, "vec_id", "embedding", k_coarse=2, k_fine=2, rounds=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_semantic_dedup_two_level_finds_planted_dups(spark):
+    """semantic_dedup(assignment='two_level') keeps the dedup policy:
+    a planted near-identical pair collapses keep-lowest-id; rejects
+    unknown assignment modes."""
+    import pytest as _pytest
+
+    from graphkb_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, [float((i * 13) % 7), float((i * 5) % 6), 1.0]) for i in range(20)]
+    rows.append((100, rows[0][1]))  # exact twin of id 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, "vec_id", "embedding", k=4, rounds=2, tau=0.999,
+        assignment="two_level",
+    ).collect()}
+    assert len(out) == 21
+    assert out[100].keep is False and out[100].dup_of == 0
+    assert out[0].keep is True
+    with _pytest.raises(ValueError, match="assignment"):
+        semantic_dedup(df, "vec_id", "embedding", assignment="bogus")
+
+
 def test_classifier_score_exact_and_empty(spark):
     """weight_sum is an exact integer, label == (weight_sum >= 0), and
     empty text scores neutral (prob 0.5, label True)."""

@@ -113,6 +113,9 @@ BUDGETS = [
     ("topn_other", 2, 0, True),        # post-checkpoint TakeOrdered + other
     # round-9 additions
     ("semantic_dedup", 6, 0, False),   # kmeans + cluster equi-join pairs
+    # two-level assignment: +1 exchange for the per-cell fine-codebook
+    # aggregation; fine assignment itself is broadcast (bounded k rows)
+    ("semantic_dedup_two", 7, 0, False),
     # PPJoin pairs + bcast config agg; +1 in round 11: the asymmetric
     # index/probe prefix orientation broke one exchange reuse inside
     # the pair feed (all 6 are AQE-broadcast at this SF) — accepted,

