@@ -3098,6 +3098,18 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based BPE training (VERDICT r11 #6): the merge chain
+    learned on the 300 lowest-md5-digest documents — the bounded
+    subcorpus a 100-TB run would train on before bpe_encode applies
+    the frozen table to the full corpus. Oracle: the same unrolled
+    CTE chain over the identical deterministic sample."""
+    from graphkb_spark.operators.corpus import bpe_train_sampled
+
+    t = _t(spark, sf_dir, "documents")
+    return bpe_train_sampled(t["documents"], "text", n_merges=8, sample_docs=300)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (8 merges) over the documents corpus.
     Oracle: the 8 data-dependent merge rounds unrolled as chained
@@ -4856,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rebalance": q_domain_rebalance,
         "incremental_agg": q_incremental_agg,
         "bpe_train": q_bpe_train,
+        "bpe_train_sampled": q_bpe_train_sampled,
         "bpe_encode": q_bpe_encode,
         "vocab_build": q_vocab_build,
         "ngram_counts": q_ngram_counts,

@@ -179,7 +179,7 @@ def _civic_pipeline_ctes() -> str:
     """
 
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
+def _bpe_oracle_sql(n_merges: int = 8, source: str = "documents") -> str:
     """DuckDB oracle for BPE training: the ``n_merges`` data-dependent
     rounds unrolled as chained MATERIALIZED CTEs. Each round recomputes
     weighted adjacent-pair counts over the current segmentation, takes
@@ -194,7 +194,7 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
         WITH words AS MATERIALIZED (
           SELECT w, count(*) AS freq FROM (
             SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-            FROM documents)
+            FROM {source})
           WHERE w <> '' GROUP BY w),
         r0 AS MATERIALIZED (
           SELECT freq,
@@ -225,7 +225,7 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
         f" l || r AS merged, c AS pair_count FROM b{k}"
         for k in range(n_merges)
     )
-    return sql
+    return sql.replace("{source}", source)
 
 
 def _bpe_encode_oracle_sql() -> str:
@@ -3685,6 +3685,14 @@ def build_oracles() -> dict[str, str]:
         # PII_PATTERNS constants verbatim.
         "pii_redact": _pii_oracle_sql(),
         "bpe_train": _bpe_oracle_sql(),
+        # sampled BPE training: same unrolled merge chain over the 300
+        # documents with the lowest md5-prefix text digest (the Spark
+        # side's deterministic uniform draw, engine-replicable)
+        "bpe_train_sampled": _bpe_oracle_sql(
+            source="(SELECT text FROM documents "
+            "ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT ASC, "
+            "text ASC LIMIT 300)"
+        ),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         # weight-as-repetition expansion: Spark's percentile(col, p,

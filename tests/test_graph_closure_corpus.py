@@ -345,6 +345,53 @@ def test_bpe_train_matches_reference(spark):
     assert got == _ref_bpe(texts, 6)
 
 
+def test_bpe_train_sampled_equivalence(spark):
+    """VERDICT r11 #6 done-criterion: on a corpus whose pair-frequency
+    structure is stable under sampling (every doc drawn from the same
+    template distribution — the regime the sampling bound describes),
+    the merge SEQUENCE learned on a half-size md5-hash sample equals
+    the full-corpus sequence. Counts differ (the sample is smaller);
+    the learned artifact — (step, left, right, merged) — must not."""
+    from graphkb_spark.operators.corpus import bpe_train, bpe_train_sampled
+
+    base = "low lower lowest new newer newest wide wider widest"
+    texts = [f"{base} extra{i % 3}" for i in range(40)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    full = [
+        (r.step, r.left, r.right, r.merged)
+        for r in bpe_train(df, "text", n_merges=6).orderBy("step").collect()
+    ]
+    sampled = [
+        (r.step, r.left, r.right, r.merged)
+        for r in bpe_train_sampled(df, "text", n_merges=6, sample_docs=20)
+        .orderBy("step")
+        .collect()
+    ]
+    assert sampled == full
+    # determinism: same sample, same table, bit-for-bit
+    rerun = [
+        (r.step, r.left, r.right, r.merged)
+        for r in bpe_train_sampled(df, "text", n_merges=6, sample_docs=20)
+        .orderBy("step")
+        .collect()
+    ]
+    assert rerun == sampled
+
+
+def test_bpe_train_sampled_whole_corpus_is_exact(spark):
+    """sample_docs >= corpus size degenerates to full training —
+    including identical pair_counts."""
+    from graphkb_spark.operators.corpus import bpe_train, bpe_train_sampled
+
+    texts = ["low lower lowest", "new newer newest newest", "low low new"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    full = sorted(map(tuple, bpe_train(df, "text", n_merges=4).collect()))
+    samp = sorted(
+        map(tuple, bpe_train_sampled(df, "text", n_merges=4, sample_docs=10).collect())
+    )
+    assert samp == full
+
+
 def test_bpe_train_repeated_chars(spark):
     from graphkb_spark.operators.corpus import bpe_train
 
