@@ -4720,17 +4720,14 @@ def q_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round. The
-    # rotation is now an explicit list (_R9_WINDOW below) applied over the
-    # registry literal, so future rounds edit a 50-name list instead of
-    # reordering a 215-entry dict.
-    # Round-9 window: the 4 queries NEW this round lead, then every query
-    # whose implementation changed this round (materialize() rewiring of
-    # all iterative operators, the merge-sink/kb_io writer interface, the
-    # Fellegi-Sunter/Neyman/Benford edge-case fixes, the similarity-norm
-    # precompute, the pre-trained-BPE encode, the cluster-module merge,
-    # the triangle wedge reorder, the multimodal decoder gating), then an
-    # overdue block of r6/r7-window queries that haven't been driver-
-    # checked since. Everything else is green in the full local sweep.
+    # rotation is an explicit list (_R12_WINDOW below) applied over the
+    # registry literal, so each round edits a 50-name list instead of
+    # reordering the dict. Round-12 composition: new/changed queries
+    # lead (two-level SemDeDup, sampled BPE, the candidate-budget-guard
+    # and auto-CC refactor consumers), then the entire round-6 stale
+    # block (14) and the first 24 of the round-7 block — staleness
+    # computed from the union of CORRECTNESS_r0*.json driver windows
+    # (VERDICT r11 missing #3).
     all_q = {
         "categorical_dependence": q_categorical_dependence,
         "ks_drift": q_ks_drift,
@@ -4960,7 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R11_WINDOW}
+    ordered = {k: all_q[k] for k in _R12_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
@@ -4980,65 +4977,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # their slots to the new repeated_spans / repeated_span_cut /
 # exactsubstr_decontaminate queries and stay green in the full local
 # sweep, simhash additionally in this round's interleaved A/B).
-_R11_WINDOW = [
-    # (a) new/changed in round 11
+_R12_WINDOW = [
+    # (a) new/changed in round 12: the two new registry queries
+    # (two-level SemDeDup, sampled BPE), then every query whose code
+    # path changed — the candidate-budget guard refactor of
+    # ngram_jaccard_pairs and its consumers, the ExactSubstr
+    # token-base sharing + broadcast-guard, the auto-CC pair
+    # materialization and its consumers, the kmeans_train _lloyd
+    # extraction and its consumers
+    "semantic_dedup_two",
+    "bpe_train_sampled",
+    "semantic_dedup",
+    "kmeans_train",
+    "ngram_jaccard",
+    "lsh_band_tuning",
     "repeated_spans",
     "repeated_span_cut",
     "exactsubstr_decontaminate",
-    "ngram_jaccard",
     "dedup_components",
     "dedup_components_star",
     "canonical_docs",
-    "lsh_band_tuning",
-    "er_entities",
-    "ks_drift",
-    # (b) stalest: last driver-checked in round 5
-    "filter_dsl_neighbors",
-    "fingerprint",
-    "graph_neighbors",
-    "hgvs_parse",
-    "kb_ontology_load",
-    "lang_id",
-    "quality_score",
-    "range_join",
-    "reconcile",
-    "segment_dedup",
-    "statement_variant_link",
-    "stream_interval_join",
-    "tfidf_topk",
-    "token_budget_sample",
-    "token_count",
-    "variant_load",
-    # (b) stalest: round-6 block, alphabetical
-    "anti_join_incremental",
-    "approx_distinct",
-    "approx_quantiles",
-    "cgl_load",
-    "cohort_retention",
-    "dedup_exact",
-    "docm_load",
-    "domain_rebalance",
-    "equidepth_histogram",
-    "filter_dsl_nested",
-    "filter_dsl_pagination",
-    "filter_dsl_subquery",
-    "grouped_outliers",
-    "incremental_agg",
-    "incremental_join_agg",
-    "key_skew_profile",
-    "merge_intervals",
-    "multiple_regression",
-    "ngram_counts",
-    "oov_rate",
-    "pii_redact",
-    "pmc_functional",
-    "pmc_fusions",
-    "priority_sample",
+    # (b) stalest: the 14 queries last driver-checked in round 6
+    "repetition_score",
+    "sequence_pack",
+    "simhash",
+    "source_registry",
+    "split_assign",
+    "stream_dedup",
+    "streaming_sessions",
+    "streaming_sessions_native",
+    "temperature_sample",
+    "transition_matrix",
+    "version_chain",
+    "vocab_build",
+    "weighted_percentiles",
+    "windowed_counts",
+    # (b) stalest: first 24 of the round-7 block, alphabetical (the
+    # 12 remaining r7 names — relevance_translate through winsorize —
+    # are next round's rotation residue; all green in the full local
+    # sweep this round)
+    "attribution",
+    "citation_phase_year",
+    "combo_naming",
+    "cooccurrence",
+    "cross_expansion",
+    "dedup_against",
+    "diversity_report",
+    "docm_fix",
+    "embedding_dim_stats",
+    "embedding_project",
+    "explode_expansion",
+    "funnel",
+    "gram_matrix",
+    "interpolate",
+    "kfold_assign",
+    "kmv_distinct_merged",
+    "linear_attribution",
+    "lm_score",
+    "mixture_interleave",
+    "oncokb_names",
+    "pmi_collocations",
+    "priority_sample_grouped",
+    "quality_drift",
+    "range_join_auto",
 ]
-assert len(_R11_WINDOW) == 50, (
-    f"driver gate window must be exactly 50 names, got {len(_R11_WINDOW)}"
+assert len(_R12_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R12_WINDOW)}"
 )
-assert len(set(_R11_WINDOW)) == 50, "duplicate name in _R11_WINDOW"
+assert len(set(_R12_WINDOW)) == 50, "duplicate name in _R12_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:
