@@ -1085,6 +1085,35 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(t["documents"], "text", "doc_id")
 
 
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (Muennighoff et al. 2023): duplicate copies keep
+    sampling weight 1/n_copies instead of being dropped — each cluster
+    contributes one doc-equivalent of mass. Duplicates are planted by
+    unioning an id-shifted copy of every 5th document (cluster size 2
+    for 100 of 500 docs), replicated identically in the oracle."""
+    from graphkb_spark.operators.dedup import soft_dedup_sample
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return soft_dedup_sample(docs.unionByName(dup), "text", "doc_id")
+
+
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture budget allocation (Chung et al. 2023): 250k-char
+    budget over the 5 language strata at a 2-epoch cap — the 4 small
+    languages cap at 2 epochs, en takes the uniform remainder (both
+    branches of the waterfilling closed form exercised at sf0.01)."""
+    from graphkb_spark.operators.sampling import unimax_budget
+
+    t = _t(spark, sf_dir, "documents")
+    return unimax_budget(
+        t["documents"], "lang", "n_chars", budget=250_000, max_epochs=2.0
+    )
+
+
 def q_dedup_fillscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W4: keep the best-filled duplicate per (lang, source) —
     ASCO collapseAbstractDups shape."""
@@ -4885,6 +4914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_exact": q_dedup_exact,
+        "soft_dedup": q_soft_dedup,
+        "unimax_budget": q_unimax_budget,
         "dedup_components": q_dedup_components,
         "repeated_spans": q_repeated_spans,
         "repeated_span_cut": q_repeated_span_cut,
@@ -4987,6 +5018,8 @@ _R12_WINDOW = [
     # extraction and its consumers
     "semantic_dedup_two",
     "bpe_train_sampled",
+    "soft_dedup",
+    "unimax_budget",
     "semantic_dedup",
     "kmeans_train",
     "ngram_jaccard",
@@ -5012,9 +5045,9 @@ _R12_WINDOW = [
     "vocab_build",
     "weighted_percentiles",
     "windowed_counts",
-    # (b) stalest: first 24 of the round-7 block, alphabetical (the
-    # 12 remaining r7 names — relevance_translate through winsorize —
-    # are next round's rotation residue; all green in the full local
+    # (b) stalest: first 22 of the round-7 block, alphabetical (the
+    # 14 remaining r7 names — quality_drift through winsorize — are
+    # next round's rotation residue; all green in the full local
     # sweep this round)
     "attribution",
     "citation_phase_year",
@@ -5038,8 +5071,6 @@ _R12_WINDOW = [
     "oncokb_names",
     "pmi_collocations",
     "priority_sample_grouped",
-    "quality_drift",
-    "range_join_auto",
 ]
 assert len(_R12_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R12_WINDOW)}"

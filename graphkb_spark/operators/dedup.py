@@ -79,6 +79,49 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def soft_dedup_sample(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Soft deduplication (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models", arXiv:2305.16264): instead of
+    DROPPING duplicate copies, keep every copy with sampling weight
+    1/n_copies, so each duplicate cluster contributes exactly one
+    document-equivalent of probability mass to the training mix —
+    the repeated-data regime's replacement for hard dedup, preserving
+    natural-frequency signal (popular boilerplate still appears, just
+    never over-weighted). Returns one row per input doc:
+    (id, n_copies, weight, keep) — weight = round(1/n_copies, 6), and
+    ``keep`` the deterministic hash-Bernoulli draw u(id) < 1/n_copies
+    (so filtering on keep yields an expected one copy per cluster and
+    the kept set is stable across runs/retries/engines — the
+    ``domain_rebalance`` md5-uniform contract).
+
+    Scale shape: one partial-aggregating shuffle for the per-digest
+    counts (digest-cardinality output, only digest+count move), one
+    equi-join back on the digest (AQE-planned; both sides hash the
+    same key), scan-speed weight/draw columns. No window ever sees a
+    duplicate cluster's full row set."""
+    withd = df.select(
+        F.col(id_col).alias(id_col), F.md5(F.col(text_col)).alias("__digest")
+    )
+    counts = withd.groupBy("__digest").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        withd.join(counts, "__digest")
+        .select(
+            id_col,
+            "n_copies",
+            F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+            (u * F.col("n_copies") < F.lit(1.0)).alias("keep"),
+        )
+    )
+
+
 # 31-bit Mersenne-prime field keeps a*h+b within int64 (no ANSI
 # overflow); deterministic LCG-derived (a, b) per hash family
 _MH_PRIME = (1 << 31) - 1

@@ -628,3 +628,114 @@ def neyman_stratified_sample(
         .filter(F.col("__rk") <= F.col("alloc_n"))
         .select(stratum_col, id_col, value_col, "alloc_n")
     )
+
+
+def unimax_budget(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax training-mixture budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining", arXiv:2304.09151):
+    distribute a total token ``budget`` over mixture strata
+    (languages/domains/sources) so that no stratum is repeated more
+    than ``max_epochs`` times and the budget left over after capping
+    the small strata spreads UNIFORMLY over the rest — the fairness
+    recipe that replaces temperature sampling when epoch caps matter.
+
+    The paper's greedy loop has a closed form under ascending
+    available-token order c_1 <= ... <= c_n: once the equal share
+    B_rem/(n-i+1) first drops below c_i * E at some crossover rank k,
+    it stays constant for every later stratum (each takes exactly one
+    share), so
+
+    - rank i < k: alloc = c_i * E (fully repeated at the epoch cap);
+    - rank i >= k: alloc = (B - E * prefix_sum_{k-1}) / (n - k + 1),
+      where k is the first rank with c_k * E * (n-k+1) > B - E *
+      prefix_sum_{k-1} (no crossover => every stratum caps; any
+      remaining budget is reported via ``alloc`` summing below B).
+
+    Computed exactly with no global window: per-stratum token counts
+    (partial-agg shuffle), then rank + inclusive prefix sum via a
+    triangular broadcast self-join on the strict (tokens, stratum)
+    order over the bounded stratum table (the ``kmeans_train`` init
+    idiom — O(strata^2) pairs, fine because UniMax strata are
+    languages/sources, bounded hundreds by construction; this is not
+    a per-domain op — cap unbounded domains with ``domain_rebalance``
+    first), the crossover flag per row, and a 1-row global min-rank
+    broadcast back. Prefix sums are exact integer sums; divisions are
+    rounded (alloc 4, epochs 6) so an external engine reproduces them
+    bit-for-bit.
+
+    Returns (stratum, avail_tokens, alloc_tokens, epochs) with
+    epochs = alloc/avail <= max_epochs."""
+    from graphkb_spark.core.materialize import materialize
+
+    if budget <= 0 or max_epochs <= 0:
+        raise ValueError("budget and max_epochs must be positive")
+    # materialized: the corpus-sized aggregation feeds the triangular
+    # join (both sides) AND the 1-row total — without this the full
+    # corpus scan would run three times
+    counts = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.sum(F.col(tokens_col)).cast("bigint").alias("avail_tokens"))
+        .transform(materialize)
+    )
+    # rank + cumulative sum WITHOUT a global window (the kmeans_train
+    # triangular idiom): broadcast the bounded stratum table against
+    # itself on the strict (avail, stratum) total order — rk and the
+    # inclusive prefix sum fall out of one grouped count/sum, fully
+    # distributed, no single-partition WindowExec
+    rhs = counts.select(
+        F.col("stratum").alias("__s2"), F.col("avail_tokens").alias("__a2")
+    )
+    tri = counts.join(
+        F.broadcast(rhs),
+        (F.col("__a2") < F.col("avail_tokens"))
+        | (
+            (F.col("__a2") == F.col("avail_tokens"))
+            & (F.col("__s2") <= F.col("stratum"))
+        ),
+    )
+    total = counts.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        tri.groupBy("stratum", "avail_tokens")
+        .agg(
+            F.count("__s2").cast("int").alias("__rk"),
+            F.sum("__a2").cast("bigint").alias("__pref"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    e = F.lit(float(max_epochs))
+    b = F.lit(float(budget))
+    # crossover: the equal share of what's left BEFORE this rank can't
+    # cover this stratum's full epoch-capped demand
+    flagged = ranked.withColumn(
+        "__x",
+        F.col("avail_tokens") * e * (F.col("__n") - F.col("__rk") + 1)
+        > b - (F.col("__pref") - F.col("avail_tokens")) * e,
+    )
+    kr = flagged.filter(F.col("__x")).agg(
+        F.min("__rk").alias("__k"),
+        # prefix sum strictly below the crossover rank, recovered from
+        # the crossover row itself (exact integers)
+        F.min(F.struct(F.col("__rk"), (F.col("__pref") - F.col("avail_tokens")).alias("__p")))["__p"].alias("__pk"),
+    )
+    alloc = F.when(
+        F.col("__k").isNull() | (F.col("__rk") < F.col("__k")),
+        F.round(F.col("avail_tokens") * e, 4),
+    ).otherwise(
+        F.round((b - F.col("__pk") * e) / (F.col("__n") - F.col("__k") + 1), 4)
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kr))
+        .select(
+            F.col("stratum").alias(stratum_col),
+            "avail_tokens",
+            alloc.alias("alloc_tokens"),
+            F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
+        )
+    )

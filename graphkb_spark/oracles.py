@@ -584,6 +584,58 @@ def build_oracles() -> dict[str, str]:
                    d2.ib IS NULL AS keep, d2.dup_of, d2.sim AS dup_sim
             FROM memb m LEFT JOIN d2 ON m.id = d2.ib
         """,
+        # soft dedup (Muennighoff 2023): per-digest copy counts, weight
+        # 1/n, md5-uniform hash-Bernoulli keep at rate 1/n — identical
+        # planted duplicates (every 5th doc id-shifted by 100000)
+        "soft_dedup": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 5 = 0),
+            d AS (SELECT doc_id, md5(text) AS dg FROM base),
+            c AS (SELECT dg, count(*) AS n_copies FROM d GROUP BY dg)
+            SELECT d.doc_id, c.n_copies,
+                   round(1.0 / c.n_copies, 6) AS weight,
+                   (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                         1, 8))::BIGINT AS DOUBLE)
+                    / 4294967296.0) * c.n_copies < 1.0 AS keep
+            FROM d JOIN c USING (dg)
+        """,
+        # UniMax waterfilling (Chung 2023): ascending cumulative window
+        # over the stratum aggregate, crossover rank k, full epoch cap
+        # below k / uniform remainder share at and above it
+        "unimax_budget": """
+            WITH c AS (SELECT lang AS stratum,
+                              CAST(sum(n_chars) AS BIGINT) AS avail
+                       FROM documents GROUP BY lang),
+            r AS (SELECT stratum, avail,
+                         row_number() OVER
+                           (ORDER BY avail ASC, stratum ASC) AS rk,
+                         sum(avail) OVER
+                           (ORDER BY avail ASC, stratum ASC
+                            ROWS UNBOUNDED PRECEDING) AS pref,
+                         count(*) OVER () AS n
+                  FROM c),
+            f AS (SELECT *,
+                         CAST(avail AS DOUBLE) * 2.0 * (n - rk + 1)
+                           > 250000.0 - CAST(pref - avail AS DOUBLE) * 2.0
+                           AS x
+                  FROM r),
+            k AS (SELECT rk AS k, CAST(pref - avail AS DOUBLE) AS p, n
+                  FROM f WHERE x ORDER BY rk LIMIT 1),
+            a AS (SELECT f.stratum, f.avail,
+                         CASE WHEN k.k IS NULL OR f.rk < k.k
+                              THEN round(CAST(f.avail AS DOUBLE) * 2.0, 4)
+                              ELSE round((250000.0 - k.p * 2.0)
+                                         / (k.n - k.k + 1), 4)
+                         END AS alloc
+                  FROM f LEFT JOIN k ON TRUE)
+            SELECT stratum AS lang, avail AS avail_tokens,
+                   alloc AS alloc_tokens,
+                   round(alloc / avail, 6) AS epochs
+            FROM a
+        """,
         # band planner over PPJoin exact-Jaccard pairs (>= 0.5):
         # decimal-summed S-curve mean per (b, r) factorization of 64.
         "lsh_band_tuning": """

@@ -185,6 +185,30 @@ def test_minhash_finds_near_dups(spark, docs):
     assert all(a in (1, 2, 4) and b in (1, 2, 4) for a, b in pairs)
 
 
+def test_soft_dedup_sample_weights_and_mass(spark):
+    """Muennighoff-style soft dedup: weight = 1/n_copies, so each
+    duplicate cluster contributes exactly one document-equivalent of
+    probability mass; the hash-Bernoulli keep is deterministic."""
+    from graphkb_spark.operators.dedup import soft_dedup_sample
+
+    rows = (
+        [(i, "common boilerplate page") for i in range(3)]
+        + [(10, "unique doc ten"), (11, "unique doc eleven")]
+        + [(20, "pair text"), (21, "pair text")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in soft_dedup_sample(df, "text", "doc_id").collect()}
+    assert len(out) == 7  # one row per input doc, none dropped
+    assert all(out[i].n_copies == 3 for i in range(3))
+    assert out[10].n_copies == 1 and out[10].weight == 1.0 and out[10].keep
+    assert out[20].n_copies == 2 and out[20].weight == 0.5
+    # per-cluster mass sums to one doc-equivalent
+    assert abs(sum(out[i].weight for i in range(3)) - 1.0) < 1e-5
+    # deterministic across reruns
+    rerun = {r.doc_id: r.keep for r in soft_dedup_sample(df, "text", "doc_id").collect()}
+    assert rerun == {k: v.keep for k, v in out.items()}
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = {
         (r.id_a, r.id_b)

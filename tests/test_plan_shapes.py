@@ -116,6 +116,11 @@ BUDGETS = [
     # two-level assignment: +1 exchange for the per-cell fine-codebook
     # aggregation; fine assignment itself is broadcast (bounded k rows)
     ("semantic_dedup_two", 7, 0, False),
+    # round-12 additions: soft dedup is one digest-count shuffle + an
+    # AQE-broadcast join back; unimax runs entirely on the materialized
+    # stratum aggregate (triangular broadcast self-join, no window)
+    ("soft_dedup", 1, 0, True),
+    ("unimax_budget", 5, 0, False),
     # PPJoin pairs + bcast config agg; +1 in round 11: the asymmetric
     # index/probe prefix orientation broke one exchange reuse inside
     # the pair feed (all 6 are AQE-broadcast at this SF) — accepted,

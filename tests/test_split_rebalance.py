@@ -600,3 +600,68 @@ def test_priority_sample_grouped_quota_and_determinism(spark):
     ids2 = sorted(r.id for r in
                   priority_sample_grouped(df, ["grp"], "id", "w", 5).collect())
     assert ids1 == ids2
+
+
+def test_unimax_budget_waterfilling_hand_example(spark):
+    """Hand-computed closed form: avail [10, 20, 70] chars, E=2,
+    B=100 -> the two small strata cap at 2 epochs (20, 40), the big
+    one takes the uniform remainder 40; budget exactly exhausted."""
+    from graphkb_spark.operators.sampling import unimax_budget
+
+    rows = (
+        [("a", i, 1) for i in range(10)]
+        + [("b", i, 2) for i in range(10)]
+        + [("c", i, 7) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["lang", "i", "n_tok"])
+    out = {
+        r.lang: (r.avail_tokens, r.alloc_tokens, r.epochs)
+        for r in unimax_budget(df, "lang", "n_tok", budget=100, max_epochs=2.0).collect()
+    }
+    assert out["a"] == (10, 20.0, 2.0)
+    assert out["b"] == (20, 40.0, 2.0)
+    assert out["c"] == (70, 40.0, 0.571429)
+    assert sum(v[1] for v in out.values()) == 100.0
+
+
+def test_unimax_budget_no_crossover_caps_everything(spark):
+    """Budget above total capped demand: every stratum gets exactly
+    avail * max_epochs and the leftover is simply unallocated."""
+    from graphkb_spark.operators.sampling import unimax_budget
+
+    df = spark.createDataFrame(
+        [("x", 5), ("x", 5), ("y", 30)], ["lang", "n_tok"]
+    )
+    out = {
+        r.lang: (r.alloc_tokens, r.epochs)
+        for r in unimax_budget(df, "lang", "n_tok", budget=10_000, max_epochs=3.0).collect()
+    }
+    assert out["x"] == (30.0, 3.0)
+    assert out["y"] == (90.0, 3.0)
+
+
+def test_unimax_budget_crossover_at_rank_one(spark):
+    """Budget below even the smallest stratum's capped demand: every
+    stratum takes the same equal share B/n."""
+    from graphkb_spark.operators.sampling import unimax_budget
+
+    df = spark.createDataFrame(
+        [("x", 100), ("y", 200), ("z", 400)], ["lang", "n_tok"]
+    )
+    out = {
+        r.lang: r.alloc_tokens
+        for r in unimax_budget(df, "lang", "n_tok", budget=90, max_epochs=2.0).collect()
+    }
+    assert out == {"x": 30.0, "y": 30.0, "z": 30.0}
+
+
+def test_unimax_budget_rejects_bad_params(spark):
+    import pytest
+
+    from graphkb_spark.operators.sampling import unimax_budget
+
+    df = spark.createDataFrame([("x", 1)], ["lang", "n_tok"])
+    with pytest.raises(ValueError):
+        unimax_budget(df, "lang", "n_tok", budget=0)
+    with pytest.raises(ValueError):
+        unimax_budget(df, "lang", "n_tok", budget=10, max_epochs=0)
