@@ -1114,6 +1114,20 @@ def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized UniMax mixture: per-doc repeat counts under the
+    250k-char / 2-epoch allocation — the 4 capped languages repeat
+    fully twice, en takes 1 full pass + a deterministic
+    hash-ordered partial pass."""
+    from graphkb_spark.operators.sampling import unimax_sample
+
+    t = _t(spark, sf_dir, "documents")
+    return unimax_sample(
+        t["documents"], "lang", "n_chars", "doc_id",
+        budget=250_000, max_epochs=2.0,
+    )
+
+
 def q_dedup_fillscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W4: keep the best-filled duplicate per (lang, source) —
     ASCO collapseAbstractDups shape."""
@@ -4916,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "soft_dedup": q_soft_dedup,
         "unimax_budget": q_unimax_budget,
+        "unimax_sample": q_unimax_sample,
         "dedup_components": q_dedup_components,
         "repeated_spans": q_repeated_spans,
         "repeated_span_cut": q_repeated_span_cut,
@@ -5020,6 +5035,7 @@ _R12_WINDOW = [
     "bpe_train_sampled",
     "soft_dedup",
     "unimax_budget",
+    "unimax_sample",
     "semantic_dedup",
     "kmeans_train",
     "ngram_jaccard",
@@ -5045,10 +5061,10 @@ _R12_WINDOW = [
     "vocab_build",
     "weighted_percentiles",
     "windowed_counts",
-    # (b) stalest: first 22 of the round-7 block, alphabetical (the
-    # 14 remaining r7 names — quality_drift through winsorize — are
-    # next round's rotation residue; all green in the full local
-    # sweep this round)
+    # (b) stalest: first 21 of the round-7 block, alphabetical (the
+    # 15 remaining r7 names — priority_sample_grouped through
+    # winsorize — are next round's rotation residue; all green in the
+    # full local sweep this round)
     "attribution",
     "citation_phase_year",
     "combo_naming",
@@ -5070,7 +5086,6 @@ _R12_WINDOW = [
     "mixture_interleave",
     "oncokb_names",
     "pmi_collocations",
-    "priority_sample_grouped",
 ]
 assert len(_R12_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R12_WINDOW)}"

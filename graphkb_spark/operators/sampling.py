@@ -739,3 +739,75 @@ def unimax_budget(
             F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
         )
     )
+
+
+def unimax_sample(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Materialize a UniMax allocation (``unimax_budget``) into the
+    actual per-document training mixture: each stratum's allocated
+    token budget is spent as floor(alloc/avail) FULL passes over the
+    stratum plus one partial pass — documents taken in the
+    deterministic md5(id) hash order (the ``token_budget_sample``
+    cut: a doc is in the partial pass iff the cumulative token count
+    including itself fits the leftover). Returns one row per document
+    with ``n_repeats`` = full passes + (1 if in the partial pass),
+    dropping docs with n_repeats = 0 — exactly how a mixture recipe
+    feeds a dataloader (repeat counts, not physically duplicated
+    rows).
+
+    Scale shape: the allocation runs on the bounded stratum aggregate
+    (see unimax_budget); applying it is one broadcast join of the
+    stratum-sized allocation table plus ONE window shuffle keyed on
+    the stratum for the running sum — the same plan as
+    token_budget_sample, with per-stratum budgets instead of a global
+    constant. Token counts and prefix sums are exact integers; epochs
+    land within max_epochs by construction."""
+    from graphkb_spark.core.materialize import materialize
+
+    alloc = unimax_budget(df, stratum_col, tokens_col, budget, max_epochs).select(
+        F.col(stratum_col).alias("__st"),
+        "avail_tokens",
+        "alloc_tokens",
+    ).transform(materialize)
+    key = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(stratum_col),
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        key.alias("__k"),
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = F.floor(F.col("alloc_tokens") / F.col("avail_tokens")).cast("int")
+    partial = (
+        F.col("alloc_tokens") - full.cast("double") * F.col("avail_tokens")
+    )
+    joined = (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(
+            F.broadcast(alloc),
+            base[stratum_col] == F.col("__st"),
+        )
+    )
+    n_rep = (
+        full
+        + F.when(F.col("cum_tokens") <= partial, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        joined.select(
+            stratum_col,
+            id_col,
+            "n_tokens",
+            n_rep.alias("n_repeats"),
+        )
+        .filter(F.col("n_repeats") >= 1)
+    )

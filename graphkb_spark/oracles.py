@@ -636,6 +636,54 @@ def build_oracles() -> dict[str, str]:
                    round(alloc / avail, 6) AS epochs
             FROM a
         """,
+        # materialized UniMax mixture: the unimax_budget chain + the
+        # per-stratum md5-ordered running-token cut; n_repeats = full
+        # passes + 1 if inside the partial-pass prefix
+        "unimax_sample": """
+            WITH c AS (SELECT lang AS stratum,
+                              CAST(sum(n_chars) AS BIGINT) AS avail
+                       FROM documents GROUP BY lang),
+            r AS (SELECT stratum, avail,
+                         row_number() OVER
+                           (ORDER BY avail ASC, stratum ASC) AS rk,
+                         sum(avail) OVER
+                           (ORDER BY avail ASC, stratum ASC
+                            ROWS UNBOUNDED PRECEDING) AS pref,
+                         count(*) OVER () AS n
+                  FROM c),
+            f AS (SELECT *,
+                         CAST(avail AS DOUBLE) * 2.0 * (n - rk + 1)
+                           > 250000.0 - CAST(pref - avail AS DOUBLE) * 2.0
+                           AS x
+                  FROM r),
+            k AS (SELECT rk AS k, CAST(pref - avail AS DOUBLE) AS p, n
+                  FROM f WHERE x ORDER BY rk LIMIT 1),
+            a AS (SELECT f.stratum, f.avail,
+                         CASE WHEN k.k IS NULL OR f.rk < k.k
+                              THEN round(CAST(f.avail AS DOUBLE) * 2.0, 4)
+                              ELSE round((250000.0 - k.p * 2.0)
+                                         / (k.n - k.k + 1), 4)
+                         END AS alloc
+                  FROM f LEFT JOIN k ON TRUE),
+            base AS (SELECT lang, doc_id,
+                            CAST(n_chars AS BIGINT) AS n_tokens,
+                            md5(CAST(doc_id AS VARCHAR)) AS kk
+                     FROM documents),
+            cum AS (SELECT lang, doc_id, n_tokens,
+                           sum(n_tokens) OVER
+                             (PARTITION BY lang
+                              ORDER BY kk ASC, doc_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS cumt
+                    FROM base),
+            j AS (SELECT c2.lang, c2.doc_id, c2.n_tokens,
+                         CAST(floor(a.alloc / a.avail)
+                              + CASE WHEN c2.cumt <= a.alloc
+                                     - floor(a.alloc / a.avail) * a.avail
+                                     THEN 1 ELSE 0 END AS INT) AS n_repeats
+                  FROM cum c2 JOIN a ON c2.lang = a.stratum)
+            SELECT lang, doc_id, n_tokens, n_repeats
+            FROM j WHERE n_repeats >= 1
+        """,
         # band planner over PPJoin exact-Jaccard pairs (>= 0.5):
         # decimal-summed S-curve mean per (b, r) factorization of 64.
         "lsh_band_tuning": """

@@ -121,6 +121,8 @@ BUDGETS = [
     # stratum aggregate (triangular broadcast self-join, no window)
     ("soft_dedup", 1, 0, True),
     ("unimax_budget", 5, 0, False),
+    # allocation broadcast onto one stratum-keyed window shuffle
+    ("unimax_sample", 2, 0, True),
     # PPJoin pairs + bcast config agg; +1 in round 11: the asymmetric
     # index/probe prefix orientation broke one exchange reuse inside
     # the pair feed (all 6 are AQE-broadcast at this SF) — accepted,

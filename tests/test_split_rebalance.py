@@ -665,3 +665,33 @@ def test_unimax_budget_rejects_bad_params(spark):
         unimax_budget(df, "lang", "n_tok", budget=0)
     with pytest.raises(ValueError):
         unimax_budget(df, "lang", "n_tok", budget=10, max_epochs=0)
+
+
+def test_unimax_sample_repeat_counts(spark):
+    """Materialized mixture for the hand example (avail [10,20,70],
+    E=2, B=100): strata a/b repeat fully twice; c gets alloc 40 of 70
+    = 0 full passes + a 40-token partial prefix in md5 order — so some
+    c docs drop out (n_repeats=0 filtered) and kept c tokens total 40
+    at most (partial-cut rule: cum <= partial)."""
+    from graphkb_spark.operators.sampling import unimax_sample
+
+    rows = (
+        [("a", i, 1) for i in range(10)]
+        + [("b", 100 + i, 2) for i in range(10)]
+        + [("c", 200 + i, 7) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "n_tok"])
+    out = unimax_sample(df, "lang", "n_tok", "doc_id", budget=100, max_epochs=2.0).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    assert all(r.n_repeats == 2 for r in by["a"]) and len(by["a"]) == 10
+    assert all(r.n_repeats == 2 for r in by["b"]) and len(by["b"]) == 10
+    # c: partial pass only — kept docs have n_repeats 1 and their
+    # token sum fits the 40-token allocation
+    assert all(r.n_repeats == 1 for r in by["c"])
+    assert 0 < len(by["c"]) < 10
+    assert sum(r.n_tokens for r in by["c"]) <= 40
+    # deterministic
+    rerun = unimax_sample(df, "lang", "n_tok", "doc_id", budget=100, max_epochs=2.0).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, out))
