@@ -695,3 +695,57 @@ def test_unimax_sample_repeat_counts(spark):
     # deterministic
     rerun = unimax_sample(df, "lang", "n_tok", "doc_id", budget=100, max_epochs=2.0).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, out))
+
+
+def _greedy_unimax(avails, budget, max_epochs):
+    """Pure-Python reference: the UniMax paper's greedy loop —
+    ascending-size order, each stratum takes min(cap demand, equal
+    share of the remaining budget over the remaining strata)."""
+    order = sorted(avails.items(), key=lambda kv: (kv[1], kv[0]))
+    rem, out = float(budget), {}
+    for i, (name, c) in enumerate(order):
+        share = rem / (len(order) - i)
+        take = min(c * max_epochs, share)
+        out[name] = take
+        rem -= take
+    return out
+
+
+def test_unimax_budget_matches_greedy_reference_property(spark):
+    """Property (hypothesis): the closed-form crossover allocation
+    equals the paper's greedy loop on arbitrary stratum sizes and
+    budgets — every stratum within 1e-3 (the closed form rounds alloc
+    to 4 decimals), epochs never exceed the cap, and total allocation
+    never exceeds the budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphkb_spark.operators.sampling import unimax_budget
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(1, 500), min_size=1, max_size=6),
+        st.integers(10, 3000),
+        st.sampled_from([1.0, 2.0, 3.5]),
+    )
+    def inner(sizes, budget, epochs):
+        rows = [
+            (f"s{i}", j, 1) for i, n in enumerate(sizes) for j in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["lang", "i", "n_tok"])
+        got = {
+            r.lang: (r.alloc_tokens, r.epochs)
+            for r in unimax_budget(
+                df, "lang", "n_tok", budget=budget, max_epochs=epochs
+            ).collect()
+        }
+        ref = _greedy_unimax(
+            {f"s{i}": n for i, n in enumerate(sizes)}, budget, epochs
+        )
+        assert set(got) == set(ref)
+        for k, (alloc, eps) in got.items():
+            assert abs(alloc - ref[k]) < 1e-3, (k, alloc, ref[k])
+            assert eps <= epochs + 1e-9
+        assert sum(a for a, _ in got.values()) <= budget + 1e-6
+
+    inner()
