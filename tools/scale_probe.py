@@ -138,7 +138,13 @@ def _ngram_jaccard_heaps(spark, sf_dir: str, mult: int):
     index (Column algebra, crc32-hash-deterministic): a 3-gram shingle
     survives untagged with p=(2/3)^3~0.30, so ~70% of each copy's
     shingles are copy-unique and the shared-vocab tail stays constant
-    — df per shingle ~flat, candidates ~linear."""
+    — df per shingle ~flat, candidates ~linear. The tag is
+    alphanumeric ("wxK", not "w~K") so the dedup tokenizer — which
+    strips punctuation to spaces — keeps it a SINGLE token; a
+    punctuation tag would split into a per-copy marker token present
+    in every doc of the copy, densifying in-copy postings instead of
+    growing the vocabulary (measured: the split form concentrates the
+    prefix-candidate bound ~8x at x1)."""
     from pyspark.sql import functions as F
 
     from graphkb_spark.operators.dedup import ngram_jaccard_pairs
@@ -153,7 +159,7 @@ def _ngram_jaccard_heaps(spark, sf_dir: str, mult: int):
                 F.split(F.col("text"), r"\s+"),
                 lambda w: F.when(
                     F.crc32(F.concat_ws("", w, copy.cast("string"))) % 3 == 0,
-                    F.concat_ws("~", w, copy.cast("string")),
+                    F.concat_ws("", w, F.lit("x"), copy.cast("string")),
                 ).otherwise(w),
             ),
             " ",
