@@ -1128,6 +1128,28 @@ def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-budget guard's escape hatch, oracle-checked end
+    to end (VERDICT r11 #1): budget 0 forces the route-to-minhash
+    action; with the md5 hasher and the minhash_lsh band parameters
+    the routed output IS the auditable banding pipeline, so the
+    DuckDB banding oracle verifies the escape hatch bit-for-bit —
+    not just that it returns rows."""
+    import warnings as _warnings
+
+    from graphkb_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = _t(spark, sf_dir, "documents")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", RuntimeWarning)
+        out = ngram_jaccard_pairs(
+            t["documents"], "text", "doc_id", shingle_n=3, threshold=0.6,
+            candidate_budget=0, budget_action="minhash",
+            route_kwargs={"num_hashes": 32, "bands": 16, "hasher": "md5"},
+        )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_dedup_fillscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W4: keep the best-filled duplicate per (lang, source) —
     ASCO collapseAbstractDups shape."""
@@ -4927,6 +4949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_routed": q_ngram_jaccard_routed,
         "dedup_exact": q_dedup_exact,
         "soft_dedup": q_soft_dedup,
         "unimax_budget": q_unimax_budget,
@@ -5036,6 +5059,7 @@ _R12_WINDOW = [
     "soft_dedup",
     "unimax_budget",
     "unimax_sample",
+    "ngram_jaccard_routed",
     "semantic_dedup",
     "kmeans_train",
     "ngram_jaccard",
@@ -5061,10 +5085,10 @@ _R12_WINDOW = [
     "vocab_build",
     "weighted_percentiles",
     "windowed_counts",
-    # (b) stalest: first 21 of the round-7 block, alphabetical (the
-    # 15 remaining r7 names — priority_sample_grouped through
-    # winsorize — are next round's rotation residue; all green in the
-    # full local sweep this round)
+    # (b) stalest: first 20 of the round-7 block, alphabetical (the
+    # 16 remaining r7 names — pmi_collocations through winsorize —
+    # are next round's rotation residue; all green in the full local
+    # sweep this round)
     "attribution",
     "citation_phase_year",
     "combo_naming",
@@ -5085,7 +5109,6 @@ _R12_WINDOW = [
     "lm_score",
     "mixture_interleave",
     "oncokb_names",
-    "pmi_collocations",
 ]
 assert len(_R12_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R12_WINDOW)}"

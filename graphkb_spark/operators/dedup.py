@@ -398,6 +398,7 @@ def ngram_jaccard_pairs(
     candidate_budget: int | None = None,
     budget_action: str = "warn",
     stats: dict | None = None,
+    route_kwargs: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join with the full PPJoin filter
     stack (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -467,7 +468,12 @@ def ngram_jaccard_pairs(
     ``candidate_budget=None`` skips the estimate entirely (no extra
     job — the default path is plan-identical to round 11). ``stats``,
     when passed with a budget, receives ``{"candidate_estimate": n,
-    "routed": bool}`` for tests and pipeline telemetry."""
+    "routed": bool}`` for tests and pipeline telemetry.
+    ``route_kwargs`` forwards extra arguments (num_hashes, bands,
+    hasher) to ``minhash_lsh_pairs`` on the routed path — pass
+    ``hasher="md5"`` when the routed output must be replicable by an
+    ANSI-SQL oracle (the ``ngram_jaccard_routed`` registry query
+    checks the escape hatch end-to-end that way)."""
     if budget_action not in ("warn", "error", "minhash"):
         raise ValueError(
             f"budget_action={budget_action!r}: expected 'warn', 'error' or 'minhash'"
@@ -538,6 +544,7 @@ def ngram_jaccard_pairs(
                     shingle_n=shingle_n,
                     jaccard_threshold=threshold,
                     num_partitions=num_partitions,
+                    **(route_kwargs or {}),
                 )
             warnings.warn(msg, RuntimeWarning)
     x = prefix.select(

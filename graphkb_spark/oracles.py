@@ -5046,6 +5046,10 @@ def build_oracles() -> dict[str, str]:
         "stream_minhash_dedup oracle substitution did not match "
         "minhash_lsh's final SELECT — update the replace() pattern"
     )
+    # the candidate-budget guard's minhash escape hatch: with
+    # route_kwargs {num_hashes: 32, bands: 16, hasher: "md5"} the
+    # routed query IS the auditable banding pipeline — same oracle
+    oracles["ngram_jaccard_routed"] = oracles["minhash_lsh"]
 
     # near-dup clustering over MinHash-LSH verified pairs (VERDICT r10
     # #1: the exact n-gram prefix join's candidate set grows

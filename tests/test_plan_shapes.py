@@ -123,6 +123,9 @@ BUDGETS = [
     ("unimax_budget", 5, 0, False),
     # allocation broadcast onto one stratum-keyed window shuffle
     ("unimax_sample", 2, 0, True),
+    # the guard's minhash escape hatch: estimate agg + the banding
+    # pipeline (2 python = the minhash Arrow UDF stages, as minhash_lsh)
+    ("ngram_jaccard_routed", 3, 2, True),
     # PPJoin pairs + bcast config agg; +1 in round 11: the asymmetric
     # index/probe prefix orientation broke one exchange reuse inside
     # the pair feed (all 6 are AQE-broadcast at this SF) — accepted,
