@@ -655,6 +655,54 @@ def test_exact_substring_contamination_bruteforce(spark):
     assert got[4] == (0, 0, False)        # sub-k doc never contaminated
 
 
+def test_exact_substring_contamination_broadcast_off_identical(spark):
+    """ADVICE r11: broadcast=False (the oversized-benchmark escape)
+    must change only the join strategy, never the result."""
+    from graphkb_spark.operators.dedup import exact_substring_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, f"filler w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(8)] + [(99, "tiny")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret eval passage appears here verbatim")],
+        ["doc_id", "text"],
+    )
+    on = sorted(map(tuple, exact_substring_contamination(
+        corpus, bench, "text", "doc_id", k=6, broadcast=True).collect()))
+    off = sorted(map(tuple, exact_substring_contamination(
+        corpus, bench, "text", "doc_id", k=6, broadcast=False).collect()))
+    assert on == off
+    assert any(r[3] for r in on)  # the leaked span is flagged either way
+
+
+def test_soft_dedup_mass_conservation_property(spark):
+    """Property (hypothesis): for ANY corpus, soft dedup emits one row
+    per input doc and the per-cluster weight mass is exactly one
+    doc-equivalent (within the 6-decimal weight rounding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphkb_spark.operators.dedup import soft_dedup_sample
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(0, 5), min_size=1, max_size=40))
+    def inner(picks):
+        rows = [(i, f"text variant {p}") for i, p in enumerate(picks)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = soft_dedup_sample(df, "text", "doc_id").collect()
+        assert len(out) == len(rows)
+        by_text = {}
+        for (i, t), r in zip(rows, sorted(out, key=lambda r: r.doc_id)):
+            by_text.setdefault(t, []).append(r)
+        for t, rs in by_text.items():
+            assert all(r.n_copies == len(rs) for r in rs)
+            assert abs(sum(r.weight for r in rs) - 1.0) < 1e-4
+
+    inner()
+
+
 def test_repeated_spans_rejects_bad_params(spark):
     from graphkb_spark.operators.dedup import repeated_spans
 
