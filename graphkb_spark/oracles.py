@@ -626,14 +626,15 @@ def build_oracles() -> dict[str, str]:
                   FROM f WHERE x ORDER BY rk LIMIT 1),
             a AS (SELECT f.stratum, f.avail,
                          CASE WHEN k.k IS NULL OR f.rk < k.k
-                              THEN round(CAST(f.avail AS DOUBLE) * 2.0, 4)
-                              ELSE round((250000.0 - k.p * 2.0)
-                                         / (k.n - k.k + 1), 4)
+                              THEN floor(CAST(f.avail AS DOUBLE) * 2.0
+                                         * 10000) / 10000
+                              ELSE floor((250000.0 - k.p * 2.0)
+                                         / (k.n - k.k + 1) * 10000) / 10000
                          END AS alloc
                   FROM f LEFT JOIN k ON TRUE)
             SELECT stratum AS lang, avail AS avail_tokens,
                    alloc AS alloc_tokens,
-                   round(alloc / avail, 6) AS epochs
+                   floor(alloc / avail * 1000000) / 1000000 AS epochs
             FROM a
         """,
         # materialized UniMax mixture: the unimax_budget chain + the
@@ -660,9 +661,10 @@ def build_oracles() -> dict[str, str]:
                   FROM f WHERE x ORDER BY rk LIMIT 1),
             a AS (SELECT f.stratum, f.avail,
                          CASE WHEN k.k IS NULL OR f.rk < k.k
-                              THEN round(CAST(f.avail AS DOUBLE) * 2.0, 4)
-                              ELSE round((250000.0 - k.p * 2.0)
-                                         / (k.n - k.k + 1), 4)
+                              THEN floor(CAST(f.avail AS DOUBLE) * 2.0
+                                         * 10000) / 10000
+                              ELSE floor((250000.0 - k.p * 2.0)
+                                         / (k.n - k.k + 1) * 10000) / 10000
                          END AS alloc
                   FROM f LEFT JOIN k ON TRUE),
             base AS (SELECT lang, doc_id,

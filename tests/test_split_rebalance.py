@@ -620,7 +620,9 @@ def test_unimax_budget_waterfilling_hand_example(spark):
     }
     assert out["a"] == (10, 20.0, 2.0)
     assert out["b"] == (20, 40.0, 2.0)
-    assert out["c"] == (70, 40.0, 0.571429)
+    # epochs quantize DOWN (floor at 6 decimals): 40/70 = 0.5714285...
+    # -> 0.571428, not the half-up 0.571429 (the overshoot fix)
+    assert out["c"] == (70, 40.0, 0.571428)
     assert sum(v[1] for v in out.values()) == 100.0
 
 
@@ -714,15 +716,19 @@ def _greedy_unimax(avails, budget, max_epochs):
 def test_unimax_budget_matches_greedy_reference_property(spark):
     """Property (hypothesis): the closed-form crossover allocation
     equals the paper's greedy loop on arbitrary stratum sizes and
-    budgets — every stratum within 1e-3 (the closed form rounds alloc
-    to 4 decimals), epochs never exceed the cap, and total allocation
-    never exceeds the budget."""
-    from hypothesis import given, settings
+    budgets — every stratum within 1e-3 (the closed form floors alloc
+    at 4 decimals), epochs never exceed the cap, and total allocation
+    never exceeds the budget. The pinned @example is the VERDICT r12
+    counterexample: with round-half-up the uniform share 93.5/3 =
+    31.1666... rounded UP to 31.1667 and the total hit 97.0001 > 97;
+    flooring keeps the sum at 96.9998."""
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     from graphkb_spark.operators.sampling import unimax_budget
 
     @settings(max_examples=8, deadline=None)
+    @example([1, 9, 9, 9], 97, 3.5)
     @given(
         st.lists(st.integers(1, 500), min_size=1, max_size=6),
         st.integers(10, 3000),
