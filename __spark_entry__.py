@@ -1150,6 +1150,29 @@ def q_ngram_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_ngram_containment_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment join's budget-guard escape hatch (VERDICT r12
+    #3), oracle-checked end to end: budget 0 forces the route to
+    containment_lsh_pairs; with the md5 hasher the banding pipeline
+    and the DIRECTED containment verify over hashed shingle sets are
+    both plain ANSI arithmetic, so the DuckDB oracle replicates the
+    routed output bit-for-bit — banding soundness and orientation
+    included, not just row counts."""
+    import warnings as _warnings
+
+    from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+    t = _t(spark, sf_dir, "documents")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", RuntimeWarning)
+        out = ngram_containment_pairs(
+            t["documents"], "text", "doc_id", shingle_n=3, threshold=0.6,
+            candidate_budget=0, budget_action="minhash",
+            route_kwargs={"num_hashes": 32, "bands": 16, "hasher": "md5"},
+        )
+    return out
+
+
 def q_dedup_fillscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W4: keep the best-filled duplicate per (lang, source) —
     ASCO collapseAbstractDups shape."""
@@ -4785,14 +4808,15 @@ def q_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round. The
-    # rotation is an explicit list (_R12_WINDOW below) applied over the
+    # rotation is an explicit list (_R13_WINDOW below) applied over the
     # registry literal, so each round edits a 50-name list instead of
-    # reordering the dict. Round-12 composition: new/changed queries
-    # lead (two-level SemDeDup, sampled BPE, the candidate-budget-guard
-    # and auto-CC refactor consumers), then the entire round-6 stale
-    # block (14) and the first 24 of the round-7 block — staleness
-    # computed from the union of CORRECTNESS_r0*.json driver windows
-    # (VERDICT r11 missing #3).
+    # reordering the dict. Round-13 composition: new/changed queries
+    # lead (the containment budget guard + routed escape, the UniMax
+    # floor-quantization fix, the decontamination auto-broadcast, the
+    # guard-refactored Jaccard paths — 7 names), then the 16 remaining
+    # round-7 stale names and the first 27 of the round-8 block,
+    # alphabetical — staleness computed from the union of
+    # CORRECTNESS_r0*.json driver windows.
     all_q = {
         "categorical_dependence": q_categorical_dependence,
         "ks_drift": q_ks_drift,
@@ -4950,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_routed": q_ngram_jaccard_routed,
+        "ngram_containment_routed": q_ngram_containment_routed,
         "dedup_exact": q_dedup_exact,
         "soft_dedup": q_soft_dedup,
         "unimax_budget": q_unimax_budget,
@@ -5026,94 +5051,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R12_WINDOW}
+    ordered = {k: all_q[k] for k in _R13_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
 
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in
-# queries(). Round-11 composition: (a) every query whose code or oracle
-# changed this round — the PPJoin filter family (ngram_jaccard and its
-# consumers canonical_docs / lsh_band_tuning), the CC queries (pair
-# input switched to MinHash-LSH, algorithm='auto', star label-agg fix,
-# new oracle) plus er_entities (label-prop loop refactor), and ks_drift
-# (NULL-value filter on both engines); (b) the least-recently-driver-
-# checked tail — staleness computed from the union of
-# CORRECTNESS_r0*.json windows (the 16 names last checked in round 5,
-# then the first 24 of the round-6 block, alphabetical; simhash,
-# sequence_pack and repetition_score — also round-6-stale — yielded
-# their slots to the new repeated_spans / repeated_span_cut /
-# exactsubstr_decontaminate queries and stay green in the full local
-# sweep, simhash additionally in this round's interleaved A/B).
-_R12_WINDOW = [
-    # (a) new/changed in round 12: the two new registry queries
-    # (two-level SemDeDup, sampled BPE), then every query whose code
-    # path changed — the candidate-budget guard refactor of
-    # ngram_jaccard_pairs and its consumers, the ExactSubstr
-    # token-base sharing + broadcast-guard, the auto-CC pair
-    # materialization and its consumers, the kmeans_train _lloyd
-    # extraction and its consumers
-    "semantic_dedup_two",
-    "bpe_train_sampled",
-    "soft_dedup",
+# queries(). Round-13 composition: (a) every query whose code or oracle
+# changed this round — the new containment budget-guard escape query,
+# the guard-wired containment join, the UniMax floor-quantization fix
+# (alloc/epochs now floor, oracle updated to match), the
+# decontamination auto-broadcast default, and the Jaccard guard
+# refactor (shared gate + prefix materialization when a budget is
+# set); (b) the least-recently-driver-checked tail — the 16 names last
+# checked in round 7 (pmi_collocations .. winsorize), then the first
+# 27 of the round-8 block, alphabetical. Staleness computed from the
+# union of CORRECTNESS_r0*.json driver windows; the rest of the r8
+# block (10 names, rolling_zscore onward) is next round's residue —
+# all green in the full local sweep this round.
+_R13_WINDOW = [
+    # (a) new/changed in round 13
+    "ngram_containment_routed",
+    "containment_pairs",
     "unimax_budget",
     "unimax_sample",
-    "ngram_jaccard_routed",
-    "semantic_dedup",
-    "kmeans_train",
-    "ngram_jaccard",
-    "lsh_band_tuning",
-    "repeated_spans",
-    "repeated_span_cut",
     "exactsubstr_decontaminate",
-    "dedup_components",
-    "dedup_components_star",
-    "canonical_docs",
-    # (b) stalest: the 14 queries last driver-checked in round 6
-    "repetition_score",
-    "sequence_pack",
-    "simhash",
-    "source_registry",
-    "split_assign",
-    "stream_dedup",
-    "streaming_sessions",
-    "streaming_sessions_native",
-    "temperature_sample",
-    "transition_matrix",
-    "version_chain",
-    "vocab_build",
-    "weighted_percentiles",
-    "windowed_counts",
-    # (b) stalest: first 20 of the round-7 block, alphabetical (the
-    # 16 remaining r7 names — pmi_collocations through winsorize —
-    # are next round's rotation residue; all green in the full local
-    # sweep this round)
-    "attribution",
-    "citation_phase_year",
-    "combo_naming",
-    "cooccurrence",
-    "cross_expansion",
-    "dedup_against",
-    "diversity_report",
-    "docm_fix",
-    "embedding_dim_stats",
-    "embedding_project",
-    "explode_expansion",
-    "funnel",
-    "gram_matrix",
-    "interpolate",
-    "kfold_assign",
-    "kmv_distinct_merged",
-    "linear_attribution",
-    "lm_score",
-    "mixture_interleave",
-    "oncokb_names",
+    "ngram_jaccard_routed",
+    "ngram_jaccard",
+    # (b) stalest: the 16 queries last driver-checked in round 7
+    "pmi_collocations",
+    "priority_sample_grouped",
+    "quality_drift",
+    "range_join_auto",
+    "relevance_translate",
+    "rolling_distinct",
+    "set_ops",
+    "split_leakage",
+    "stable_hash_id",
+    "stream_enrich",
+    "string_normalizers",
+    "survivorship",
+    "therapy_grouping",
+    "time_bucket_rollup",
+    "top_paths",
+    "winsorize",
+    # (b) stalest: first 27 of the round-8 block, alphabetical
+    "ab_delta",
+    "association_rules",
+    "bloom_join",
+    "boilerplate_strip",
+    "cdc_replay",
+    "changepoint",
+    "cms_counts",
+    "compaction_plan",
+    "cuped",
+    "dsir_weights",
+    "gap_fill",
+    "gopher_quality",
+    "join_size_estimate",
+    "json_props",
+    "k_anonymity",
+    "kmv_distinct",
+    "kmv_set_ops",
+    "lag_features",
+    "mad_outliers",
+    "negative_edges",
+    "pareto_frontier",
+    "prefix_rollup",
+    "psi_drift",
+    "quantile_normalize",
+    "referential_check",
+    "rfm",
+    "rolling_zscore",
 ]
-assert len(_R12_WINDOW) == 50, (
-    f"driver gate window must be exactly 50 names, got {len(_R12_WINDOW)}"
+assert len(_R13_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R13_WINDOW)}"
 )
-assert len(set(_R12_WINDOW)) == 50, "duplicate name in _R12_WINDOW"
+assert len(set(_R13_WINDOW)) == 50, "duplicate name in _R13_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:

@@ -28,10 +28,45 @@ from graphkb_spark.core.materialize import materialize
 
 
 class CandidateBudgetExceeded(RuntimeError):
-    """Raised by ngram_jaccard_pairs(budget_action='error') when the
-    prefix-join candidate bound exceeds the caller's budget — the
-    corpus is in the fixed-vocabulary regime where the exact
-    set-similarity join pays its Sum(df^2) lower bound."""
+    """Raised by ngram_jaccard_pairs / ngram_containment_pairs
+    (budget_action='error') when the prefix-join candidate bound
+    exceeds the caller's budget — the corpus is in the
+    fixed-vocabulary regime where the exact set-similarity join pays
+    its Sum(df^2) lower bound."""
+
+
+def _candidate_budget_gate(
+    op_name: str,
+    est: int,
+    candidate_budget: int,
+    budget_action: str,
+    stats: dict | None,
+    route_name: str,
+) -> bool:
+    """Shared warn/error/route control flow for the candidate-budget
+    guards (``ngram_jaccard_pairs``, ``ngram_containment_pairs``).
+    Records telemetry in ``stats``, raises on 'error', warns
+    otherwise; returns True when the caller should take its routed
+    (banded/approximate) escape path."""
+    routed = est > candidate_budget
+    if stats is not None:
+        stats["candidate_estimate"] = est
+        stats["routed"] = routed and budget_action == "minhash"
+    if not routed:
+        return False
+    msg = (
+        f"{op_name}: prefix-join candidate bound {est:,} exceeds "
+        f"candidate_budget {candidate_budget:,} — the corpus is in the "
+        "fixed-vocabulary regime where the exact join pays Sum(df^2); "
+        f"consider the {route_name} path"
+    )
+    if budget_action == "error":
+        raise CandidateBudgetExceeded(msg)
+    if budget_action == "minhash":
+        warnings.warn(msg + f" (routing to {route_name})", RuntimeWarning)
+        return True
+    warnings.warn(msg, RuntimeWarning)
+    return False
 
 
 def normalized_text(col: str | Column) -> Column:
@@ -451,9 +486,11 @@ def ngram_jaccard_pairs(
     ``candidate_budget`` to bound it: before the join, the guard
     computes the exact upper bound on candidate rows — per prefix
     shingle with c prefix occurrences at most C(c,2) pairs, one
-    partial-agg over the (already-materialized) prefix postings, a
-    scalar collect — and if the estimate exceeds the budget applies
-    ``budget_action``:
+    partial-agg and a scalar collect over the prefix postings, which
+    the guard localCheckpoints so the estimate job and the candidate
+    join share one computed posting pass (on the routed escape that
+    pass is the sunk cost of an exact bound) — and if the estimate
+    exceeds the budget applies ``budget_action``:
 
     - ``"warn"`` (default): ``warnings.warn`` and proceed exact;
     - ``"error"``: raise ``CandidateBudgetExceeded`` — for pipelines
@@ -511,6 +548,12 @@ def ngram_jaccard_pairs(
         "__id", "__n", "__rk", "shingle"
     )
     if candidate_budget is not None:
+        # materialize the prefix postings so the estimate job and the
+        # candidate join share the computed posting/rank lineage
+        # instead of recomputing it (ADVICE r12); the routed escape
+        # still pays this one posting pass — that's the price of an
+        # EXACT bound before abandoning the exact join
+        prefix = prefix.transform(materialize)
         est_row = (
             prefix.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__c"))
@@ -522,31 +565,19 @@ def ngram_jaccard_pairs(
             .collect()
         )
         est = int(est_row[0]["__est"] or 0)
-        routed = est > candidate_budget
-        if stats is not None:
-            stats["candidate_estimate"] = est
-            stats["routed"] = routed and budget_action == "minhash"
-        if routed:
-            msg = (
-                f"ngram_jaccard_pairs: prefix-join candidate bound {est:,} "
-                f"exceeds candidate_budget {candidate_budget:,} — the corpus "
-                "is in the fixed-vocabulary regime where the exact join pays "
-                "Sum(df^2); consider the MinHash-LSH path"
+        if _candidate_budget_gate(
+            "ngram_jaccard_pairs", est, candidate_budget, budget_action,
+            stats, "minhash_lsh_pairs",
+        ):
+            return minhash_lsh_pairs(
+                df,
+                text_col,
+                id_col,
+                shingle_n=shingle_n,
+                jaccard_threshold=threshold,
+                num_partitions=num_partitions,
+                **(route_kwargs or {}),
             )
-            if budget_action == "error":
-                raise CandidateBudgetExceeded(msg)
-            if budget_action == "minhash":
-                warnings.warn(msg + " (routing to minhash_lsh_pairs)", RuntimeWarning)
-                return minhash_lsh_pairs(
-                    df,
-                    text_col,
-                    id_col,
-                    shingle_n=shingle_n,
-                    jaccard_threshold=threshold,
-                    num_partitions=num_partitions,
-                    **(route_kwargs or {}),
-                )
-            warnings.warn(msg, RuntimeWarning)
     x = prefix.select(
         F.col("__id").alias("__il"),
         F.col("__n").alias("__nl"),
@@ -775,7 +806,8 @@ def exact_substring_contamination(
     k: int = 13,
     min_hits: int = 1,
     num_partitions: int | None = None,
-    broadcast: bool = True,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 4_000_000,
 ) -> DataFrame:
     """Exact k-gram benchmark decontamination (the GPT-3 appendix-C /
     FineWeb recipe: a training document is contaminated if it shares
@@ -787,22 +819,32 @@ def exact_substring_contamination(
     k_gram_hits, contaminated).
 
     Scale shape: the benchmark's distinct gram digests are a bounded
-    side (eval sets are small by definition) — with ``broadcast=True``
-    (default) Spark broadcasts them into the probe join, so the
-    corpus-side gram stream never shuffles; the per-doc hit count
-    partial-aggregates map-side keyed by the already-co-partitioned
-    doc id. The forced hint bypasses autoBroadcastJoinThreshold, so
-    the default carries a size contract: benchmark digests must fit an
-    executor (~8 bytes/gram; a 1M-question eval set is tens of MB —
-    fine; a swapped corpus/benchmark argument order is NOT). Pass
-    ``broadcast=False`` for oversized benchmarks — the join falls back
-    to a plain equi-join and AQE picks the strategy from the measured
-    size (ADVICE r11). Same 60-bit ANSI md5-prefix digest as
-    ``repeated_spans`` (oracle-replicable; collision odds negligible
-    at eval-set scale). Corpus docs shorter than k tokens have
-    n_grams 0 and are never contaminated."""
+    side (eval sets are small by definition) — when broadcast, Spark
+    ships them into the probe join, so the corpus-side gram stream
+    never shuffles; the per-doc hit count partial-aggregates map-side
+    keyed by the already-co-partitioned doc id. A forced hint
+    bypasses autoBroadcastJoinThreshold, so it carries a size
+    contract: benchmark digests must fit an executor (~8 bytes/gram;
+    a 1M-question eval set is tens of MB — fine; a swapped
+    corpus/benchmark argument order is NOT). ``broadcast`` therefore
+    defaults to ``"auto"`` (VERDICT r12 #5): the digest side is
+    localCheckpointed and counted — one bounded-size materialization
+    the probe join reuses — and the hint is applied only below
+    ``broadcast_max_digests`` (default 4M digests ~ 32 MB payload);
+    above it the join falls back to a plain equi-join and AQE picks
+    the strategy from the measured size, so an argument-order mistake
+    degrades to a shuffle instead of an executor OOM. ``True`` forces
+    the hint unconditionally (the r12 behavior), ``False`` never
+    hints. Same 60-bit ANSI md5-prefix digest as ``repeated_spans``
+    (oracle-replicable; collision odds negligible at eval-set scale).
+    Corpus docs shorter than k tokens have n_grams 0 and are never
+    contaminated."""
     if k < 1 or min_hits < 1:
         raise ValueError("k must be >= 1 and min_hits >= 1")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast={broadcast!r}: expected True, False or 'auto'"
+        )
     n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
     digest = lambda g: F.conv(  # noqa: E731
         F.substring(F.md5(g), 1, 15), 16, 10
@@ -814,6 +856,11 @@ def exact_substring_contamination(
         .select(digest(F.col("__g")).alias("__d"))
         .distinct()
     )
+    if broadcast == "auto":
+        # materialize once: the count job and the probe join share the
+        # computed digest set instead of re-tokenizing the benchmark
+        bench_d = bench_d.transform(materialize)
+        broadcast = bench_d.count() <= broadcast_max_digests
     base = corpus.select(
         F.col(id_col).alias("__id"), words(text_col).alias("__w")
     ).repartition(n_part, "__id")
@@ -1632,6 +1679,74 @@ def sorted_neighborhood_pairs(
     # in exactly one, so each qualifying pair joins exactly once
 
 
+def containment_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    containment_threshold: float = 0.7,
+    hasher: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Banded (approximate) containment join — the scale escape hatch
+    for ``ngram_containment_pairs``: MinHash-LSH band buckets generate
+    the candidate pairs (linear in the corpus, never Sum(df^2)), then
+    DIRECTED containment |A ∩ B| / |A| is verified exactly over the
+    hashed shingle sets, both orientations per candidate. Returns
+    (id_a, id_b, containment) with the threshold applied to the
+    6-digit-rounded value — the exact join's schema.
+
+    Recall caveat, by construction: LSH banding recall follows the
+    JACCARD S-curve, so a doc-inside-doc pair with containment 1.0
+    but tiny resemblance (a paragraph inside a book) can miss the
+    band buckets. That is the documented trade of the routed path —
+    it keeps near-same-size partial copies (the fixed-vocabulary
+    blowup case that triggers routing) and gives up the extreme
+    size-skew pairs the exact join would have caught. Containment is
+    defined on the hashed shingle domain (see ``minhash_lsh_pairs``
+    on 31-bit digest collisions); ``hasher="md5"`` keeps the whole
+    pipeline ANSI-replicable for external oracles."""
+    base, banded = _minhash_state(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hasher,
+        num_partitions,
+    )
+    a = banded.select("band", "bhash", F.col("__id").alias("id_a"))
+    b = banded.select("band", "bhash", F.col("__id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("__id", "__sh")
+    pairs = pairs.join(
+        sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # one undirected candidate row fans out to its two directed
+    # orientations via an inline explode — the intersection is
+    # computed once per pair, not once per direction
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
+                    F.round(inter / F.size("sh_a"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.round(inter / F.size("sh_b"), 6).alias("containment"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.id_a", "__e.id_b", "__e.containment")
+    return both.filter(F.col("containment") >= containment_threshold)
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -1639,6 +1754,10 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     num_partitions: int | None = None,
+    candidate_budget: int | None = None,
+    budget_action: str = "warn",
+    stats: dict | None = None,
+    route_kwargs: dict | None = None,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT join: emit (id_a, id_b) when
     |A ∩ B| / |A| >= t — the asymmetric cousin of ``ngram_jaccard_
@@ -1653,7 +1772,31 @@ def ngram_containment_pairs(
     globally RAREST shingles — so candidates come from joining A-side
     prefixes against the full posting list, keyed on the rare
     shingle; the hot-shingle quadratic bucket never forms. Exact
-    verification on the checkpointed shingle sets."""
+    verification on the checkpointed shingle sets.
+
+    **Candidate-budget guard** (VERDICT r12 #3): the prefix x posting
+    join shares the Jaccard join's fixed-vocabulary Sum(df^2)
+    exposure — when every posting list scales with the corpus, so
+    does every prefix, and candidates grow quadratically. Pass
+    ``candidate_budget`` to bound it: the guard computes the exact
+    candidate-row count BEFORE the join — each prefix row (doc d,
+    shingle s) meets the df(s) posting rows for s, minus d's own, so
+    the bound is one partial-agg Sum(df(s) - 1) over the prefix rows
+    (which already carry df from the ranking join; the guard
+    localCheckpoints them so the estimate and the join share one
+    posting pass) and a scalar collect. Over budget, applies
+    ``budget_action``: ``"warn"`` (default) proceeds exact,
+    ``"error"`` raises ``CandidateBudgetExceeded``, ``"minhash"``
+    routes to ``containment_lsh_pairs`` — banded candidates (linear),
+    directed containment verified on the hashed-shingle domain, with
+    that path's documented Jaccard-S-curve recall. ``route_kwargs``
+    forwards (num_hashes, bands, hasher) to the routed path;
+    ``candidate_budget=None`` skips the estimate entirely (the
+    default plan is unchanged)."""
+    if budget_action not in ("warn", "error", "minhash"):
+        raise ValueError(
+            f"budget_action={budget_action!r}: expected 'warn', 'error' or 'minhash'"
+        )
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
@@ -1680,7 +1823,31 @@ def ngram_containment_pairs(
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
-    prefix_a = ranked.filter(F.col("__rk") <= prefix_len).select("__id", "shingle")
+    prefix_rows = ranked.filter(F.col("__rk") <= prefix_len).select(
+        "__id", "shingle", "df_"
+    )
+    if candidate_budget is not None:
+        prefix_rows = prefix_rows.transform(materialize)
+        est_row = (
+            prefix_rows.agg(
+                F.sum(F.col("df_") - 1).cast("bigint").alias("__est")
+            ).collect()
+        )
+        est = int(est_row[0]["__est"] or 0)
+        if _candidate_budget_gate(
+            "ngram_containment_pairs", est, candidate_budget, budget_action,
+            stats, "containment_lsh_pairs",
+        ):
+            return containment_lsh_pairs(
+                df,
+                text_col,
+                id_col,
+                shingle_n=shingle_n,
+                containment_threshold=threshold,
+                num_partitions=num_partitions,
+                **(route_kwargs or {}),
+            )
+    prefix_a = prefix_rows.select("__id", "shingle")
     cand = (
         prefix_a.alias("x")
         .join(posting.select("__id", "shingle").alias("y"), "shingle")

@@ -5052,6 +5052,34 @@ def build_oracles() -> dict[str, str]:
     # route_kwargs {num_hashes: 32, bands: 16, hasher: "md5"} the
     # routed query IS the auditable banding pipeline — same oracle
     oracles["ngram_jaccard_routed"] = oracles["minhash_lsh"]
+    # containment guard's escape hatch (VERDICT r12 #3): same banded
+    # candidates, DIRECTED containment verify — each undirected
+    # candidate fans out to both orientations, |A∩B|/|A| on the
+    # hashed shingle sets, rounded to 6 then thresholded
+    oracles["ngram_containment_routed"] = oracles["minhash_lsh"].replace(
+        "SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.6",
+        """, cont AS (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                           / len(a.hs), 6) AS c_ab,
+                     round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                           / len(b.hs), 6) AS c_ba
+              FROM cand c JOIN hset a ON a.doc_id = c.id_a
+                          JOIN hset b ON b.doc_id = c.id_b),
+            dirp AS (
+              SELECT id_a, id_b, c_ab AS containment FROM cont
+              UNION ALL
+              SELECT id_b AS id_a, id_a AS id_b, c_ba AS containment
+              FROM cont)
+            SELECT id_a, id_b, containment FROM dirp
+            WHERE containment >= 0.6""",
+    )
+    assert (
+        oracles["ngram_containment_routed"] != oracles["minhash_lsh"]
+    ), (
+        "ngram_containment_routed oracle substitution did not match "
+        "minhash_lsh's final SELECT — update the replace() pattern"
+    )
 
     # near-dup clustering over MinHash-LSH verified pairs (VERDICT r10
     # #1: the exact n-gram prefix join's candidate set grows

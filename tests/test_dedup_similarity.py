@@ -171,6 +171,151 @@ class TestCandidateBudgetGuard:
         assert stats == {}
 
 
+def brute_containment_pairs(spark, docs, n, threshold):
+    base = docs.select(
+        "doc_id", F.array_distinct(word_shingles(words("text"), n)).alias("sh")
+    ).collect()
+    out = {}
+    for a in base:
+        for b in base:
+            if a.doc_id == b.doc_id:
+                continue
+            sa, sb = set(a.sh), set(b.sh)
+            if sa and round(len(sa & sb) / len(sa), 6) >= threshold:
+                out[(a.doc_id, b.doc_id)] = round(len(sa & sb) / len(sa), 6)
+    return out
+
+
+class TestContainmentBudgetGuard:
+    """VERDICT r12 #3: the containment join shares the Jaccard join's
+    prefix-posting architecture, so it gets the same budget guard —
+    exact Sum(df-1) bound over the prefix rows, warn / error / route
+    to the banded containment approximation."""
+
+    def _fixed_vocab_corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"v{i}" for i in range(6)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(10)))
+            for i in range(30)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_estimate_is_upper_bound_and_warns(self, spark):
+        from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+        corpus = self._fixed_vocab_corpus(spark)
+        stats = {}
+        with pytest.warns(RuntimeWarning, match="candidate_budget"):
+            out = ngram_containment_pairs(
+                corpus, "text", "doc_id", 2, 0.5,
+                candidate_budget=10, budget_action="warn", stats=stats,
+            ).collect()
+        # warn path stays EXACT (directed pairs + values vs brute force)
+        got = {(r.id_a, r.id_b): r.containment for r in out}
+        assert got == brute_containment_pairs(spark, corpus, 2, 0.5)
+        assert stats["candidate_estimate"] >= len(got)
+        assert stats["routed"] is False
+
+    def test_under_budget_no_warning(self, spark):
+        from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+        corpus = self._fixed_vocab_corpus(spark)
+        stats = {}
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            ngram_containment_pairs(
+                corpus, "text", "doc_id", 2, 0.5,
+                candidate_budget=10_000_000, budget_action="minhash",
+                stats=stats,
+            ).collect()
+        assert stats["routed"] is False
+
+    def test_error_action_raises(self, spark):
+        from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+        corpus = self._fixed_vocab_corpus(spark)
+        with pytest.raises(CandidateBudgetExceeded):
+            ngram_containment_pairs(
+                corpus, "text", "doc_id", 2, 0.5,
+                candidate_budget=10, budget_action="error",
+            )
+
+    def test_route_action_routes_to_banded_containment(self, spark):
+        from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+        small = "alpha beta gamma delta epsilon"
+        big = small + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+        df = spark.createDataFrame(
+            [(1, small), (2, big), (3, "totally unrelated text body here"),
+             (4, small)],
+            ["doc_id", "text"],
+        )
+        stats = {}
+        with pytest.warns(RuntimeWarning, match="routing to containment"):
+            out = ngram_containment_pairs(
+                df, "text", "doc_id", 3, 0.5,
+                candidate_budget=0, budget_action="minhash", stats=stats,
+            )
+        assert stats["routed"] is True
+        assert out.columns == ["id_a", "id_b", "containment"]
+        got = {(r.id_a, r.id_b): r.containment for r in out.collect()}
+        # exact dup pair always collides in the bands, both directions,
+        # containment 1.0 on the hashed domain
+        assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0
+        # directed: whenever the small-in-big pair survives banding it
+        # must appear as (1, 2) with containment 1.0, never (2, 1)
+        assert (2, 1) not in got
+        assert all(a != 3 and b != 3 for a, b in got)
+
+    def test_bad_action_rejected(self, spark, docs):
+        from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+        with pytest.raises(ValueError, match="budget_action"):
+            ngram_containment_pairs(
+                docs, "text", "doc_id", 3, 0.5,
+                candidate_budget=1, budget_action="nope",
+            )
+
+    def test_no_budget_no_extra_job(self, spark, docs):
+        from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+        stats = {}
+        ngram_containment_pairs(
+            docs, "text", "doc_id", 3, 0.5, stats=stats
+        ).collect()
+        assert stats == {}
+
+
+def test_containment_lsh_matches_exact_on_near_same_size(spark):
+    """The routed path's keep-case: near-same-size partial copies
+    (high containment AND moderate jaccard) must survive banding and
+    verify with the same directed containment values as the exact
+    join computes on the hashed domain."""
+    from graphkb_spark.operators.dedup import containment_lsh_pairs
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine eleven"),
+        (3, "spark catalyst tungsten arrow parquet shuffle codegen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_lsh_pairs(
+            df, "text", "doc_id", num_hashes=64, bands=32, shingle_n=2,
+            containment_threshold=0.5,
+        ).collect()
+    }
+    # docs 1/2 share 8 of 9 distinct 2-shingles each -> containment
+    # 8/9 both ways (hashed domain, no collisions at this scale)
+    assert got[(1, 2)] == round(8 / 9, 6)
+    assert got[(2, 1)] == round(8 / 9, 6)
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
 def test_minhash_finds_near_dups(spark, docs):
     pairs = {
         (r.id_a, r.id_b)
@@ -675,6 +820,44 @@ def test_exact_substring_contamination_broadcast_off_identical(spark):
         corpus, bench, "text", "doc_id", k=6, broadcast=False).collect()))
     assert on == off
     assert any(r[3] for r in on)  # the leaked span is flagged either way
+
+
+def test_exact_substring_contamination_auto_broadcast_size_check(spark):
+    """VERDICT r12 #5: the default is a SIZE-CHECKED broadcast, not a
+    forced hint — an oversized digest side (e.g. a swapped
+    corpus/benchmark argument order) must fall back to an AQE-planned
+    equi-join with identical results, while a normal eval set still
+    broadcasts."""
+    from graphkb_spark.operators.dedup import exact_substring_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, f"filler w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(8)] + [(99, "tiny")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret eval passage appears here verbatim")],
+        ["doc_id", "text"],
+    )
+    # small benchmark: auto keeps the broadcast hint in the plan
+    small = exact_substring_contamination(
+        corpus, bench, "text", "doc_id", k=6
+    )
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+    # "oversized" benchmark: a 1-digest budget trips the fallback —
+    # no forced broadcast reaches the plan, results identical
+    over = exact_substring_contamination(
+        corpus, bench, "text", "doc_id", k=6, broadcast_max_digests=0
+    )
+    forced = exact_substring_contamination(
+        corpus, bench, "text", "doc_id", k=6, broadcast=True
+    )
+    assert sorted(map(tuple, over.collect())) == sorted(map(tuple, forced.collect()))
+    assert any(r.contaminated for r in over.collect())
+    with pytest.raises(ValueError, match="broadcast"):
+        exact_substring_contamination(
+            corpus, bench, "text", "doc_id", k=6, broadcast="always"
+        )
 
 
 def test_soft_dedup_mass_conservation_property(spark):

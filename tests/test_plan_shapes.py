@@ -126,6 +126,9 @@ BUDGETS = [
     # the guard's minhash escape hatch: estimate agg + the banding
     # pipeline (2 python = the minhash Arrow UDF stages, as minhash_lsh)
     ("ngram_jaccard_routed", 3, 2, True),
+    # containment guard's escape hatch (r13): same banding pipeline,
+    # directed-containment verify fans out post-join (no extra shuffle)
+    ("ngram_containment_routed", 3, 2, True),
     # PPJoin pairs + bcast config agg; +1 in round 11: the asymmetric
     # index/probe prefix orientation broke one exchange reuse inside
     # the pair feed (all 6 are AQE-broadcast at this SF) — accepted,

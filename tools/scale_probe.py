@@ -320,6 +320,16 @@ def run_probe() -> None:
     # local filter, not a `global` rebind: a second run_probe() in the
     # same process must see the full list again (ADVICE r11)
     queries = [q for q in QUERIES if q in only] if only else list(QUERIES)
+    if not queries:
+        # a PROBE_QUERIES value matching nothing must report, not
+        # IndexError inside the warm-up below (ADVICE r12)
+        print(
+            f"PROBE_QUERIES={os.environ.get('PROBE_QUERIES')!r} matches "
+            f"no probe query (known: {', '.join(QUERIES)})",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return
     scales = [
         (f"x{m}", SF_BASE if m == 1 else str(SCALE_ROOT / f"x{m}"), m)
         for m in mults
@@ -340,7 +350,13 @@ def run_probe() -> None:
             best = None
             rows = 0
             sw = 0
-            for attempt in range(2):
+            # x1 cells are the ratio denominators AND the noisiest in
+            # absolute terms (short walls, session epoch effects —
+            # FLOORS documents a 3.40 vs 5.67 s x1 spread swinging a
+            # x30 headline ratio 4.2<->7.7x). Best-of-3 at x1 costs
+            # seconds and makes committed ratios load-bearing
+            # (VERDICT r12 #7); larger scales stay best-of-2.
+            for attempt in range(3 if mult == 1 else 2):
                 sw0 = _shuffle_write_bytes(port)
                 t0 = time.perf_counter()
                 if q in SCALED_VARIANTS:
