@@ -1386,6 +1386,23 @@ def q_exactsubstr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination surgery (r13): cut every verbatim 8-gram leak
+    of the eval set (every 50th doc) out of the corpus instead of
+    flagging whole documents — merged leak spans removed from the
+    normalized token stream, the FineWeb-style recipe
+    (operators/dedup.py cut_contaminated_spans). The eval docs
+    themselves are fully self-leaked and come back empty; ordinary
+    docs lose only overlapping passages."""
+    from graphkb_spark.operators.dedup import cut_contaminated_spans
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 50 == 0)
+    return cut_contaminated_spans(
+        t["documents"], bench, "text", "doc_id", k=8
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -4983,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "repeated_span_cut": q_repeated_span_cut,
         "exactsubstr_decontaminate": q_exactsubstr_decontaminate,
+        "decontaminate_cut": q_decontaminate_cut,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -5064,14 +5082,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (alloc/epochs now floor, oracle updated to match), the
 # decontamination auto-broadcast default, and the Jaccard guard
 # refactor (shared gate + prefix materialization when a budget is
-# set); (b) the least-recently-driver-checked tail — the 16 names last
+# set) — 8 names, led by the new decontaminate_cut surgery query;
+# (b) the least-recently-driver-checked tail — the 16 names last
 # checked in round 7 (pmi_collocations .. winsorize), then the first
-# 27 of the round-8 block, alphabetical. Staleness computed from the
+# 26 of the round-8 block, alphabetical. Staleness computed from the
 # union of CORRECTNESS_r0*.json driver windows; the rest of the r8
-# block (10 names, rolling_zscore onward) is next round's residue —
+# block (11 names, rolling_zscore onward) is next round's residue —
 # all green in the full local sweep this round.
 _R13_WINDOW = [
     # (a) new/changed in round 13
+    "decontaminate_cut",
     "ngram_containment_routed",
     "containment_pairs",
     "unimax_budget",
@@ -5123,7 +5143,6 @@ _R13_WINDOW = [
     "quantile_normalize",
     "referential_check",
     "rfm",
-    "rolling_zscore",
 ]
 assert len(_R13_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R13_WINDOW)}"

@@ -2929,6 +2929,64 @@ def build_oracles() -> dict[str, str]:
                    coalesce(h.h, 0) >= 1 AS contaminated
             FROM words w LEFT JOIN hits h USING (doc_id)
         """,
+        # Decontamination surgery: the exactsubstr bench-digest
+        # pipeline + the repeated_span_cut island-merge/cut chain —
+        # leaked 8-gram positions merge into maximal spans (gap > 8
+        # breaks), covered tokens are cut from the normalized stream.
+        # words is 4-way referenced -> MATERIALIZED (DuckDB inlines
+        # CTEs otherwise).
+        "decontaminate_cut": r"""
+            WITH words AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            bd AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS d
+              FROM (SELECT unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS g
+                    FROM words WHERE doc_id % 50 = 0 AND len(w) >= 8)),
+            g AS (
+              SELECT doc_id,
+                     unnest([{'p': i - 1,
+                              'd': ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT}
+                             for i in generate_series(1, len(w) - 7)]) AS u
+              FROM words WHERE len(w) >= 8),
+            e AS (SELECT doc_id, u.p AS p, u.d AS d FROM g),
+            dp AS (SELECT doc_id, p FROM e JOIN bd USING (d)),
+            m AS (SELECT doc_id, p,
+                         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                    ORDER BY p) > 8
+                              THEN 1 ELSE 0 END AS b
+                  FROM dp),
+            isl AS (SELECT doc_id, p,
+                           sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS i2
+                    FROM m),
+            spans AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e2
+                      FROM isl GROUP BY doc_id, i2),
+            tok AS (
+              SELECT doc_id,
+                     unnest([{'i': i - 1, 't': w[i]}
+                             for i in generate_series(1, len(w))]) AS u
+              FROM words),
+            tk AS (SELECT doc_id, u.i AS i, u.t AS t FROM tok),
+            kept AS (
+              SELECT t.doc_id, t.i, t.t
+              FROM tk t LEFT JOIN spans s
+                ON s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e2
+              WHERE s.doc_id IS NULL),
+            agg AS (SELECT doc_id, count(*) AS kept_n,
+                           string_agg(t, ' ' ORDER BY i) AS ct
+                    FROM kept GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(len(w.w) AS BIGINT) AS n_tokens,
+                   CAST(len(w.w) - coalesce(a.kept_n, 0) AS BIGINT)
+                     AS removed_tokens,
+                   coalesce(a.ct, '') AS clean_text
+            FROM words w LEFT JOIN agg a USING (doc_id)
+        """,
         "dedup_fillscore": """
             WITH ranked AS (
               SELECT lang, source, doc_id, n_chars,

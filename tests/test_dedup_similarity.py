@@ -822,6 +822,83 @@ def test_exact_substring_contamination_broadcast_off_identical(spark):
     assert any(r[3] for r in on)  # the leaked span is flagged either way
 
 
+def test_cut_contaminated_spans_bruteforce(spark):
+    """Decontamination surgery vs a literal Python reference: leaked
+    k-gram positions merge into maximal spans (gap <= k) and exactly
+    those tokens are cut; clean docs and sub-k docs pass through."""
+    import re
+
+    from graphkb_spark.operators.dedup import cut_contaminated_spans
+
+    corpus_rows = [
+        (1, "aa bb cc the secret eval passage appears here verbatim xx yy zz"),
+        (2, "completely different text about catalyst and tungsten engines"),
+        (3, "the secret eval passage appears here verbatim"),  # fully leaked
+        (4, "tiny doc"),
+        (5, "one two the secret eval passage appears here verbatim three "
+            "four five six seven eight nine the secret eval passage appears "
+            "here verbatim ten"),
+    ]
+    bench_rows = [(100, "pad the secret eval passage appears here verbatim pad2")]
+    k = 6
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    bgrams = set()
+    for _, t in bench_rows:
+        w = toks(t)
+        bgrams.update(tuple(w[p:p + k]) for p in range(len(w) - k + 1))
+    want = {}
+    for i, t in corpus_rows:
+        w = toks(t)
+        hitp = [p for p in range(max(len(w) - k + 1, 0))
+                if tuple(w[p:p + k]) in bgrams]
+        covered = set()
+        for p in hitp:
+            covered.update(range(p, p + k))
+        # island merge is implicit: coverage union == merged spans
+        kept = [w[j] for j in range(len(w)) if j not in covered]
+        want[i] = (len(w), len(w) - len(kept), " ".join(kept))
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+        for r in cut_contaminated_spans(
+            corpus, bench, "text", "doc_id", k=k
+        ).collect()
+    }
+    assert got == want
+    assert got[3][1] == got[3][0]          # fully leaked doc fully cut
+    assert got[2][1] == 0 and got[4][1] == 0  # clean + sub-k untouched
+    assert got[5][1] > 0                    # two separated leaks both cut
+
+
+def test_cut_contaminated_spans_broadcast_modes_identical(spark):
+    from graphkb_spark.operators.dedup import cut_contaminated_spans
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret eval passage appears here verbatim")],
+        ["doc_id", "text"],
+    )
+    outs = [
+        sorted(map(tuple, cut_contaminated_spans(
+            corpus, bench, "text", "doc_id", k=6, broadcast=b,
+            **extra).collect()))
+        for b, extra in [
+            (True, {}), (False, {}), ("auto", {}),
+            ("auto", {"broadcast_max_digests": 0}),
+        ]
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+    assert all(r[2] > 0 for r in outs[0])  # every doc loses the leak
+
+
 def test_exact_substring_contamination_auto_broadcast_size_check(spark):
     """VERDICT r12 #5: the default is a SIZE-CHECKED broadcast, not a
     forced hint — an oversized digest side (e.g. a swapped

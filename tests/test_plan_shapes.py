@@ -144,6 +144,9 @@ BUDGETS = [
     # bench-digest distinct + per-doc hit agg + doc fill-in; the corpus
     # gram stream probes a broadcast, never shuffles (flat at x10)
     ("exactsubstr_decontaminate", 3, 0, True),
+    # r13 decontamination surgery: bench-digest distinct + leaked-
+    # position island window + span join-back, doc-id exchanges shared
+    ("decontaminate_cut", 2, 0, True),
     # full PPJoin stack: posting freq agg + rank window + asymmetric
     # prefix join + two verify joins, all broadcast-hash at this SF
     ("ngram_jaccard", 5, 0, True),
