@@ -4828,10 +4828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation is an explicit list (_R13_WINDOW below) applied over the
     # registry literal, so each round edits a 50-name list instead of
     # reordering the dict. Round-13 composition: new/changed queries
-    # lead (the containment budget guard + routed escape, the UniMax
-    # floor-quantization fix, the decontamination auto-broadcast, the
-    # guard-refactored Jaccard paths — 7 names), then the 16 remaining
-    # round-7 stale names and the first 27 of the round-8 block,
+    # lead (the new decontaminate_cut surgery, the containment budget
+    # guard + routed escape, the UniMax floor-quantization fix, the
+    # decontamination auto-broadcast, the guard-refactored Jaccard
+    # paths — 8 names), then the 16 remaining
+    # round-7 stale names and the first 26 of the round-8 block,
     # alphabetical — staleness computed from the union of
     # CORRECTNESS_r0*.json driver windows.
     all_q = {
@@ -5116,7 +5117,7 @@ _R13_WINDOW = [
     "time_bucket_rollup",
     "top_paths",
     "winsorize",
-    # (b) stalest: first 27 of the round-8 block, alphabetical
+    # (b) stalest: first 26 of the round-8 block, alphabetical
     "ab_delta",
     "association_rules",
     "bloom_join",
