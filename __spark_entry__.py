@@ -1386,6 +1386,26 @@ def q_exactsubstr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion-side decontamination (r13): documents
+    arrive in 4 micro-batches and each batch probes the static eval
+    digest table (every 50th doc, 8-grams) before landing — stateless
+    per batch, so the stream output is value-hash verified against
+    the BATCH exactsubstr oracle (streaming/incremental.py
+    streaming_decontaminate)."""
+    from graphkb_spark.streaming.incremental import streaming_decontaminate
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 50 == 0)
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    return streaming_decontaminate(
+        spark, t["documents"], bench, "doc_id", "text", k=8, min_hits=1,
+        query_name=f"q_stream_decon_{suffix}",
+    )
+
+
 def q_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination surgery (r13): cut every verbatim 8-gram leak
     of the eval set (every 50th doc) out of the corpus instead of
@@ -4831,8 +4851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lead (the new decontaminate_cut surgery, the containment budget
     # guard + routed escape, the UniMax floor-quantization fix, the
     # decontamination auto-broadcast, the guard-refactored Jaccard
-    # paths — 8 names), then the 16 remaining
-    # round-7 stale names and the first 26 of the round-8 block,
+    # paths, the streaming decontamination gate — 9 names), then the
+    # 16 remaining round-7 stale names and the first 25 of the
+    # round-8 block,
     # alphabetical — staleness computed from the union of
     # CORRECTNESS_r0*.json driver windows.
     all_q = {
@@ -5002,6 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_cut": q_repeated_span_cut,
         "exactsubstr_decontaminate": q_exactsubstr_decontaminate,
         "decontaminate_cut": q_decontaminate_cut,
+        "stream_decontaminate": q_stream_decontaminate,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -5086,12 +5108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # set) — 8 names, led by the new decontaminate_cut surgery query;
 # (b) the least-recently-driver-checked tail — the 16 names last
 # checked in round 7 (pmi_collocations .. winsorize), then the first
-# 26 of the round-8 block, alphabetical. Staleness computed from the
+# 25 of the round-8 block, alphabetical. Staleness computed from the
 # union of CORRECTNESS_r0*.json driver windows; the rest of the r8
-# block (11 names, rolling_zscore onward) is next round's residue —
+# block (12 names, rfm onward) is next round's residue —
 # all green in the full local sweep this round.
 _R13_WINDOW = [
     # (a) new/changed in round 13
+    "stream_decontaminate",
     "decontaminate_cut",
     "ngram_containment_routed",
     "containment_pairs",
@@ -5117,7 +5140,7 @@ _R13_WINDOW = [
     "time_bucket_rollup",
     "top_paths",
     "winsorize",
-    # (b) stalest: first 26 of the round-8 block, alphabetical
+    # (b) stalest: first 25 of the round-8 block, alphabetical
     "ab_delta",
     "association_rules",
     "bloom_join",
@@ -5143,7 +5166,6 @@ _R13_WINDOW = [
     "psi_drift",
     "quantile_normalize",
     "referential_check",
-    "rfm",
 ]
 assert len(_R13_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R13_WINDOW)}"

@@ -858,16 +858,7 @@ def cut_contaminated_spans(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
     n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
-    digest = lambda g: F.conv(  # noqa: E731
-        F.substring(F.md5(g), 1, 15), 16, 10
-    ).cast("bigint")
-    bench_d = (
-        benchmark.select(words(text_col).alias("__w"))
-        .filter(F.size("__w") >= k)
-        .select(F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
-        .select(digest(F.col("__g")).alias("__d"))
-        .distinct()
-    )
+    bench_d = _bench_gram_digests(benchmark, text_col, k)
     if broadcast == "auto":
         broadcast = bench_d.count() <= broadcast_max_digests
     base = (
@@ -877,7 +868,7 @@ def cut_contaminated_spans(
     )
     grams = base.filter(F.size("__w") >= k).select(
         "__id", F.posexplode(word_shingles(F.col("__w"), k)).alias("__p", "__g")
-    ).select("__id", "__p", digest(F.col("__g")).alias("__d"))
+    ).select("__id", "__p", _gram_digest(F.col("__g")).alias("__d"))
     pos = grams.join(
         F.broadcast(bench_d) if broadcast else bench_d, "__d"
     ).select("__id", "__p")
@@ -935,25 +926,55 @@ def exact_substring_contamination(
         raise ValueError(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
-    digest = lambda g: F.conv(  # noqa: E731
-        F.substring(F.md5(g), 1, 15), 16, 10
-    ).cast("bigint")
-    bench_d = (
+    bench_d = _bench_gram_digests(benchmark, text_col, k)
+    if broadcast == "auto":
+        broadcast = bench_d.count() <= broadcast_max_digests
+    return _contamination_probe(
+        corpus, bench_d, text_col, id_col, k, min_hits, broadcast,
+        num_partitions,
+    )
+
+
+def _gram_digest(g) -> Column:
+    """The decontamination family's 60-bit ANSI md5-prefix digest —
+    shared by the batch flag/cut operators and the streaming filter so
+    every flavor probes the identical digest domain."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+
+
+def _bench_gram_digests(benchmark: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Distinct k-gram digests of the evaluation set — the bounded
+    probe side of every decontamination flavor."""
+    return (
         benchmark.select(words(text_col).alias("__w"))
         .filter(F.size("__w") >= k)
         .select(F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
-        .select(digest(F.col("__g")).alias("__d"))
+        .select(_gram_digest(F.col("__g")).alias("__d"))
         .distinct()
     )
-    if broadcast == "auto":
-        broadcast = bench_d.count() <= broadcast_max_digests
+
+
+def _contamination_probe(
+    corpus: DataFrame,
+    bench_d: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_hits: int,
+    broadcast: bool,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The corpus-side probe of ``exact_substring_contamination``
+    against a prepared digest set — factored out so the streaming
+    filter reuses it per micro-batch with the broadcast decision made
+    ONCE up front."""
+    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
     base = corpus.select(
         F.col(id_col).alias("__id"), words(text_col).alias("__w")
     ).repartition(n_part, "__id")
     grams = base.filter(F.size("__w") >= k).select(
         "__id", F.explode(word_shingles(F.col("__w"), k)).alias("__g")
-    ).select("__id", digest(F.col("__g")).alias("__d"))
+    ).select("__id", _gram_digest(F.col("__g")).alias("__d"))
     hits = (
         grams.join(F.broadcast(bench_d) if broadcast else bench_d, "__d")
         .groupBy("__id")

@@ -5093,6 +5093,10 @@ def build_oracles() -> dict[str, str]:
     # stream equal to the static keep-lowest-id rule, so its oracle is
     # the minhash_lsh pair replica with the final select flipped to
     # per-document keep flags.
+    # streaming decontamination is stateless per micro-batch and each
+    # document arrives whole in one batch, so the stream's complete
+    # output IS the batch flag query — same oracle, value-hash equal
+    oracles["stream_decontaminate"] = oracles["exactsubstr_decontaminate"]
     oracles["stream_minhash_dedup"] = oracles["minhash_lsh"].replace(
         "SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.6",
         "SELECT d.doc_id, dx.id_b IS NULL AS keep FROM documents d "

@@ -184,6 +184,35 @@ def test_streaming_interval_join_matches_batch(spark):
     assert got == {(1, 2), (1, 3)}
 
 
+def test_streaming_decontaminate_matches_batch(spark):
+    """The streaming decontamination gate is stateless per micro-batch
+    and each doc arrives whole, so its complete output must equal the
+    batch exact_substring_contamination row-for-row — including docs
+    split across different micro-batches."""
+    from graphkb_spark.operators.dedup import exact_substring_contamination
+    from graphkb_spark.streaming.incremental import streaming_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"filler w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(9)]
+        + [(20, "completely unrelated text about catalyst and tungsten"),
+           (21, "short")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret eval passage appears here verbatim")],
+        ["doc_id", "text"],
+    )
+    batch = sorted(map(tuple, exact_substring_contamination(
+        corpus, bench, "text", "doc_id", k=6, min_hits=1).collect()))
+    stream = sorted(map(tuple, streaming_decontaminate(
+        spark, corpus, bench, "doc_id", "text", k=6, min_hits=1,
+        n_batches=3, query_name="t_stream_decon").collect()))
+    assert stream == batch
+    flagged = {r[0] for r in stream if r[3]}
+    assert flagged == set(range(9))  # every leak caught, clean docs pass
+
+
 def test_pcm_frame_energy_decodes_real_bytes(spark):
     import numpy as np
 
