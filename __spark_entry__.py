@@ -1386,6 +1386,23 @@ def q_exactsubstr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity report (r13): per eval item (every 50th doc),
+    how many of its distinct 8-grams appear verbatim anywhere in the
+    corpus and how many distinct corpus docs share one — the
+    drop-compromised-questions direction of decontamination
+    (operators/dedup.py benchmark_leak_report). Eval docs are also in
+    the corpus here, so every item self-leaks via >= 1 doc; the
+    interesting columns are leaking_docs > 1 and leaked_frac."""
+    from graphkb_spark.operators.dedup import benchmark_leak_report
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 50 == 0)
+    return benchmark_leak_report(
+        t["documents"], bench, "text", "doc_id", k=8
+    )
+
+
 def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion-side decontamination (r13): documents
     arrive in 4 micro-batches and each batch probes the static eval
@@ -4851,9 +4868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lead (the new decontaminate_cut surgery, the containment budget
     # guard + routed escape, the UniMax floor-quantization fix, the
     # decontamination auto-broadcast, the guard-refactored Jaccard
-    # paths, the streaming decontamination gate — 9 names), then the
-    # 16 remaining round-7 stale names and the first 25 of the
-    # round-8 block,
+    # paths, the streaming decontamination gate, the eval-side leak
+    # report — 10 names), then the 16 remaining round-7 stale names
+    # and the first 24 of the round-8 block,
     # alphabetical — staleness computed from the union of
     # CORRECTNESS_r0*.json driver windows.
     all_q = {
@@ -5024,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_decontaminate": q_exactsubstr_decontaminate,
         "decontaminate_cut": q_decontaminate_cut,
         "stream_decontaminate": q_stream_decontaminate,
+        "benchmark_leak_report": q_benchmark_leak_report,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -5108,12 +5126,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # set) — 8 names, led by the new decontaminate_cut surgery query;
 # (b) the least-recently-driver-checked tail — the 16 names last
 # checked in round 7 (pmi_collocations .. winsorize), then the first
-# 25 of the round-8 block, alphabetical. Staleness computed from the
+# 24 of the round-8 block, alphabetical. Staleness computed from the
 # union of CORRECTNESS_r0*.json driver windows; the rest of the r8
-# block (12 names, rfm onward) is next round's residue —
+# block (13 names, referential_check onward) is next round's residue —
 # all green in the full local sweep this round.
 _R13_WINDOW = [
     # (a) new/changed in round 13
+    "benchmark_leak_report",
     "stream_decontaminate",
     "decontaminate_cut",
     "ngram_containment_routed",
@@ -5140,7 +5159,7 @@ _R13_WINDOW = [
     "time_bucket_rollup",
     "top_paths",
     "winsorize",
-    # (b) stalest: first 25 of the round-8 block, alphabetical
+    # (b) stalest: first 24 of the round-8 block, alphabetical
     "ab_delta",
     "association_rules",
     "bloom_join",
@@ -5165,7 +5184,6 @@ _R13_WINDOW = [
     "prefix_rollup",
     "psi_drift",
     "quantile_normalize",
-    "referential_check",
 ]
 assert len(_R13_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R13_WINDOW)}"

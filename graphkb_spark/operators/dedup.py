@@ -876,6 +876,101 @@ def cut_contaminated_spans(
     return _cut_spans(base, spans, id_col)
 
 
+def benchmark_leak_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    num_partitions: int | None = None,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 4_000_000,
+) -> DataFrame:
+    """Eval-integrity report — the REVERSE direction of
+    ``exact_substring_contamination``: for each BENCHMARK document,
+    how badly it leaked into the training corpus. The corpus-side
+    flag decides which training docs to drop; this one decides which
+    EVAL ITEMS are compromised (the standard practice when a
+    benchmark can't be re-collected: report per-item leak rates and
+    score the clean subset separately). Returns one row per benchmark
+    doc: (id, n_distinct_grams, leaked_grams, leaking_docs,
+    leaked_frac, leaked) — distinct k-gram digests of the item, how
+    many of them appear verbatim anywhere in the corpus, how many
+    DISTINCT corpus documents share at least one, the leaked
+    fraction (6 decimals), and the any-leak flag. Benchmark docs
+    shorter than k tokens report 0 grams and are never leaked.
+
+    Scale shape: the per-item digest table (bench doc, digest —
+    distinct) is the bounded side and follows the family's
+    size-checked ``broadcast="auto"`` contract; the corpus gram
+    stream probes it and never shuffles. The per-item distinct counts
+    partial-aggregate map-side (Spark's Expand + partial-distinct
+    HashAggregate), so a boilerplate gram repeated millions of times
+    inside one corpus doc collapses to one (item, digest) /
+    (item, doc) key per map task before the shuffle. Same 60-bit
+    ANSI md5-prefix digest as the rest of the family
+    (oracle-replicable)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast={broadcast!r}: expected True, False or 'auto'"
+        )
+    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    bench_g = (
+        benchmark.select(F.col(id_col).alias("__bid"), words(text_col).alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select("__bid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select("__bid", _gram_digest(F.col("__g")).alias("__d"))
+        .distinct()
+    )
+    if broadcast == "auto":
+        broadcast = bench_g.count() <= broadcast_max_digests
+    grams = (
+        corpus.select(F.col(id_col).alias("__cid"), words(text_col).alias("__w"))
+        .repartition(n_part, "__cid")
+        .filter(F.size("__w") >= k)
+        .select("__cid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select("__cid", _gram_digest(F.col("__g")).alias("__d"))
+    )
+    matches = grams.join(
+        F.broadcast(bench_g) if broadcast else bench_g, "__d"
+    )
+    per_item = matches.groupBy("__bid").agg(
+        F.countDistinct("__d").cast("bigint").alias("leaked_grams"),
+        F.countDistinct("__cid").cast("bigint").alias("leaking_docs"),
+    )
+    totals = bench_g.groupBy("__bid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams")
+    )
+    # fill-in join over ALL benchmark docs, including sub-k ones; the
+    # per-item aggregates are eval-set-bounded (the same size contract
+    # that licensed broadcasting the digests), so the two fill-in
+    # joins broadcast instead of statically planning a sort-merge
+    all_items = benchmark.select(F.col(id_col).alias("__bid")).distinct()
+    return (
+        all_items.join(F.broadcast(totals), "__bid", "left")
+        .join(F.broadcast(per_item), "__bid", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+            F.coalesce("leaked_grams", F.lit(0)).alias("leaked_grams"),
+            F.coalesce("leaking_docs", F.lit(0)).alias("leaking_docs"),
+            F.when(
+                F.coalesce("n_distinct_grams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("leaked_grams", F.lit(0))
+                    / F.col("n_distinct_grams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("leaked_frac"),
+            (F.coalesce("leaking_docs", F.lit(0)) >= 1).alias("leaked"),
+        )
+    )
+
+
 def exact_substring_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -2929,6 +2929,52 @@ def build_oracles() -> dict[str, str]:
                    coalesce(h.h, 0) >= 1 AS contaminated
             FROM words w LEFT JOIN hits h USING (doc_id)
         """,
+        # Eval-integrity leak report: per benchmark item (every 50th
+        # doc), distinct 8-gram digests vs the corpus gram stream —
+        # leaked distinct grams, distinct leaking corpus docs, frac.
+        "benchmark_leak_report": r"""
+            WITH words AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            bg AS (
+              SELECT DISTINCT doc_id AS bid,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS d
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS g
+                    FROM words WHERE doc_id % 50 = 0 AND len(w) >= 8)),
+            cg AS (
+              SELECT doc_id AS cid,
+                     unnest([('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+                             for i in generate_series(1, len(w) - 7)]) AS d
+              FROM words WHERE len(w) >= 8),
+            m AS (
+              SELECT bg.bid,
+                     count(DISTINCT bg.d) AS leaked_grams,
+                     count(DISTINCT cg.cid) AS leaking_docs
+              FROM cg JOIN bg USING (d) GROUP BY bg.bid),
+            tot AS (SELECT bid, count(*) AS n_distinct_grams
+                    FROM bg GROUP BY bid),
+            items AS (SELECT DISTINCT doc_id AS bid FROM words
+                      WHERE doc_id % 50 = 0)
+            SELECT i.bid AS doc_id,
+                   CAST(coalesce(t.n_distinct_grams, 0) AS BIGINT)
+                     AS n_distinct_grams,
+                   CAST(coalesce(m.leaked_grams, 0) AS BIGINT)
+                     AS leaked_grams,
+                   CAST(coalesce(m.leaking_docs, 0) AS BIGINT)
+                     AS leaking_docs,
+                   CASE WHEN coalesce(t.n_distinct_grams, 0) > 0
+                        THEN round(CAST(coalesce(m.leaked_grams, 0) AS DOUBLE)
+                                   / t.n_distinct_grams, 6)
+                        ELSE 0.0 END AS leaked_frac,
+                   coalesce(m.leaking_docs, 0) >= 1 AS leaked
+            FROM items i LEFT JOIN tot t USING (bid)
+                         LEFT JOIN m USING (bid)
+        """,
         # Decontamination surgery: the exactsubstr bench-digest
         # pipeline + the repeated_span_cut island-merge/cut chain —
         # leaked 8-gram positions merge into maximal spans (gap > 8

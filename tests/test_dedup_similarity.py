@@ -822,6 +822,65 @@ def test_exact_substring_contamination_broadcast_off_identical(spark):
     assert any(r[3] for r in on)  # the leaked span is flagged either way
 
 
+def test_benchmark_leak_report_bruteforce(spark):
+    """Reverse-direction decontamination report vs a literal Python
+    reference: per eval item, distinct-gram totals, leaked-gram and
+    leaking-doc counts; sub-k items report zeros and never leak."""
+    import re
+
+    from graphkb_spark.operators.dedup import benchmark_leak_report
+
+    corpus_rows = [
+        (1, "aa bb the secret eval passage appears here verbatim xx"),
+        (2, "cc dd the secret eval passage appears here verbatim yy"),
+        (3, "completely different text about catalyst and tungsten engines"),
+    ]
+    bench_rows = [
+        (100, "pad the secret eval passage appears here verbatim pad2"),
+        (101, "an uncompromised question about quantum chromodynamics today"),
+        (102, "tiny"),
+    ]
+    k = 6
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    cg = {}
+    for i, t in corpus_rows:
+        w = toks(t)
+        cg[i] = {tuple(w[p:p + k]) for p in range(len(w) - k + 1)}
+    want = {}
+    for i, t in bench_rows:
+        w = toks(t)
+        bg = {tuple(w[p:p + k]) for p in range(max(len(w) - k + 1, 0))}
+        leaked = {g for g in bg if any(g in s for s in cg.values())}
+        docs = {c for c, s in cg.items() if s & bg}
+        frac = round(len(leaked) / len(bg), 6) if bg else 0.0
+        want[i] = (len(bg), len(leaked), len(docs), frac, len(docs) >= 1)
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_distinct_grams, r.leaked_grams, r.leaking_docs,
+                   r.leaked_frac, r.leaked)
+        for r in benchmark_leak_report(
+            corpus, bench, "text", "doc_id", k=k
+        ).collect()
+    }
+    assert got == want
+    assert got[100][2] == 2 and got[100][4]      # both leaking docs counted
+    assert got[101] == (2, 0, 0, 0.0, False)     # clean item (7 tokens -> 2 grams)
+    assert got[102] == (0, 0, 0, 0.0, False)     # sub-k item
+    # broadcast modes identical
+    off = {
+        r.doc_id: (r.n_distinct_grams, r.leaked_grams, r.leaking_docs,
+                   r.leaked_frac, r.leaked)
+        for r in benchmark_leak_report(
+            corpus, bench, "text", "doc_id", k=k, broadcast=False
+        ).collect()
+    }
+    assert off == got
+
+
 def test_cut_contaminated_spans_bruteforce(spark):
     """Decontamination surgery vs a literal Python reference: leaked
     k-gram positions merge into maximal spans (gap <= k) and exactly

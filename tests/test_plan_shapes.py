@@ -147,6 +147,9 @@ BUDGETS = [
     # r13 decontamination surgery: bench-digest distinct + leaked-
     # position island window + span join-back, doc-id exchanges shared
     ("decontaminate_cut", 2, 0, True),
+    # r13 eval-side leak report: per-item digest distinct + probe +
+    # two countDistinct aggs (Expand pipeline) + broadcast fill-ins
+    ("benchmark_leak_report", 7, 0, True),
     # full PPJoin stack: posting freq agg + rank window + asymmetric
     # prefix join + two verify joins, all broadcast-hash at this SF
     ("ngram_jaccard", 5, 0, True),
