@@ -1403,6 +1403,23 @@ def q_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_leak_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span leak attribution (r14): for every (eval item, corpus
+    doc) pair sharing a verbatim 8-gram, the maximal leaked span(s) in
+    the corpus doc's normalized token stream — the forensic view that
+    turns benchmark_leak_report's per-item leak fractions into the
+    exact training passages responsible (operators/dedup.py
+    benchmark_leak_spans). Eval docs (every 50th) self-attribute as
+    full-document spans; cross-doc rows are the real leaks."""
+    from graphkb_spark.operators.dedup import benchmark_leak_spans
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 50 == 0)
+    return benchmark_leak_spans(
+        t["documents"], bench, "text", "doc_id", k=8
+    )
+
+
 def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion-side decontamination (r13): documents
     arrive in 4 micro-batches and each batch probes the static eval
@@ -5042,6 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_cut": q_decontaminate_cut,
         "stream_decontaminate": q_stream_decontaminate,
         "benchmark_leak_report": q_benchmark_leak_report,
+        "benchmark_leak_spans": q_benchmark_leak_spans,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,

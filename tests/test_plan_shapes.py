@@ -141,15 +141,30 @@ BUDGETS = [
     # back as a broadcast join, never a second full-table shuffle
     ("repeated_spans", 2, 0, True),
     ("repeated_span_cut", 2, 0, True),  # span bcast onto docs + same core
-    # bench-digest distinct + per-doc hit agg + doc fill-in; the corpus
-    # gram stream probes a broadcast, never shuffles (flat at x10)
-    ("exactsubstr_decontaminate", 3, 0, True),
+    # bench-digest distinct (staged once, checkpoint-truncated r14) +
+    # per-doc hit agg + doc fill-in; the corpus gram stream probes a
+    # broadcast, never shuffles (flat at x10). no_smj=False since r14:
+    # the doc-keyed fill-in join plans as a ZERO-extra-exchange
+    # sort-merge (both sides share the __id partitioning) — the
+    # correct 100 TB plan, since hits is one row per contaminated doc
+    # (corpus-sized, never broadcastable at scale); r13's static
+    # broadcast of it was an sf-scale stats artifact. The probe-side
+    # broadcast is pinned separately in
+    # test_decontamination_probe_stays_broadcast.
+    ("exactsubstr_decontaminate", 3, 0, False),
     # r13 decontamination surgery: bench-digest distinct + leaked-
-    # position island window + span join-back, doc-id exchanges shared
-    ("decontaminate_cut", 2, 0, True),
-    # r13 eval-side leak report: per-item digest distinct + probe +
-    # two countDistinct aggs (Expand pipeline) + broadcast fill-ins
+    # position island window + span join-back, doc-id exchanges
+    # shared; same r14 no_smj story as exactsubstr_decontaminate
+    # (the span join-back rides the shared doc-id partitioning)
+    ("decontaminate_cut", 2, 0, False),
+    # r13 eval-side leak report: per-item digest distinct (staged
+    # once) + probe + two countDistinct aggs (Expand pipeline) +
+    # size-gated broadcast fill-ins
     ("benchmark_leak_report", 7, 0, True),
+    # r14 per-span leak attribution: staged digest probe + one
+    # (item, doc)-keyed island window + span agg — the window
+    # exchange is leak-volume-sized, not corpus-sized
+    ("benchmark_leak_spans", 2, 0, True),
     # full PPJoin stack: posting freq agg + rank window + asymmetric
     # prefix join + two verify joins, all broadcast-hash at this SF
     ("ngram_jaccard", 5, 0, True),
@@ -185,6 +200,20 @@ def test_quantized_topk_vectors_never_shuffle(spark):
     a = _audit(spark, "embedding_quantized_topk")
     assert a["exchange"] <= 2, a
     assert a["bexchange"] >= 1, a
+
+
+def test_decontamination_probe_stays_broadcast(spark):
+    """The decontamination family's load-bearing invariant after the
+    r14 staged-once digest change: the corpus gram stream must still
+    probe a BROADCAST of the benchmark digests (bexchange >= 1), and
+    the only sort-merge allowed is the single doc-keyed fill-in /
+    join-back that rides the shared __id partitioning (zero extra
+    exchanges — asserted by the exchange budget above). A second SMJ
+    or a vanished broadcast means the probe join itself degraded."""
+    for name in ("exactsubstr_decontaminate", "decontaminate_cut"):
+        a = _audit(spark, name)
+        assert a["bexchange"] >= 1, f"{name}: probe broadcast lost ({a})"
+        assert a["smj"] <= 1, f"{name}: extra sort-merge join ({a})"
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
