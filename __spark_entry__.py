@@ -4879,17 +4879,17 @@ def q_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round. The
-    # rotation is an explicit list (_R13_WINDOW below) applied over the
+    # rotation is an explicit list (_R14_WINDOW below) applied over the
     # registry literal, so each round edits a 50-name list instead of
-    # reordering the dict. Round-13 composition: new/changed queries
-    # lead (the new decontaminate_cut surgery, the containment budget
-    # guard + routed escape, the UniMax floor-quantization fix, the
-    # decontamination auto-broadcast, the guard-refactored Jaccard
-    # paths, the streaming decontamination gate, the eval-side leak
-    # report — 10 names), then the 16 remaining round-7 stale names
-    # and the first 24 of the round-8 block,
-    # alphabetical — staleness computed from the union of
-    # CORRECTNESS_r0*.json driver windows.
+    # reordering the dict. Round-14 composition: new/changed queries
+    # lead (the new benchmark_leak_spans attribution operator, plus
+    # the three batch decontamination entry points whose digest side
+    # is now staged once and whose fill-in hints are size-gated — 4
+    # names), then the entire 12-name round-8 stale block
+    # (referential_check .. zorder_stats) and the first 34 of the
+    # 38-name round-9 block, alphabetical — staleness computed from
+    # the union of CORRECTNESS_r0*.json driver windows; nothing in
+    # the registry is older than round 9 after this window runs.
     all_q = {
         "categorical_dependence": q_categorical_dependence,
         "ks_drift": q_ks_drift,
@@ -5128,85 +5128,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R13_WINDOW}
+    ordered = {k: all_q[k] for k in _R14_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
 
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in
-# queries(). Round-13 composition: (a) every query whose code or oracle
-# changed this round — the new containment budget-guard escape query,
-# the guard-wired containment join, the UniMax floor-quantization fix
-# (alloc/epochs now floor, oracle updated to match), the
-# decontamination auto-broadcast default, and the Jaccard guard
-# refactor (shared gate + prefix materialization when a budget is
-# set) — 8 names, led by the new decontaminate_cut surgery query;
-# (b) the least-recently-driver-checked tail — the 16 names last
-# checked in round 7 (pmi_collocations .. winsorize), then the first
-# 24 of the round-8 block, alphabetical. Staleness computed from the
-# union of CORRECTNESS_r0*.json driver windows; the rest of the r8
-# block (13 names, referential_check onward) is next round's residue —
-# all green in the full local sweep this round.
-_R13_WINDOW = [
-    # (a) new/changed in round 13
+# queries(). Round-14 composition: (a) every query whose code or plan
+# changed this round — the NEW benchmark_leak_spans per-span leak
+# attribution operator, then the three batch decontamination entry
+# points (digest side now staged once before the auto-broadcast count;
+# leak report's fill-in hints gated on the resolved size check; their
+# doc-keyed fill-in joins re-pinned as zero-extra-exchange sort-merge)
+# — 4 names; (b) the least-recently-driver-checked tail — the ENTIRE
+# 12-name round-8 stale block (referential_check .. zorder_stats),
+# then the first 34 of the 38-name round-9 block, alphabetical.
+# Staleness computed from the union of CORRECTNESS_r0*.json driver
+# windows; the residue for round 15 is the last 4 round-9 names
+# (stream_upsert, topn_other, triangle_count, zipf_fit) — all green
+# in the full local sweep this round.
+_R14_WINDOW = [
+    # (a) new/changed in round 14
+    "benchmark_leak_spans",
     "benchmark_leak_report",
-    "stream_decontaminate",
-    "decontaminate_cut",
-    "ngram_containment_routed",
-    "containment_pairs",
-    "unimax_budget",
-    "unimax_sample",
     "exactsubstr_decontaminate",
-    "ngram_jaccard_routed",
-    "ngram_jaccard",
-    # (b) stalest: the 16 queries last driver-checked in round 7
-    "pmi_collocations",
-    "priority_sample_grouped",
-    "quality_drift",
-    "range_join_auto",
-    "relevance_translate",
-    "rolling_distinct",
-    "set_ops",
-    "split_leakage",
-    "stable_hash_id",
-    "stream_enrich",
-    "string_normalizers",
-    "survivorship",
-    "therapy_grouping",
-    "time_bucket_rollup",
-    "top_paths",
-    "winsorize",
-    # (b) stalest: first 24 of the round-8 block, alphabetical
-    "ab_delta",
-    "association_rules",
-    "bloom_join",
-    "boilerplate_strip",
-    "cdc_replay",
-    "changepoint",
-    "cms_counts",
-    "compaction_plan",
-    "cuped",
-    "dsir_weights",
-    "gap_fill",
-    "gopher_quality",
-    "join_size_estimate",
-    "json_props",
-    "k_anonymity",
-    "kmv_distinct",
-    "kmv_set_ops",
-    "lag_features",
-    "mad_outliers",
-    "negative_edges",
-    "pareto_frontier",
-    "prefix_rollup",
-    "psi_drift",
-    "quantile_normalize",
+    "decontaminate_cut",
+    # (b) stalest: the entire round-8 block (12 names)
+    "referential_check",
+    "rfm",
+    "rolling_zscore",
+    "rrf_fusion",
+    "scd2",
+    "scd2_lookup",
+    "stream_hopping_counts",
+    "stream_windowed_topk",
+    "table_profile",
+    "tfidf_cosine_pairs",
+    "tokenizer_fertility",
+    "zorder_stats",
+    # (b) stalest: first 34 of the round-9 block, alphabetical
+    "ann_recall_eval",
+    "benford",
+    "bpe_encode",
+    "bpe_train",
+    "cube_rollup",
+    "embedding_dups",
+    "embedding_ivf",
+    "embedding_lsh",
+    "embedding_quantized_topk",
+    "embedding_topk",
+    "expectations",
+    "fellegi_sunter",
+    "fs_em",
+    "full_reload_diff",
+    "graph_closure",
+    "grouped_percentiles",
+    "hard_negatives",
+    "heaps_fit",
+    "hierarchy_rollup",
+    "incremental_merge",
+    "kcore",
+    "kmeans_assign",
+    "merge_upsert",
+    "minhash_lsh",
+    "mmr_rerank",
+    "multimodal_features",
+    "multimodal_resize",
+    "neyman_sample",
+    "pagerank",
+    "pcm_energy",
+    "pivot_events",
+    "rolling_average",
+    "sorted_neighborhood",
+    "stream_minhash_dedup",
 ]
-assert len(_R13_WINDOW) == 50, (
-    f"driver gate window must be exactly 50 names, got {len(_R13_WINDOW)}"
+assert len(_R14_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R14_WINDOW)}"
 )
-assert len(set(_R13_WINDOW)) == 50, "duplicate name in _R13_WINDOW"
+assert len(set(_R14_WINDOW)) == 50, "duplicate name in _R14_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:

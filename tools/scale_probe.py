@@ -94,7 +94,48 @@ QUERIES = [
     # the join is linear. Implemented as a SCALED_VARIANT that tags a
     # word fraction per copy (see _ngram_jaccard_heaps).
     "ngram_jaccard_heaps",
+    # round-14 (VERDICT r13 #2): the decontamination family, measured
+    # in the regime it is built for — the EVAL SET STAYS FIXED
+    # (copy-0's every-50th docs) while the corpus scales. The family's
+    # scale claim is "the corpus gram stream probes a broadcast and
+    # never shuffles": the digest side should stay ~constant and the
+    # only growing exchange is the doc-keyed corpus repartition (flag/
+    # cut) or the leak-volume-sized island window (spans). The splice
+    # transform drops every 5th word in copies, so no verbatim 8-gram
+    # survives into copy-k text — match volume stays constant while
+    # the probe side grows, exactly a production decontamination run.
+    "exactsubstr_decontaminate",
+    "decontaminate_cut",
+    "benchmark_leak_report",
+    "benchmark_leak_spans",
+    # round-14: the containment guard's routed escape (budget 0 ->
+    # banded LSH + directed verify) — registry query, scaled corpus;
+    # proves the escape hatch itself scales, not just the guard math.
+    "ngram_containment_routed",
 ]
+
+
+def _fixed_bench(docs):
+    """Copy-0's every-50th documents: the eval set a scaled
+    decontamination run holds FIXED while the corpus grows."""
+    from pyspark.sql import functions as F
+
+    return docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < ID_STEP)
+    )
+
+
+def _decon_scaled(op_name):
+    def run(spark, sf_dir: str, mult: int):
+        from graphkb_spark.operators import dedup
+        from graphkb_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        return getattr(dedup, op_name)(
+            docs, _fixed_bench(docs), "text", "doc_id", k=8
+        )
+
+    return run
 
 
 def _semantic_dedup_scaled(spark, sf_dir: str, mult: int):
@@ -172,6 +213,12 @@ SCALED_VARIANTS = {
     "semantic_dedup": _semantic_dedup_scaled,
     "kcore": _kcore_scaled,
     "ngram_jaccard_heaps": _ngram_jaccard_heaps,
+    "exactsubstr_decontaminate": _decon_scaled(
+        "exact_substring_contamination"
+    ),
+    "decontaminate_cut": _decon_scaled("cut_contaminated_spans"),
+    "benchmark_leak_report": _decon_scaled("benchmark_leak_report"),
+    "benchmark_leak_spans": _decon_scaled("benchmark_leak_spans"),
 }
 
 
@@ -194,83 +241,107 @@ def _splice_texts(texts: list[str], k: int) -> list[str]:
     return out
 
 
-def gen_scaled(mult: int, out_dir: Path) -> None:
+def gen_scaled(mult: int, out_dir: Path, tables: set[str] | None = None) -> None:
+    """Synthesize the x{mult} tables. ``tables`` (or the PROBE_TABLES
+    env var, comma-separated) restricts generation — the x100
+    decontamination runs only need documents, and generating 100
+    copies of embeddings/lineitem for them would dominate the wall."""
+    tables = tables or {
+        t
+        for t in os.environ.get(
+            "PROBE_TABLES", "documents,part,lineitem,customer,embeddings"
+        ).split(",")
+        if t
+    }
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    docs = pq.read_table(f"{SF_BASE}/documents.parquet").to_pydict()
-    parts_list = []
-    for k in range(mult):
-        d = dict(docs)
-        if k > 0:
-            d["text"] = _splice_texts(docs["text"], k)
-            d["doc_id"] = [i + k * ID_STEP for i in docs["doc_id"]]
-            d["n_chars"] = [len(t) for t in d["text"]]
-        parts_list.append(pa.table(d))
-    pq.write_table(pa.concat_tables(parts_list), out_dir / "documents.parquet")
-
-    part = pq.read_table(f"{SF_BASE}/part.parquet").to_pydict()
-    parts_list = []
-    for k in range(mult):
-        d = dict(part)
-        if k > 0:
-            d["p_partkey"] = [i + k * ID_STEP for i in part["p_partkey"]]
-            d["p_name"] = [
-                " ".join(w[k % max(len(w), 1):] + w[: k % max(len(w), 1)])
-                for w in (nm.split(" ") for nm in part["p_name"])
-            ]
-        parts_list.append(pa.table(d))
-    pq.write_table(pa.concat_tables(parts_list), out_dir / "part.parquet")
-
-    # lineitem (kcore edge stream + hierarchy_rollup facts): copy k
-    # shifts both graph keys by k*ID_STEP so copy-k facts join the
-    # copy-k part hierarchy — arrow-compute column shift, no Python
-    # row loop over the 600k x mult rows
-    import pyarrow.compute as pc
-
-    li = pq.read_table(f"{SF_BASE}/lineitem.parquet")
-    parts_list = [li]
-    for k in range(1, mult):
-        shifted = li.set_column(
-            li.schema.get_field_index("l_orderkey"),
-            "l_orderkey",
-            pc.add(li.column("l_orderkey"), k * ID_STEP),
+    if "documents" in tables:
+        docs = pq.read_table(f"{SF_BASE}/documents.parquet").to_pydict()
+        parts_list = []
+        for k in range(mult):
+            d = dict(docs)
+            if k > 0:
+                d["text"] = _splice_texts(docs["text"], k)
+                d["doc_id"] = [i + k * ID_STEP for i in docs["doc_id"]]
+                d["n_chars"] = [len(t) for t in d["text"]]
+            parts_list.append(pa.table(d))
+        pq.write_table(
+            pa.concat_tables(parts_list), out_dir / "documents.parquet"
         )
-        shifted = shifted.set_column(
-            shifted.schema.get_field_index("l_partkey"),
-            "l_partkey",
-            pc.add(shifted.column("l_partkey"), k * ID_STEP),
-        )
-        parts_list.append(shifted)
-    pq.write_table(pa.concat_tables(parts_list), out_dir / "lineitem.parquet")
 
-    cust = pq.read_table(f"{SF_BASE}/customer.parquet").to_pydict()
-    parts_list = []
-    for k in range(mult):
-        d = dict(cust)
-        if k > 0:
-            d["c_custkey"] = [i + k * ID_STEP for i in cust["c_custkey"]]
-            d["c_name"] = [f"{chr(97 + k)}#{nm}" for nm in cust["c_name"]]
-        parts_list.append(pa.table(d))
-    pq.write_table(pa.concat_tables(parts_list), out_dir / "customer.parquet")
+    if "part" in tables:
+        part = pq.read_table(f"{SF_BASE}/part.parquet").to_pydict()
+        parts_list = []
+        for k in range(mult):
+            d = dict(part)
+            if k > 0:
+                d["p_partkey"] = [i + k * ID_STEP for i in part["p_partkey"]]
+                d["p_name"] = [
+                    " ".join(w[k % max(len(w), 1):] + w[: k % max(len(w), 1)])
+                    for w in (nm.split(" ") for nm in part["p_name"])
+                ]
+            parts_list.append(pa.table(d))
+        pq.write_table(pa.concat_tables(parts_list), out_dir / "part.parquet")
 
-    emb = pq.read_table(f"{SF_BASE}/embeddings.parquet")
-    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
-    ids = np.array(emb.column("vec_id").to_pylist())
-    labels = emb.column("label").to_pylist()
-    parts_list = [emb]
-    for k in range(1, mult):
-        rng = np.random.default_rng(k)
-        noisy = vecs + rng.normal(0.0, 0.02, vecs.shape).astype(np.float32)
-        parts_list.append(
-            pa.table(
-                {
-                    "vec_id": ids + k * ID_STEP,
-                    "embedding": [list(map(float, v)) for v in noisy],
-                    "label": labels,
-                }
-            ).cast(emb.schema)
+    if "lineitem" in tables:
+        # lineitem (kcore edge stream + hierarchy_rollup facts): copy k
+        # shifts both graph keys by k*ID_STEP so copy-k facts join the
+        # copy-k part hierarchy — arrow-compute column shift, no Python
+        # row loop over the 600k x mult rows
+        import pyarrow.compute as pc
+
+        li = pq.read_table(f"{SF_BASE}/lineitem.parquet")
+        parts_list = [li]
+        for k in range(1, mult):
+            shifted = li.set_column(
+                li.schema.get_field_index("l_orderkey"),
+                "l_orderkey",
+                pc.add(li.column("l_orderkey"), k * ID_STEP),
+            )
+            shifted = shifted.set_column(
+                shifted.schema.get_field_index("l_partkey"),
+                "l_partkey",
+                pc.add(shifted.column("l_partkey"), k * ID_STEP),
+            )
+            parts_list.append(shifted)
+        pq.write_table(
+            pa.concat_tables(parts_list), out_dir / "lineitem.parquet"
         )
-    pq.write_table(pa.concat_tables(parts_list), out_dir / "embeddings.parquet")
+
+    if "customer" in tables:
+        cust = pq.read_table(f"{SF_BASE}/customer.parquet").to_pydict()
+        parts_list = []
+        for k in range(mult):
+            d = dict(cust)
+            if k > 0:
+                d["c_custkey"] = [i + k * ID_STEP for i in cust["c_custkey"]]
+                d["c_name"] = [f"{chr(97 + k)}#{nm}" for nm in cust["c_name"]]
+            parts_list.append(pa.table(d))
+        pq.write_table(
+            pa.concat_tables(parts_list), out_dir / "customer.parquet"
+        )
+
+    if "embeddings" in tables:
+        emb = pq.read_table(f"{SF_BASE}/embeddings.parquet")
+        vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+        ids = np.array(emb.column("vec_id").to_pylist())
+        labels = emb.column("label").to_pylist()
+        parts_list = [emb]
+        for k in range(1, mult):
+            rng = np.random.default_rng(k)
+            noisy = vecs + rng.normal(0.0, 0.02, vecs.shape).astype(np.float32)
+            parts_list.append(
+                pa.table(
+                    {
+                        "vec_id": ids + k * ID_STEP,
+                        "embedding": [list(map(float, v)) for v in noisy],
+                        "label": labels,
+                    }
+                ).cast(emb.schema)
+            )
+        pq.write_table(
+            pa.concat_tables(parts_list), out_dir / "embeddings.parquet"
+        )
 
 
 def _shuffle_write_bytes(port: int) -> int:
