@@ -2,8 +2,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line with per-query wall-clock seconds.
 
-Each query is executed via a count()-style action that forces the full
-plan without collecting rows to the driver.
+Each query is executed via consume() (graphkb_spark/core/actions.py):
+ONE aggregate that hashes EVERY output column of every row and returns
+the row count. A bare count() is NOT a full-plan action — Catalyst
+prunes final projections and eliminates trailing unique-key left joins
+under it, so count()-measured walls are harness floors for fill-in
+shaped queries (caught live in round 14: benchmark_leak_report's
+corpus probe never ran under count()). consume() makes every column
+load-bearing without collecting rows to the driver.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
+from graphkb_spark.core.actions import consume
 from graphkb_spark.session import get_spark
 
 HEADLINE = [
@@ -117,7 +124,7 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch JIT
-    queries["pricing_summary"](spark, sf_dir).count()
+    consume(queries["pricing_summary"](spark, sf_dir))
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -127,7 +134,7 @@ def main() -> None:
         # costs seconds regardless of data size and would otherwise land
         # inside a timed trial
         spark.catalog.clearCache()
-        fn(spark, sf_dir).count()
+        consume(fn(spark, sf_dir))
         # best-of-3: single-JVM local runs are GC/JIT noisy; the min is
         # the stable measure of the plan itself
         for _ in range(3):
@@ -146,7 +153,7 @@ def main() -> None:
                 pass
             t0 = time.time()
             df = fn(spark, sf_dir)
-            df.count()
+            consume(df)
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
         # Free accumulated state between queries (untimed): drop the

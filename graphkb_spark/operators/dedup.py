@@ -940,10 +940,19 @@ def benchmark_leak_report(
     )
     if broadcast == "auto":
         broadcast = bench_g.count() <= broadcast_max_digests
+    corp = corpus.select(
+        F.col(id_col).alias("__cid"), words(text_col).alias("__w")
+    )
+    if num_partitions != 0:
+        # local parallelism aid only — the downstream aggs key by
+        # BENCHMARK id, so this doc-keyed exchange serves nothing but
+        # task balance for the explode. num_partitions=0 skips it (the
+        # cluster-scale setting: scan splits parallelize, and the
+        # corpus text then never crosses the wire at all — the only
+        # shuffle left is the map-side-collapsed per-item distincts).
+        corp = corp.repartition(n_part, "__cid")
     grams = (
-        corpus.select(F.col(id_col).alias("__cid"), words(text_col).alias("__w"))
-        .repartition(n_part, "__cid")
-        .filter(F.size("__w") >= k)
+        corp.filter(F.size("__w") >= k)
         .select("__cid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
         .select("__cid", _gram_digest(F.col("__g")).alias("__d"))
     )
@@ -1045,7 +1054,15 @@ def benchmark_leak_spans(
         broadcast = bench_g.count() <= broadcast_max_digests
     grams = (
         corpus.select(F.col(id_col).alias("__cid"), words(text_col).alias("__w"))
-        .repartition(n_part, "__cid")
+        # the island window keys by (item, doc), so this doc-keyed
+        # exchange is a local parallelism aid only; num_partitions=0
+        # skips it (cluster-scale: the corpus text never shuffles, the
+        # window exchange carries matched positions only)
+        .transform(
+            lambda d: d if num_partitions == 0 else d.repartition(
+                n_part, "__cid"
+            )
+        )
         .filter(F.size("__w") >= k)
         .select(
             "__cid",
@@ -1165,32 +1182,61 @@ def _contamination_probe(
     """The corpus-side probe of ``exact_substring_contamination``
     against a prepared digest set — factored out so the streaming
     filter reuses it per micro-batch with the broadcast decision made
-    ONCE up front."""
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    ONCE up front.
+
+    Round-14 rewrite (single aggregation, no fill-in join): the r13
+    shape computed hits on the gram stream and LEFT-JOINED them back
+    onto the doc list, which cost a second pass over the corpus — the
+    two consumers of the repartitioned base did not share the
+    exchange, so the tokenized corpus shuffled TWICE (measured by the
+    honest consume() probe: 107 MB vs 53 MB of corpus at x30). Now
+    every doc rides the gram stream exactly once: sub-k docs
+    contribute one null row via ``explode_outer`` (a null digest never
+    matches the probe), per-doc n_grams travels arithmetically beside
+    the grams, and ONE doc-keyed aggregation produces the full
+    contract — count of matched positions AND the fill-in zeros —
+    with zero joins after the broadcast probe. The groupBy reuses the
+    repartition's partitioning, so the corpus text crosses the wire
+    at most once.
+
+    ``num_partitions=0`` skips the corpus repartition entirely — the
+    cluster-scale setting, where scan splits already provide
+    parallelism and the only exchange left is the per-doc partial-agg
+    rows (bytes ~ docs, not corpus text). The default (None -> local
+    core count) keeps single-file local runs parallel."""
     base = corpus.select(
         F.col(id_col).alias("__id"), words(text_col).alias("__w")
-    ).repartition(n_part, "__id")
-    grams = base.filter(F.size("__w") >= k).select(
-        "__id", F.explode(word_shingles(F.col("__w"), k)).alias("__g")
-    ).select("__id", _gram_digest(F.col("__g")).alias("__d"))
-    hits = (
-        grams.join(F.broadcast(bench_d) if broadcast else bench_d, "__d")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    if num_partitions != 0:
+        n_part = (
+            num_partitions
+            or corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        base = base.repartition(n_part, "__id")
+    rows = base.select(
+        "__id",
+        F.greatest(F.size("__w") - F.lit(k - 1), F.lit(0))
+        .cast("bigint")
+        .alias("__n"),
+        F.explode_outer(
+            F.when(F.size("__w") >= k, word_shingles(F.col("__w"), k))
+        ).alias("__g"),
+    ).select("__id", "__n", _gram_digest(F.col("__g")).alias("__d"))
+    marked = bench_d.withColumn("__m", F.lit(1))
+    probed = rows.join(
+        F.broadcast(marked) if broadcast else marked, "__d", "left"
     )
     return (
-        base.select(
-            "__id",
-            F.greatest(F.size("__w") - F.lit(k - 1), F.lit(0))
-            .cast("bigint")
-            .alias("n_grams"),
+        probed.groupBy("__id")
+        .agg(
+            F.first("__n").alias("n_grams"),
+            F.sum(F.coalesce("__m", F.lit(0))).cast("bigint").alias("__h"),
         )
-        .join(hits, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             "n_grams",
-            F.coalesce(F.col("__h"), F.lit(0)).cast("bigint").alias("k_gram_hits"),
-            (F.coalesce(F.col("__h"), F.lit(0)) >= min_hits).alias("contaminated"),
+            F.col("__h").alias("k_gram_hits"),
+            (F.col("__h") >= min_hits).alias("contaminated"),
         )
     )
 

@@ -141,26 +141,26 @@ BUDGETS = [
     # back as a broadcast join, never a second full-table shuffle
     ("repeated_spans", 2, 0, True),
     ("repeated_span_cut", 2, 0, True),  # span bcast onto docs + same core
-    # bench-digest distinct (staged once, checkpoint-truncated r14) +
-    # per-doc hit agg + doc fill-in; the corpus gram stream probes a
-    # broadcast, never shuffles (flat at x10). no_smj=False since r14:
-    # the doc-keyed fill-in join plans as a ZERO-extra-exchange
-    # sort-merge (both sides share the __id partitioning) — the
-    # correct 100 TB plan, since hits is one row per contaminated doc
-    # (corpus-sized, never broadcastable at scale); r13's static
-    # broadcast of it was an sf-scale stats artifact. The probe-side
-    # broadcast is pinned separately in
-    # test_decontamination_probe_stays_broadcast.
-    ("exactsubstr_decontaminate", 3, 0, False),
+    # r14 single-aggregation rewrite: bench-digest distinct (staged
+    # once, checkpoint-truncated) + explode_outer gram stream probing
+    # the broadcast + ONE doc-keyed agg riding the repartition — the
+    # r13 fill-in join (and its second corpus pass) is gone, so the
+    # pin tightened 3 -> 1 exchange and zero joins besides the probe.
+    # The corpus text crosses the wire at most once (zero times with
+    # num_partitions=0, the cluster setting).
+    ("exactsubstr_decontaminate", 1, 0, True),
     # r13 decontamination surgery: bench-digest distinct + leaked-
-    # position island window + span join-back, doc-id exchanges
-    # shared; same r14 no_smj story as exactsubstr_decontaminate
-    # (the span join-back rides the shared doc-id partitioning)
+    # position island window + span join-back. The one sort-merge is
+    # the join-back of the (leak-volume-sized) span list onto the
+    # CHECKPOINTED base — checkpoint preserves the doc-id
+    # partitioning, so only the span side shuffles; broadcasting the
+    # base side is corpus-sized and forbidden at scale
     ("decontaminate_cut", 2, 0, False),
     # r13 eval-side leak report: per-item digest distinct (staged
-    # once) + probe + two countDistinct aggs (Expand pipeline) +
-    # size-gated broadcast fill-ins
-    ("benchmark_leak_report", 7, 0, True),
+    # once, checkpoint-truncated r14 -> budget tightened 7 -> 5) +
+    # probe + two countDistinct aggs (Expand pipeline) + size-gated
+    # broadcast fill-ins
+    ("benchmark_leak_report", 5, 0, True),
     # r14 per-span leak attribution: staged digest probe + one
     # (item, doc)-keyed island window + span agg — the window
     # exchange is leak-volume-sized, not corpus-sized
@@ -204,16 +204,20 @@ def test_quantized_topk_vectors_never_shuffle(spark):
 
 def test_decontamination_probe_stays_broadcast(spark):
     """The decontamination family's load-bearing invariant after the
-    r14 staged-once digest change: the corpus gram stream must still
-    probe a BROADCAST of the benchmark digests (bexchange >= 1), and
-    the only sort-merge allowed is the single doc-keyed fill-in /
-    join-back that rides the shared __id partitioning (zero extra
-    exchanges — asserted by the exchange budget above). A second SMJ
-    or a vanished broadcast means the probe join itself degraded."""
-    for name in ("exactsubstr_decontaminate", "decontaminate_cut"):
-        a = _audit(spark, name)
-        assert a["bexchange"] >= 1, f"{name}: probe broadcast lost ({a})"
-        assert a["smj"] <= 1, f"{name}: extra sort-merge join ({a})"
+    r14 staged-once digest + single-aggregation changes: the corpus
+    gram stream must still probe a BROADCAST of the benchmark digests
+    (bexchange >= 1); the flag path has NO join besides that probe
+    (smj == 0 — the fill-in join was removed in r14), and the cut
+    path's only sort-merge is the span join-back onto the
+    checkpoint-partitioned base (smj <= 1, span side shuffles only).
+    A second SMJ or a vanished broadcast means the probe join itself
+    degraded."""
+    flag = _audit(spark, "exactsubstr_decontaminate")
+    assert flag["bexchange"] >= 1, f"probe broadcast lost ({flag})"
+    assert flag["smj"] == 0, f"flag path grew a join ({flag})"
+    cut = _audit(spark, "decontaminate_cut")
+    assert cut["bexchange"] >= 1, f"probe broadcast lost ({cut})"
+    assert cut["smj"] <= 1, f"extra sort-merge join ({cut})"
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):

@@ -378,6 +378,7 @@ def run_probe() -> None:
     port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
 
     import __spark_entry__ as entrymod
+    from graphkb_spark.core.actions import consume
 
     qs = entrymod.queries()
     # PROBE_MULTS / PROBE_QUERIES narrow a run, e.g. a focused x30
@@ -411,9 +412,9 @@ def run_probe() -> None:
     # load-bearing without warm-rerun footnotes)
     warm_q = queries[0]
     if warm_q in SCALED_VARIANTS:
-        SCALED_VARIANTS[warm_q](spark, scales[0][1], scales[0][2]).count()
+        consume(SCALED_VARIANTS[warm_q](spark, scales[0][1], scales[0][2]))
     else:
-        qs[warm_q](spark, scales[0][1]).count()
+        consume(qs[warm_q](spark, scales[0][1]))
     results: dict[str, dict[str, dict[str, float]]] = {}
     for label, sf_dir, mult in scales:
         results[label] = {}
@@ -431,9 +432,9 @@ def run_probe() -> None:
                 sw0 = _shuffle_write_bytes(port)
                 t0 = time.perf_counter()
                 if q in SCALED_VARIANTS:
-                    rows = SCALED_VARIANTS[q](spark, sf_dir, mult).count()
+                    rows = consume(SCALED_VARIANTS[q](spark, sf_dir, mult))
                 else:
-                    rows = qs[q](spark, sf_dir).count()
+                    rows = consume(qs[q](spark, sf_dir))
                 wall = time.perf_counter() - t0
                 # clamp at 0: the UI-REST counter sums COMPLETE stages,
                 # and stages can retire from the store between the two
