@@ -908,7 +908,10 @@ def benchmark_leak_report(
     size-checked ``broadcast="auto"`` contract; it is materialized
     ONCE (it feeds the probe join, the per-item totals, and the auto
     size check — three consumers, one tokenize+distinct job), and the
-    corpus gram stream probes it and never shuffles. The eval-bounded
+    corpus gram stream probes it and never shuffles by key
+    (``num_partitions=0`` additionally skips the local-parallelism
+    corpus repartition, so at cluster scale the corpus text never
+    crosses the wire at all). The eval-bounded
     fill-in joins broadcast only when the size check licensed
     broadcasting the digests — an oversized benchmark falls back to
     AQE planning everywhere, not just on the probe (ADVICE r13).
@@ -1033,8 +1036,10 @@ def benchmark_leak_spans(
     — finer than the doc-keyed exchange of ``cut_contaminated_spans``
     but still output-bounded: only positions that actually matched an
     eval gram reach the window, so the exchange is sized by the leak
-    volume, not the corpus. Same 60-bit ANSI md5-prefix digest as the
-    rest of the family (oracle-replicable)."""
+    volume, not the corpus (``num_partitions=0`` skips the
+    local-parallelism corpus repartition too — cluster mode). Same
+    60-bit ANSI md5-prefix digest as the rest of the family
+    (oracle-replicable)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if broadcast not in (True, False, "auto"):
