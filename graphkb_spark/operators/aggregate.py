@@ -294,6 +294,7 @@ def grouped_normal_equations(
     x1_col: str,
     x2_col: str,
     y_col: str,
+    sums: str = "decimal",
 ) -> DataFrame:
     """Per-group TWO-feature OLS (y = b0 + b1*x1 + b2*x2) by the
     normal equations, solved closed-form with Cramer's rule — the
@@ -310,10 +311,35 @@ def grouped_normal_equations(
     correctly-rounded IEEE ops, so an external engine computing the
     same formulas gets bit-identical coefficients. Singular groups
     (collinear or constant features, det == 0) yield NULL coefficients
-    via try_divide rather than ANSI DIVIDE_BY_ZERO."""
+    via try_divide rather than ANSI DIVIDE_BY_ZERO.
+
+    ``sums`` picks the exact-summation engine (round 14 — measured
+    when the honest consume() harness first actually executed these
+    sums; a bare count() had been pruning all nine):
+
+    - ``"decimal"`` (default): DECIMAL(38,10) accumulators — exact and
+      overflow-safe at ANY group size (the 100 TB default), but
+      Spark's >18-digit decimal sum runs on boxed arithmetic, ~3.4x
+      slower per row than long math (measured 3.1 vs 0.92 s over 6M
+      rows x 9 sums on local[32]).
+    - ``"int64"``: each <=4-decimal-exact product is scaled by 10^4
+      and summed as BIGINT — bit-identical results (verified
+      value-equal against the decimal path) at full codegen speed.
+      Carries an explicit overflow contract: |sum of scaled products|
+      must stay under 2^63 (~1.8e8 rows/group at TPC-H price scale);
+      past it ANSI mode fails LOUDLY rather than corrupting. The
+      single-node/bounded-group fast path, not the cluster default."""
+    if sums not in ("decimal", "int64"):
+        raise ValueError(f"sums={sums!r}: expected 'decimal' or 'int64'")
     x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
 
     def dsum(c, alias):
+        if sums == "int64":
+            return (
+                F.sum(F.round(c * F.lit(10000)).cast("bigint"))
+                .cast("double")
+                / F.lit(1.0e4)
+            ).alias(alias)
         return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
 
     stats = df.groupBy(*group_cols).agg(

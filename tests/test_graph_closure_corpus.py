@@ -126,6 +126,33 @@ def test_grouped_regression_exact_line(spark):
     assert got["b"].slope is None  # zero x-variance
 
 
+def test_normal_equations_int64_sums_match_decimal(spark):
+    """r14: the int64 fast path (scaled-long moment sums) must be
+    bit-identical to the decimal(38,10) default on <=2-decimal inputs
+    — same closed-form coefficients, group by group."""
+    from graphkb_spark.operators.aggregate import grouped_normal_equations
+
+    rows = [
+        ("a", float(x), round(0.01 * x, 2), round(2.5 * x + 0.75, 2))
+        for x in range(1, 40)
+    ] + [("b", 1.0, 1.0, 1.0), ("b", 1.0, 1.0, 2.0)]  # singular group
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    dec = sorted(
+        map(tuple, grouped_normal_equations(df, ["g"], "x1", "x2", "y").collect())
+    )
+    i64 = sorted(
+        map(
+            tuple,
+            grouped_normal_equations(
+                df, ["g"], "x1", "x2", "y", sums="int64"
+            ).collect(),
+        )
+    )
+    assert dec == i64
+    with pytest.raises(ValueError, match="sums"):
+        grouped_normal_equations(df, ["g"], "x1", "x2", "y", sums="float")
+
+
 def test_salted_join_matches_plain_join(spark):
     fact = spark.createDataFrame(
         [(i, i % 3, float(i)) for i in range(100)],
