@@ -1420,6 +1420,23 @@ def q_benchmark_leak_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-benchmark contamination matrix (r14): four synthetic eval
+    sets (every 5th doc, bucketed by doc_id % 4) audited pairwise for
+    verbatim 8-gram overlap — directed containment + Jaccard per
+    ordered set pair, the which-benchmarks-leak-into-each-other view
+    (operators/dedup.py benchmark_overlap_matrix). Duplicated corpus
+    passages land in different buckets, so off-diagonal overlap is
+    real, not an artifact."""
+    from graphkb_spark.operators.dedup import benchmark_overlap_matrix
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 5 == 0).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return benchmark_overlap_matrix(bench, "text", "bench_set", k=8)
+
+
 def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion-side decontamination (r13): documents
     arrive in 4 micro-batches and each batch probes the static eval
@@ -4882,14 +4899,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation is an explicit list (_R14_WINDOW below) applied over the
     # registry literal, so each round edits a 50-name list instead of
     # reordering the dict. Round-14 composition: new/changed queries
-    # lead (the new benchmark_leak_spans attribution operator, plus
-    # the three batch decontamination entry points whose digest side
-    # is now staged once and whose fill-in hints are size-gated — 4
-    # names), then the entire 12-name round-8 stale block
-    # (referential_check .. zorder_stats) and the first 34 of the
-    # 38-name round-9 block, alphabetical — staleness computed from
-    # the union of CORRECTNESS_r0*.json driver windows; nothing in
-    # the registry is older than round 9 after this window runs.
+    # lead (the new benchmark_leak_spans attribution and
+    # benchmark_overlap_matrix audit operators, plus the three batch
+    # decontamination entry points whose digest side is now staged
+    # once, probe rewritten as a single aggregation, fill-in hints
+    # size-gated — 5 names), then the entire 12-name round-8 stale
+    # block (referential_check .. zorder_stats) and the first 33 of
+    # the 38-name round-9 block, alphabetical — staleness computed
+    # from the union of CORRECTNESS_r0*.json driver windows; nothing
+    # in the registry is older than round 9 after this window runs.
     all_q = {
         "categorical_dependence": q_categorical_dependence,
         "ks_drift": q_ks_drift,
@@ -5060,6 +5078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": q_stream_decontaminate,
         "benchmark_leak_report": q_benchmark_leak_report,
         "benchmark_leak_spans": q_benchmark_leak_spans,
+        "benchmark_overlap_matrix": q_benchmark_overlap_matrix,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -5138,19 +5157,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # queries(). Round-14 composition: (a) every query whose code or plan
 # changed this round — the NEW benchmark_leak_spans per-span leak
 # attribution operator, then the three batch decontamination entry
-# points (digest side now staged once before the auto-broadcast count;
-# leak report's fill-in hints gated on the resolved size check; their
-# doc-keyed fill-in joins re-pinned as zero-extra-exchange sort-merge)
-# — 4 names; (b) the least-recently-driver-checked tail — the ENTIRE
-# 12-name round-8 stale block (referential_check .. zorder_stats),
-# then the first 34 of the 38-name round-9 block, alphabetical.
-# Staleness computed from the union of CORRECTNESS_r0*.json driver
-# windows; the residue for round 15 is the last 4 round-9 names
-# (stream_upsert, topn_other, triangle_count, zipf_fit) — all green
+# points (digest side staged once before the auto-broadcast count;
+# the flag probe rewritten as a single aggregation; leak report's
+# fill-in hints gated on the resolved size check) plus the NEW
+# benchmark_overlap_matrix cross-benchmark audit — 5 names; (b) the
+# least-recently-driver-checked tail — the ENTIRE 12-name round-8
+# stale block (referential_check .. zorder_stats), then the first 33
+# of the 38-name round-9 block, alphabetical. Staleness computed from
+# the union of CORRECTNESS_r0*.json driver windows; the residue for
+# round 15 is the last 5 round-9 names (stream_minhash_dedup,
+# stream_upsert, topn_other, triangle_count, zipf_fit) — all green
 # in the full local sweep this round.
 _R14_WINDOW = [
     # (a) new/changed in round 14
     "benchmark_leak_spans",
+    "benchmark_overlap_matrix",
     "benchmark_leak_report",
     "exactsubstr_decontaminate",
     "decontaminate_cut",
@@ -5167,7 +5188,7 @@ _R14_WINDOW = [
     "tfidf_cosine_pairs",
     "tokenizer_fertility",
     "zorder_stats",
-    # (b) stalest: first 34 of the round-9 block, alphabetical
+    # (b) stalest: first 33 of the round-9 block, alphabetical
     "ann_recall_eval",
     "benford",
     "bpe_encode",
@@ -5201,7 +5222,6 @@ _R14_WINDOW = [
     "pivot_events",
     "rolling_average",
     "sorted_neighborhood",
-    "stream_minhash_dedup",
 ]
 assert len(_R14_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R14_WINDOW)}"

@@ -1091,6 +1091,90 @@ def benchmark_leak_spans(
     )
 
 
+def benchmark_overlap_matrix(
+    benchmarks: DataFrame,
+    text_col: str,
+    set_col: str,
+    k: int = 13,
+) -> DataFrame:
+    """Cross-benchmark contamination MATRIX — the audit HELM/Dolma-
+    style eval reports publish before trusting a suite: for every
+    ordered pair of benchmark SETS, how much of set A's verbatim
+    k-gram surface already appears in set B. Two benchmarks that
+    share questions (TriviaQA/NQ-style) double-count capability and
+    leak through each other's decontamination filters; this matrix is
+    the one-job way to find that before training. Returns one row per
+    ordered pair (set_a != set_b): (set_a, set_b, grams_a, grams_b,
+    shared_grams, containment, jaccard) — distinct-gram set sizes,
+    the distinct shared grams, directed containment
+    shared/grams_a (how much of A is inside B, 6 decimals), and the
+    symmetric Jaccard. Sets whose docs are all shorter than k tokens
+    report 0 grams and 0.0 overlap (never NULL).
+
+    Scale shape: the per-set distinct digest table (set, digest) is
+    built ONCE (materialized — it feeds the sizes aggregate and both
+    sides of the pair join); the pair join is a digest-keyed
+    equi-self-join, so both sides share one exchange and a hot
+    boilerplate gram fans out at most sets^2 rows; the final matrix
+    assembly is a bounded cross join of the set list (sets are few by
+    definition) with every lookup broadcast. Same 60-bit ANSI
+    md5-prefix digest as the rest of the decontamination family
+    (oracle-replicable)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sets = benchmarks.select(F.col(set_col).alias("__sa")).distinct()
+    g = (
+        benchmarks.select(
+            F.col(set_col).alias("__s"), words(text_col).alias("__w")
+        )
+        .filter(F.size("__w") >= k)
+        .select("__s", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select("__s", _gram_digest(F.col("__g")).alias("__d"))
+        .distinct()
+        .transform(materialize)
+    )
+    sizes = g.groupBy("__s").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    shared = (
+        g.select(F.col("__s").alias("__sa"), "__d")
+        .join(g.select(F.col("__s").alias("__sb"), "__d"), "__d")
+        .filter(F.col("__sa") != F.col("__sb"))
+        .groupBy("__sa", "__sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__shared"))
+    )
+    pairs = sets.crossJoin(
+        sets.select(F.col("__sa").alias("__sb"))
+    ).filter(F.col("__sa") != F.col("__sb"))
+    ga = F.coalesce("__na", F.lit(0))
+    gb = F.coalesce("__nb", F.lit(0))
+    sh = F.coalesce("__shared", F.lit(0))
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("__s").alias("__sa"),
+                                     F.col("__n").alias("__na"))),
+            "__sa", "left",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__s").alias("__sb"),
+                                     F.col("__n").alias("__nb"))),
+            "__sb", "left",
+        )
+        .join(F.broadcast(shared), ["__sa", "__sb"], "left")
+        .select(
+            F.col("__sa").alias("set_a"),
+            F.col("__sb").alias("set_b"),
+            ga.cast("bigint").alias("grams_a"),
+            gb.cast("bigint").alias("grams_b"),
+            sh.cast("bigint").alias("shared_grams"),
+            F.when(ga > 0, F.round(sh / ga, 6))
+            .otherwise(F.lit(0.0))
+            .alias("containment"),
+            F.when(ga + gb - sh > 0, F.round(sh / (ga + gb - sh), 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+
+
 def exact_substring_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

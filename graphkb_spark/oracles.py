@@ -2975,6 +2975,50 @@ def build_oracles() -> dict[str, str]:
             FROM items i LEFT JOIN tot t USING (bid)
                          LEFT JOIN m USING (bid)
         """,
+        # Cross-benchmark overlap matrix (r14): four synthetic eval
+        # sets (every 5th doc, doc_id % 4), pairwise distinct-8-gram
+        # containment + Jaccard via the identical digest pipeline.
+        "benchmark_overlap_matrix": r"""
+            WITH words AS MATERIALIZED (
+              SELECT (doc_id % 4) AS s,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents WHERE doc_id % 5 = 0),
+            g AS MATERIALIZED (
+              SELECT DISTINCT s,
+                     ('0x' || substr(md5(gr), 1, 15))::BIGINT AS d
+              FROM (SELECT s,
+                           unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS gr
+                    FROM words WHERE len(w) >= 8)),
+            sizes AS (SELECT s, count(*) AS n FROM g GROUP BY s),
+            sets AS (SELECT DISTINCT (doc_id % 4) AS s FROM documents
+                     WHERE doc_id % 5 = 0),
+            shared AS (
+              SELECT a.s AS sa, b.s AS sb, count(*) AS sh
+              FROM g a JOIN g b USING (d)
+              WHERE a.s <> b.s GROUP BY a.s, b.s),
+            p AS (SELECT x.s AS sa, y.s AS sb
+                  FROM sets x, sets y WHERE x.s <> y.s)
+            SELECT p.sa AS set_a, p.sb AS set_b,
+                   CAST(coalesce(na.n, 0) AS BIGINT) AS grams_a,
+                   CAST(coalesce(nb.n, 0) AS BIGINT) AS grams_b,
+                   CAST(coalesce(sh.sh, 0) AS BIGINT) AS shared_grams,
+                   CASE WHEN coalesce(na.n, 0) > 0
+                        THEN round(CAST(coalesce(sh.sh, 0) AS DOUBLE)
+                                   / na.n, 6)
+                        ELSE 0.0 END AS containment,
+                   CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+                             - coalesce(sh.sh, 0) > 0
+                        THEN round(CAST(coalesce(sh.sh, 0) AS DOUBLE)
+                                   / (coalesce(na.n, 0) + coalesce(nb.n, 0)
+                                      - coalesce(sh.sh, 0)), 6)
+                        ELSE 0.0 END AS jaccard
+            FROM p LEFT JOIN sizes na ON na.s = p.sa
+                   LEFT JOIN sizes nb ON nb.s = p.sb
+                   LEFT JOIN shared sh ON sh.sa = p.sa AND sh.sb = p.sb
+        """,
         # Per-span leak attribution (r14): leaked 8-gram positions
         # per (bench item, corpus doc), gaps-and-islands merged in the
         # corpus doc's token coordinates — the forensic join of the

@@ -1025,6 +1025,59 @@ def test_benchmark_leak_report_oversized_gates_fillin_hints(spark):
     )
 
 
+def test_benchmark_overlap_matrix_bruteforce(spark):
+    """Cross-benchmark matrix vs a literal Python reference: per
+    ordered set pair, distinct-gram sizes, shared distinct grams,
+    directed containment and Jaccard; a gram-less (all sub-k) set
+    reports zeros everywhere, never NULL."""
+    import re
+
+    from graphkb_spark.operators.dedup import benchmark_overlap_matrix
+
+    rows = [
+        ("qa1", 1, "the shared question about entropy appears here today"),
+        ("qa1", 2, "a question unique to the first benchmark set only"),
+        ("qa2", 3, "the shared question about entropy appears here today"),
+        ("qa2", 4, "completely different second set material entirely here"),
+        ("qa3", 5, "tiny"),
+    ]
+    k = 6
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    grams: dict = {}
+    for s, _, t in rows:
+        w = toks(t)
+        grams.setdefault(s, set()).update(
+            tuple(w[p:p + k]) for p in range(max(len(w) - k + 1, 0))
+        )
+    want = set()
+    for a in grams:
+        for b in grams:
+            if a == b:
+                continue
+            ga, gb = grams[a], grams[b]
+            sh = len(ga & gb)
+            cont = round(sh / len(ga), 6) if ga else 0.0
+            jac = round(sh / len(ga | gb), 6) if ga | gb else 0.0
+            want.add((a, b, len(ga), len(gb), sh, cont, jac))
+    df = spark.createDataFrame(
+        [(s, i, t) for s, i, t in rows], ["bench_set", "doc_id", "text"]
+    )
+    got = {
+        tuple(r)
+        for r in benchmark_overlap_matrix(df, "text", "bench_set", k=k).collect()
+    }
+    assert got == want
+    # qa1/qa2 genuinely overlap via the shared question; qa3 is zeros
+    byab = {(r[0], r[1]): r for r in got}
+    assert byab[("qa1", "qa2")][4] > 0
+    assert byab[("qa3", "qa1")] == ("qa3", "qa1", 0, byab[("qa1", "qa2")][2], 0, 0.0, 0.0)
+    with pytest.raises(ValueError, match="k must be"):
+        benchmark_overlap_matrix(df, "text", "bench_set", k=0)
+
+
 def test_cut_contaminated_spans_bruteforce(spark):
     """Decontamination surgery vs a literal Python reference: leaked
     k-gram positions merge into maximal spans (gap <= k) and exactly

@@ -165,6 +165,10 @@ BUDGETS = [
     # (item, doc)-keyed island window + span agg — the window
     # exchange is leak-volume-sized, not corpus-sized
     ("benchmark_leak_spans", 2, 0, True),
+    # r14 cross-benchmark matrix: staged per-set digests + one
+    # digest-keyed self-join (the SMJ — both sides shuffle the
+    # bounded digest table once) + broadcast matrix assembly
+    ("benchmark_overlap_matrix", 5, 0, False),
     # full PPJoin stack: posting freq agg + rank window + asymmetric
     # prefix join + two verify joins, all broadcast-hash at this SF
     ("ngram_jaccard", 5, 0, True),
