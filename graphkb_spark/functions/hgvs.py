@@ -299,8 +299,28 @@ def parse_variant(notation: str) -> dict[str, Any]:
 
 @F.pandas_udf(VARIANT_SCHEMA)
 def parse_variant_udf(notations: pd.Series) -> pd.DataFrame:
-    rows = [parse_variant(n) for n in notations]
-    return pd.DataFrame(rows, columns=[f.name for f in VARIANT_SCHEMA.fields])
+    # Memoized: variant notations repeat heavily in real loads
+    # (hotspot mutations recur across thousands of statements; the
+    # reference's loaders re-parse the same CIViC/OncoKB names
+    # constantly), so a bounded per-worker dict turns the grammar
+    # walk into a hash hit for all but the first occurrence of each
+    # notation. The cached dict is shared READ-ONLY into the Arrow
+    # batch; parse_variant itself stays uncached for callers that
+    # might mutate its result. A plain size-capped dict (not
+    # lru_cache — cloudpickle can't ship the C wrapper) lives in the
+    # unpickled function's module globals, so it persists across
+    # batches within one Python worker process.
+    cache: dict = globals().setdefault("_PARSE_VARIANT_CACHE", {})
+    cols = [f.name for f in VARIANT_SCHEMA.fields]
+    rows = []
+    for n in notations:
+        r = cache.get(n)
+        if r is None:
+            r = parse_variant(n)
+            if len(cache) < 65536:
+                cache[n] = r
+        rows.append(r)
+    return pd.DataFrame(rows, columns=cols)
 
 
 def compose_genomic_hgvs(
