@@ -112,6 +112,10 @@ QUERIES = [
     # banded LSH + directed verify) — registry query, scaled corpus;
     # proves the escape hatch itself scales, not just the guard math.
     "ngram_containment_routed",
+    # round-14: cross-benchmark matrix — here the SETS scale with the
+    # corpus (each set is a doc_id slice), so the digest self-join's
+    # posting growth is the thing under test.
+    "benchmark_overlap_matrix",
 ]
 
 
