@@ -1420,6 +1420,23 @@ def q_benchmark_leak_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (r14): near-dup components
+    (MinHash-LSH pairs -> CC, the dedup_components contract) hashed to
+    splits BY COMPONENT, so no near-dup cluster ever straddles the
+    test boundary — The Stack / StarCoder recipe (operators/dedup.py
+    leakage_safe_split). Complements split_assign (per-doc hash) and
+    split_leakage (the detector this construction makes return
+    zero)."""
+    from graphkb_spark.operators.dedup import leakage_safe_split
+
+    t = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        t["documents"], "text", "doc_id",
+        num_hashes=32, bands=16, jaccard_threshold=0.6, hasher="md5",
+    )
+
+
 def q_benchmark_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-benchmark contamination matrix (r14): four synthetic eval
     sets (every 5th doc, bucketed by doc_id % 4) audited pairwise for
@@ -4903,11 +4920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # benchmark_overlap_matrix audit operators, plus the three batch
     # decontamination entry points whose digest side is now staged
     # once, probe rewritten as a single aggregation, fill-in hints
-    # size-gated — 5 names), then the entire 12-name round-8 stale
-    # block (referential_check .. zorder_stats) and the first 33 of
-    # the 38-name round-9 block, alphabetical — staleness computed
-    # from the union of CORRECTNESS_r0*.json driver windows; nothing
-    # in the registry is older than round 9 after this window runs.
+    # size-gated — with the new leakage_safe_split, 6 names), then
+    # the entire 12-name round-8 stale block (referential_check ..
+    # zorder_stats) and the first 32 of the 38-name round-9 block,
+    # alphabetical — staleness computed from the union of
+    # CORRECTNESS_r0*.json driver windows; nothing in the registry is
+    # older than round 9 after this window runs.
     all_q = {
         "categorical_dependence": q_categorical_dependence,
         "ks_drift": q_ks_drift,
@@ -5079,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_leak_report": q_benchmark_leak_report,
         "benchmark_leak_spans": q_benchmark_leak_spans,
         "benchmark_overlap_matrix": q_benchmark_overlap_matrix,
+        "leakage_safe_split": q_leakage_safe_split,
         "dedup_components_star": q_dedup_components_star,
         "repetition_score": q_repetition_score,
         "sequence_pack": q_sequence_pack,
@@ -5160,18 +5179,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # points (digest side staged once before the auto-broadcast count;
 # the flag probe rewritten as a single aggregation; leak report's
 # fill-in hints gated on the resolved size check) plus the NEW
-# benchmark_overlap_matrix cross-benchmark audit — 5 names; (b) the
-# least-recently-driver-checked tail — the ENTIRE 12-name round-8
-# stale block (referential_check .. zorder_stats), then the first 33
-# of the 38-name round-9 block, alphabetical. Staleness computed from
-# the union of CORRECTNESS_r0*.json driver windows; the residue for
-# round 15 is the last 5 round-9 names (stream_minhash_dedup,
-# stream_upsert, topn_other, triangle_count, zipf_fit) — all green
-# in the full local sweep this round.
+# benchmark_overlap_matrix / leakage_safe_split operators — 6 names;
+# (b) the least-recently-driver-checked tail — the ENTIRE 12-name
+# round-8 stale block (referential_check .. zorder_stats), then the
+# first 32 of the 38-name round-9 block, alphabetical. Staleness
+# computed from the union of CORRECTNESS_r0*.json driver windows; the
+# residue for round 15 is the last 6 round-9 names
+# (sorted_neighborhood, stream_minhash_dedup, stream_upsert,
+# topn_other, triangle_count, zipf_fit) — all green in the full local
+# sweep this round.
 _R14_WINDOW = [
     # (a) new/changed in round 14
     "benchmark_leak_spans",
     "benchmark_overlap_matrix",
+    "leakage_safe_split",
     "benchmark_leak_report",
     "exactsubstr_decontaminate",
     "decontaminate_cut",
@@ -5188,7 +5209,7 @@ _R14_WINDOW = [
     "tfidf_cosine_pairs",
     "tokenizer_fertility",
     "zorder_stats",
-    # (b) stalest: first 33 of the round-9 block, alphabetical
+    # (b) stalest: first 32 of the round-9 block, alphabetical
     "ann_recall_eval",
     "benford",
     "bpe_encode",
@@ -5221,7 +5242,6 @@ _R14_WINDOW = [
     "pcm_energy",
     "pivot_events",
     "rolling_average",
-    "sorted_neighborhood",
 ]
 assert len(_R14_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R14_WINDOW)}"

@@ -1091,6 +1091,61 @@ def benchmark_leak_spans(
     )
 
 
+def leakage_safe_split(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    splits=None,
+    salt: str = "split",
+    num_hashes: int = 32,
+    bands: int = 16,
+    jaccard_threshold: float = 0.6,
+    hasher: str = "md5",
+    algorithm: str = "auto",
+) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test assignment — the split
+    recipe The Stack / StarCoder data prep uses: hash-splitting
+    INDIVIDUAL documents leaks near-duplicates across the test
+    boundary (measured by this package's ``split_leakage`` detector);
+    the leakage-safe construction splits by CLUSTER instead. Pipeline:
+    MinHash-LSH verified pairs -> connected components (the
+    ``dedup_components`` contract: component = min reachable id;
+    singletons map to themselves) -> deterministic md5 split of the
+    COMPONENT id (the ``split_assign`` per-mille thresholds), so every
+    member of a near-dup cluster lands in the same split by
+    construction and membership can never migrate between dataset
+    versions. Returns (id, component, split).
+
+    Scale shape: inherits its three stages' proven shapes — the
+    banded minhash join (probe-linear), the checkpointed CC rounds
+    (auto label-prop/star escalation), and a scan-speed md5 bucket
+    projection; the split step adds ZERO exchanges on top of the
+    component output."""
+    from graphkb_spark.operators.sampling import split_assign
+
+    pairs = minhash_lsh_pairs(
+        corpus,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        hasher=hasher,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        corpus.select(id_col),
+        id_col=id_col,
+        algorithm=algorithm,
+    )
+    assigned = split_assign(comp, "comp", splits=splits, salt=salt)
+    return assigned.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        "split",
+    )
+
+
 def benchmark_overlap_matrix(
     benchmarks: DataFrame,
     text_col: str,

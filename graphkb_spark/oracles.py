@@ -5304,6 +5304,23 @@ def build_oracles() -> dict[str, str]:
     # labeling as min-label propagation by definition — one oracle.
     oracles["dedup_components_star"] = oracles["dedup_components"]
 
+    # leakage-safe split (r14): the dedup_components labeling + the
+    # split_assign md5 per-mille thresholds applied to the COMPONENT
+    # id — every near-dup cluster lands whole in one split.
+    oracles["leakage_safe_split"] = f"""
+        WITH base AS (SELECT * FROM ({oracles["dedup_components"]})),
+        bk AS (
+          SELECT node, comp,
+                 ('0x' || substr(md5('split:' || CAST(comp AS VARCHAR)),
+                                 1, 8))::BIGINT % 1000 AS b
+          FROM base)
+        SELECT node AS doc_id, comp AS component,
+               CASE WHEN b < 980 THEN 'train'
+                    WHEN b < 990 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bk
+    """
+
     # -- statistical evaluation operators (operators/evaluation.py) --
     # Shared determinism contract with zipf_fit / fs_em: every float
     # term entering a sum is round(x, 9) then DECIMAL(38,12)-summed

@@ -1025,6 +1025,71 @@ def test_benchmark_leak_report_oversized_gates_fillin_hints(spark):
     )
 
 
+def test_leakage_safe_split_invariants(spark):
+    """The whole point of the construction, asserted: (1) every
+    member of a near-dup component gets the SAME split (zero clusters
+    straddle a boundary); (2) components match connected_components
+    over the same pair input; (3) the split of a component equals
+    split_assign of its component id (determinism — membership can
+    never migrate between dataset versions); (4) every input doc
+    appears exactly once, singletons included."""
+    from graphkb_spark.operators.dedup import (
+        connected_components,
+        leakage_safe_split,
+        minhash_lsh_pairs,
+    )
+    from graphkb_spark.operators.sampling import split_assign
+
+    # 3 exact-dup families + distinct singletons: LSH finds the dup
+    # pairs at threshold 0.6 regardless of banding luck
+    fam = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "entirely different second family text about spark catalyst "
+        "optimizer internals and shuffles",
+        "third family discusses minhash banding and jaccard estimates "
+        "at some length for the test",
+    ]
+    rows = [(fi * 100 + c, t) for fi, t in enumerate(fam) for c in range(3)]
+    rows += [(9000 + i, f"unique singleton document number {i} with "
+                        f"totally unshared words w{i}a w{i}b w{i}c")
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(docs, "text", "doc_id").collect()
+    assert len(out) == len(rows)
+    assert {r.doc_id for r in out} == {i for i, _ in rows}
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    # (1) zero straddling clusters
+    assert all(len(s) == 1 for s in by_comp.values()), by_comp
+    # (2) components match the standalone CC over the same pairs
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        num_hashes=32, bands=16, jaccard_threshold=0.6, hasher="md5",
+    )
+    cc = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs.select("id_a", "id_b"), docs.select("doc_id"),
+            id_col="doc_id",
+        ).collect()
+    }
+    assert {r.doc_id: r.component for r in out} == cc
+    # the dup families actually clustered (not all singletons)
+    assert sum(1 for c, _ in [(r.component, r) for r in out]) == len(rows)
+    assert len(by_comp) == 3 + 4
+    # (3) split == split_assign(component id)
+    comp_df = spark.createDataFrame(
+        [(c,) for c in by_comp], ["comp"]
+    )
+    expect = {
+        r.comp: r.split
+        for r in split_assign(comp_df, "comp").collect()
+    }
+    for r in out:
+        assert r.split == expect[r.component]
+
+
 def test_benchmark_overlap_matrix_bruteforce(spark):
     """Cross-benchmark matrix vs a literal Python reference: per
     ordered set pair, distinct-gram sizes, shared distinct grams,
