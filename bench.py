@@ -113,6 +113,16 @@ HEADLINE = [
     # stage-count floor: count shuffle + broadcast-back + window) and
     # stays out (FLOORS.md).
     "repeated_span_cut",
+    # round-14 promotion (scout protocol, warm best-of-3 both sides at
+    # sf0.1 under the consume() action): leakage_safe_split BEATS its
+    # DuckDB oracle outright — 2.38 vs 4.27 s — because the oracle's
+    # recursive-CTE transitive closure pays the same collapse
+    # dedup_components' does while Spark's blocked CC converges in a
+    # few checkpointed rounds. The round's other two new queries
+    # (benchmark_leak_spans 1.34 vs 0.39 s, benchmark_overlap_matrix
+    # 0.99 vs 0.09 s) are floor-bound against micro-oracles and stay
+    # out (FLOORS.md).
+    "leakage_safe_split",
 ]
 
 
