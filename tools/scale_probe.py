@@ -116,6 +116,11 @@ QUERIES = [
     # corpus (each set is a doc_id slice), so the digest self-join's
     # posting growth is the thing under test.
     "benchmark_overlap_matrix",
+    # round-14: the leakage-safe split composes two probed stages
+    # (banded minhash pairs + CC) with a scan-speed bucket projection;
+    # probed end-to-end to show the composition adds nothing
+    # super-linear on top of its parts.
+    "leakage_safe_split",
 ]
 
 
