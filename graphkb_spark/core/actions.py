@@ -30,15 +30,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """True iff the type has a MapType anywhere inside it — xxhash64
+    cannot hash maps at any nesting depth, so those columns detour
+    through to_json. Structural check, not a substring test on
+    simpleString(): a struct FIELD merely named 'mapping' must not be
+    routed through to_json (ADVICE r14)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def consume(df: DataFrame) -> int:
     """Fully evaluate ``df`` — every row, every column — and return
     the row count. See module docstring for why ``count()`` is not
-    equivalent."""
+    equivalent.
+
+    Requires pyspark >= 3.5 (``F.bit_xor``). A zero-column frame has
+    nothing to prune, so plain count() IS the full plan there — and
+    ``xxhash64()`` with no args raises, so it is also the only option
+    (ADVICE r14)."""
+    if not df.schema.fields:
+        return df.count()
     cols = [
         F.xxhash64(F.to_json(F.col(f.name)))
-        if "map" in f.dataType.simpleString()
+        if _contains_map(f.dataType)
         else F.col(f.name)
         for f in df.schema.fields
     ]

@@ -325,21 +325,42 @@ def grouped_normal_equations(
     - ``"int64"``: each <=4-decimal-exact product is scaled by 10^4
       and summed as BIGINT — bit-identical results (verified
       value-equal against the decimal path) at full codegen speed.
+      Bit-identity holds over the WHOLE bigint range because the
+      scaled sum is divided as a DECIMAL before the single double
+      conversion (sum::decimal(20,0) / 10000 is exact at scale 6, and
+      one correctly-rounded decimal->double cast is the same
+      conversion the decimal path performs) — NOT as
+      sum::double / 1e4, whose bigint->double step would already
+      round above 2^53 and double-round thereafter (ADVICE r14).
       Carries an explicit overflow contract: |sum of scaled products|
       must stay under 2^63 (~1.8e8 rows/group at TPC-H price scale);
       past it ANSI mode fails LOUDLY rather than corrupting. The
-      single-node/bounded-group fast path, not the cluster default."""
+      single-node/bounded-group fast path, not the cluster default.
+
+    Input rounding contract (both engines, documented not enforced):
+    products are accumulated at FIXED precision — 4 decimals for
+    ``int64`` (the 10^4 scaling), 10 for ``decimal`` — so inputs
+    whose products carry more decimals are silently half-up rounded
+    at that precision, not rejected. The <=2-decimal input contract
+    above is what makes both accumulators exact."""
     if sums not in ("decimal", "int64"):
         raise ValueError(f"sums={sums!r}: expected 'decimal' or 'int64'")
     x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
 
     def dsum(c, alias):
         if sums == "int64":
+            # divide as DECIMAL, cast to double ONCE: decimal(20,0) /
+            # 10000 -> decimal(26,6) is exact (the true value has <=4
+            # decimals), so the only rounding is the same final
+            # decimal->double conversion the "decimal" engine performs
+            # — bit-identity holds to the 2^63 overflow bound, not
+            # just 2^53 (ADVICE r14: bigint->double would round first,
+            # then /1e4 would round again)
             return (
                 F.sum(F.round(c * F.lit(10000)).cast("bigint"))
-                .cast("double")
-                / F.lit(1.0e4)
-            ).alias(alias)
+                .cast("decimal(20,0)")
+                / F.lit(10000)
+            ).cast("double").alias(alias)
         return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
 
     stats = df.groupBy(*group_cols).agg(

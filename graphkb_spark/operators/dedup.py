@@ -938,8 +938,13 @@ def benchmark_leak_report(
         # multi-consumer staging table (probe join AND per-item totals
         # read it), so it is materialized unconditionally — the
         # benchmark tokenize+distinct runs exactly once per call, and
-        # the auto-broadcast count job reads the staged result too
-        .transform(materialize)
+        # the auto-broadcast count job reads the staged result too.
+        # eager=False keeps CONSTRUCTION lazy (ADVICE r14): plan-only
+        # callers with explicit broadcast=True/False trigger no Spark
+        # job; the auto branch's count() below (or the first consumer
+        # action) materializes the checkpoint, after which every
+        # consumer scans the staged result
+        .transform(materialize, eager=False)
     )
     if broadcast == "auto":
         broadcast = bench_g.count() <= broadcast_max_digests
@@ -1054,6 +1059,15 @@ def benchmark_leak_spans(
         .select("__bid", _gram_digest(F.col("__g")).alias("__d"))
         .distinct()
     )
+    # staging asymmetry, on purpose: the digest table has exactly ONE
+    # data consumer here (the probe join — unlike benchmark_leak_report
+    # there is no per-item totals branch), so outside the auto path
+    # staging would only add a checkpoint write. The auto branch stages
+    # it because the count() job would otherwise replay the
+    # tokenize+distinct lineage the probe join then repeats. If a
+    # second consumer of bench_g is ever added, stage it
+    # unconditionally (eager=False) like benchmark_leak_report does
+    # (VERDICT r14 #7).
     if broadcast == "auto":
         bench_g = bench_g.transform(materialize)
         broadcast = bench_g.count() <= broadcast_max_digests
@@ -1186,7 +1200,11 @@ def benchmark_overlap_matrix(
         .select("__s", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
         .select("__s", _gram_digest(F.col("__g")).alias("__d"))
         .distinct()
-        .transform(materialize)
+        # three consumers (sizes + both sides of the pair join);
+        # eager=False so CONSTRUCTION stays lazy (ADVICE r14) — the
+        # first action materializes the checkpoint and the other
+        # consumers scan it
+        .transform(materialize, eager=False)
     )
     sizes = g.groupBy("__s").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     shared = (

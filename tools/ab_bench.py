@@ -37,12 +37,31 @@ def consume(df) -> int:
     count() lets Catalyst prune final projections and eliminate
     trailing unique-key left joins, so it measures a harness floor on
     fill-in shaped queries; hashing every output column makes the
-    whole plan load-bearing."""
+    whole plan load-bearing. Needs pyspark >= 3.5 (bit_xor) — every
+    checkout this tool drives runs the container's single baked-in
+    pyspark, so that is an environment constant, not a per-tree
+    variable."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    def contains_map(dt) -> bool:
+        # structural, not a substring test on simpleString(): a struct
+        # field named 'mapping' must not detour through to_json
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return contains_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(contains_map(f.dataType) for f in dt.fields)
+        return False
+
+    if not df.schema.fields:
+        # zero-column frame: nothing to prune AND xxhash64() with no
+        # args raises — count() is the full plan here
+        return df.count()
     cols = [
         F.xxhash64(F.to_json(F.col(f.name)))
-        if "map" in f.dataType.simpleString()
+        if contains_map(f.dataType)
         else F.col(f.name)
         for f in df.schema.fields
     ]
