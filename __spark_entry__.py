@@ -1491,6 +1491,27 @@ def q_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite-level decontamination surgery (r15): ONE corpus pass cuts
+    every verbatim 8-gram leak of the UNION of four synthetic eval
+    sets (every 5th doc, bucketed by doc_id % 4 — the
+    benchmark_overlap_matrix suite) and attributes each document's
+    leaks per benchmark set — the production FineWeb/Dolma shape
+    (operators/dedup.py cut_multi_benchmark_spans): N eval sets, one
+    corpus scan, spans cut once against the union, "set=hits" pairs
+    per doc. Eval docs self-leak fully; cross-set duplicates show up
+    as multi-set attributions."""
+    from graphkb_spark.operators.dedup import cut_multi_benchmark_spans
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 5 == 0).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return cut_multi_benchmark_spans(
+        t["documents"], bench, "text", "doc_id", "bench_set", k=8
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -2042,6 +2063,26 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "l_discount",
         "l_extendedprice",
+    )
+
+
+def q_multiple_regression_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sums="int64" engine of the same regression (r15, VERDICT
+    r14 #4): <=4-decimal-exact products scaled to BIGINT and summed at
+    full codegen speed, divided back as decimal so the result is
+    bit-identical to the DECIMAL(38,10) path (and to the SAME oracle)
+    up to the loud 2^63 overflow bound. The bounded-group fast path
+    the FLOORS decomposition advertises, now driver-oracle-checked."""
+    from graphkb_spark.operators.aggregate import grouped_normal_equations
+
+    t = _t(spark, sf_dir, "lineitem")
+    return grouped_normal_equations(
+        t["lineitem"],
+        ["l_returnflag"],
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        sums="int64",
     )
 
 
@@ -5049,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "incremental_join_agg": q_incremental_join_agg,
         "multiple_regression": q_multiple_regression,
+        "multiple_regression_fast": q_multiple_regression_fast,
         "stream_dedup": q_stream_dedup,
         "oov_rate": q_oov_rate,
         "temperature_sample": q_temperature_sample,
@@ -5093,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_cut": q_repeated_span_cut,
         "exactsubstr_decontaminate": q_exactsubstr_decontaminate,
         "decontaminate_cut": q_decontaminate_cut,
+        "multi_benchmark_decontaminate": q_multi_benchmark_decontaminate,
         "stream_decontaminate": q_stream_decontaminate,
         "benchmark_leak_report": q_benchmark_leak_report,
         "benchmark_leak_spans": q_benchmark_leak_spans,

@@ -879,6 +879,143 @@ def cut_contaminated_spans(
     return _cut_spans(base, spans, id_col)
 
 
+def cut_multi_benchmark_spans(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str,
+    id_col: str,
+    set_col: str,
+    k: int = 13,
+    num_partitions: int | None = None,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 4_000_000,
+) -> DataFrame:
+    """Suite-level decontamination SURGERY — production-shape
+    multi-benchmark span cutting, the way FineWeb/Dolma actually run
+    it: ONE corpus scan against the UNION of N evaluation sets'
+    k-gram digest tables, cutting every leaked span once, with
+    per-benchmark ATTRIBUTION so the report stage can say which eval
+    set each document leaked (running ``cut_contaminated_spans`` N
+    times would scan and re-shuffle the corpus N times and cut
+    overlapping spans N times). ``benchmarks`` carries a ``set_col``
+    labeling each eval doc's suite membership; spans are merged and
+    cut against the union (a token covered by ANY set's gram is
+    removed exactly once), and attribution is tallied per set.
+
+    Returns one row per corpus doc (the ``cut_contaminated_spans``
+    contract plus two attribution columns): (id, n_tokens,
+    removed_tokens, clean_text, n_leak_sets, leak_attribution) —
+    ``n_leak_sets`` = distinct benchmark sets with at least one
+    verbatim k-gram match in this doc, ``leak_attribution`` =
+    ``"set=hits"`` pairs joined by commas, sorted by the set id's
+    STRING form (deterministic, engine-neutral), where ``hits``
+    counts the corpus token positions whose k-gram appears in that
+    set's digest table (a position leaking into multiple sets counts
+    once PER SET here, once TOTAL in the cut). Unleaked docs pass
+    through uncut with ``n_leak_sets`` 0 and an empty attribution.
+
+    Scale shape: the (set, digest) table is the bounded side and
+    follows the family's size-checked ``broadcast="auto"`` contract
+    (the hint cap applies to the union's ROW count — per-set digest
+    duplicates included, since that is what ships to executors); the
+    corpus-side positional gram stream probes it and never shuffles,
+    and it runs ONCE regardless of how many benchmarks are in the
+    suite — the probe output (matched positions x sets, leak-sized)
+    is staged, so the island window and the attribution aggregations
+    both read the checkpoint instead of replaying the gram scan. The
+    corpus text itself crosses the wire exactly like
+    ``cut_contaminated_spans``: once into the doc-keyed staging
+    repartition and once into the span/attribution join-back — never
+    per benchmark; every other exchange (island window, span
+    collapse, both attribution aggs) carries leak-sized rows.
+    Matched positions are NOT pre-deduped across sets before the
+    island window: duplicate positions merge into the same island for
+    free (min/max/lag are duplicate-insensitive), and a distinct
+    would cost an extra exchange to save leak x sets rows. Same
+    60-bit ANSI md5-prefix digest as the rest of the family
+    (oracle-replicable)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast={broadcast!r}: expected True, False or 'auto'"
+        )
+    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    bench_g = (
+        benchmarks.select(
+            F.col(set_col).cast("string").alias("__s"),
+            words(text_col).alias("__w"),
+        )
+        .filter(F.size("__w") >= k)
+        .select("__s", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select("__s", _gram_digest(F.col("__g")).alias("__d"))
+        .distinct()
+    )
+    # single data consumer (the probe join — attribution reads the
+    # probe's OUTPUT, not the digest table again), so staging outside
+    # the auto path would only add a checkpoint write; the auto branch
+    # stages so the count() job and the probe share one
+    # tokenize+distinct (the benchmark_leak_spans asymmetry, VERDICT
+    # r14 #7)
+    if broadcast == "auto":
+        bench_g = bench_g.transform(materialize)
+        broadcast = bench_g.count() <= broadcast_max_digests
+    base = (
+        corpus.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .repartition(n_part, "__id")
+        .transform(materialize)
+    )
+    grams = base.filter(F.size("__w") >= k).select(
+        "__id", F.posexplode(word_shingles(F.col("__w"), k)).alias("__p", "__g")
+    ).select("__id", "__p", _gram_digest(F.col("__g")).alias("__d"))
+    # staged: TWO consumers (island window + attribution) read the
+    # matched positions, and without the checkpoint each would replay
+    # the corpus gram stream — the dominant scan+digest CPU — through
+    # its own probe join. The staged table is leak-volume-sized
+    # (matched positions x sets), not corpus-sized; eager=False keeps
+    # construction lazy
+    matched = (
+        grams.join(F.broadcast(bench_g) if broadcast else bench_g, "__d")
+        .select("__id", "__p", "__s")
+        .transform(materialize, eager=False)
+    )
+    spans = _positions_to_spans(matched.select("__id", "__p"), id_col, k)
+    attr = (
+        matched.groupBy("__id", "__s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__hits"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leak_sets"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__s", "__hits"))
+                    ),
+                    lambda r: F.concat(
+                        r["__s"], F.lit("="), r["__hits"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("leak_attribution"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+    return (
+        _cut_spans(base, spans, id_col)
+        .join(attr, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "removed_tokens",
+            "clean_text",
+            F.coalesce("n_leak_sets", F.lit(0)).alias("n_leak_sets"),
+            F.coalesce("leak_attribution", F.lit("")).alias(
+                "leak_attribution"
+            ),
+        )
+    )
+
+
 def benchmark_leak_report(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -3117,6 +3117,79 @@ def build_oracles() -> dict[str, str]:
                    coalesce(a.ct, '') AS clean_text
             FROM words w LEFT JOIN agg a USING (doc_id)
         """,
+        # Suite-level decontamination surgery (r15): the
+        # decontaminate_cut pipeline with the digest table widened to
+        # (set, digest) over four eval sets (every 5th doc, doc_id % 4
+        # — the overlap-matrix suite), spans cut against the UNION of
+        # distinct matched positions, plus per-set attribution
+        # ("set=hits" pairs, comma-joined, sorted by the set id's
+        # VARCHAR form to mirror Spark's array_sort on the stringified
+        # set column).
+        "multi_benchmark_decontaminate": r"""
+            WITH words AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            bg AS MATERIALIZED (
+              SELECT DISTINCT CAST(doc_id % 4 AS VARCHAR) AS st,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS d
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS g
+                    FROM words WHERE doc_id % 5 = 0 AND len(w) >= 8)),
+            g AS (
+              SELECT doc_id,
+                     unnest([{'p': i - 1,
+                              'd': ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT}
+                             for i in generate_series(1, len(w) - 7)]) AS u
+              FROM words WHERE len(w) >= 8),
+            e AS (SELECT doc_id, u.p AS p, u.d AS d FROM g),
+            m0 AS (SELECT e.doc_id, e.p, bg.st FROM e JOIN bg USING (d)),
+            dp AS (SELECT DISTINCT doc_id, p FROM m0),
+            m AS (SELECT doc_id, p,
+                         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                    ORDER BY p) > 8
+                              THEN 1 ELSE 0 END AS b
+                  FROM dp),
+            isl AS (SELECT doc_id, p,
+                           sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS i2
+                    FROM m),
+            spans AS (SELECT doc_id, min(p) AS s2, max(p) + 7 AS e2
+                      FROM isl GROUP BY doc_id, i2),
+            tok AS (
+              SELECT doc_id,
+                     unnest([{'i': i - 1, 't': w[i]}
+                             for i in generate_series(1, len(w))]) AS u
+              FROM words),
+            tk AS (SELECT doc_id, u.i AS i, u.t AS t FROM tok),
+            kept AS (
+              SELECT t.doc_id, t.i, t.t
+              FROM tk t LEFT JOIN spans s
+                ON s.doc_id = t.doc_id AND t.i BETWEEN s.s2 AND s.e2
+              WHERE s.doc_id IS NULL),
+            agg AS (SELECT doc_id, count(*) AS kept_n,
+                           string_agg(t, ' ' ORDER BY i) AS ct
+                    FROM kept GROUP BY doc_id),
+            hits AS (SELECT doc_id, st, count(*) AS h
+                     FROM m0 GROUP BY doc_id, st),
+            attr AS (SELECT doc_id,
+                            count(*) AS n_leak_sets,
+                            string_agg(st || '=' || CAST(h AS VARCHAR),
+                                       ',' ORDER BY st) AS leak_attribution
+                     FROM hits GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(len(w.w) AS BIGINT) AS n_tokens,
+                   CAST(len(w.w) - coalesce(a.kept_n, 0) AS BIGINT)
+                     AS removed_tokens,
+                   coalesce(a.ct, '') AS clean_text,
+                   CAST(coalesce(at2.n_leak_sets, 0) AS BIGINT)
+                     AS n_leak_sets,
+                   coalesce(at2.leak_attribution, '') AS leak_attribution
+            FROM words w LEFT JOIN agg a USING (doc_id)
+                         LEFT JOIN attr at2 USING (doc_id)
+        """,
         "dedup_fillscore": """
             WITH ranked AS (
               SELECT lang, source, doc_id, n_chars,
@@ -5510,4 +5583,12 @@ def build_oracles() -> dict[str, str]:
                    CAST(n AS DOUBLE) * sww / (sw * sw) - 1, 0.0)), 6) AS cv
         FROM g
     """
+
+    # r15 (VERDICT r14 #4): the sums="int64" engine of
+    # grouped_normal_equations is value-IDENTICAL to the decimal path
+    # by construction (scaled bigint sums divided back as decimal
+    # before the one double conversion), so the fast path shares the
+    # decimal path's oracle verbatim — a differing hash would mean the
+    # bit-identity contract broke.
+    oracles["multiple_regression_fast"] = oracles["multiple_regression"]
     return oracles

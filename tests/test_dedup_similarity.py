@@ -1220,6 +1220,142 @@ def test_cut_contaminated_spans_broadcast_modes_identical(spark):
     assert all(r[2] > 0 for r in outs[0])  # every doc loses the leak
 
 
+def test_cut_multi_benchmark_spans_bruteforce(spark):
+    """Suite-level surgery vs a literal Python reference: spans are
+    cut against the UNION of the sets' k-grams (a token covered by any
+    set is removed exactly once), and attribution counts matched
+    positions PER SET — a position leaking into two sets appears in
+    both sets' hit counts but is cut once. Clean and sub-k docs pass
+    through with empty attribution."""
+    import re
+
+    from graphkb_spark.operators.dedup import cut_multi_benchmark_spans
+
+    k = 6
+    corpus_rows = [
+        # leaks set "a" only
+        (1, "aa bb the secret eval passage appears here verbatim xx"),
+        # leaks set "b" only
+        (2, "pp qq another hidden test question shows up intact rr"),
+        # leaks BOTH sets (one passage each)
+        (3, "the secret eval passage appears here verbatim mid gap pad "
+            "another hidden test question shows up intact"),
+        (4, "completely different text about catalyst and tungsten"),
+        (5, "tiny doc"),
+    ]
+    bench_rows = [
+        ("a", "x the secret eval passage appears here verbatim y"),
+        ("b", "z another hidden test question shows up intact w"),
+        # duplicate doc inside set a: digests are distinct per set
+        ("a", "the secret eval passage appears here verbatim"),
+    ]
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    set_grams: dict[str, set] = {}
+    for s, t in bench_rows:
+        w = toks(t)
+        set_grams.setdefault(s, set()).update(
+            tuple(w[p:p + k]) for p in range(len(w) - k + 1)
+        )
+    want = {}
+    for i, t in corpus_rows:
+        w = toks(t)
+        covered = set()
+        hits: dict[str, int] = {}
+        for p in range(max(len(w) - k + 1, 0)):
+            g = tuple(w[p:p + k])
+            matched = [s for s, gs in sorted(set_grams.items()) if g in gs]
+            if matched:
+                covered.update(range(p, p + k))
+            for s in matched:
+                hits[s] = hits.get(s, 0) + 1
+        kept = [w[j] for j in range(len(w)) if j not in covered]
+        attribution = ",".join(f"{s}={n}" for s, n in sorted(hits.items()))
+        want[i] = (len(w), len(w) - len(kept), " ".join(kept),
+                   len(hits), attribution)
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["bench_set", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text,
+                   r.n_leak_sets, r.leak_attribution)
+        for r in cut_multi_benchmark_spans(
+            corpus, bench, "text", "doc_id", "bench_set", k=k
+        ).collect()
+    }
+    assert got == want
+    assert got[3][3] == 2 and "a=" in got[3][4] and "b=" in got[3][4]
+    assert got[4] == (got[4][0], 0, got[4][2], 0, "")
+    assert got[5][3] == 0 and got[5][4] == ""
+
+
+def test_cut_multi_benchmark_spans_matches_single_set_union_cut(spark):
+    """The cut half must equal cut_contaminated_spans run against the
+    union of the sets (same spans, same clean text) — the suite pass
+    changes attribution, never surgery."""
+    from graphkb_spark.operators.dedup import (
+        cut_contaminated_spans,
+        cut_multi_benchmark_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} the secret eval passage appears here verbatim t{i} "
+             f"another hidden test question shows up intact u{i}")
+         for i in range(5)] + [(9, "clean text only here")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret eval passage appears here verbatim"),
+         (1, "another hidden test question shows up intact")],
+        ["bench_set", "text"],
+    )
+    multi = cut_multi_benchmark_spans(
+        corpus, bench, "text", "doc_id", "bench_set", k=6
+    ).select("doc_id", "n_tokens", "removed_tokens", "clean_text")
+    single = cut_contaminated_spans(
+        corpus, bench, "text", "doc_id", k=6
+    )
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_cut_multi_benchmark_spans_broadcast_modes_identical(spark):
+    from graphkb_spark.operators.dedup import cut_multi_benchmark_spans
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("s0", "the secret eval passage appears here verbatim"),
+         ("s1", "passage appears here verbatim and trailing words too")],
+        ["bench_set", "text"],
+    )
+    outs = [
+        sorted(map(tuple, cut_multi_benchmark_spans(
+            corpus, bench, "text", "doc_id", "bench_set", k=6,
+            broadcast=b, **extra).collect()))
+        for b, extra in [
+            (True, {}), (False, {}), ("auto", {}),
+            ("auto", {"broadcast_max_digests": 0}),
+        ]
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+    assert all(r[1] > 0 for r in outs[0])  # every doc loses the leak
+    with pytest.raises(ValueError, match="broadcast"):
+        cut_multi_benchmark_spans(
+            corpus, bench, "text", "doc_id", "bench_set", k=6,
+            broadcast="always",
+        )
+    with pytest.raises(ValueError, match="k"):
+        cut_multi_benchmark_spans(
+            corpus, bench, "text", "doc_id", "bench_set", k=0
+        )
+
+
 def test_exact_substring_contamination_auto_broadcast_size_check(spark):
     """VERDICT r12 #5: the default is a SIZE-CHECKED broadcast, not a
     forced hint — an oversized digest side (e.g. a swapped

@@ -38,6 +38,7 @@ BUDGETS = [
     # single-shuffle aggregation shapes
     ("dedup_exact", 1, 0, True),
     ("multiple_regression", 1, 0, True),
+    ("multiple_regression_fast", 1, 0, True),  # same shape, int64 sums
     ("pricing_summary", 1, 0, True),
     ("sequence_pack", 1, 0, True),
     ("vocab_build", 2, 0, True),
@@ -156,6 +157,14 @@ BUDGETS = [
     # partitioning, so only the span side shuffles; broadcasting the
     # base side is corpus-sized and forbidden at scale
     ("decontaminate_cut", 2, 0, False),
+    # r15 suite-level surgery: the probe join + its broadcast live
+    # INSIDE the staged matched-positions checkpoint (invisible to
+    # this tree walk — its broadcast behavior is pinned by the
+    # broadcast-modes equivalence test in test_dedup_similarity.py);
+    # the visible plan is the corpus staging scan re-exchanged into
+    # the two doc-keyed join-backs (spans + attribution, the 2 SMJs)
+    # plus the leak-sized island window and attribution agg exchanges
+    ("multi_benchmark_decontaminate", 4, 0, False),
     # r13 eval-side leak report: per-item digest distinct (staged
     # once, checkpoint-truncated r14 -> budget tightened 7 -> 5) +
     # probe + two countDistinct aggs (Expand pipeline) + size-gated
