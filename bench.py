@@ -123,6 +123,24 @@ HEADLINE = [
     # 0.99 vs 0.09 s) are floor-bound against micro-oracles and stay
     # out (FLOORS.md).
     "leakage_safe_split",
+    # round-15 promotions (VERDICT r14 #1: the headline composition
+    # predated the honest consume() action, so every consume-audit
+    # reveal was scouted at sf0.1, warm best-of-3 both sides — full
+    # table in FLOORS.md). Three promote: lsh_band_tuning BEATS its
+    # DuckDB oracle >=15x (7.79 s vs the 120 s cap — the oracle pays
+    # the exploded banded self-join Spark's prefix-blocked pipeline
+    # avoids); weighted_percentiles BEATS its oracle (2.13 vs 5.48 s
+    # — DuckDB expands weights via generate_series, Spark's native
+    # freq-weighted percentile never materializes them);
+    # civic_sync_reconcile at near-parity (4.95 vs 4.51 s — the
+    # 3-pass contentMatching reconciliation, kept honest in the
+    # headline per the er_entities precedent). The scout also caught
+    # two real plan bugs OUTSIDE the headline (dup_ngram_frac 21.6 ->
+    # 1.77 s, ngram_counts 6.0 -> 0.86 s — fixed, FLOORS) whose fixed
+    # walls are floor-bound vs micro-oracles and stay out.
+    "lsh_band_tuning",
+    "weighted_percentiles",
+    "civic_sync_reconcile",
 ]
 
 

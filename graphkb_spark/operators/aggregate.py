@@ -1523,6 +1523,7 @@ def rolling_zscore(
     value_col: str,
     window_rows: int = 20,
     threshold: float = 3.0,
+    sums: str = "decimal",
 ) -> DataFrame:
     """Trailing-window anomaly score per key: z of each point against
     the mean/std of the previous ``window_rows`` rows (the point
@@ -1531,10 +1532,28 @@ def rolling_zscore(
     roll_std, zscore, is_anomaly); the first rows of a key (fewer
     than 2 predecessors) carry NULL z and are never flagged.
 
-    Engine-determinism: windowed sums and sums-of-squares are
-    DECIMAL(38,10) (exact under any partitioning); z is then fixed
-    double algebra rounded to 6. One keyed shuffle; both window
-    frames share it."""
+    Engine-determinism: windowed sums and sums-of-squares are exact,
+    so z is fixed double algebra rounded to 6 and an external engine
+    replicates it bit-for-bit. ``sums`` picks the exact engine (the
+    ``grouped_normal_equations`` contract, r15):
+
+    - ``"decimal"`` (default): DECIMAL(38,10) accumulators — exact
+      for any input decimals, but Spark's sliding frame re-sums the
+      whole window per row on boxed decimal arithmetic (~1.4x the
+      int64 wall at sf0.1).
+    - ``"int64"``: values scaled by 10^4 and summed as BIGINT, the
+      scaled sum divided back as decimal before the one double cast —
+      bit-identical to the decimal path for inputs whose values (and
+      squares) are exact at 4 decimals, at codegen speed. Unlike the
+      unbounded grouped sums, a ROWS-bounded frame makes overflow
+      structurally impossible for any corpus size (|sum| <=
+      window_rows x 10^4 x max|v^2|, loud ANSI failure far beyond
+      any telemetry range); >4-decimal inputs are rounded, not
+      rejected — keep the default for those.
+
+    One keyed shuffle; both window frames share it."""
+    if sums not in ("decimal", "int64"):
+        raise ValueError(f"sums={sums!r}: expected 'decimal' or 'int64'")
     w = (
         Window.partitionBy(part_col)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -1542,8 +1561,18 @@ def rolling_zscore(
     )
     v = F.col(value_col).cast("double")
     n = F.count(F.lit(1)).over(w)
-    s = F.sum(v.cast("decimal(38,10)")).over(w).cast("double")
-    ss = F.sum((v * v).cast("decimal(38,10)")).over(w).cast("double")
+    if sums == "int64":
+        s = (
+            F.sum(F.round(v * F.lit(10000)).cast("bigint")).over(w)
+            .cast("decimal(20,0)") / F.lit(10000)
+        ).cast("double")
+        ss = (
+            F.sum(F.round(v * v * F.lit(10000)).cast("bigint")).over(w)
+            .cast("decimal(20,0)") / F.lit(10000)
+        ).cast("double")
+    else:
+        s = F.sum(v.cast("decimal(38,10)")).over(w).cast("double")
+        ss = F.sum((v * v).cast("decimal(38,10)")).over(w).cast("double")
     mean = s / n
     var = (ss - s * s / n) / (n - 1)
     std = F.sqrt(F.greatest(var, F.lit(0.0)))

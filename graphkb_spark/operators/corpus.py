@@ -264,7 +264,15 @@ def ngram_counts(
     """
     if n <= 0:
         raise ValueError("n must be positive")
-    toks = tokens(text_col)
+    # materialize the token array as an ATTRIBUTE before the slice
+    # lambda reads it (r15 — the word_shingles PERF note applies here
+    # too): an inline regexp_extract_all referenced inside a
+    # higher-order-function lambda re-evaluates PER GRAM POSITION,
+    # turning tokenization O(words) into O(words^2) per document
+    # (measured at sf0.1: 6.0 s -> the fix makes the gen actually
+    # narrow-scan-speed as the docstring claims)
+    base = df.select(tokens(text_col).alias("__t"))
+    toks = F.col("__t")
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
     # empty list, so short/null documents must short-circuit to []
     idx = F.when(
@@ -274,7 +282,7 @@ def ngram_counts(
         idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
     )
     counted = (
-        df.select(F.explode(grams).alias("ngram"))
+        base.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_count)

@@ -232,29 +232,57 @@ def duplicate_ngram_fraction(
     its distinct word ``shingle_n``-grams that also occur in at least
     one OTHER document. High values mark boilerplate and template spam.
 
-    Plan: distinct shingles per doc -> global per-shingle doc counts
-    (partial-agg, map-side combined) -> join back on the shingle ->
-    per-doc ratio. Three shuffles, all keyed by (shingle | doc id),
-    linear in corpus size; a shingle shared by millions of docs is a
-    hot key the AQE skew-join splits. Returns
-    (id, n_shingles, n_dup, dup_frac)."""
+    Plan (r15 rewrite — the scout put the old join-back shape at
+    21.6 s vs a 1.0 s oracle at sf0.1): the per-doc shingle arrays are
+    DISTINCT, so a doc's shingle is either globally UNIQUE (exactly
+    one owner — recoverable as min(id) of its single row) or a dup,
+    and ``n_dup = n_shingles - (globally-unique shingles the doc
+    owns)``. That identity removes the stream join-back entirely: the
+    tokenized doc table is staged once (checkpoint), ONE
+    partial-aggregating groupBy on the exploded shingles computes
+    (count, owner) per shingle — a boilerplate shingle in millions of
+    docs collapses to one row per map task, so hot keys cost nothing
+    and no AQE skew-split is ever needed — and everything after it
+    (the unique-per-owner rollup and the fill-in join onto the staged
+    doc table) is doc-sized. The corpus text is tokenized once and
+    never crosses the wire; the only large exchange carries one row
+    per distinct shingle. Returns (id, n_shingles, n_dup, dup_frac);
+    docs shorter than ``shingle_n`` words carry their single
+    whole-text shingle (n_shingles == 1), same as the oracle."""
+    from graphkb_spark.core.materialize import materialize
     from graphkb_spark.operators.dedup import word_shingles, words
 
-    doc_sh = (
+    base = (
         df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
-        .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
-        .select("__id", F.size("__sh").alias("n_shingles"), F.explode("__sh").alias("__s"))
+        .select(
+            "__id",
+            F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"),
+        )
+        .select("__id", F.size("__sh").alias("n_shingles"), "__sh")
+        .transform(materialize, eager=False)
     )
-    counts = doc_sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__docs"))
+    owners = (
+        base.select("__id", F.explode("__sh").alias("__s"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.min("__id").alias("__owner"),
+        )
+    )
+    uniq = (
+        owners.filter(F.col("__docs") == 1)
+        .groupBy(F.col("__owner").alias("__id"))
+        .agg(F.count(F.lit(1)).alias("__uniq"))
+    )
+    n_dup = F.col("n_shingles") - F.coalesce(F.col("__uniq"), F.lit(0))
     return (
-        doc_sh.join(counts, "__s")
-        .groupBy("__id", "n_shingles")
-        .agg(F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias("n_dup"))
+        base.select("__id", "n_shingles")
+        .join(uniq, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             "n_shingles",
-            "n_dup",
-            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
+            n_dup.alias("n_dup"),
+            F.round(n_dup / F.col("n_shingles"), 6).alias("dup_frac"),
         )
     )
 

@@ -157,6 +157,18 @@ BUDGETS = [
     # partitioning, so only the span side shuffles; broadcasting the
     # base side is corpus-sized and forbidden at scale
     ("decontaminate_cut", 2, 0, False),
+    # r15 unique-owner rewrite: ONE partial-agg groupBy on the
+    # exploded shingles (hot boilerplate keys collapse map-side — no
+    # skew path needed) + a doc-sized unique rollup + the doc-sized
+    # fill-in join onto the staged doc table; the old join-back shape
+    # (3 stream shuffles, stream computed twice) measured 21.6 s vs
+    # 1.0 s oracle at sf0.1, this one 1.77 s
+    ("dup_ngram_frac", 2, 0, True),
+    # r15 attribute fix: the token array is materialized before the
+    # slice lambda reads it (inline regex re-evaluated per gram
+    # position = O(words^2)/doc — 6.0 s -> 0.86 s at sf0.1); the one
+    # exchange is the word-count shuffle, the top cut is TakeOrdered
+    ("ngram_counts", 1, 0, True),
     # r15 suite-level surgery: the probe join + its broadcast live
     # INSIDE the staged matched-positions checkpoint (invisible to
     # this tree walk — its broadcast behavior is pinned by the
