@@ -121,6 +121,12 @@ QUERIES = [
     # probed end-to-end to show the composition adds nothing
     # super-linear on top of its parts.
     "leakage_safe_split",
+    # round-15: suite-level surgery — the decontaminate_cut shape plus
+    # per-benchmark attribution, probed in the same fixed-eval-set
+    # regime (copy-0's every-50th docs split into 4 sets); the staged
+    # matched-positions table and both attribution aggs are leak-sized
+    # and must stay FLAT as the corpus grows.
+    "multi_benchmark_decontaminate",
 ]
 
 
@@ -218,6 +224,24 @@ def _ngram_jaccard_heaps(spark, sf_dir: str, mult: int):
     return ngram_jaccard_pairs(tagged, "text", "doc_id", shingle_n=3, threshold=0.6)
 
 
+def _multi_decon_scaled(spark, sf_dir: str, mult: int):
+    """Suite-level surgery with the FIXED eval set split into the
+    registry's 4 benchmark buckets — same regime as the rest of the
+    decontamination family (corpus grows, eval sets don't)."""
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.dedup import cut_multi_benchmark_spans
+    from graphkb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _fixed_bench(docs).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return cut_multi_benchmark_spans(
+        docs, bench, "text", "doc_id", "bench_set", k=8
+    )
+
+
 SCALED_VARIANTS = {
     "semantic_dedup": _semantic_dedup_scaled,
     "kcore": _kcore_scaled,
@@ -228,6 +252,7 @@ SCALED_VARIANTS = {
     "decontaminate_cut": _decon_scaled("cut_contaminated_spans"),
     "benchmark_leak_report": _decon_scaled("benchmark_leak_report"),
     "benchmark_leak_spans": _decon_scaled("benchmark_leak_spans"),
+    "multi_benchmark_decontaminate": _multi_decon_scaled,
 }
 
 
