@@ -1196,7 +1196,15 @@ def prefix_rollup(
     partial-agg shuffle on the prefix. No self-joins, no recursion —
     the closure is materialized by construction because prefixes
     enumerate locally."""
-    parts = F.split(F.col(path_col), sep)
+    # split ONCE into an attribute before the slice lambda reads it
+    # (r15, the word_shingles PERF rule): an inline split referenced
+    # inside the transform lambda re-evaluates the regex per prefix
+    # depth — O(depth^2) splits per row
+    base = df.select(
+        F.split(F.col(path_col), sep).alias("__parts"),
+        F.col(value_col).cast("decimal(38,10)").alias("__v"),
+    )
+    parts = F.col("__parts")
     prefixes = F.transform(
         F.sequence(F.lit(1), F.size(parts)),
         lambda i: F.struct(
@@ -1205,9 +1213,9 @@ def prefix_rollup(
         ),
     )
     return (
-        df.select(
+        base.select(
             F.explode(prefixes).alias("__p"),
-            F.col(value_col).cast("decimal(38,10)").alias("__v"),
+            F.col("__v"),
         )
         .groupBy(F.col("__p.prefix").alias("prefix"), F.col("__p.depth").alias("depth"))
         .agg(
