@@ -1512,6 +1512,49 @@ def q_multi_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_multi_benchmark_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite-level decontamination FLAG (r15): one corpus pass against
+    the union of four synthetic eval sets' 8-gram digests (every 5th
+    doc, doc_id % 4), flagging each training doc and attributing its
+    leaks per benchmark set — the whole-doc companion to the
+    multi_benchmark_decontaminate surgery (operators/dedup.py
+    multi_benchmark_contamination; single-aggregation probe, zero
+    joins after the broadcast)."""
+    from graphkb_spark.operators.dedup import multi_benchmark_contamination
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 5 == 0).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return multi_benchmark_contamination(
+        t["documents"], bench, "text", "doc_id", "bench_set", k=8, min_hits=1
+    )
+
+
+def q_stream_multi_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming suite-level decontamination gate (r15): documents
+    arrive in 4 micro-batches, each probed against the static
+    (set, digest) union of the four eval sets — per-doc flag AND
+    per-benchmark attribution, stateless per batch, value-hash
+    verified against the BATCH multi_benchmark_flag oracle
+    (streaming/incremental.py streaming_multi_decontaminate)."""
+    from graphkb_spark.streaming.incremental import (
+        streaming_multi_decontaminate,
+    )
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 5 == 0).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    return streaming_multi_decontaminate(
+        spark, t["documents"], bench, "bench_set", "doc_id", "text",
+        k=8, min_hits=1, query_name=f"q_stream_multi_decon_{suffix}",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -5141,6 +5184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_decontaminate": q_exactsubstr_decontaminate,
         "decontaminate_cut": q_decontaminate_cut,
         "multi_benchmark_decontaminate": q_multi_benchmark_decontaminate,
+        "multi_benchmark_flag": q_multi_benchmark_flag,
+        "stream_multi_decontaminate": q_stream_multi_decontaminate,
         "stream_decontaminate": q_stream_decontaminate,
         "benchmark_leak_report": q_benchmark_leak_report,
         "benchmark_leak_spans": q_benchmark_leak_spans,
@@ -5221,31 +5266,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in
-# queries(). Round-15 composition: (a) every query whose code or plan
-# changed this round — the NEW multi_benchmark_decontaminate
-# suite-level surgery operator and the NEW multiple_regression_fast
+# queries(). Round-15 composition: (a) every query whose code or
+# plan changed this round — the NEW multi_benchmark_decontaminate /
+# multi_benchmark_flag / stream_multi_decontaminate suite-level
+# decontamination trio and the NEW multiple_regression_fast
 # int64-sums engine (same oracle as multiple_regression — the
-# bit-identity contract is the thing under test), plus
-# multiple_regression (the int64 dsum now divides as decimal before
-# the double cast) and benchmark_leak_report /
-# benchmark_overlap_matrix (digest staging construction-lazy,
-# eager=False) — 5 names; (b) the least-recently-driver-checked
-# tail — the final 6 round-9 names (clearing the r9 residue
-# entirely), then the first 39 of the 48-name round-10 block,
-# alphabetical. Staleness computed from the union of
-# CORRECTNESS_r0*.json driver windows; the residue for round 16 is
-# the last 9 round-10 names (rollup_recurrence, salted_skew_join,
-# semi_join_exists, sessionize, spec_validation,
-# spec_validation_nested, stratified_sample, top1_per_group,
-# weight_diagnostics) — all green in the full local sweep this
-# round.
+# bit-identity contract is the thing under test); multiple_regression
+# (the int64 dsum now divides as decimal before the double cast);
+# benchmark_leak_report / benchmark_overlap_matrix (digest staging
+# construction-lazy, eager=False); and the three scout-caught perf
+# rewrites dup_ngram_frac (unique-owner identity) / ngram_counts
+# (attribute-materialized token array) / rolling_zscore (bounded-
+# frame int64 sums) plus prefix_rollup (same attribute fix) — 11
+# names; (b) the least-recently-driver-checked tail — the final 6
+# round-9 names (clearing the r9 residue entirely), then the first
+# 33 not-already-included round-10 names, alphabetical. Staleness
+# computed from the union of CORRECTNESS_r0*.json driver windows;
+# the residue for round 16 is the last 14 round-10 names
+# (oncokb_statements .. weight_diagnostics) — all green in the full
+# local sweep this round.
 _R15_WINDOW = [
     # (a) new/changed in round 15
     "multi_benchmark_decontaminate",
+    "multi_benchmark_flag",
+    "stream_multi_decontaminate",
     "multiple_regression_fast",
     "multiple_regression",
     "benchmark_leak_report",
     "benchmark_overlap_matrix",
+    "dup_ngram_frac",
+    "ngram_counts",
+    "rolling_zscore",
+    "prefix_rollup",
     # (b) stalest: the final 6 round-9 names
     "sorted_neighborhood",
     "stream_minhash_dedup",
@@ -5253,7 +5305,7 @@ _R15_WINDOW = [
     "topn_other",
     "triangle_count",
     "zipf_fit",
-    # (b) stalest: first 39 of the round-10 block, alphabetical
+    # (b) stalest: first 33 remaining round-10 names, alphabetical
     "asco_abstracts",
     "asof_join",
     "auc_eval",
@@ -5271,7 +5323,6 @@ _R15_WINDOW = [
     "decontaminate",
     "dedup_fillscore",
     "dnf_expansion",
-    "dup_ngram_frac",
     "duplicate_names",
     "edit_distance_join",
     "edit_distance_join_k2",
@@ -5288,11 +5339,6 @@ _R15_WINDOW = [
     "hotspot_load",
     "latest_per_key",
     "normalized_key_join",
-    "oncokb_statements",
-    "perplexity_buckets",
-    "pricing_summary",
-    "recurrence_rollup",
-    "refseq_ladder",
 ]
 assert len(_R15_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R15_WINDOW)}"

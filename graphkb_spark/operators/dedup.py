@@ -1540,6 +1540,166 @@ def _contamination_probe(
     )
 
 
+def _bench_set_gram_digests(
+    benchmarks: DataFrame, text_col: str, set_col: str, k: int
+) -> DataFrame:
+    """Distinct (set, k-gram digest) pairs of a labeled benchmark
+    SUITE — the bounded probe side of the multi-benchmark flavors
+    (set stringified so attribution sorting is engine-neutral)."""
+    return (
+        benchmarks.select(
+            F.col(set_col).cast("string").alias("__s"),
+            words(text_col).alias("__w"),
+        )
+        .filter(F.size("__w") >= k)
+        .select("__s", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select("__s", _gram_digest(F.col("__g")).alias("__d"))
+        .distinct()
+    )
+
+
+def _multi_contamination_probe(
+    corpus: DataFrame,
+    bench_g: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_hits: int,
+    broadcast: bool,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The corpus-side probe of ``multi_benchmark_contamination``
+    against a prepared (set, digest) table — factored out so the
+    streaming gate reuses it per micro-batch with the broadcast
+    decision made once up front (the ``_contamination_probe``
+    pattern, widened to per-set attribution).
+
+    Single-aggregation shape (the r14 flag-rewrite contract — zero
+    joins after the broadcast probe): every doc rides the positional
+    gram stream exactly once via ``explode_outer``; the LEFT join
+    against the per-set digests emits unmatched positions once with a
+    null set and matched positions once PER MATCHING SET, so the
+    distinct matched-position count needs no countDistinct —
+    ``k_gram_hits = n_grams - (unmatched positions)`` — and the
+    per-(doc, set) group sizes ARE the attribution hit counts. Two
+    chained doc-keyed aggregations ride one partitioning; the rows
+    entering the second are (docs x sets)-bounded."""
+    base = corpus.select(
+        F.col(id_col).alias("__id"), words(text_col).alias("__w")
+    )
+    if num_partitions != 0:
+        n_part = (
+            num_partitions
+            or corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        base = base.repartition(n_part, "__id")
+    rows = base.select(
+        "__id",
+        F.greatest(F.size("__w") - F.lit(k - 1), F.lit(0))
+        .cast("bigint")
+        .alias("__n"),
+        F.explode_outer(
+            F.when(F.size("__w") >= k, word_shingles(F.col("__w"), k))
+        ).alias("__g"),
+    ).select("__id", "__n", _gram_digest(F.col("__g")).alias("__d"))
+    probed = rows.join(
+        F.broadcast(bench_g) if broadcast else bench_g, "__d", "left"
+    )
+    per_set = probed.groupBy("__id", "__s").agg(
+        F.first("__n").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        # sub-k docs contribute one (id, null-set) row whose digest is
+        # null — not a position, so it must not count as unmatched
+        F.sum(
+            F.when(F.col("__s").isNull() & F.col("__d").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__unmatched"),
+    )
+    agg = per_set.groupBy("__id").agg(
+        F.first("__n").alias("n_grams"),
+        (F.first("__n") - F.sum("__unmatched")).alias("__h"),
+        F.count(F.when(F.col("__s").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_leak_sets"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__s").isNotNull(),
+                            F.struct("__s", "__cnt"),
+                        )
+                    )
+                ),
+                lambda r: F.concat(
+                    r["__s"], F.lit("="), r["__cnt"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("leak_attribution"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        F.col("__h").alias("k_gram_hits"),
+        (F.col("__h") >= min_hits).alias("contaminated"),
+        "n_leak_sets",
+        "leak_attribution",
+    )
+
+
+def multi_benchmark_contamination(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str,
+    id_col: str,
+    set_col: str,
+    k: int = 13,
+    min_hits: int = 1,
+    num_partitions: int | None = None,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 4_000_000,
+) -> DataFrame:
+    """Suite-level exact k-gram decontamination FLAG — the whole-doc
+    companion to ``cut_multi_benchmark_spans``: one corpus pass
+    against the UNION of N evaluation sets' digest tables, flagging
+    each training document and attributing its leaks per benchmark
+    (the GPT-3 appendix-C drop filter, run the way FineWeb/Dolma run
+    it: N eval sets, one scan). Returns one row per corpus doc:
+    (id, n_grams, k_gram_hits, contaminated, n_leak_sets,
+    leak_attribution) — the ``exact_substring_contamination``
+    contract (hits = DISTINCT leaked positions, counted once even
+    when a position leaks into several sets) plus the
+    ``cut_multi_benchmark_spans`` attribution columns ("set=hits"
+    pairs sorted by the set id's string form; per-set counts DO
+    double-count shared positions, that is what attribution means).
+
+    Scale shape: the (set, digest) union follows the family's
+    size-checked ``broadcast="auto"`` contract (staged before the
+    count so tokenize+distinct runs once); the corpus gram stream
+    probes it and never shuffles (``num_partitions=0`` skips the
+    local-parallelism repartition — cluster mode, corpus text never
+    on the wire); zero joins after the probe — the hit count and the
+    attribution come out of one chained doc-keyed aggregation pair
+    riding one partitioning (see ``_multi_contamination_probe``)."""
+    if k < 1 or min_hits < 1:
+        raise ValueError("k must be >= 1 and min_hits >= 1")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast={broadcast!r}: expected True, False or 'auto'"
+        )
+    bench_g = _bench_set_gram_digests(benchmarks, text_col, set_col, k)
+    if broadcast == "auto":
+        bench_g = bench_g.transform(materialize)
+        broadcast = bench_g.count() <= broadcast_max_digests
+    return _multi_contamination_probe(
+        corpus, bench_g, text_col, id_col, k, min_hits, broadcast,
+        num_partitions,
+    )
+
+
 def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as 4 x 16-bit chunk columns (c0..c3), entirely in
     JVM Column algebra over md5 token hashes — no Python in the path,

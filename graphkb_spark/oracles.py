@@ -2929,6 +2929,53 @@ def build_oracles() -> dict[str, str]:
                    coalesce(h.h, 0) >= 1 AS contaminated
             FROM words w LEFT JOIN hits h USING (doc_id)
         """,
+        # Suite-level decontamination FLAG (r15): the exactsubstr
+        # pipeline with the digest side widened to (set, digest) over
+        # four eval sets (every 5th doc, doc_id % 4); hits count
+        # DISTINCT matched positions against the UNION of digests,
+        # attribution counts per-set matches ("set=hits" sorted by
+        # the set's VARCHAR form). Shared verbatim by the streaming
+        # gate (stream_multi_decontaminate — value-equal by design).
+        "multi_benchmark_flag": r"""
+            WITH words AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            bg AS MATERIALIZED (
+              SELECT DISTINCT CAST(doc_id % 4 AS VARCHAR) AS st,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS d
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS g
+                    FROM words WHERE doc_id % 5 = 0 AND len(w) >= 8)),
+            bd AS (SELECT DISTINCT d FROM bg),
+            cg AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest([('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+                             for i in generate_series(1, len(w) - 7)]) AS d
+              FROM words WHERE len(w) >= 8),
+            hits AS (
+              SELECT doc_id, count(*) AS h
+              FROM cg JOIN bd USING (d) GROUP BY doc_id),
+            perset AS (
+              SELECT cg.doc_id, bg.st, count(*) AS c
+              FROM cg JOIN bg USING (d) GROUP BY cg.doc_id, bg.st),
+            attr AS (
+              SELECT doc_id, count(*) AS n_leak_sets,
+                     string_agg(st || '=' || CAST(c AS VARCHAR),
+                                ',' ORDER BY st) AS leak_attribution
+              FROM perset GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(greatest(len(w.w) - 7, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.h, 0) AS BIGINT) AS k_gram_hits,
+                   coalesce(h.h, 0) >= 1 AS contaminated,
+                   CAST(coalesce(a.n_leak_sets, 0) AS BIGINT) AS n_leak_sets,
+                   coalesce(a.leak_attribution, '') AS leak_attribution
+            FROM words w LEFT JOIN hits h USING (doc_id)
+                         LEFT JOIN attr a USING (doc_id)
+        """,
         # Eval-integrity leak report: per benchmark item (every 50th
         # doc), distinct 8-gram digests vs the corpus gram stream —
         # leaked distinct grams, distinct leaking corpus docs, frac.
@@ -5300,6 +5347,11 @@ def build_oracles() -> dict[str, str]:
     # document arrives whole in one batch, so the stream's complete
     # output IS the batch flag query — same oracle, value-hash equal
     oracles["stream_decontaminate"] = oracles["exactsubstr_decontaminate"]
+    # r15: the streaming suite gate is value-equal to the batch
+    # multi-benchmark flag by design (stateless per batch, per-doc
+    # columns only) — same oracle, so the driver VERIFIES the
+    # stream/batch equivalence every round instead of assuming it
+    oracles["stream_multi_decontaminate"] = oracles["multi_benchmark_flag"]
     oracles["stream_minhash_dedup"] = oracles["minhash_lsh"].replace(
         "SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.6",
         "SELECT d.doc_id, dx.id_b IS NULL AS keep FROM documents d "

@@ -766,3 +766,99 @@ def streaming_decontaminate(
     q.processAllAvailable()
     q.stop()
     return state["out"]
+
+
+def streaming_multi_decontaminate(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    set_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_hits: int = 1,
+    n_batches: int = 4,
+    broadcast_max_digests: int = 4_000_000,
+    query_name: str = "stream_multi_decontaminate",
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Streaming SUITE-level decontamination gate (r15): documents
+    arrive in micro-batches and each batch is probed against the
+    STATIC union of N labeled evaluation sets' k-gram digest tables,
+    flagging each doc AND attributing its leaks per benchmark before
+    anything lands in the lake — the production shape where one
+    ingestion gate serves every eval set at once. Returns one row per
+    document: (id, n_grams, k_gram_hits, contaminated, n_leak_sets,
+    leak_attribution) — byte-identical to the batch
+    ``multi_benchmark_contamination`` over the same corpus, because
+    every column is a per-document property (each doc arrives whole
+    in one micro-batch) and the operator keeps NO cross-batch state:
+    the state store is never touched, exactly-once per document is
+    trivial, restarts are free.
+
+    Scale shape: the (set, digest) table is built, size-checked (the
+    family's auto-broadcast contract) and materialized ONCE before
+    the stream starts; per batch the gram stream probes that staged
+    table and never shuffles, and the flag + attribution come out of
+    the shared single-aggregation probe
+    (``dedup._multi_contamination_probe`` — zero joins after the
+    probe). The ntile staging below is the batch-arrival SIMULATOR
+    for a file stream, not part of the operator's dataflow."""
+    import os
+    import tempfile
+
+    from graphkb_spark.operators.dedup import (
+        _bench_set_gram_digests,
+        _multi_contamination_probe,
+    )
+
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix=f"gks_{query_name}_")
+    docs = normalize_ntz(docs).select(
+        F.col(id_col).alias("__did"), F.col(text_col).alias("__text")
+    )
+    bench_g = _bench_set_gram_digests(
+        benchmarks, text_col, set_col, k
+    ).transform(materialize)
+    broadcast = bench_g.count() <= broadcast_max_digests
+    # ---- arrival simulator: id-ordered range files, ascending mtimes
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("__did").asc())
+    staged = docs.withColumn("__bk", F.ntile(n_batches).over(w))
+    for b in range(1, n_batches + 1):
+        part_dir = os.path.join(stage_dir, f"b{b:04d}")
+        staged.filter(F.col("__bk") == b).drop("__bk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+    for b in range(1, n_batches + 1):
+        d = os.path.join(stage_dir, f"b{b:04d}")
+        fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        src = os.path.join(d, fs[0])
+        dst = os.path.join(stage_dir, f"batch-{b:04d}.parquet")
+        os.replace(src, dst)
+        os.utime(dst, (1_000_000 + b, 1_000_000 + b))
+    schema = spark.read.parquet(os.path.join(stage_dir, "batch-0001.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "batch-*.parquet"))
+    )
+
+    state: dict[str, DataFrame | None] = {"out": None}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        flags = _multi_contamination_probe(
+            batch, bench_g, "__text", "__did", k, min_hits, broadcast
+        ).withColumnRenamed("__did", id_col)
+        state["out"] = (
+            flags
+            if state["out"] is None
+            else state["out"].unionByName(flags)
+        ).transform(materialize)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return state["out"]

@@ -1356,6 +1356,140 @@ def test_cut_multi_benchmark_spans_broadcast_modes_identical(spark):
         )
 
 
+def test_multi_benchmark_contamination_bruteforce(spark):
+    """Suite-level flag vs a literal Python reference: k_gram_hits
+    counts DISTINCT matched positions against the UNION of sets (a
+    position leaking into two sets counts once), while attribution
+    counts per set (the same position counts in both sets' hits)."""
+    import re
+
+    from graphkb_spark.operators.dedup import multi_benchmark_contamination
+
+    k = 6
+    corpus_rows = [
+        (1, "aa bb the secret eval passage appears here verbatim xx"),
+        (2, "pp qq another hidden test question shows up intact rr"),
+        (3, "the secret eval passage appears here verbatim gap pad "
+            "another hidden test question shows up intact"),
+        (4, "completely different text about catalyst and tungsten"),
+        (5, "tiny doc"),
+    ]
+    bench_rows = [
+        ("a", "x the secret eval passage appears here verbatim y"),
+        ("b", "z another hidden test question shows up intact w"),
+        # the same passage ALSO in set b: positions matching it leak
+        # into both sets — hits counts them once, attribution twice
+        ("b", "the secret eval passage appears here verbatim"),
+    ]
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    set_grams: dict[str, set] = {}
+    for s, t in bench_rows:
+        w = toks(t)
+        set_grams.setdefault(s, set()).update(
+            tuple(w[p:p + k]) for p in range(len(w) - k + 1)
+        )
+    want = {}
+    for i, t in corpus_rows:
+        w = toks(t)
+        n = max(len(w) - k + 1, 0)
+        hits = 0
+        per: dict[str, int] = {}
+        for p in range(n):
+            g = tuple(w[p:p + k])
+            matched = [s for s in sorted(set_grams) if g in set_grams[s]]
+            if matched:
+                hits += 1
+            for s in matched:
+                per[s] = per.get(s, 0) + 1
+        attribution = ",".join(f"{s}={c}" for s, c in sorted(per.items()))
+        want[i] = (n, hits, hits >= 1, len(per), attribution)
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["bench_set", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.k_gram_hits, r.contaminated,
+                   r.n_leak_sets, r.leak_attribution)
+        for r in multi_benchmark_contamination(
+            corpus, bench, "text", "doc_id", "bench_set", k=k
+        ).collect()
+    }
+    assert got == want
+    # doc 1's passage is in sets a AND b: hits counted once, both
+    # sets attributed with equal counts
+    assert got[1][3] == 2
+    a_hits = dict(p.split("=") for p in got[1][4].split(","))
+    assert a_hits["a"] == a_hits["b"]
+    assert int(a_hits["a"]) == got[1][1]
+    assert got[4] == (got[4][0], 0, False, 0, "")
+    assert got[5] == (0, 0, False, 0, "")
+
+
+def test_multi_benchmark_contamination_broadcast_modes_identical(spark):
+    from graphkb_spark.operators.dedup import multi_benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} the secret eval passage appears here verbatim t{i}")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("s0", "the secret eval passage appears here verbatim"),
+         ("s1", "passage appears here verbatim and trailing words too")],
+        ["bench_set", "text"],
+    )
+    outs = [
+        sorted(map(tuple, multi_benchmark_contamination(
+            corpus, bench, "text", "doc_id", "bench_set", k=6,
+            broadcast=b, **extra).collect()))
+        for b, extra in [
+            (True, {}), (False, {}), ("auto", {}),
+            ("auto", {"broadcast_max_digests": 0}),
+        ]
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+    assert all(r[3] for r in outs[0])  # every doc contaminated
+    with pytest.raises(ValueError, match="broadcast"):
+        multi_benchmark_contamination(
+            corpus, bench, "text", "doc_id", "bench_set", k=6,
+            broadcast="always",
+        )
+
+
+def test_streaming_multi_decontaminate_equals_batch(spark, tmp_path):
+    """The streaming suite gate is value-equal to the batch flag over
+    the same corpus — stateless per batch, per-doc columns only."""
+    from graphkb_spark.operators.dedup import multi_benchmark_contamination
+    from graphkb_spark.streaming.incremental import (
+        streaming_multi_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} the secret eval passage appears here verbatim t{i}"
+             + (" another hidden test question shows up intact" if i % 3 == 0
+                else ""))
+         for i in range(12)] + [(99, "tiny")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("a", "the secret eval passage appears here verbatim"),
+         ("b", "another hidden test question shows up intact")],
+        ["bench_set", "text"],
+    )
+    got = streaming_multi_decontaminate(
+        spark, corpus, bench, "bench_set", "doc_id", "text", k=6,
+        n_batches=3, query_name="t_smd",
+        stage_dir=str(tmp_path / "smd"),
+    )
+    want = multi_benchmark_contamination(
+        corpus, bench, "text", "doc_id", "bench_set", k=6
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_exact_substring_contamination_auto_broadcast_size_check(spark):
     """VERDICT r12 #5: the default is a SIZE-CHECKED broadcast, not a
     forced hint — an oversized digest side (e.g. a swapped

@@ -150,6 +150,12 @@ BUDGETS = [
     # The corpus text crosses the wire at most once (zero times with
     # num_partitions=0, the cluster setting).
     ("exactsubstr_decontaminate", 1, 0, True),
+    # r15 suite-level flag: same single-aggregation contract — the
+    # (set, digest) union probes as ONE broadcast, the flag AND the
+    # per-set attribution come out of two chained aggs riding the one
+    # staging repartition (hash(id) satisfies both (id, set) and (id)
+    # groupings), zero joins after the probe
+    ("multi_benchmark_flag", 1, 0, True),
     # r13 decontamination surgery: bench-digest distinct + leaked-
     # position island window + span join-back. The one sort-merge is
     # the join-back of the (leak-volume-sized) span list onto the

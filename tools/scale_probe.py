@@ -127,6 +127,10 @@ QUERIES = [
     # matched-positions table and both attribution aggs are leak-sized
     # and must stay FLAT as the corpus grows.
     "multi_benchmark_decontaminate",
+    # round-15: the suite-level FLAG — the exactsubstr
+    # single-aggregation contract widened with per-set attribution;
+    # must match exactsubstr_decontaminate's 1x-corpus shuffle.
+    "multi_benchmark_flag",
 ]
 
 
@@ -242,6 +246,23 @@ def _multi_decon_scaled(spark, sf_dir: str, mult: int):
     )
 
 
+def _multi_flag_scaled(spark, sf_dir: str, mult: int):
+    """Suite-level flag with the FIXED 4-set eval suite (the
+    _multi_decon_scaled regime)."""
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.dedup import multi_benchmark_contamination
+    from graphkb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _fixed_bench(docs).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return multi_benchmark_contamination(
+        docs, bench, "text", "doc_id", "bench_set", k=8
+    )
+
+
 SCALED_VARIANTS = {
     "semantic_dedup": _semantic_dedup_scaled,
     "kcore": _kcore_scaled,
@@ -253,6 +274,7 @@ SCALED_VARIANTS = {
     "benchmark_leak_report": _decon_scaled("benchmark_leak_report"),
     "benchmark_leak_spans": _decon_scaled("benchmark_leak_spans"),
     "multi_benchmark_decontaminate": _multi_decon_scaled,
+    "multi_benchmark_flag": _multi_flag_scaled,
 }
 
 
