@@ -131,6 +131,12 @@ QUERIES = [
     # single-aggregation contract widened with per-set attribution;
     # must match exactsubstr_decontaminate's 1x-corpus shuffle.
     "multi_benchmark_flag",
+    # round-15 headline promotions: lsh_band_tuning (the band planner
+    # over the PPJoin exact-pair mass — now the slowest headliner, so
+    # its corpus scaling needs its own row) and weighted_percentiles
+    # (native freq-weighted percentile over the scaled lineitem).
+    "lsh_band_tuning",
+    "weighted_percentiles",
 ]
 
 
