@@ -1554,6 +1554,87 @@ def test_soft_dedup_mass_conservation_property(spark):
     inner()
 
 
+def test_multi_benchmark_family_consistency_property(spark):
+    """Property (hypothesis): for ANY corpus/suite, the three
+    suite-level members agree with each other and with the single-set
+    operator on the union —
+
+    - flag's (n_grams, k_gram_hits, contaminated) equal
+      exact_substring_contamination against the unlabeled union;
+    - flag and cut report IDENTICAL (n_leak_sets, leak_attribution)
+      per doc (same definition, two different plans);
+    - a doc is contaminated iff the cut removed tokens, and a cut
+      removes at least k tokens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphkb_spark.operators.dedup import (
+        cut_multi_benchmark_spans,
+        exact_substring_contamination,
+        multi_benchmark_contamination,
+    )
+
+    k = 4
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 5), min_size=0, max_size=14),
+            min_size=1,
+            max_size=8,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 2), st.lists(st.integers(0, 5),
+                                                  min_size=k, max_size=9)),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    def inner(corpus_words, bench_rows):
+        corpus = spark.createDataFrame(
+            [(i, " ".join(vocab[w] for w in ws))
+             for i, ws in enumerate(corpus_words)],
+            "doc_id int, text string",
+        )
+        bench = spark.createDataFrame(
+            [(s, " ".join(vocab[w] for w in ws)) for s, ws in bench_rows],
+            "bench_set int, text string",
+        )
+        flag = {
+            r.doc_id: r
+            for r in multi_benchmark_contamination(
+                corpus, bench, "text", "doc_id", "bench_set", k=k
+            ).collect()
+        }
+        single = {
+            r.doc_id: r
+            for r in exact_substring_contamination(
+                corpus, bench, "text", "doc_id", k=k
+            ).collect()
+        }
+        cut = {
+            r.doc_id: r
+            for r in cut_multi_benchmark_spans(
+                corpus, bench, "text", "doc_id", "bench_set", k=k
+            ).collect()
+        }
+        assert set(flag) == set(single) == set(cut)
+        for i, f in flag.items():
+            s, c = single[i], cut[i]
+            assert (f.n_grams, f.k_gram_hits, f.contaminated) == (
+                s.n_grams, s.k_gram_hits, s.contaminated,
+            )
+            assert (f.n_leak_sets, f.leak_attribution) == (
+                c.n_leak_sets, c.leak_attribution,
+            )
+            assert f.contaminated == (c.removed_tokens > 0)
+            if f.contaminated:
+                assert c.removed_tokens >= k
+
+    inner()
+
+
 def test_repeated_spans_rejects_bad_params(spark):
     from graphkb_spark.operators.dedup import repeated_spans
 
