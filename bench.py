@@ -141,6 +141,18 @@ HEADLINE = [
     "lsh_band_tuning",
     "weighted_percentiles",
     "civic_sync_reconcile",
+    # round-15 second scout pass (the sf0.1 full-registry consume
+    # audit's mid-tier, none of it scouted before): canonical_docs
+    # 3.76 s and containment_pairs 3.33 s both BEAT their DuckDB
+    # oracles outright (>=120 s capped, >=32x — the recursive-CTE
+    # closure / exploded containment self-join collapse, same class
+    # as dedup_components/ngram_jaccard). The other five mid-tier
+    # entries are floor-bound vs micro-oracles and stay out
+    # (triangle_count 18x, grouped_percentiles 52x, semantic_dedup_two
+    # 25x, ngram_jaccard_routed shares the headlined PPJoin stack,
+    # multi_benchmark_flag 3.5x — table in FLOORS.md).
+    "canonical_docs",
+    "containment_pairs",
 ]
 
 
