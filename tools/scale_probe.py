@@ -137,6 +137,11 @@ QUERIES = [
     # (native freq-weighted percentile over the scaled lineitem).
     "lsh_band_tuning",
     "weighted_percentiles",
+    # round-15 second-pass promotions (both beat >=120 s capped
+    # oracles): the end-to-end keep decision and the directed
+    # containment join.
+    "canonical_docs",
+    "containment_pairs",
 ]
 
 
