@@ -153,6 +153,15 @@ HEADLINE = [
     # multi_benchmark_flag 3.5x — table in FLOORS.md).
     "canonical_docs",
     "containment_pairs",
+    # round-15 third scout pass (the never-scouted 1.4-2.5 s audit
+    # tier, 13 entries — full table in FLOORS.md): one oracle-beater,
+    # dedup_components_star (2.62 vs 2.98 s, 0.88x) — the
+    # star-contraction CC algorithm, a DISTINCT physical plan from the
+    # headlined label-prop dedup_components (the two sessionization
+    # variants set the precedent for headlining algorithm pairs). The
+    # other twelve are loader/profile/sketch floors vs micro-oracles
+    # and stay out.
+    "dedup_components_star",
 ]
 
 

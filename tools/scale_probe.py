@@ -142,6 +142,8 @@ QUERIES = [
     # containment join.
     "canonical_docs",
     "containment_pairs",
+    # round-15 third-pass promotion: the star-contraction CC variant.
+    "dedup_components_star",
 ]
 
 
