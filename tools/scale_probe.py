@@ -144,6 +144,9 @@ QUERIES = [
     "containment_pairs",
     # round-15 third-pass promotion: the star-contraction CC variant.
     "dedup_components_star",
+    # round-15 fourth-pass promotion: random projection of the scaled
+    # embeddings (codegen zip_with dot products).
+    "embedding_project",
 ]
 
 
