@@ -86,7 +86,17 @@ def disable_reliable_checkpoints(spark: SparkSession) -> None:
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage and pin ``df``'s current result, honoring the
     session's fault-tolerance mode (see module docstring). Returns a
-    DataFrame whose plan is a scan of the materialized result."""
+    DataFrame whose plan is a scan of the materialized result.
+
+    ``eager`` is honored in ``local`` and ``reliable`` modes (the
+    checkpoint defers to the first action). In ``parquet`` mode it is
+    NECESSARILY ignored: the returned plan is a scan of the staging
+    table, which must exist before the scan can be planned, so the
+    write runs at construction time — plan-only callers that pass
+    ``eager=False`` (e.g. ``benchmark_leak_report``'s explicit
+    broadcast branches) still trigger a full Spark job under
+    parquet-mode ``enable_reliable_checkpoints`` (ADVICE r15,
+    documented exception)."""
     spark = df.sparkSession
     mode = checkpoint_mode(spark)
     if mode == "reliable":

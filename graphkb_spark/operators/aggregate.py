@@ -1559,6 +1559,18 @@ def rolling_zscore(
       any telemetry range); >4-decimal inputs are rounded, not
       rejected — keep the default for those.
 
+    Both engines scale/square from the ORIGINAL column in its native
+    type (the ``grouped_normal_equations`` recipe, ADVICE r15): a
+    decimal-typed input squares exactly, so both engines are exact to
+    their loud bounds. A DOUBLE-typed input (this container's
+    ``events.value``) additionally carries the SILENT double-precision
+    bound: ``round(v*v*1e4)`` on double arithmetic recovers the true
+    scaled integer only while |v^2|*1e4 < 2^53 (|v| < ~3e7 at 2
+    decimals) — beyond it the rounding silently lands on a wrong
+    integer with no ANSI failure, in BOTH engines identically (the
+    decimal engine casts the already-rounded double square). Keep
+    values in a decimal column if the range can exceed that.
+
     One keyed shuffle; both window frames share it."""
     if sums not in ("decimal", "int64"):
         raise ValueError(f"sums={sums!r}: expected 'decimal' or 'int64'")
@@ -1567,20 +1579,25 @@ def rolling_zscore(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(-window_rows, -1)
     )
-    v = F.col(value_col).cast("double")
+    # c stays in the input's NATIVE type: for decimal columns the
+    # square is exact decimal arithmetic (no silent double rounding);
+    # for double columns both engines share the documented 2^53 bound
+    # (ADVICE r15). v (double) feeds only the mean/z algebra.
+    c = F.col(value_col)
+    v = c.cast("double")
     n = F.count(F.lit(1)).over(w)
     if sums == "int64":
         s = (
-            F.sum(F.round(v * F.lit(10000)).cast("bigint")).over(w)
+            F.sum(F.round(c * F.lit(10000)).cast("bigint")).over(w)
             .cast("decimal(20,0)") / F.lit(10000)
         ).cast("double")
         ss = (
-            F.sum(F.round(v * v * F.lit(10000)).cast("bigint")).over(w)
+            F.sum(F.round(c * c * F.lit(10000)).cast("bigint")).over(w)
             .cast("decimal(20,0)") / F.lit(10000)
         ).cast("double")
     else:
-        s = F.sum(v.cast("decimal(38,10)")).over(w).cast("double")
-        ss = F.sum((v * v).cast("decimal(38,10)")).over(w).cast("double")
+        s = F.sum(c.cast("decimal(38,10)")).over(w).cast("double")
+        ss = F.sum((c * c).cast("decimal(38,10)")).over(w).cast("double")
     mean = s / n
     var = (ss - s * s / n) / (n - 1)
     std = F.sqrt(F.greatest(var, F.lit(0.0)))

@@ -973,7 +973,8 @@ def cut_multi_benchmark_spans(
     # the corpus gram stream — the dominant scan+digest CPU — through
     # its own probe join. The staged table is leak-volume-sized
     # (matched positions x sets), not corpus-sized; eager=False keeps
-    # construction lazy
+    # construction lazy (parquet checkpoint mode excepted — its
+    # staging write is inherently eager; see materialize())
     matched = (
         grams.join(F.broadcast(bench_g) if broadcast else bench_g, "__d")
         .select("__id", "__p", "__s")
@@ -1080,7 +1081,10 @@ def benchmark_leak_report(
         # callers with explicit broadcast=True/False trigger no Spark
         # job; the auto branch's count() below (or the first consumer
         # action) materializes the checkpoint, after which every
-        # consumer scans the staged result
+        # consumer scans the staged result. Parquet checkpoint mode is
+        # the documented exception (ADVICE r15): its staging write is
+        # inherently eager, so construction runs a job there —
+        # materialize()'s docstring carries the contract.
         .transform(materialize, eager=False)
     )
     if broadcast == "auto":
@@ -1340,7 +1344,8 @@ def benchmark_overlap_matrix(
         # three consumers (sizes + both sides of the pair join);
         # eager=False so CONSTRUCTION stays lazy (ADVICE r14) — the
         # first action materializes the checkpoint and the other
-        # consumers scan it
+        # consumers scan it (parquet checkpoint mode excepted — its
+        # staging write is inherently eager; see materialize())
         .transform(materialize, eager=False)
     )
     sizes = g.groupBy("__s").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))

@@ -248,12 +248,19 @@ def duplicate_ngram_fraction(
     never crosses the wire; the only large exchange carries one row
     per distinct shingle. Returns (id, n_shingles, n_dup, dup_frac);
     docs shorter than ``shingle_n`` words carry their single
-    whole-text shingle (n_shingles == 1), same as the oracle."""
+    whole-text shingle (n_shingles == 1), same as the oracle. NULL
+    text is treated as empty text (ADVICE r15 — the explicit
+    contract): such docs keep their row with the single empty
+    shingle (n_shingles == 1), rather than the old explode-shape's
+    silent drop or a config-dependent NULL/-1 n_shingles."""
     from graphkb_spark.core.materialize import materialize
     from graphkb_spark.operators.dedup import word_shingles, words
 
     base = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        df.select(
+            F.col(id_col).alias("__id"),
+            words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+        )
         .select(
             "__id",
             F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"),

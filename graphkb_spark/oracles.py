@@ -5347,6 +5347,11 @@ def build_oracles() -> dict[str, str]:
     # document arrives whole in one batch, so the stream's complete
     # output IS the batch flag query — same oracle, value-hash equal
     oracles["stream_decontaminate"] = oracles["exactsubstr_decontaminate"]
+    # r16: the decimal-engine sibling is value-identical to the int64
+    # registry query on <=2-decimal inputs (pinned at sf0.1 in
+    # tests/test_round8_ops.py) — same oracle, so the driver VERIFIES
+    # the two-engine equivalence every round instead of assuming it
+    oracles["rolling_zscore_decimal"] = oracles["rolling_zscore"]
     # r15: the streaming suite gate is value-equal to the batch
     # multi-benchmark flag by design (stateless per batch, per-doc
     # columns only) — same oracle, so the driver VERIFIES the

@@ -235,3 +235,28 @@ def test_pcm_frame_energy_decodes_real_bytes(spark):
     assert got[(2, 0)] == (4, e0)       # odd trailing byte dropped
     assert got[(2, 1)] == (2, e1)
     assert not [k for k in got if k[0] in (3, 4)]
+
+
+def test_duplicate_ngram_fraction_null_text_explicit_contract(spark):
+    """r16 (ADVICE r15): NULL text is treated as empty text — the doc
+    keeps its row with the single empty shingle (n_shingles == 1)
+    instead of the old explode-shape's silent drop or a
+    config-dependent NULL/-1 n_shingles. Two empty-class docs (NULL
+    and '') share the empty shingle, so both score as full dups."""
+    from graphkb_spark.operators.text import duplicate_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "entirely unique words nine ten eleven twelve"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           duplicate_ngram_fraction(df, "text", "doc_id", shingle_n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_shingles == 3 and out[1].n_dup == 0
+    for d in (2, 3):
+        assert out[d].n_shingles == 1
+        assert out[d].n_dup == 1 and out[d].dup_frac == 1.0
