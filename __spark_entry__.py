@@ -1555,6 +1555,28 @@ def q_stream_multi_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite-level eval-integrity report (r16 — the reverse direction
+    of the multi-benchmark family): per item of the four synthetic
+    eval sets (every 5th doc, doc_id % 4), how many of its distinct
+    8-grams appear verbatim anywhere in the corpus, how many distinct
+    corpus docs share one, and WHICH corpus doc shares the most
+    (worst_doc, ties to the smallest id) — N eval sets audited in ONE
+    corpus scan instead of N benchmark_leak_report passes
+    (operators/dedup.py multi_benchmark_leak_report). Eval docs are
+    also in the corpus, so every item self-leaks; the forensic
+    columns are leaking_docs > 1 and the worst-doc attribution."""
+    from graphkb_spark.operators.dedup import multi_benchmark_leak_report
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 5 == 0).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return multi_benchmark_leak_report(
+        t["documents"], bench, "text", "doc_id", "bench_set", k=8
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -5214,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_multi_decontaminate": q_stream_multi_decontaminate,
         "stream_decontaminate": q_stream_decontaminate,
         "benchmark_leak_report": q_benchmark_leak_report,
+        "multi_benchmark_leak_report": q_multi_benchmark_leak_report,
         "benchmark_leak_spans": q_benchmark_leak_spans,
         "benchmark_overlap_matrix": q_benchmark_overlap_matrix,
         "leakage_safe_split": q_leakage_safe_split,

@@ -1705,6 +1705,169 @@ def multi_benchmark_contamination(
     )
 
 
+def multi_benchmark_leak_report(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str,
+    id_col: str,
+    set_col: str,
+    k: int = 13,
+    num_partitions: int | None = None,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 4_000_000,
+) -> DataFrame:
+    """Suite-level eval-integrity REPORT (r16 — closes the
+    multi-benchmark family's reverse direction): for every item of N
+    labeled evaluation sets, how badly it leaked into the training
+    corpus, from ONE corpus scan. ``benchmark_leak_report`` run per
+    set re-scans (tokenize + digest) the corpus N times; a user
+    auditing a whole eval suite wants the per-item forensics in one
+    pass — the production FineWeb/Dolma audit shape, mirroring how
+    ``multi_benchmark_contamination`` unified the corpus-side flag.
+
+    Returns one row per benchmark item: (id, set, n_distinct_grams,
+    leaked_grams, leaking_docs, leaked_frac, leaked) — the
+    ``benchmark_leak_report`` contract with the set label carried
+    through — plus the worst-document attribution: ``worst_doc`` is
+    the corpus document sharing the MOST distinct k-grams with the
+    item (smallest id wins ties; NULL when nothing leaked) and
+    ``worst_doc_shared`` its shared-distinct-gram count, the first
+    document a forensic audit should read. Items shorter than k
+    tokens report 0 grams and are never leaked.
+
+    Scale shape: the per-item (set, item, digest) table is the
+    bounded side and follows the family's size-checked
+    ``broadcast="auto"`` contract (staged once — probe join,
+    per-item totals, and the auto size check all read the staging
+    table; eager=False keeps construction lazy, parquet checkpoint
+    mode excepted per materialize()'s contract). The corpus gram
+    stream probes it and NEVER shuffles corpus text
+    (``num_partitions=0`` additionally skips the local-parallelism
+    repartition — the cluster setting); every exchange after the
+    probe carries matched (item, doc, digest) triples — leak-volume,
+    not corpus-volume. The distinct-triples table is staged once and
+    feeds both rollups (per-item distinct counts via the Expand
+    pipeline, and the per-(item, doc) worst-document argmax whose
+    tie-break is a min over (-shared, doc) structs — plain Column
+    algebra an oracle replicates). Fill-in joins over the
+    suite-bounded totals broadcast only when the size check licensed
+    broadcasting the digests (the ADVICE-r13 gate). Same 60-bit ANSI
+    md5-prefix digest as the rest of the family."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast={broadcast!r}: expected True, False or 'auto'"
+        )
+    bench_g = (
+        benchmarks.select(
+            F.col(id_col).alias("__bid"),
+            F.col(set_col).alias("__set"),
+            words(text_col).alias("__w"),
+        )
+        .filter(F.size("__w") >= k)
+        .select(
+            "__bid", "__set",
+            F.explode(word_shingles(F.col("__w"), k)).alias("__g"),
+        )
+        .select("__bid", "__set", _gram_digest(F.col("__g")).alias("__d"))
+        .distinct()
+        # multi-consumer staging (probe join + per-item totals + the
+        # auto size check); eager=False keeps construction lazy
+        # (parquet checkpoint mode excepted — see materialize())
+        .transform(materialize, eager=False)
+    )
+    if broadcast == "auto":
+        broadcast = bench_g.count() <= broadcast_max_digests
+    corp = corpus.select(
+        F.col(id_col).alias("__cid"), words(text_col).alias("__w")
+    )
+    if num_partitions != 0:
+        # local parallelism aid only (the downstream aggs key by
+        # benchmark item); num_partitions=0 skips it — cluster mode,
+        # corpus text never on the wire
+        n_part = (
+            num_partitions
+            or corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        corp = corp.repartition(n_part, "__cid")
+    grams = (
+        corp.filter(F.size("__w") >= k)
+        .select("__cid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
+        .select("__cid", _gram_digest(F.col("__g")).alias("__d"))
+    )
+    # distinct (item, corpus doc, digest) triples — the per-pair hit
+    # table both rollups read; staged once (leak-volume-sized). The
+    # distinct partial-aggregates map-side, so a boilerplate gram
+    # repeated through one corpus doc collapses before the shuffle.
+    hits = (
+        grams.join(
+            F.broadcast(bench_g.select("__bid", "__d")) if broadcast
+            else bench_g.select("__bid", "__d"),
+            "__d",
+        )
+        .select("__bid", "__cid", "__d")
+        .distinct()
+        .transform(materialize, eager=False)
+    )
+    per_item = hits.groupBy("__bid").agg(
+        F.countDistinct("__d").cast("bigint").alias("leaked_grams"),
+        F.countDistinct("__cid").cast("bigint").alias("leaking_docs"),
+    )
+    # worst document per item: max shared distinct grams, ties to the
+    # smallest corpus id — min over (-shared, cid) structs
+    worst = (
+        hits.groupBy("__bid", "__cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__shared"))
+        .groupBy("__bid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__shared")).alias("__neg"),
+                    F.col("__cid").alias("__doc"),
+                )
+            ).alias("__top")
+        )
+        .select(
+            "__bid",
+            F.col("__top.__doc").alias("worst_doc"),
+            (-F.col("__top.__neg")).cast("bigint").alias("worst_doc_shared"),
+        )
+    )
+    totals = bench_g.groupBy("__bid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams")
+    )
+    hint = F.broadcast if broadcast else (lambda d: d)
+    all_items = benchmarks.select(
+        F.col(id_col).alias("__bid"), F.col(set_col).alias("__set")
+    ).distinct()
+    return (
+        all_items.join(hint(totals), "__bid", "left")
+        .join(hint(per_item), "__bid", "left")
+        .join(hint(worst), "__bid", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.col("__set").alias(set_col),
+            F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+            F.coalesce("leaked_grams", F.lit(0)).alias("leaked_grams"),
+            F.coalesce("leaking_docs", F.lit(0)).alias("leaking_docs"),
+            F.when(
+                F.coalesce("n_distinct_grams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("leaked_grams", F.lit(0))
+                    / F.col("n_distinct_grams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("leaked_frac"),
+            (F.coalesce("leaking_docs", F.lit(0)) >= 1).alias("leaked"),
+            "worst_doc",
+            F.coalesce("worst_doc_shared", F.lit(0)).alias("worst_doc_shared"),
+        )
+    )
+
+
 def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as 4 x 16-bit chunk columns (c0..c3), entirely in
     JVM Column algebra over md5 token hashes — no Python in the path,

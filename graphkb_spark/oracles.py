@@ -3022,6 +3022,72 @@ def build_oracles() -> dict[str, str]:
             FROM items i LEFT JOIN tot t USING (bid)
                          LEFT JOIN m USING (bid)
         """,
+        # Suite-level eval-integrity report (r16): per item of the
+        # four synthetic eval sets (every 5th doc, doc_id % 4),
+        # distinct-8-gram leak totals vs the corpus plus the
+        # worst-document attribution (max shared distinct grams,
+        # ties to the smallest corpus id).
+        "multi_benchmark_leak_report": r"""
+            WITH words AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            bg AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS bid,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS d
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS g
+                    FROM words WHERE doc_id % 5 = 0 AND len(w) >= 8)),
+            cg AS (
+              SELECT doc_id AS cid,
+                     unnest([('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+                             for i in generate_series(1, len(w) - 7)]) AS d
+              FROM words WHERE len(w) >= 8),
+            hits AS MATERIALIZED (
+              SELECT DISTINCT bg.bid, cg.cid, bg.d
+              FROM cg JOIN bg USING (d)),
+            m AS (
+              SELECT bid, count(DISTINCT d) AS leaked_grams,
+                     count(DISTINCT cid) AS leaking_docs
+              FROM hits GROUP BY bid),
+            pair AS (
+              SELECT bid, cid, count(*) AS sh
+              FROM hits GROUP BY bid, cid),
+            worst AS (
+              SELECT bid, cid AS worst_doc, sh AS worst_doc_shared
+              FROM (SELECT bid, cid, sh,
+                           row_number() OVER (PARTITION BY bid
+                                              ORDER BY sh DESC, cid ASC) AS rn
+                    FROM pair)
+              WHERE rn = 1),
+            tot AS (SELECT bid, count(*) AS n_distinct_grams
+                    FROM bg GROUP BY bid),
+            items AS (SELECT DISTINCT doc_id AS bid,
+                             (doc_id % 4) AS bench_set
+                      FROM documents WHERE doc_id % 5 = 0)
+            SELECT i.bid AS doc_id,
+                   i.bench_set,
+                   CAST(coalesce(t.n_distinct_grams, 0) AS BIGINT)
+                     AS n_distinct_grams,
+                   CAST(coalesce(m.leaked_grams, 0) AS BIGINT)
+                     AS leaked_grams,
+                   CAST(coalesce(m.leaking_docs, 0) AS BIGINT)
+                     AS leaking_docs,
+                   CASE WHEN coalesce(t.n_distinct_grams, 0) > 0
+                        THEN round(CAST(coalesce(m.leaked_grams, 0) AS DOUBLE)
+                                   / t.n_distinct_grams, 6)
+                        ELSE 0.0 END AS leaked_frac,
+                   coalesce(m.leaking_docs, 0) >= 1 AS leaked,
+                   w.worst_doc,
+                   CAST(coalesce(w.worst_doc_shared, 0) AS BIGINT)
+                     AS worst_doc_shared
+            FROM items i LEFT JOIN tot t USING (bid)
+                         LEFT JOIN m USING (bid)
+                         LEFT JOIN worst w USING (bid)
+        """,
         # Cross-benchmark overlap matrix (r14): four synthetic eval
         # sets (every 5th doc, doc_id % 4), pairwise distinct-8-gram
         # containment + Jaccard via the identical digest pipeline.

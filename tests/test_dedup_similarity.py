@@ -1746,3 +1746,110 @@ def test_star_cc_rejects_unknown_algorithm(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "id int")
     with _pytest.raises(ValueError):
         connected_components(pairs, nodes, algorithm="bogus")
+
+
+def test_multi_benchmark_leak_report_matches_per_set_singles(spark):
+    """r16: the suite-level leak report's one-corpus-pass rows must
+    equal N independent benchmark_leak_report passes (one per set) on
+    the shared columns, and the worst-doc attribution must match a
+    literal Python argmax (max shared distinct grams, ties to the
+    smallest corpus id)."""
+    import re
+
+    from graphkb_spark.operators.dedup import (
+        benchmark_leak_report,
+        multi_benchmark_leak_report,
+    )
+
+    k = 6
+    corpus_rows = [
+        (1, "aa bb the secret eval passage appears here verbatim xx"),
+        (2, "pp qq another hidden test question shows up intact rr"),
+        (3, "the secret eval passage appears here verbatim gap pad "
+            "another hidden test question shows up intact"),
+        (4, "completely different text about catalyst and tungsten"),
+        (5, "tiny doc"),
+    ]
+    bench_rows = [
+        (101, "a", "x the secret eval passage appears here verbatim y"),
+        (102, "b", "z another hidden test question shows up intact w"),
+        (103, "b", "the secret eval passage appears here verbatim"),
+        (104, "a", "short item"),  # sub-k: 0 grams, never leaked
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "bench_set", "text"])
+
+    multi = {
+        r.doc_id: r
+        for r in multi_benchmark_leak_report(
+            corpus, bench, "text", "doc_id", "bench_set", k=k
+        ).collect()
+    }
+    assert set(multi) == {101, 102, 103, 104}
+
+    # shared columns == the per-set single-report union
+    for s in ("a", "b"):
+        single = {
+            r.doc_id: r
+            for r in benchmark_leak_report(
+                corpus, bench.filter(F.col("bench_set") == s), "text",
+                "doc_id", k=k,
+            ).collect()
+        }
+        for bid, r in single.items():
+            m = multi[bid]
+            assert m.bench_set == s
+            assert (
+                m.n_distinct_grams, m.leaked_grams, m.leaking_docs,
+                m.leaked_frac, m.leaked,
+            ) == (
+                r.n_distinct_grams, r.leaked_grams, r.leaking_docs,
+                r.leaked_frac, r.leaked,
+            )
+
+    # worst-doc vs literal Python argmax
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower().strip()).split() if w]
+
+    def grams(t):
+        w = toks(t)
+        return {tuple(w[p:p + k]) for p in range(max(len(w) - k + 1, 0))}
+
+    corpus_g = {i: grams(t) for i, t in corpus_rows}
+    for bid, _s, t in bench_rows:
+        bg = grams(t)
+        shared = {
+            cid: len(bg & cg) for cid, cg in corpus_g.items() if bg & cg
+        }
+        m = multi[bid]
+        if not shared:
+            assert m.worst_doc is None and m.worst_doc_shared == 0
+        else:
+            best = min(shared, key=lambda c: (-shared[c], c))
+            assert (m.worst_doc, m.worst_doc_shared) == (best, shared[best])
+    # item 103's passage is verbatim inside corpus docs 1 and 3; the
+    # tie (all of 103's grams in both) breaks to the smaller id
+    assert multi[103].worst_doc == 1
+    assert multi[104].n_distinct_grams == 0 and not multi[104].leaked
+
+
+def test_multi_benchmark_leak_report_broadcast_modes_identical(spark):
+    from graphkb_spark.operators.dedup import multi_benchmark_leak_report
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} common shared passage tail{i % 3} pad pad pad")
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100 + j, j % 2, "common shared passage tail0 pad pad")
+         for j in range(4)],
+        ["doc_id", "bench_set", "text"],
+    )
+    outs = [
+        sorted(map(tuple, multi_benchmark_leak_report(
+            corpus, bench, "text", "doc_id", "bench_set", k=3, broadcast=b
+        ).collect()))
+        for b in (True, False, "auto")
+    ]
+    assert outs[0] == outs[1] == outs[2]

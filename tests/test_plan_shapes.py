@@ -188,6 +188,14 @@ BUDGETS = [
     # probe + two countDistinct aggs (Expand pipeline) + size-gated
     # broadcast fill-ins
     ("benchmark_leak_report", 5, 0, True),
+    # r16 suite-level leak report: staged per-item digest distinct +
+    # broadcast probe + staged distinct-triples table feeding three
+    # leak-volume rollups (per-item Expand countDistincts, the
+    # per-(item, doc) worst-doc argmax pair, suite-bounded totals) +
+    # size-gated broadcast fill-ins; corpus text crosses the wire at
+    # most once (the local-parallelism repartition; zero times with
+    # num_partitions=0, the cluster setting)
+    ("multi_benchmark_leak_report", 6, 0, True),
     # r14 per-span leak attribution: staged digest probe + one
     # (item, doc)-keyed island window + span agg — the window
     # exchange is leak-volume-sized, not corpus-sized
