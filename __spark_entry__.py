@@ -5049,7 +5049,7 @@ def q_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round. The
-    # rotation is an explicit list (_R15_WINDOW below) applied over the
+    # rotation is an explicit list (_R16_WINDOW below) applied over the
     # registry literal, so each round edits a 50-name list instead of
     # reordering the dict. Round-14 composition: new/changed queries
     # lead (the new benchmark_leak_spans attribution and
@@ -5308,91 +5308,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R15_WINDOW}
+    ordered = {k: all_q[k] for k in _R16_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
 
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in
-# queries(). Round-15 composition: (a) every query whose code or
-# plan changed this round — the NEW multi_benchmark_decontaminate /
-# multi_benchmark_flag / stream_multi_decontaminate suite-level
-# decontamination trio and the NEW multiple_regression_fast
-# int64-sums engine (same oracle as multiple_regression — the
-# bit-identity contract is the thing under test); multiple_regression
-# (the int64 dsum now divides as decimal before the double cast);
-# benchmark_leak_report / benchmark_overlap_matrix (digest staging
-# construction-lazy, eager=False); and the three scout-caught perf
-# rewrites dup_ngram_frac (unique-owner identity) / ngram_counts
-# (attribute-materialized token array) / rolling_zscore (bounded-
-# frame int64 sums) plus prefix_rollup (same attribute fix) — 11
-# names; (b) the least-recently-driver-checked tail — the final 6
-# round-9 names (clearing the r9 residue entirely), then the first
-# 33 not-already-included round-10 names, alphabetical. Staleness
-# computed from the union of CORRECTNESS_r0*.json driver windows;
-# the residue for round 16 is the last 14 round-10 names
-# (oncokb_statements .. weight_diagnostics) — all green in the full
-# local sweep this round.
-_R15_WINDOW = [
-    # (a) new/changed in round 15
-    "multi_benchmark_decontaminate",
-    "multi_benchmark_flag",
-    "stream_multi_decontaminate",
-    "multiple_regression_fast",
-    "multiple_regression",
-    "benchmark_leak_report",
-    "benchmark_overlap_matrix",
-    "dup_ngram_frac",
-    "ngram_counts",
+# queries(). Round-16 composition: (a) every query whose code or
+# plan changed this round — the NEW multi_benchmark_leak_report
+# (suite-level eval-integrity forensics, one corpus scan) and the NEW
+# rolling_zscore_decimal (the decimal default engine made
+# registry-reachable, same oracle as the int64 sibling — the driver
+# verifies the two-engine equivalence); rolling_zscore (both engines
+# now scale/square from the original pre-double column, ADVICE r15);
+# dup_ngram_frac (explicit NULL-text-as-empty contract, ADVICE r15)
+# — 4 names; (b) the least-recently-driver-checked tail — the final
+# 14 round-10 names (clearing the r10 residue entirely), then the
+# first 32 round-11 names, alphabetical. Staleness computed from the
+# union of CORRECTNESS_r0*.json driver windows; the residue for
+# round 17 is the last 8 round-11 names (reconcile, segment_dedup,
+# statement_variant_link, stream_interval_join, tfidf_topk,
+# token_budget_sample, token_count, variant_load) — all green in the
+# full local sweep this round.
+_R16_WINDOW = [
+    # (a) new/changed in round 16
+    "multi_benchmark_leak_report",
+    "rolling_zscore_decimal",
     "rolling_zscore",
-    "prefix_rollup",
-    # (b) stalest: the final 6 round-9 names
-    "sorted_neighborhood",
-    "stream_minhash_dedup",
-    "stream_upsert",
-    "topn_other",
-    "triangle_count",
-    "zipf_fit",
-    # (b) stalest: first 33 remaining round-10 names, alphabetical
-    "asco_abstracts",
-    "asof_join",
-    "auc_eval",
-    "bm25_scores",
-    "broadcast_dim_join",
-    "calibration_bins",
-    "categorical_dependence",
-    "chembl_load",
-    "chunk_documents",
-    "civic_sync",
-    "civic_sync_reconcile",
-    "classifier_score",
-    "consensus_agg",
-    "dbsnp_docsum",
-    "decontaminate",
-    "dedup_fillscore",
-    "dnf_expansion",
-    "duplicate_names",
-    "edit_distance_join",
-    "edit_distance_join_k2",
-    "embedding_quantize",
-    "entrez_gene_load",
-    "entrez_refseq",
-    "fallback_cascade",
-    "fda_approvals_year",
-    "fda_srs_load",
-    "grouped_regression",
-    "gsc_ontology",
-    "hgnc_load",
-    "histogram_bins",
-    "hotspot_load",
-    "latest_per_key",
-    "normalized_key_join",
+    "dup_ngram_frac",
+    # (b) stalest: the final 14 round-10 names
+    "oncokb_statements",
+    "perplexity_buckets",
+    "pricing_summary",
+    "recurrence_rollup",
+    "refseq_ladder",
+    "rollup_recurrence",
+    "salted_skew_join",
+    "semi_join_exists",
+    "sessionize",
+    "spec_validation",
+    "spec_validation_nested",
+    "stratified_sample",
+    "top1_per_group",
+    "weight_diagnostics",
+    # (b) stalest: first 32 round-11 names, alphabetical
+    "anti_join_incremental",
+    "approx_distinct",
+    "approx_quantiles",
+    "cgl_load",
+    "cohort_retention",
+    "dedup_exact",
+    "docm_load",
+    "domain_rebalance",
+    "equidepth_histogram",
+    "er_entities",
+    "filter_dsl_neighbors",
+    "filter_dsl_nested",
+    "filter_dsl_pagination",
+    "filter_dsl_subquery",
+    "fingerprint",
+    "graph_neighbors",
+    "grouped_outliers",
+    "hgvs_parse",
+    "incremental_agg",
+    "incremental_join_agg",
+    "kb_ontology_load",
+    "key_skew_profile",
+    "ks_drift",
+    "lang_id",
+    "merge_intervals",
+    "oov_rate",
+    "pii_redact",
+    "pmc_functional",
+    "pmc_fusions",
+    "priority_sample",
+    "quality_score",
+    "range_join",
 ]
-assert len(_R15_WINDOW) == 50, (
-    f"driver gate window must be exactly 50 names, got {len(_R15_WINDOW)}"
+assert len(_R16_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R16_WINDOW)}"
 )
-assert len(set(_R15_WINDOW)) == 50, "duplicate name in _R15_WINDOW"
+assert len(set(_R16_WINDOW)) == 50, "duplicate name in _R16_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:
