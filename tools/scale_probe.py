@@ -131,6 +131,12 @@ QUERIES = [
     # single-aggregation contract widened with per-set attribution;
     # must match exactsubstr_decontaminate's 1x-corpus shuffle.
     "multi_benchmark_flag",
+    # round-16: the suite-level leak REPORT — the reverse direction
+    # (per eval item + worst-doc attribution) in the same
+    # fixed-eval-suite regime; the claim under test is that every
+    # post-probe exchange is leak-volume-sized, so wall tracks the
+    # corpus scan and shuffle stays ~flat as the corpus grows.
+    "multi_benchmark_leak_report",
     # round-15 headline promotions: lsh_band_tuning (the band planner
     # over the PPJoin exact-pair mass — now the slowest headliner, so
     # its corpus scaling needs its own row) and weighted_percentiles
@@ -279,6 +285,24 @@ def _multi_flag_scaled(spark, sf_dir: str, mult: int):
     )
 
 
+def _multi_leak_report_scaled(spark, sf_dir: str, mult: int):
+    """Suite-level leak report with the FIXED 4-set eval suite (the
+    _multi_flag_scaled regime) — eval items stay copy-0's every-50th
+    docs while the corpus grows."""
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.dedup import multi_benchmark_leak_report
+    from graphkb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _fixed_bench(docs).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return multi_benchmark_leak_report(
+        docs, bench, "text", "doc_id", "bench_set", k=8
+    )
+
+
 SCALED_VARIANTS = {
     "semantic_dedup": _semantic_dedup_scaled,
     "kcore": _kcore_scaled,
@@ -291,6 +315,7 @@ SCALED_VARIANTS = {
     "benchmark_leak_spans": _decon_scaled("benchmark_leak_spans"),
     "multi_benchmark_decontaminate": _multi_decon_scaled,
     "multi_benchmark_flag": _multi_flag_scaled,
+    "multi_benchmark_leak_report": _multi_leak_report_scaled,
 }
 
 
