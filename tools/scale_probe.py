@@ -153,6 +153,17 @@ QUERIES = [
     # round-15 fourth-pass promotion: random projection of the scaled
     # embeddings (codegen zip_with dot products).
     "embedding_project",
+    # round-16: the three PPJoin-driven headliners in the Heaps-law
+    # regime (vocabulary grows with the corpus). The splice transform
+    # reuses ONE fixed vocabulary, so at x100 the shared half-doc
+    # shingles put ~1.2e9 candidate pairs through the prefix join —
+    # quadratic in the COPY COUNT, a corpus-construction artifact no
+    # real 100 TB corpus exhibits (measured once, documented in
+    # SCALING.md). These rows measure the production regime, exactly
+    # as ngram_jaccard_heaps does for the raw join (VERDICT r11 #1b).
+    "lsh_band_tuning_heaps",
+    "canonical_docs_heaps",
+    "containment_pairs_heaps",
 ]
 
 
@@ -227,27 +238,88 @@ def _ngram_jaccard_heaps(spark, sf_dir: str, mult: int):
     in every doc of the copy, densifying in-copy postings instead of
     growing the vocabulary (measured: the split form concentrates the
     prefix-candidate bound ~8x at x1)."""
+    from graphkb_spark.operators.dedup import ngram_jaccard_pairs
+
+    tagged = _heaps_tagged_docs(spark, sf_dir)
+    return ngram_jaccard_pairs(tagged, "text", "doc_id", shingle_n=3, threshold=0.6)
+
+
+def _heaps_tagged_docs(spark, sf_dir: str):
+    """The Heaps-law corpus regime shared by every *_heaps probe
+    variant: ~1/3 of each copy's words tagged with the copy index
+    (see _ngram_jaccard_heaps's docstring for the measured rationale
+    and the alphanumeric-tag tokenizer constraint). Re-derives
+    n_chars from the tagged text so length-ordered keep decisions
+    (canonical_docs) see consistent lengths."""
     from pyspark.sql import functions as F
 
-    from graphkb_spark.operators.dedup import ngram_jaccard_pairs
     from graphkb_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     copy = (F.col("doc_id") / F.lit(ID_STEP)).cast("bigint")
-    tagged = docs.select(
+    return docs.select(
         "doc_id",
         F.array_join(
             F.transform(
                 F.split(F.col("text"), r"\s+"),
                 lambda w: F.when(
-                    F.crc32(F.concat_ws("", w, copy.cast("string"))) % 3 == 0,
+                    F.crc32(F.concat_ws("\x01", w, copy.cast("string"))) % 3 == 0,
                     F.concat_ws("", w, F.lit("x"), copy.cast("string")),
                 ).otherwise(w),
             ),
             " ",
         ).alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+
+
+def _lsh_band_tuning_heaps(spark, sf_dir: str, mult: int):
+    """The band planner on the Heaps-regime corpus (r16): the splice
+    transform reuses one fixed vocabulary, so at x100 the shared
+    half-doc shingles put ~1.2e9 candidate pairs through the PPJoin
+    prefix join — a corpus-construction artifact (100 copies of the
+    same 5000 docs' halves), quadratic in the copy count. Real
+    corpora grow vocabulary (Heaps' law), keeping per-shingle df
+    bounded; this variant measures that regime, mirroring
+    ngram_jaccard_heaps (VERDICT r11 #1b)."""
+    from graphkb_spark.operators.dedup import lsh_band_tuning
+
+    return lsh_band_tuning(
+        _heaps_tagged_docs(spark, sf_dir), "text", "doc_id",
+        num_hashes=64, sim_floor=0.5,
     )
-    return ngram_jaccard_pairs(tagged, "text", "doc_id", shingle_n=3, threshold=0.6)
+
+
+def _canonical_docs_heaps(spark, sf_dir: str, mult: int):
+    """canonical_docs (PPJoin pairs -> CC -> per-cluster argmax) on
+    the Heaps-regime corpus — same rationale as
+    _lsh_band_tuning_heaps."""
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.dedup import (
+        canonical_per_cluster,
+        ngram_jaccard_pairs,
+    )
+
+    tagged = _heaps_tagged_docs(spark, sf_dir)
+    docs = tagged.select("doc_id", "n_chars")
+    pairs = ngram_jaccard_pairs(
+        tagged, "text", "doc_id", shingle_n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    return canonical_per_cluster(
+        docs, pairs, "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+
+
+def _containment_pairs_heaps(spark, sf_dir: str, mult: int):
+    """Directed containment join on the Heaps-regime corpus — same
+    rationale as _lsh_band_tuning_heaps."""
+    from graphkb_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _heaps_tagged_docs(spark, sf_dir), "text", "doc_id",
+        shingle_n=3, threshold=0.7,
+    )
 
 
 def _multi_decon_scaled(spark, sf_dir: str, mult: int):
@@ -316,6 +388,9 @@ SCALED_VARIANTS = {
     "multi_benchmark_decontaminate": _multi_decon_scaled,
     "multi_benchmark_flag": _multi_flag_scaled,
     "multi_benchmark_leak_report": _multi_leak_report_scaled,
+    "lsh_band_tuning_heaps": _lsh_band_tuning_heaps,
+    "canonical_docs_heaps": _canonical_docs_heaps,
+    "containment_pairs_heaps": _containment_pairs_heaps,
 }
 
 
@@ -525,7 +600,13 @@ def run_probe() -> None:
             # x30 headline ratio 4.2<->7.7x). Best-of-3 at x1 costs
             # seconds and makes committed ratios load-bearing
             # (VERDICT r12 #7); larger scales stay best-of-2.
-            for attempt in range(3 if mult == 1 else 2):
+            # PROBE_ATTEMPTS overrides BOTH (r16): the splice-regime
+            # x100 worst-case cells run ~25 min per attempt, so their
+            # one documented measurement sets PROBE_ATTEMPTS=1.
+            n_attempts = int(
+                os.environ.get("PROBE_ATTEMPTS", 0)
+            ) or (3 if mult == 1 else 2)
+            for attempt in range(n_attempts):
                 sw0 = _shuffle_write_bytes(port)
                 t0 = time.perf_counter()
                 if q in SCALED_VARIANTS:
