@@ -1577,6 +1577,27 @@ def q_multi_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_multi_benchmark_leak_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite-level per-span leak attribution (r16 — completes the
+    multi-benchmark matrix): for every (eval item, corpus doc) pair of
+    the four synthetic sets (every 5th doc, doc_id % 4) sharing a
+    verbatim 8-gram, the maximal leaked span(s) in the corpus doc's
+    token stream with the item's set label carried through — N sets
+    adjudicated from one corpus tokenize+digest pass
+    (operators/dedup.py multi_benchmark_leak_spans). Eval docs
+    self-attribute as full-document spans; cross-doc rows are the
+    real leaks."""
+    from graphkb_spark.operators.dedup import multi_benchmark_leak_spans
+
+    t = _t(spark, sf_dir, "documents")
+    bench = t["documents"].filter(F.col("doc_id") % 5 == 0).withColumn(
+        "bench_set", F.col("doc_id") % 4
+    )
+    return multi_benchmark_leak_spans(
+        t["documents"], bench, "text", "doc_id", "bench_set", k=8
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus curation: hash-Bernoulli per-language
     rates (downsample en, keep low-resource langs) + per-(lang,
@@ -5237,6 +5258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": q_stream_decontaminate,
         "benchmark_leak_report": q_benchmark_leak_report,
         "multi_benchmark_leak_report": q_multi_benchmark_leak_report,
+        "multi_benchmark_leak_spans": q_multi_benchmark_leak_spans,
         "benchmark_leak_spans": q_benchmark_leak_spans,
         "benchmark_overlap_matrix": q_benchmark_overlap_matrix,
         "leakage_safe_split": q_leakage_safe_split,
@@ -5317,23 +5339,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver each round at sf0.01. See the ordering-contract note in
 # queries(). Round-16 composition: (a) every query whose code or
 # plan changed this round — the NEW multi_benchmark_leak_report
-# (suite-level eval-integrity forensics, one corpus scan) and the NEW
+# (suite-level eval-integrity forensics, one corpus scan), the NEW
+# multi_benchmark_leak_spans (suite-level per-span attribution —
+# completes the multi-benchmark matrix), and the NEW
 # rolling_zscore_decimal (the decimal default engine made
 # registry-reachable, same oracle as the int64 sibling — the driver
 # verifies the two-engine equivalence); rolling_zscore (both engines
 # now scale/square from the original pre-double column, ADVICE r15);
 # dup_ngram_frac (explicit NULL-text-as-empty contract, ADVICE r15)
-# — 4 names; (b) the least-recently-driver-checked tail — the final
+# — 5 names; (b) the least-recently-driver-checked tail — the final
 # 14 round-10 names (clearing the r10 residue entirely), then the
-# first 32 round-11 names, alphabetical. Staleness computed from the
+# first 31 round-11 names, alphabetical. Staleness computed from the
 # union of CORRECTNESS_r0*.json driver windows; the residue for
-# round 17 is the last 8 round-11 names (reconcile, segment_dedup,
-# statement_variant_link, stream_interval_join, tfidf_topk,
-# token_budget_sample, token_count, variant_load) — all green in the
-# full local sweep this round.
+# round 17 is the last 9 round-11 names (range_join, reconcile,
+# segment_dedup, statement_variant_link, stream_interval_join,
+# tfidf_topk, token_budget_sample, token_count, variant_load) — all
+# green in the full local sweep this round.
 _R16_WINDOW = [
     # (a) new/changed in round 16
     "multi_benchmark_leak_report",
+    "multi_benchmark_leak_spans",
     "rolling_zscore_decimal",
     "rolling_zscore",
     "dup_ngram_frac",
@@ -5384,7 +5409,6 @@ _R16_WINDOW = [
     "pmc_fusions",
     "priority_sample",
     "quality_score",
-    "range_join",
 ]
 assert len(_R16_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R16_WINDOW)}"

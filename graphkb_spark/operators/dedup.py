@@ -1246,6 +1246,99 @@ def benchmark_leak_spans(
     )
 
 
+def multi_benchmark_leak_spans(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str,
+    id_col: str,
+    set_col: str,
+    k: int = 13,
+    num_partitions: int | None = None,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 4_000_000,
+) -> DataFrame:
+    """Suite-level per-span leak attribution (r16 — completes the
+    multi-benchmark matrix: flag / cut / report / streaming gate were
+    already N-set, spans was the last single-set member): for every
+    (benchmark item, corpus document) pair sharing a verbatim k-gram,
+    the maximal leaked span(s) in the corpus doc's normalized token
+    stream, with the item's benchmark-set label carried through — N
+    eval sets adjudicated from ONE corpus tokenize+digest pass where
+    ``benchmark_leak_spans`` run per set would pay the corpus scan N
+    times. Returns (bench_id, <set_col>, <id_col>, span_start,
+    span_end, span_tokens) — one row per maximal span in corpus-doc
+    token coordinates (the ``repeated_spans`` contract; spans merged
+    per (item, doc) via the shared gaps-and-islands machinery).
+    An item leaking into several sets' shared passage reports under
+    ITS OWN set only — the set is the item's label, not a match
+    attribute.
+
+    Scale shape: identical to ``benchmark_leak_spans`` with the set
+    label riding the (item, doc) island key (functionally dependent
+    on the item, so the window keys are unchanged in cardinality):
+    the suite digest table follows the size-checked
+    ``broadcast="auto"`` contract and is staged before the auto
+    count; the corpus positional gram stream probes it and never
+    shuffles corpus text (``num_partitions=0`` skips the
+    local-parallelism repartition — cluster mode); the island window
+    exchange carries only matched positions — leak-volume, not
+    corpus-volume."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast={broadcast!r}: expected True, False or 'auto'"
+        )
+    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    bench_g = (
+        benchmarks.select(
+            F.col(id_col).alias("__bid"),
+            F.col(set_col).alias("__set"),
+            words(text_col).alias("__w"),
+        )
+        .filter(F.size("__w") >= k)
+        .select(
+            "__bid", "__set",
+            F.explode(word_shingles(F.col("__w"), k)).alias("__g"),
+        )
+        .select("__bid", "__set", _gram_digest(F.col("__g")).alias("__d"))
+        .distinct()
+    )
+    # single data consumer (the probe join) — the benchmark_leak_spans
+    # staging-asymmetry note applies verbatim: only the auto branch
+    # stages, so its count() does not replay the tokenize+distinct
+    # lineage the probe join repeats
+    if broadcast == "auto":
+        bench_g = bench_g.transform(materialize)
+        broadcast = bench_g.count() <= broadcast_max_digests
+    grams = (
+        corpus.select(F.col(id_col).alias("__cid"), words(text_col).alias("__w"))
+        .transform(
+            lambda d: d if num_partitions == 0 else d.repartition(
+                n_part, "__cid"
+            )
+        )
+        .filter(F.size("__w") >= k)
+        .select(
+            "__cid",
+            F.posexplode(word_shingles(F.col("__w"), k)).alias("__p", "__g"),
+        )
+        .select("__cid", "__p", _gram_digest(F.col("__g")).alias("__d"))
+    )
+    pos = grams.join(
+        F.broadcast(bench_g) if broadcast else bench_g, "__d"
+    ).select(F.struct("__bid", "__set", "__cid").alias("__id"), "__p")
+    spans = _positions_to_spans(pos, "__key", k)
+    return spans.select(
+        F.col("__key.__bid").alias("bench_id"),
+        F.col("__key.__set").alias(set_col),
+        F.col("__key.__cid").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+    )
+
+
 def leakage_safe_split(
     corpus: DataFrame,
     text_col: str,

@@ -3172,6 +3172,47 @@ def build_oracles() -> dict[str, str]:
                    CAST(max(p) + 7 - min(p) + 1 AS BIGINT) AS span_tokens
             FROM i GROUP BY bid, cid, isl
         """,
+        # Suite-level per-span leak attribution (r16): the
+        # benchmark_leak_spans island pipeline with the 4-set suite
+        # (every 5th doc, doc_id % 4) — the item's set label rides
+        # the (item, doc) island key.
+        "multi_benchmark_leak_spans": r"""
+            WITH words AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'),
+                       ' '), w -> w <> '') AS w
+              FROM documents),
+            bg AS (
+              SELECT DISTINCT doc_id AS bid, (doc_id % 4) AS st,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS d
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(w[i:i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)]) AS g
+                    FROM words WHERE doc_id % 5 = 0 AND len(w) >= 8)),
+            g AS (
+              SELECT doc_id AS cid,
+                     unnest([{'p': i - 1,
+                              'd': ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT}
+                             for i in generate_series(1, len(w) - 7)]) AS u
+              FROM words WHERE len(w) >= 8),
+            e AS (SELECT cid, u.p AS p, u.d AS d FROM g),
+            dp AS (SELECT bg.bid, bg.st, e.cid, e.p
+                   FROM e JOIN bg USING (d)),
+            m AS (SELECT bid, st, cid, p,
+                         CASE WHEN p - lag(p) OVER (PARTITION BY bid, cid
+                                                    ORDER BY p) > 8
+                              THEN 1 ELSE 0 END AS b
+                  FROM dp),
+            i AS (SELECT bid, st, cid, p,
+                         sum(b) OVER (PARTITION BY bid, cid ORDER BY p) AS isl
+                  FROM m)
+            SELECT bid AS bench_id, st AS bench_set, cid AS doc_id,
+                   CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(p) + 7 AS BIGINT) AS span_end,
+                   CAST(max(p) + 7 - min(p) + 1 AS BIGINT) AS span_tokens
+            FROM i GROUP BY bid, st, cid, isl
+        """,
         # Decontamination surgery: the exactsubstr bench-digest
         # pipeline + the repeated_span_cut island-merge/cut chain —
         # leaked 8-gram positions merge into maximal spans (gap > 8

@@ -1853,3 +1853,77 @@ def test_multi_benchmark_leak_report_broadcast_modes_identical(spark):
         for b in (True, False, "auto")
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_multi_benchmark_leak_spans_matches_per_set_singles(spark):
+    """r16: the suite-level span attribution from one corpus pass must
+    equal the union of N per-set benchmark_leak_spans runs, with the
+    item's set label carried through."""
+    from graphkb_spark.operators.dedup import (
+        benchmark_leak_spans,
+        multi_benchmark_leak_spans,
+    )
+
+    k = 6
+    corpus = spark.createDataFrame(
+        [
+            (1, "aa bb the secret eval passage appears here verbatim xx"),
+            (2, "pp qq another hidden test question shows up intact rr"),
+            (3, "the secret eval passage appears here verbatim gap pad "
+                "another hidden test question shows up intact"),
+            (4, "completely different text about catalyst and tungsten"),
+            (5, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (101, "a", "x the secret eval passage appears here verbatim y"),
+            (102, "b", "z another hidden test question shows up intact w"),
+            (103, "b", "the secret eval passage appears here verbatim"),
+        ],
+        ["doc_id", "bench_set", "text"],
+    )
+    multi = sorted(
+        map(tuple, multi_benchmark_leak_spans(
+            corpus, bench, "text", "doc_id", "bench_set", k=k
+        ).collect())
+    )
+    singles = []
+    for s in ("a", "b"):
+        for r in benchmark_leak_spans(
+            corpus, bench.filter(F.col("bench_set") == s), "text",
+            "doc_id", k=k,
+        ).collect():
+            singles.append(
+                (r.bench_id, s, r.doc_id, r.span_start, r.span_end,
+                 r.span_tokens)
+            )
+    assert multi == sorted(singles)
+    assert multi  # the fixture leaks — non-empty by construction
+    # item 103 is verbatim inside corpus docs 1 and 3 — both
+    # attributed under set 'b'
+    got_103 = {(r[2]) for r in multi if r[0] == 103}
+    assert got_103 == {1, 3}
+
+
+def test_multi_benchmark_leak_spans_broadcast_modes_identical(spark):
+    from graphkb_spark.operators.dedup import multi_benchmark_leak_spans
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} common shared passage tail{i % 3} pad pad pad")
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100 + j, j % 2, "common shared passage tail0 pad pad")
+         for j in range(4)],
+        ["doc_id", "bench_set", "text"],
+    )
+    outs = [
+        sorted(map(tuple, multi_benchmark_leak_spans(
+            corpus, bench, "text", "doc_id", "bench_set", k=3, broadcast=b
+        ).collect()))
+        for b in (True, False, "auto")
+    ]
+    assert outs[0] == outs[1] == outs[2]

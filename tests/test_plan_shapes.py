@@ -200,6 +200,10 @@ BUDGETS = [
     # (item, doc)-keyed island window + span agg — the window
     # exchange is leak-volume-sized, not corpus-sized
     ("benchmark_leak_spans", 2, 0, True),
+    # r16 suite-level span attribution: identical shape — the set
+    # label rides the (item, doc) island key (functionally dependent
+    # on the item), so the budget is the single-set pin's
+    ("multi_benchmark_leak_spans", 2, 0, True),
     # r14 cross-benchmark matrix: staged per-set digests + one
     # digest-keyed self-join (the SMJ — both sides shuffle the
     # bounded digest table once) + broadcast matrix assembly
