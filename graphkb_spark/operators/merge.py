@@ -52,6 +52,31 @@ def _known_empty(df: DataFrame) -> bool:
     return plan.strip().startswith("LocalRelation <empty>")
 
 
+def simplify_record_links(content, level: int = 0):
+    """Clean-room port of the reference's ``simplifyRecordsLinks``
+    (src/graphkb.js:28-47), pinned by test/graphkb.test.js:247-280:
+    collapse nested linked records to their ``@rid`` string (only below
+    the top level), map+sort arrays, recurse into plain dicts; scalars
+    pass through. Driver-side record prep for REST-shaped payloads
+    before they become flat MERGE rows — ``merge_upsert``'s change
+    predicate assumes links are already rid strings (see module
+    docstring)."""
+    if isinstance(content, dict):
+        if level and content.get("@rid") is not None:
+            return str(content["@rid"])
+        simple = {}
+        for key, value in content.items():
+            if isinstance(value, list):
+                simple[key] = sorted(
+                    (simplify_record_links(v, level + 1) for v in value),
+                    key=str,  # JS Array.sort stringifies mixed elements
+                )
+            else:
+                simple[key] = simplify_record_links(value, level + 1)
+        return simple
+    return content
+
+
 def _norm_equal(tcol: Column, scol: Column, dtype: str) -> Column:
     """Null-safe normalized equality for change detection.
 

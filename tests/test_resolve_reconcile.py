@@ -24,8 +24,11 @@ ONT = T.StructType(
 
 
 def test_preference_order(spark):
-    """deprecated last, alias last, unversioned first, then newest
-    version (reference src/graphkb.js:133-196)."""
+    """deprecated last, alias last, unversioned first, then the OLDEST
+    version — the reference's executable comparator sorts versions
+    ascending (src/graphkb.js:160-170, pinned sign-exact by its own
+    test/graphkb.test.js:41-57; full port in
+    tests/test_reference_fidelity.py)."""
     dim = spark.createDataFrame(
         [
             ("s1", "deprecated", True, False, None, None, None, None, 0),
@@ -38,7 +41,7 @@ def test_preference_order(spark):
     )
     ranked = dim.orderBy(*preference_order()).collect()
     assert ranked[0].name == "unversioned"
-    assert ranked[1].name == "versioned_new"
+    assert ranked[1].name == "versioned_old"  # older version wins
     assert ranked[-1].name == "deprecated"
 
 
