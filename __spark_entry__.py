@@ -1841,6 +1841,25 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated exact segment dedup (the Dolma/BFF paragraph-dedup
+    staple, r17): same first-global-occurrence contract and oracle as
+    segment_dedup, computed BFF-style — a duplicate-digest pass whose
+    corpus-wide exchange carries 16-byte digests instead of the full
+    text, a bounded driver Bloom filter over the duplicate digests,
+    and a probe pass where filter MISSES (the unique majority) bypass
+    the verify join at scan speed. The filter prunes the plan, never
+    the answer (no false negatives; false positives resolve via the
+    left join's null keeper)."""
+    from graphkb_spark.operators.dedup import bloom_segment_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    return bloom_segment_dedup(
+        t["documents"].select("doc_id", "text"), "doc_id", "text",
+        seg_words=16, num_bits=1 << 20,
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget mixture sampling (600 tokens per
     source): deterministic md5-shuffled order, running-sum window, keep
@@ -4449,8 +4468,11 @@ def q_rolling_zscore_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DECIMAL(38,10) default engine of the same trailing-20
     anomaly gate, registry-reachable in its own right (r16, VERDICT
     r15 missing #3 — the multiple_regression / multiple_regression_fast
-    precedent): exact at ANY input-decimal width, the 100 TB default
-    when values may exceed the int64 path's 4-decimal contract. Shares
+    precedent): exact for decimal inputs whose SQUARE still fits
+    decimal(38) — roughly 2*(precision+scale) <= 38; wider inputs hit
+    Spark's allowPrecisionLoss scale truncation on c*c (ADVICE r16) —
+    the 100 TB default when values may exceed the int64 path's
+    4-decimal contract. Shares
     rolling_zscore's oracle — the engines are value-identical on
     <=2-decimal inputs (pinned at sf0.1 in tests), so the driver
     verifies the equivalence every round instead of assuming it."""
@@ -5169,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_frac": q_dup_ngram_frac,
         "chunk_documents": q_chunk_documents,
         "segment_dedup": q_segment_dedup,
+        "bloom_segment_dedup": q_bloom_segment_dedup,
         "token_budget_sample": q_token_budget_sample,
         "tfidf_topk": q_tfidf_topk,
         "asof_join": q_asof_join,

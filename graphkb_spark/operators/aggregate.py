@@ -1561,8 +1561,12 @@ def rolling_zscore(
 
     Both engines scale/square from the ORIGINAL column in its native
     type (the ``grouped_normal_equations`` recipe, ADVICE r15): a
-    decimal-typed input squares exactly, so both engines are exact to
-    their loud bounds. A DOUBLE-typed input (this container's
+    decimal-typed input squares exactly WHILE the square's type fits
+    decimal(38) — Spark sizes c*c at precision 2p+1 (scale 2s), so
+    inputs up to ~decimal(18,s) square losslessly; wider ones are
+    silently scale-truncated under spark.sql.decimalOperations
+    .allowPrecisionLoss (ADVICE r16) — so both engines are exact to
+    their loud/documented bounds, not unconditionally. A DOUBLE-typed input (this container's
     ``events.value``) additionally carries the SILENT double-precision
     bound: ``round(v*v*1e4)`` on double arithmetic recovers the true
     scaled integer only while |v^2|*1e4 < 2^53 (|v| < ~3e7 at 2

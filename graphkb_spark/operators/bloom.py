@@ -35,6 +35,52 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     ]
 
 
+def build_bloom_bytes(
+    keys: DataFrame, key: Column, num_bits: int, num_hashes: int
+) -> bytearray:
+    """Build the bit array (``num_bits/8`` bytes, LSB-first within a
+    byte) from a key DataFrame. The collect is bounded by ``num_bits``
+    regardless of build-side row count (distinct positions, not
+    rows)."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos_rows = (
+        keys.select(
+            F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = bytearray(num_bits // 8)
+    for r in pos_rows:
+        bits[r.p // 8] |= 1 << (r.p % 8)
+    return bits
+
+
+def bloom_hit(
+    key: Column, lit_bits: Column, num_bits: int, num_hashes: int
+) -> Column:
+    """Scan-speed membership predicate: True iff every hash position's
+    bit is set. No false negatives — a False is definitive.
+
+    ``lit_bits`` must be a BinaryType literal (``F.lit(bytearray)``)
+    of the ``build_bloom_bytes`` array: a binary literal is ONE shared
+    plan constant, where an array<long> literal is a CreateArray
+    re-evaluated per row — at the default 2^20 bits that per-row 16k-
+    element array build measured 38.5 s vs 2.4 s on a 50k-doc probe
+    (the HOF-lambda-reevaluation class of trap). Per probe this costs
+    substring+hex+conv on one byte — O(1) in ``num_bits``."""
+    hit = F.lit(True)
+    for p in _positions(key, num_bits, num_hashes):
+        byte = F.substring(lit_bits, (p / 8).cast("int") + 1, F.lit(1))
+        word = F.conv(F.hex(byte), 16, 10).cast("int")
+        # F.shiftright only takes a literal shift; the SQL function
+        # accepts a column
+        shifted = F.call_function("shiftright", word, (p % 8).cast("int"))
+        hit = hit & (shifted.bitwiseAND(F.lit(1)) == 1)
+    return hit
+
+
 def bloom_prefilter_join(
     big: DataFrame,
     small: DataFrame,
@@ -51,35 +97,18 @@ def bloom_prefilter_join(
     plain inner join (no false negatives); false positives only cost a
     little extra join input.
 
-    The bitmap is ``num_bits / 64`` longs on the driver — 2 KiB at the
+    The bitmap is ``num_bits / 8`` bytes on the driver — 2 KiB at the
     default — the same bounded-driver-state class as the prefetch key
-    lists (S14). Build-side distinct positions are at most
+    lists (S14), and a single shared BinaryType plan literal on the
+    executors. Build-side distinct positions are at most
     ``num_bits``, so the collect is capped regardless of build-side row
     count; callers with build sides too big for ``num_bits`` bits
     should raise ``num_bits`` (the filter degrades to all-ones and the
     join silently becomes the plain join — still correct)."""
-    if num_bits % 64 != 0:
-        raise ValueError("num_bits must be a multiple of 64")
     skey = F.col(small_key).cast("string")
-    pos_rows = (
-        small.select(F.explode(F.array(*_positions(skey, num_bits, num_hashes))).alias("p"))
-        .distinct()
-        .collect()
+    bits = build_bloom_bytes(small, skey, num_bits, num_hashes)
+    hit = bloom_hit(
+        F.col(big_key).cast("string"), F.lit(bytes(bits)), num_bits, num_hashes
     )
-    words = [0] * (num_bits // 64)
-    for r in pos_rows:
-        words[r.p // 64] |= 1 << (r.p % 64)
-    # signed-long literal array (Spark longs are signed; bit 63 wraps)
-    lit_words = F.array(
-        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
-    )
-    bkey = F.col(big_key).cast("string")
-    hit = F.lit(True)
-    for p in _positions(bkey, num_bits, num_hashes):
-        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
-        # F.shiftright only takes a literal shift; the SQL function
-        # accepts a column
-        shifted = F.call_function("shiftright", word, (p % 64).cast("int"))
-        hit = hit & (shifted.bitwiseAND(F.lit(1)) == 1)
     survivors = big.filter(hit)
     return survivors.join(small, survivors[big_key] == small[small_key])

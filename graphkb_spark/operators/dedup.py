@@ -1852,18 +1852,23 @@ def multi_benchmark_leak_report(
         raise ValueError(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
+    # (__bid, __d) WITHOUT the set label: every consumer here (probe
+    # join, per-item totals, size check) keys by item, and the report
+    # re-attaches the label from all_items at the end — so an item
+    # listed under two set labels contributes its digests ONCE
+    # (keeping the per-set label in this distinct would double-count
+    # n_distinct_grams for such items, ADVICE r16)
     bench_g = (
         benchmarks.select(
             F.col(id_col).alias("__bid"),
-            F.col(set_col).alias("__set"),
             words(text_col).alias("__w"),
         )
         .filter(F.size("__w") >= k)
         .select(
-            "__bid", "__set",
+            "__bid",
             F.explode(word_shingles(F.col("__w"), k)).alias("__g"),
         )
-        .select("__bid", "__set", _gram_digest(F.col("__g")).alias("__d"))
+        .select("__bid", _gram_digest(F.col("__g")).alias("__d"))
         .distinct()
         # multi-consumer staging (probe join + per-item totals + the
         # auto size check); eager=False keeps construction lazy
@@ -1927,6 +1932,9 @@ def multi_benchmark_leak_report(
             (-F.col("__top.__neg")).cast("bigint").alias("worst_doc_shared"),
         )
     )
+    # a plain row count is exact: bench_g is distinct on (__bid, __d)
+    # by construction (set-label-free — see its comment), so no
+    # Expand-pipeline countDistinct (and its extra exchange) is needed
     totals = bench_g.groupBy("__bid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams")
     )
@@ -3115,5 +3123,164 @@ def lsh_band_tuning(
                 6,
             ).alias("exp_recall"),
             F.sum(F.when(p >= 0.9, 1).otherwise(0)).cast("bigint").alias("n_likely"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated paragraph/segment dedup (the Dolma / BFF pipeline staple)
+# ---------------------------------------------------------------------------
+
+def bloom_segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 16,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    broadcast: bool | str = "auto",
+    broadcast_max_digests: int = 5_000_000,
+) -> DataFrame:
+    """Bloom-gated EXACT duplicate-segment removal — the Dolma/BFF
+    paragraph-dedup shape (Soldaini et al. 2024 "Dolma"; Allen AI's
+    Big Friendly Filter), state-bounded like BFF but with NO
+    probabilistic drops: the Bloom filter prunes the plan, never
+    changes the answer (the ``bloom_prefilter_join`` contract).
+
+    Output contract is IDENTICAL to ``corpus.dedup_segments`` (first
+    global occurrence of each distinct ``seg_words``-word segment wins,
+    ordered by (id, position); documents rebuilt from surviving
+    segments; returns (id, n_segments, kept_segments, dedup_text)) —
+    the ``dedup_components_star`` precedent: same oracle, different
+    physical strategy.
+
+    Plan (two corpus scans, the BFF two-pass shape, vs
+    ``dedup_segments``'s one scan + full-text window shuffle):
+    1. duplicate-digest table: groupBy(md5(segment)) with map-side
+       partial aggregation — the ONLY corpus-wide exchange before the
+       rebuild carries 16-byte digests + partial counts, never text
+       (``dedup_segments`` shuffles and sorts the full corpus text for
+       its first-occurrence window). Keeps only digests with count>=2
+       plus their argmin keeper (id, position) — the boilerplate set,
+       typically a small fraction of the corpus.
+    2. driver Bloom filter over the duplicate digests: ``num_bits/8``
+       bytes of driver state (ONE shared BinaryType plan literal on
+       the executors — never a per-row array build), collect bounded
+       by ``num_bits``
+       (distinct positions, not rows — the ``bloom.py`` contract). A
+       saturated filter (too many dupes for the bit budget) degrades
+       to more verify traffic, never to a wrong answer.
+    3. probe pass: segments whose digest MISSES the filter are kept
+       outright at scan speed (no false negatives — the common case:
+       unique segments never join anything); hits go through the
+       exact join against the duplicate table (broadcast when the
+       auto size check allows, AQE otherwise) where a Bloom false
+       positive resolves to keep (left join, null keeper) and a true
+       duplicate keeps only its argmin occurrence.
+    4. one doc-keyed re-aggregation rebuilds surviving text (shared
+       with ``dedup_segments`` — both pay exactly one corpus-text
+       shuffle here; flags-only callers should aggregate counts off
+       the flagged stream instead).
+
+    Exactness caveat: grouping is by the full 128-bit md5 digest, not
+    the text — the same collision assumption the gram-digest family
+    documents (a collision needs ~2^64 distinct segments).
+
+    Reference anchor: complements the ExactSubstr family
+    (repeated_spans / repeated_span_cut) — Dolma dedupes at paragraph
+    granularity with a Bloom filter where Lee et al. cut exact
+    substrings; both are standard large-corpus cleaning passes."""
+    from graphkb_spark.operators.bloom import bloom_hit, build_bloom_bytes
+
+    if seg_words <= 0:
+        raise ValueError("seg_words must be positive")
+
+    def segments() -> DataFrame:
+        w = F.split(F.col(text_col), " ")
+        n_seg = F.floor((F.size(w) - F.lit(1)) / F.lit(seg_words)) + 1
+        base = df.filter(F.length(F.col(text_col)) > 0).select(
+            F.col(id_col).alias("__id"),
+            w.alias("__w"),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_seg - 1)
+            ).alias("__idx"),
+        )
+        seg_text = F.array_join(
+            F.slice(
+                base["__w"],
+                F.col("__idx").cast("int") * seg_words + 1,
+                seg_words,
+            ),
+            " ",
+        )
+        return base.select(
+            "__id",
+            "__idx",
+            seg_text.alias("__seg"),
+            F.md5(seg_text).alias("__d"),
+        )
+
+    # pass 1: the duplicate-digest table (digests only on the wire —
+    # column pruning drops __seg from this branch's scan)
+    dup = (
+        segments()
+        .groupBy("__d")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col("__id"), F.col("__idx"))).alias("__keeper"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("__d", "__keeper")
+        # consumed 2-3x: bloom build, auto size check, probe join
+        .transform(materialize, eager=False)
+    )
+    if broadcast == "auto":
+        broadcast = dup.count() <= broadcast_max_digests
+    bits_lit = F.lit(
+        bytes(build_bloom_bytes(dup, F.col("__d"), num_bits, num_hashes))
+    )
+
+    # pass 2: probe — misses bypass the join entirely
+    segs = segments().withColumn(
+        "__hit", bloom_hit(F.col("__d"), bits_lit, num_bits, num_hashes)
+    )
+    keeper_t = dup.schema["__keeper"].dataType.simpleString()
+    hits = segs.filter(F.col("__hit")).join(
+        F.broadcast(dup) if broadcast else dup, "__d", "left"
+    )
+    misses = segs.filter(~F.col("__hit")).withColumn(
+        "__keeper", F.lit(None).cast(keeper_t)
+    )
+    keep = F.col("__keeper").isNull() | (
+        (F.col("__id") == F.col("__keeper.__id"))
+        & (F.col("__idx") == F.col("__keeper.__idx"))
+    )
+    cols = ["__id", "__idx", "__seg", "__keep"]
+    flagged = (
+        hits.withColumn("__keep", keep).select(*cols)
+        .unionByName(misses.withColumn("__keep", F.lit(True)).select(*cols))
+    )
+
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("__idx"), F.col("__seg"))
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__keep").cast("long")).alias("kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("__seg"),
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("kept_segments").cast("bigint").alias("kept_segments"),
+            "dedup_text",
         )
     )

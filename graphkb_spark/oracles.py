@@ -5541,6 +5541,12 @@ def build_oracles() -> dict[str, str]:
     # labeling as min-label propagation by definition — one oracle.
     oracles["dedup_components_star"] = oracles["dedup_components"]
 
+    # Bloom-gated segment dedup (r17, the Dolma/BFF shape) keeps the
+    # exact first-global-occurrence contract of dedup_segments — the
+    # Bloom filter prunes the plan, never the answer — so it shares
+    # segment_dedup's oracle verbatim.
+    oracles["bloom_segment_dedup"] = oracles["segment_dedup"]
+
     # leakage-safe split (r14): the dedup_components labeling + the
     # split_assign md5 per-mille thresholds applied to the COMPONENT
     # id — every near-dup cluster lands whole in one split.

@@ -122,3 +122,55 @@ class TestTfidfTopTerms:
         assert len(out) == 3
         # all scores equal -> ties break on term asc
         assert [r.term for r in sorted(out, key=lambda r: r.rank)] == ["a", "b", "c"]
+
+
+class TestBloomSegmentDedup:
+    """bloom_segment_dedup (r17, Dolma/BFF shape) must match
+    dedup_segments bit-for-bit: the Bloom filter prunes the plan,
+    never the answer — including under filter saturation (tiny
+    num_bits -> every probe a false-positive candidate) and with the
+    broadcast hint off (the shuffled verify-join path)."""
+
+    def _both(self, spark, rows, **kw):
+        from graphkb_spark.operators.dedup import bloom_segment_dedup
+
+        df = _docs(spark, rows)
+        want = sorted(
+            dedup_segments(df, "doc_id", "text", seg_words=2).collect()
+        )
+        got = sorted(
+            bloom_segment_dedup(
+                df, "doc_id", "text", seg_words=2, **kw
+            ).collect()
+        )
+        assert got == want
+
+    def test_matches_dedup_segments(self, spark):
+        rows = [(1, "a b c d"), (2, "c d e f"), (3, "a b"), (4, "x y x y"),
+                (5, ""), (6, "g")]
+        self._both(spark, rows)
+
+    def test_saturated_filter_still_exact(self, spark):
+        # 64 bits + 3 hashes over many dup digests: near-all-ones
+        # filter => everything verifies through the join, answer same
+        rows = [(i, "a b c d") for i in range(1, 9)] + [(9, "u v w z")]
+        self._both(spark, rows, num_bits=64)
+
+    def test_shuffle_join_path_exact(self, spark):
+        rows = [(1, "a b c d"), (2, "c d e f"), (3, "e f a b")]
+        self._both(spark, rows, broadcast=False)
+
+    def test_all_unique_corpus_empty_filter(self, spark):
+        # no duplicate digests at all: the filter is all-zeros, every
+        # segment takes the miss bypass, nothing joins
+        rows = [(1, "a b c d"), (2, "e f g h")]
+        self._both(spark, rows)
+
+    def test_rejects_bad_params(self, spark):
+        from graphkb_spark.operators.dedup import bloom_segment_dedup
+
+        df = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError):
+            bloom_segment_dedup(df, "doc_id", "text", seg_words=0)
+        with pytest.raises(ValueError):
+            bloom_segment_dedup(df, "doc_id", "text", num_bits=100)

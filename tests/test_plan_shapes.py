@@ -211,6 +211,13 @@ BUDGETS = [
     # full PPJoin stack: posting freq agg + rank window + asymmetric
     # prefix join + two verify joins, all broadcast-hash at this SF
     ("ngram_jaccard", 5, 0, True),
+    # r17 Bloom-gated segment dedup (Dolma/BFF shape): the
+    # duplicate-digest partial agg lives inside the staged checkpoint
+    # (invisible to this walk); the visible plan is the broadcast
+    # verify join on bloom HITS (misses bypass via the union) + the
+    # ONE doc-keyed rebuild exchange — the full-text window shuffle
+    # dedup_segments pays is gone
+    ("bloom_segment_dedup", 1, 0, True),
 ]
 
 

@@ -164,6 +164,13 @@ QUERIES = [
     "lsh_band_tuning_heaps",
     "canonical_docs_heaps",
     "containment_pairs_heaps",
+    # round-17 (VERDICT r16 #5): the star-contraction CC headliner in
+    # the Heaps regime — its x100 cell existed only on the splice
+    # corpus (201x shuffle from the quadratic-in-copies pair-graph
+    # volume); this row completes the dual-regime treatment the three
+    # PPJoin headliners got: MinHash-LSH pairs over the
+    # vocabulary-growth corpus, then alternating star contraction.
+    "dedup_components_star_heaps",
 ]
 
 
@@ -322,6 +329,32 @@ def _containment_pairs_heaps(spark, sf_dir: str, mult: int):
     )
 
 
+def _dedup_components_star_heaps(spark, sf_dir: str, mult: int):
+    """dedup_components_star (MinHash-LSH pairs -> alternating
+    large-star/small-star contraction) on the Heaps-regime corpus —
+    same rationale as _lsh_band_tuning_heaps: the splice corpus's
+    shared half-docs make the pair graph quadratic in the copy count
+    (201x shuffle at x100, SCALING.md r16 table), a corpus-construction
+    artifact; under vocabulary growth the LSH band buckets stay
+    bounded and the pair graph grows with the data."""
+    from graphkb_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    tagged = _heaps_tagged_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        tagged, "text", "doc_id",
+        num_hashes=32, bands=16, jaccard_threshold=0.6, hasher="md5",
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        tagged.select("doc_id"),
+        id_col="doc_id",
+        algorithm="star",
+    )
+
+
 def _multi_decon_scaled(spark, sf_dir: str, mult: int):
     """Suite-level surgery with the FIXED eval set split into the
     registry's 4 benchmark buckets — same regime as the rest of the
@@ -391,6 +424,7 @@ SCALED_VARIANTS = {
     "lsh_band_tuning_heaps": _lsh_band_tuning_heaps,
     "canonical_docs_heaps": _canonical_docs_heaps,
     "containment_pairs_heaps": _containment_pairs_heaps,
+    "dedup_components_star_heaps": _dedup_components_star_heaps,
 }
 
 
@@ -603,9 +637,14 @@ def run_probe() -> None:
             # PROBE_ATTEMPTS overrides BOTH (r16): the splice-regime
             # x100 worst-case cells run ~25 min per attempt, so their
             # one documented measurement sets PROBE_ATTEMPTS=1.
-            n_attempts = int(
-                os.environ.get("PROBE_ATTEMPTS", 0)
-            ) or (3 if mult == 1 else 2)
+            # defensive parse (ADVICE r16): '' or garbage falls back to
+            # the default; values < 1 would leave the timing vars unset
+            try:
+                n_attempts = int(os.environ.get("PROBE_ATTEMPTS") or 0)
+            except ValueError:
+                n_attempts = 0
+            if n_attempts < 1:
+                n_attempts = 3 if mult == 1 else 2
             for attempt in range(n_attempts):
                 sw0 = _shuffle_write_bytes(port)
                 t0 = time.perf_counter()
