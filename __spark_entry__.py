@@ -1829,6 +1829,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination (r17): every 40th
+    vector plays the eval suite; for each remaining corpus vector the
+    max cosine against ANY eval item, nearest item attributed,
+    flagged at 0.3 — the semantic sibling of the n-gram
+    decontamination family (catches paraphrased leaks; the broadcast-
+    eval + partial-argmax plan is the production shape for KB-sized
+    eval suites against a 100 TB corpus)."""
+    from graphkb_spark.operators.similarity import semantic_decontaminate
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 40 != 0),
+        emb.filter(F.col("vec_id") % 40 == 0),
+        threshold=0.3,
+    )
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-segment removal (Lee et al. style,
     16-word segments): first global occurrence wins, documents rebuilt
@@ -5330,6 +5351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_expansion": q_explode_expansion,
         "cross_expansion": q_cross_expansion,
         "embedding_topk": q_embedding_topk,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "therapy_grouping": q_therapy_grouping,
         "stable_hash_id": q_stable_hash_id,
         "string_normalizers": q_string_normalizers,
@@ -5352,7 +5374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver each round at sf0.01. See the ordering-contract note in
 # queries(). Round-17 composition: (a) every query whose code or
 # plan changed this round — the NEW bloom_segment_dedup (Dolma/BFF
-# Bloom-gated paragraph dedup, shares segment_dedup's oracle);
+# Bloom-gated paragraph dedup, shares segment_dedup's oracle) and
+# NEW semantic_decontaminate (embedding-space eval decontamination);
 # multi_benchmark_leak_report (totals no longer double-count an item
 # listed under two set labels, ADVICE r16); bloom_join
 # (bloom_prefilter_join's bitset became ONE binary plan literal);
@@ -5360,19 +5383,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # top1_per_group / fallback_cascade / kb_ontology_load (resolve.py's
 # preference comparator flipped to the reference's executable
 # older/lower-version-wins semantics, VERDICT r16 #1 — these three
-# exercise resolve_unique/cascade_resolve/kb end-to-end) — 7 names;
+# exercise resolve_unique/cascade_resolve/kb end-to-end) — 8 names;
 # (b) the least-recently-driver-checked tail — the final 9 round-11
-# names (clearing the r11 residue entirely), then the first 34
+# names (clearing the r11 residue entirely), then the first 33
 # round-12 names, alphabetical. Staleness computed from the union of
 # CORRECTNESS_r0*.json driver windows; the residue for round 18 is
-# the last 11 round-12 names (source_registry, split_assign,
-# stream_dedup, streaming_sessions, streaming_sessions_native,
-# temperature_sample, transition_matrix, version_chain, vocab_build,
-# weighted_percentiles, windowed_counts) — all green in the full
-# local sweep this round.
+# the last 12 round-12 names (soft_dedup, source_registry,
+# split_assign, stream_dedup, streaming_sessions,
+# streaming_sessions_native, temperature_sample, transition_matrix,
+# version_chain, vocab_build, weighted_percentiles, windowed_counts)
+# — all green in the full local sweep this round.
 _R17_WINDOW = [
     # (a) new/changed in round 17
     "bloom_segment_dedup",
+    "semantic_decontaminate",
     "multi_benchmark_leak_report",
     "bloom_join",
     "merge_upsert",
@@ -5423,7 +5447,6 @@ _R17_WINDOW = [
     "semantic_dedup_two",
     "sequence_pack",
     "simhash",
-    "soft_dedup",
 ]
 assert len(_R17_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R17_WINDOW)}"

@@ -308,6 +308,65 @@ def embedding_near_dups(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_items: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_id_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: for every corpus
+    document, the max cosine similarity against ANY eval item, with the
+    nearest item attributed and a ``contaminated`` flag at
+    ``threshold`` — the semantic sibling of the n-gram decontamination
+    family (``exact_substring_contamination`` catches verbatim leaks;
+    this catches paraphrased/templated ones the way modern pipeline
+    audits do).
+
+    Scale shape (the production case: eval suites are KB-MB, the
+    corpus is the 100 TB side): the eval side is broadcast with norms
+    precomputed ONCE, the corpus is scanned once, and the per-doc
+    argmax is a partial aggregation — map-side combine reduces the
+    n*m scored pairs to ONE row per corpus doc before the only
+    exchange. No window over the pair set (a window would sort-shuffle
+    all n*m rows); the argmax rides max(struct(cos, -eval_id)), whose
+    lexicographic struct order gives highest-cos / lowest-eval-id-tie
+    determinism.
+
+    Returns (doc_id, nearest_eval_id, max_cos, contaminated) for every
+    corpus doc — the report shape; callers filter the flag to cut.
+    Threshold compares the UNROUNDED double; ``max_cos`` is rounded to
+    4 places for stable cross-engine hashing."""
+    eval_id_col = eval_id_col or id_col
+    q = F.broadcast(
+        eval_items.select(
+            F.col(eval_id_col).cast("long").alias("__eid"),
+            F.col(vec_col).alias("__qv"),
+            _norm(vec_col).alias("__qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
+    )
+    scored = c.crossJoin(q).select(
+        "doc_id",
+        F.struct(
+            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("c"),
+            (-F.col("__eid")).alias("negid"),
+        ).alias("__s"),
+    )
+    best = scored.groupBy("doc_id").agg(F.max("__s").alias("__m"))
+    return best.select(
+        "doc_id",
+        (-F.col("__m.negid")).alias("nearest_eval_id"),
+        F.round("__m.c", 4).alias("max_cos"),
+        (F.col("__m.c") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 def _int_dot(a: Column | str, b: Column | str) -> Column:
     """Exact BIGINT dot product of two int-array columns — integer
     arithmetic, so the result is bit-identical in any engine."""

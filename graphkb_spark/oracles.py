@@ -3648,6 +3648,29 @@ def build_oracles() -> dict[str, str]:
                    round(sqrt(ex2 - mu * mu), 6) AS std, min, max
             FROM st
         """,
+        # semantic_decontaminate (r17): the threshold compares the
+        # UNROUNDED double on both engines; the per-doc argmax
+        # tie-breaks to the lowest eval_id, mirroring the Spark
+        # max(struct(cos, -eval_id)) order.
+        "semantic_decontaminate": """
+            WITH q AS (SELECT vec_id AS eval_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 40 = 0),
+            c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id % 40 <> 0),
+            scored AS (
+              SELECT doc_id, eval_id,
+                     list_cosine_similarity(cv, qv) AS sim
+              FROM c, q),
+            ranked AS (
+              SELECT doc_id, eval_id, sim,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY sim DESC, eval_id ASC) AS rn
+              FROM scored)
+            SELECT doc_id, eval_id AS nearest_eval_id,
+                   round(sim, 4) AS max_cos, sim >= 0.3 AS contaminated
+            FROM ranked WHERE rn = 1
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 5),

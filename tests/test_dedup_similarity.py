@@ -493,6 +493,39 @@ def test_embedding_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_semantic_decontaminate(spark):
+    """Verbatim-embedded corpus doc flags against its eval twin; an
+    orthogonal doc stays clean; a doc equidistant from two eval items
+    attributes the LOWEST eval id (the max(struct(cos,-id)) tie
+    contract); every corpus doc appears exactly once (report shape)."""
+    from graphkb_spark.operators.similarity import semantic_decontaminate
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    evals = spark.createDataFrame(
+        [(100, e1), (200, e2)], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),   # colinear with eval 100 -> cos 1
+            (2, [0.0, 0.0, 3.0, 4.0]),   # orthogonal to both -> cos 0
+            (3, [1.0, 1.0, 0.0, 0.0]),   # tie: cos 1/sqrt(2) to both
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.doc_id: r
+        for r in semantic_decontaminate(corpus, evals, threshold=0.9).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].contaminated and rows[1].max_cos == pytest.approx(1.0)
+    assert rows[1].nearest_eval_id == 100
+    assert not rows[2].contaminated and rows[2].max_cos == pytest.approx(0.0)
+    assert not rows[3].contaminated  # 0.7071 < 0.9
+    assert rows[3].nearest_eval_id == 100  # tie -> lowest eval id
+    assert rows[3].max_cos == pytest.approx(0.7071, abs=1e-4)
+
+
 def test_quantized_topk_matches_exact(spark, vectors):
     """int8 candidate generation + full-precision rerank must agree
     with the exact brute-force ranking when m covers the corpus."""

@@ -218,6 +218,13 @@ BUDGETS = [
     # ONE doc-keyed rebuild exchange — the full-text window shuffle
     # dedup_segments pays is gone
     ("bloom_segment_dedup", 1, 0, True),
+    # r17 semantic decontamination: broadcast eval side, scored pairs
+    # reduced map-side — the ONE exchange is the per-doc argmax
+    # partial agg (never the n*m pair set), no window over pairs.
+    # no_smj=False: the keyless broadcast crossJoin compiles to
+    # BroadcastNestedLoopJoin (the intended physical op — the audit
+    # lumps BNLJ with SMJ); the broadcast exchange is asserted below
+    ("semantic_decontaminate", 1, 0, False),
 ]
 
 
@@ -240,6 +247,16 @@ def test_plan_budget(spark, name, max_exchanges, max_python, no_smj):
             f"{name}: sort-merge/nested-loop join appeared — a broadcast "
             f"was lost ({a})"
         )
+
+
+def test_semantic_decontaminate_broadcasts_eval(spark):
+    """The r17 semantic-decon contract: the eval side rides a
+    broadcast exchange (bexchange >= 1) into a BroadcastNestedLoopJoin
+    — if the cross join ever degrades to a non-broadcast cartesian the
+    n*m pair set would shuffle, which at 100 TB is fatal."""
+    a = _audit(spark, "semantic_decontaminate")
+    assert a["bexchange"] >= 1, f"eval-side broadcast lost ({a})"
+    assert a["exchange"] <= 1, f"pair set leaked into an exchange ({a})"
 
 
 def test_quantized_topk_vectors_never_shuffle(spark):
