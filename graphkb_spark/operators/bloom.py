@@ -23,16 +23,24 @@ from pyspark.sql import functions as F
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """The ``num_hashes`` deterministic bit positions for a key."""
-    return [
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"bloom{h}:"), key)), 1, 8), 16, 10
-            ).cast("bigint"),
-            F.lit(num_bits),
+    """The ``num_hashes`` deterministic bit positions for a key.
+
+    All positions derive from ONE md5 of the key: position ``h`` reads
+    the 8-hex-char window ``[1 + 8*(h%4), 8]`` of the 32-char digest
+    (md5 bits are uniform and independent, the standard
+    k-slices-of-one-hash Bloom construction); a fifth hash onward
+    salts a fresh md5. One digest evaluation instead of ``num_hashes``
+    — the probe sits in scan-hot projections where per-hash md5s of
+    the (often long) key dominated the whole probe stage (r17
+    measurement: the x100 bloom_segment_dedup probe)."""
+    cols = []
+    for h in range(num_hashes):
+        digest = F.md5(F.concat(F.lit(f"bloom{h // 4}:"), key))
+        window = F.substring(digest, 1 + 8 * (h % 4), 8)
+        cols.append(
+            F.pmod(F.conv(window, 16, 10).cast("bigint"), F.lit(num_bits))
         )
-        for h in range(num_hashes)
-    ]
+    return cols
 
 
 def build_bloom_bytes(

@@ -3176,7 +3176,12 @@ def bloom_segment_dedup(
        exact join against the duplicate table (broadcast when the
        auto size check allows, AQE otherwise) where a Bloom false
        positive resolves to keep (left join, null keeper) and a true
-       duplicate keeps only its argmin occurrence.
+       duplicate keeps only its argmin occurrence. On the broadcast
+       path the miss bypass is a CONDITIONAL JOIN KEY
+       (``when(hit, digest)`` — null never matches), not a filter:
+       a filter on the hit bit would be pushed below the segment
+       projection and re-evaluate the split/slice/md5 chain per
+       bloom hash (measured 5x wall at x100, r17).
     4. one doc-keyed re-aggregation rebuilds surviving text (shared
        with ``dedup_segments`` — both pay exactly one corpus-text
        shuffle here; flags-only callers should aggregate counts off
@@ -3240,26 +3245,55 @@ def bloom_segment_dedup(
         bytes(build_bloom_bytes(dup, F.col("__d"), num_bits, num_hashes))
     )
 
-    # pass 2: probe — misses bypass the join entirely
-    segs = segments().withColumn(
-        "__hit", bloom_hit(F.col("__d"), bits_lit, num_bits, num_hashes)
-    )
-    keeper_t = dup.schema["__keeper"].dataType.simpleString()
-    hits = segs.filter(F.col("__hit")).join(
-        F.broadcast(dup) if broadcast else dup, "__d", "left"
-    )
-    misses = segs.filter(~F.col("__hit")).withColumn(
-        "__keeper", F.lit(None).cast(keeper_t)
-    )
+    # pass 2: probe — misses bypass the lookup entirely
+    hit = bloom_hit(F.col("__d"), bits_lit, num_bits, num_hashes)
     keep = F.col("__keeper").isNull() | (
         (F.col("__id") == F.col("__keeper.__id"))
         & (F.col("__idx") == F.col("__keeper.__idx"))
     )
     cols = ["__id", "__idx", "__seg", "__keep"]
-    flagged = (
-        hits.withColumn("__keep", keep).select(*cols)
-        .unionByName(misses.withColumn("__keep", F.lit(True)).select(*cols))
-    )
+    if broadcast:
+        # Single scan, ZERO filters: a filter on the hit bit gets
+        # pushed below the segment projection by Catalyst
+        # (PushDownPredicate substitutes the alias), re-evaluating the
+        # split/slice/array_join/md5 chain once per bloom hash inside
+        # the filter condition AND forcing a second corpus scan for
+        # the miss branch — measured 5x the whole operator's wall at
+        # x100 (152 s -> ~50 s after this rewrite). Instead the hit
+        # bit gates the JOIN KEY: misses carry NULL, which a
+        # broadcast left join passes through without probing (null
+        # keys never match), so the miss bypass costs nothing and the
+        # bloom + digest work lives in ONE projection that
+        # codegen/CSE evaluates once per segment.
+        flagged = (
+            segments()
+            .withColumn("__jk", F.when(hit, F.col("__d")))
+            .drop("__d")
+            .join(
+                F.broadcast(dup.withColumnRenamed("__d", "__jk")),
+                "__jk",
+                "left",
+            )
+            .withColumn("__keep", keep)
+            .select(*cols)
+        )
+    else:
+        # Shuffled verify join (dup side too big to broadcast): the
+        # conditional-key trick would shuffle every miss into the
+        # null-key partition (catastrophic skew at scale), so the
+        # hit/miss split keeps its two filters here — the known cost
+        # is the pushdown re-evaluation above, paid only on this
+        # path, where the exchange (not scan CPU) is the bottleneck.
+        segs = segments().withColumn("__hit", hit)
+        keeper_t = dup.schema["__keeper"].dataType.simpleString()
+        hits = segs.filter(F.col("__hit")).join(dup, "__d", "left")
+        misses = segs.filter(~F.col("__hit")).withColumn(
+            "__keeper", F.lit(None).cast(keeper_t)
+        )
+        flagged = (
+            hits.withColumn("__keep", keep).select(*cols)
+            .unionByName(misses.withColumn("__keep", F.lit(True)).select(*cols))
+        )
 
     kept_struct = F.when(
         F.col("__keep"), F.struct(F.col("__idx"), F.col("__seg"))

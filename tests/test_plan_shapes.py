@@ -213,9 +213,12 @@ BUDGETS = [
     ("ngram_jaccard", 5, 0, True),
     # r17 Bloom-gated segment dedup (Dolma/BFF shape): the
     # duplicate-digest partial agg lives inside the staged checkpoint
-    # (invisible to this walk); the visible plan is the broadcast
-    # verify join on bloom HITS (misses bypass via the union) + the
-    # ONE doc-keyed rebuild exchange — the full-text window shuffle
+    # (invisible to this walk); the visible plan is ONE scan whose
+    # bloom-gated conditional join key feeds the broadcast verify
+    # join (misses carry NULL and bypass the probe — no filter, so
+    # Catalyst can't push the hit predicate below the segment
+    # projection and re-evaluate the md5 chain per hash) + the ONE
+    # doc-keyed rebuild exchange — the full-text window shuffle
     # dedup_segments pays is gone
     ("bloom_segment_dedup", 1, 0, True),
     # r17 semantic decontamination: broadcast eval side, scored pairs

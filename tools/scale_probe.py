@@ -55,6 +55,10 @@ QUERIES = [
     "er_entities",
     "embedding_quantized_topk",
     "segment_dedup",
+    # r17: the Bloom-gated sibling reads the same scaled documents —
+    # probing both at the same mults measures the BFF plan's shuffle
+    # saving (digests vs full text) under identical duplicate mass
+    "bloom_segment_dedup",
     "heaps_fit",
     # semantic_dedup is probed via _semantic_dedup_scaled below: the
     # SemDeDup contract is k grows with the corpus (per-cluster
