@@ -59,6 +59,8 @@ QUERIES = [
     # probing both at the same mults measures the BFF plan's shuffle
     # saving (digests vs full text) under identical duplicate mass
     "bloom_segment_dedup",
+    # r17: fixed eval suite, growing corpus (_semantic_decontaminate_scaled)
+    "semantic_decontaminate",
     "heaps_fit",
     # semantic_dedup is probed via _semantic_dedup_scaled below: the
     # SemDeDup contract is k grows with the corpus (per-cluster
@@ -213,6 +215,27 @@ def _semantic_dedup_scaled(spark, sf_dir: str, mult: int):
     return semantic_dedup(
         emb, "vec_id", "embedding", k=8 * mult, rounds=2, tau=0.35,
         assignment="two_level",
+    )
+
+
+def _semantic_decontaminate_scaled(spark, sf_dir: str, mult: int):
+    """Semantic decon in the production regime: the eval suite stays
+    FIXED (copy-0's every-40th vector, ~125 items) while the corpus
+    grows with the multiplier — the broadcast-eval + map-side-argmax
+    plan's cost should be one corpus scan of dot products with a
+    per-doc-row exchange (same regime as the n-gram decontamination
+    family's probes)."""
+    from pyspark.sql import functions as F
+
+    from graphkb_spark.operators.similarity import semantic_decontaminate
+    from graphkb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    is_eval = (F.col("vec_id") < ID_STEP) & (F.col("vec_id") % 40 == 0)
+    return semantic_decontaminate(
+        emb.filter(~is_eval), emb.filter(is_eval), threshold=0.3
     )
 
 
@@ -415,6 +438,7 @@ def _multi_leak_report_scaled(spark, sf_dir: str, mult: int):
 SCALED_VARIANTS = {
     "semantic_dedup": _semantic_dedup_scaled,
     "kcore": _kcore_scaled,
+    "semantic_decontaminate": _semantic_decontaminate_scaled,
     "ngram_jaccard_heaps": _ngram_jaccard_heaps,
     "exactsubstr_decontaminate": _decon_scaled(
         "exact_substring_contamination"
