@@ -1829,6 +1829,24 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe tuning curve (r17): micro recall@5 of the
+    embedding_ivf configuration (8 deterministic centroids) for EVERY
+    nprobe 1..8 from one plan — a truth pair is retrieved at width p
+    iff its cell's rank in the query's centroid ordering is <= p, so
+    the whole grid is a cumulative count, no per-config re-execution
+    (the lsh_band_tuning trick applied to IVF ANN)."""
+    from graphkb_spark.operators.similarity import ivf_nprobe_tuning
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ivf_nprobe_tuning(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-set decontamination (r17): every 40th
     vector plays the eval suite; for each remaining corpus vector the
@@ -5352,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_expansion": q_cross_expansion,
         "embedding_topk": q_embedding_topk,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "ivf_nprobe_tuning": q_ivf_nprobe_tuning,
         "therapy_grouping": q_therapy_grouping,
         "stable_hash_id": q_stable_hash_id,
         "string_normalizers": q_string_normalizers,
@@ -5374,21 +5393,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver each round at sf0.01. See the ordering-contract note in
 # queries(). Round-17 composition: (a) every query whose code or
 # plan changed this round — the NEW bloom_segment_dedup (Dolma/BFF
-# Bloom-gated paragraph dedup, shares segment_dedup's oracle) and
-# NEW semantic_decontaminate (embedding-space eval decontamination);
+# Bloom-gated paragraph dedup, shares segment_dedup's oracle), NEW
+# semantic_decontaminate (embedding-space eval decontamination), and
+# NEW ivf_nprobe_tuning (one-pass IVF recall-vs-nprobe curve);
 # multi_benchmark_leak_report (totals no longer double-count an item
 # listed under two set labels, ADVICE r16); bloom_join
-# (bloom_prefilter_join's bitset became ONE binary plan literal);
+# (bloom_prefilter_join's bitset became ONE binary plan literal AND
+# _positions now derives all k bit positions from one md5);
 # merge_upsert (merge.py grew simplify_record_links alongside it);
 # top1_per_group / fallback_cascade / kb_ontology_load (resolve.py's
 # preference comparator flipped to the reference's executable
 # older/lower-version-wins semantics, VERDICT r16 #1 — these three
-# exercise resolve_unique/cascade_resolve/kb end-to-end) — 8 names;
+# exercise resolve_unique/cascade_resolve/kb end-to-end) — 9 names;
 # (b) the least-recently-driver-checked tail — the final 9 round-11
-# names (clearing the r11 residue entirely), then the first 33
+# names (clearing the r11 residue entirely), then the first 32
 # round-12 names, alphabetical. Staleness computed from the union of
 # CORRECTNESS_r0*.json driver windows; the residue for round 18 is
-# the last 12 round-12 names (soft_dedup, source_registry,
+# the last 13 round-12 names (simhash, soft_dedup, source_registry,
 # split_assign, stream_dedup, streaming_sessions,
 # streaming_sessions_native, temperature_sample, transition_matrix,
 # version_chain, vocab_build, weighted_percentiles, windowed_counts)
@@ -5397,6 +5418,7 @@ _R17_WINDOW = [
     # (a) new/changed in round 17
     "bloom_segment_dedup",
     "semantic_decontaminate",
+    "ivf_nprobe_tuning",
     "multi_benchmark_leak_report",
     "bloom_join",
     "merge_upsert",
@@ -5446,7 +5468,6 @@ _R17_WINDOW = [
     "semantic_dedup",
     "semantic_dedup_two",
     "sequence_pack",
-    "simhash",
 ]
 assert len(_R17_WINDOW) == 50, (
     f"driver gate window must be exactly 50 names, got {len(_R17_WINDOW)}"

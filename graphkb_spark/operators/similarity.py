@@ -249,6 +249,129 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_nprobe_tuning(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF parameter-tuning curve: micro-averaged recall@k of
+    ``ivf_topk`` for EVERY ``nprobe`` in ``1..n_centroids``, from ONE
+    plan — the IVF sibling of ``lsh_band_plan`` (evaluate the whole
+    config grid without re-executing the pipeline per config).
+
+    The trick that makes one pass sufficient: a true neighbor is
+    retrieved at probe width ``p`` iff the rank of its cell in the
+    query's centroid ordering is <= ``p``. So compute (a) the exact
+    brute-force truth set (``cosine_topk``), (b) each truth
+    NEIGHBOR's cell (top-1 centroid), (c) each query's full centroid
+    ranking, join, and every truth pair yields its minimal retrieving
+    ``nprobe`` = cent_rank; the recall curve is a cumulative count
+    over that, via a tiny explode of ``sequence(cent_rank,
+    n_centroids)``.
+
+    Scale shape: the corpus appears in exactly two broadcast-driven
+    scans — the brute-force truth (the exact baseline this curve is
+    measured against; queries broadcast) and a semi-join that assigns
+    cells ONLY to the q*k truth neighbors (per-row argmax as a
+    map-side partial agg, never a corpus x centroids window). Every
+    post-truth table is q*k-sized or smaller; the config grid costs
+    an explode of at most n_centroids rows per truth pair.
+
+    Returns (nprobe, n_retrieved, n_truth, avg_recall) — micro recall
+    over all truth pairs, monotone nondecreasing, reaching 1.0 at
+    ``nprobe = n_centroids`` by construction."""
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("__h", F.md5(F.col("cid").cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    bc = F.broadcast(cents.withColumn("__cn", _norm("cvec")))
+
+    # materialized: consumed three times (neighbor semi-join, pair
+    # join, in-plan total) — q*k rows, bounded
+    truth = (
+        cosine_topk(corpus, queries, vec_col, id_col, k)
+        .select("query_id", "neighbor_id")
+        .transform(materialize, eager=False)
+    )
+    # (b) cells for truth neighbors only: argmax over C centroids via
+    # max(struct(cos, -cid)) — highest cos, lowest-cid tie, no window
+    nbr = corpus.join(
+        F.broadcast(truth.select(F.col("neighbor_id").alias(id_col)).distinct()),
+        id_col,
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    ncell = (
+        nbr.withColumn("__nn", _norm("__nv"))
+        .crossJoin(bc)
+        .select(
+            "neighbor_id",
+            F.struct(
+                (_dot("__nv", "cvec") / (F.col("__nn") * F.col("__cn"))).alias("c"),
+                (-F.col("cid")).alias("negid"),
+            ).alias("__s"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.max("__s").alias("__m"))
+        .select("neighbor_id", (-F.col("__m.negid")).alias("cell"))
+    )
+    # (c) full centroid ranking per query (queries x n_centroids rows)
+    qc = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", _norm("__qv"))
+        .crossJoin(bc)
+        .select(
+            "query_id",
+            F.col("cid").alias("cell"),
+            (_dot("__qv", "cvec") / (F.col("__qn") * F.col("__cn"))).alias("__cs"),
+        )
+        .withColumn(
+            "cent_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__cs").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .select("query_id", "cell", "cent_rank")
+    )
+    pairs = truth.join(F.broadcast(ncell), "neighbor_id").join(
+        F.broadcast(qc), ["query_id", "cell"]
+    )
+    totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    retrieved = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("cent_rank"), F.lit(n_centroids))
+            ).alias("nprobe")
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_retrieved"))
+    )
+    grid = pairs.sparkSession.range(1, n_centroids + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    return (
+        grid.join(F.broadcast(retrieved), "nprobe", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "nprobe",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            "n_truth",
+            F.round(
+                F.coalesce("n_retrieved", F.lit(0)) / F.col("n_truth"), 4
+            ).alias("avg_recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -5130,6 +5130,60 @@ def build_oracles() -> dict[str, str]:
         """,
         # IVF: md5-ordered centroid sample, nearest-cell assignment,
         # nprobe=4 probing, exact rerank — all replicated.
+        # ivf_nprobe_tuning (r17): full replica of the one-pass trick —
+        # a truth pair is retrieved at probe width p iff its cell's
+        # rank in the query's centroid ordering is <= p; the curve is
+        # a cumulative count. Same deterministic md5-ordered centroid
+        # sample as embedding_ivf.
+        "ivf_nprobe_tuning": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+            truth AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_cosine_similarity(q.v, e.v) DESC,
+                                                   e.vec_id ASC) AS rk
+                FROM e q JOIN e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 5) WHERE rk <= 5),
+            ncell AS (
+              SELECT neighbor_id, cell FROM (
+                SELECT n.vec_id AS neighbor_id, c.cid AS cell,
+                       row_number() OVER (PARTITION BY n.vec_id
+                                          ORDER BY list_cosine_similarity(n.v, c.cv) DESC,
+                                                   c.cid ASC) AS rn
+                FROM (SELECT DISTINCT neighbor_id FROM truth) t
+                     JOIN e n ON n.vec_id = t.neighbor_id, cents c)
+              WHERE rn = 1),
+            qc AS (
+              SELECT query_id, cell, cent_rank FROM (
+                SELECT q.vec_id AS query_id, c.cid AS cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                                                   c.cid ASC) AS cent_rank
+                FROM e q, cents c WHERE q.vec_id < 5)),
+            pairs AS (
+              SELECT t.query_id, qc.cent_rank
+              FROM truth t JOIN ncell USING (neighbor_id)
+                   JOIN qc ON qc.query_id = t.query_id
+                          AND qc.cell = ncell.cell),
+            tot AS (SELECT count(*) AS n_truth FROM truth),
+            grid AS (SELECT CAST(g AS INT) AS nprobe
+                     FROM generate_series(1, 8) AS t(g)),
+            ret AS (SELECT grid.nprobe AS np, count(*) AS n_retrieved
+                    FROM pairs, grid WHERE cent_rank <= grid.nprobe
+                    GROUP BY grid.nprobe)
+            SELECT grid.nprobe,
+                   CAST(coalesce(ret.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+                   tot.n_truth,
+                   round(coalesce(ret.n_retrieved, 0) / tot.n_truth, 4)
+                     AS avg_recall
+            FROM grid LEFT JOIN ret ON ret.np = grid.nprobe
+                 CROSS JOIN tot
+            ORDER BY grid.nprobe
+        """,
         "embedding_ivf": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cents AS (SELECT vec_id AS cid, v AS cv FROM e

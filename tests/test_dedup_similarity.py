@@ -493,6 +493,56 @@ def test_embedding_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_ivf_nprobe_tuning_matches_direct_runs(spark):
+    """The one-pass curve must equal running ivf_topk once per nprobe
+    and measuring recall against the brute-force truth directly — any
+    candidate outranking a truth neighbor inside a probed cell is
+    itself a truth pair, so within-candidate top-k never drops a
+    reachable truth neighbor (ties break neighbor_id asc in both).
+    Also pins monotonicity and the recall=1.0 endpoint."""
+    from graphkb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_nprobe_tuning,
+        ivf_topk,
+    )
+
+    import math
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.sin(0.7 * i + d * 1.3) + (i % 5) for d in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.filter(F.col("vec_id") < 3)
+    k, C = 3, 4
+    curve = {
+        r.nprobe: r
+        for r in ivf_nprobe_tuning(
+            vecs, queries, k=k, n_centroids=C
+        ).collect()
+    }
+    assert set(curve) == set(range(1, C + 1))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(vecs, queries, k=k).collect()
+    }
+    assert all(r.n_truth == len(truth) for r in curve.values())
+    recalls = [curve[p].avg_recall for p in range(1, C + 1)]
+    assert recalls == sorted(recalls)  # monotone
+    assert recalls[-1] == pytest.approx(1.0)  # full probe = exact
+    for p in range(1, C + 1):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(vecs, queries, k=k, n_centroids=C, nprobe=p).collect()
+        }
+        direct = round(len(got & truth) / len(truth), 4)
+        assert curve[p].avg_recall == pytest.approx(direct), (
+            f"nprobe={p}: curve {curve[p].avg_recall} vs direct {direct}"
+        )
+
+
 def test_semantic_decontaminate(spark):
     """Verbatim-embedded corpus doc flags against its eval twin; an
     orthogonal doc stays clean; a doc equidistant from two eval items

@@ -221,6 +221,12 @@ BUDGETS = [
     # doc-keyed rebuild exchange — the full-text window shuffle
     # dedup_segments pays is gone
     ("bloom_segment_dedup", 1, 0, True),
+    # r17 IVF nprobe tuning curve: brute-force truth behind the
+    # checkpoint, then q*k-sized tables only — ncell argmax partial
+    # agg, qc centroid-rank window, cumulative-count agg, grid join;
+    # crossJoins are broadcast nested-loop against <=C-row sides
+    # (no_smj=False: BNLJ counts in the smj bucket)
+    ("ivf_nprobe_tuning", 6, 0, False),
     # r17 semantic decontamination: broadcast eval side, scored pairs
     # reduced map-side — the ONE exchange is the per-doc argmax
     # partial agg (never the n*m pair set), no window over pairs.
