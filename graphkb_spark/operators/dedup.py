@@ -636,6 +636,24 @@ def ngram_jaccard_pairs(
             F.greatest("__il", "__is").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        # Verify-stage parallelism (opt r17, guide §2.5/§8): the verify
+        # join's cost is per-pair CPU (array_intersect/union over full
+        # shingle sets), not bytes — but AQE coalesces the tiny deduped
+        # pair exchange by BYTES (1 MB at sf0.1 -> 1 post-shuffle
+        # partition -> the whole verify stage single-threaded: measured
+        # 6.0 s on one core inside lsh_band_tuning while 31 idled). An
+        # explicit user repartition is exempt from AQE coalescing, so
+        # the verify stage always runs at the operator's parallelism.
+        # It rides AFTER the dedup aggregation so the map-side partial
+        # dedup (the scale lever against duplicate candidate rows)
+        # still reduces the first exchange. Keyed on xxhash64 of the
+        # pair, NOT (id_a, id_b): the dedup exchange already hash-
+        # partitions by the raw pair, so EnsureRequirements would elide
+        # a same-key repartition as redundant and AQE would coalesce
+        # the surviving exchange right back to one partition (verified
+        # against the executed plan); the hashed key also spreads a
+        # hot id_a across partitions.
+        .repartition(n_part, F.xxhash64(F.col("id_a"), F.col("id_b")))
     )
     sh = base
     out = (
@@ -2934,6 +2952,15 @@ def ngram_containment_pairs(
         .filter(F.col("x.__id") != F.col("y.__id"))
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # verify-stage parallelism: same rationale as the Jaccard join
+        # (per-pair CPU, byte-based AQE coalescing starves it — the
+        # containment verify measured 8.4 s of CPU on 5 AQE-coalesced
+        # tasks at sf0.1); user repartition pins the verify stage at
+        # the operator's parallelism after the partial-dedup exchange.
+        # xxhash64 key: a raw (id_a, id_b) repartition is elided as
+        # redundant against the dedup exchange's identical partitioning
+        # and the stage collapses back to one AQE-coalesced partition
+        .repartition(n_part, F.xxhash64(F.col("id_a"), F.col("id_b")))
     )
     sh = base
     cont = F.round(

@@ -133,8 +133,10 @@ BUDGETS = [
     # PPJoin pairs + bcast config agg; +1 in round 11: the asymmetric
     # index/probe prefix orientation broke one exchange reuse inside
     # the pair feed (all 6 are AQE-broadcast at this SF) — accepted,
-    # it bought the 2.2x candidate cut measured at x10 in SCALING.md
-    ("lsh_band_tuning", 6, 0, False),
+    # it bought the 2.2x candidate cut measured at x10 in SCALING.md;
+    # +1 in r17: the verify-stage xxhash64(pair) repartition (see
+    # ngram_jaccard note) — 8.3 s -> 3.0 s at sf0.1
+    ("lsh_band_tuning", 7, 0, False),
     ("perplexity_buckets", 7, 0, False),  # lm_score joins + 1-row cutoffs
     ("heaps_fit", 7, 0, False),        # two-phase offsets + first-pos agg
     # round-11 additions
@@ -209,8 +211,12 @@ BUDGETS = [
     # bounded digest table once) + broadcast matrix assembly
     ("benchmark_overlap_matrix", 5, 0, False),
     # full PPJoin stack: posting freq agg + rank window + asymmetric
-    # prefix join + two verify joins, all broadcast-hash at this SF
-    ("ngram_jaccard", 5, 0, True),
+    # prefix join + two verify joins, all broadcast-hash at this SF;
+    # +1 in r17: the xxhash64(pair) repartition before the verify
+    # join — AQE's byte-based coalescing collapsed the ~1 MB deduped
+    # pair exchange to 1 partition, single-threading the per-pair-CPU
+    # verify stage (measured 6.0 s on one core inside lsh_band_tuning)
+    ("ngram_jaccard", 6, 0, True),
     # r17 Bloom-gated segment dedup (Dolma/BFF shape): the
     # duplicate-digest partial agg lives inside the staged checkpoint
     # (invisible to this walk); the visible plan is ONE scan whose
