@@ -2005,31 +2005,35 @@ def simhash_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # materialize the 4 16-bit chunk values ONCE per token (4 conv calls,
     # not 64 conv+substring trees); each per-bit vote is then a cheap
     # shiftright+mask on an int column inside whole-stage codegen
-    tok = tok.select(
+    # The 64 vote aggregates and 4 chunk-pack expressions are built as
+    # SQL strings (one parser call each) rather than Column-by-Column:
+    # object-by-object construction costs ~10 py4j round trips per
+    # expression and measured 1.1-1.5 s of pure DRIVER time per call at
+    # any data size (opt r17, guide §7.3 "very large expression trees").
+    # F.expr parses to the identical Catalyst expressions (shiftright/
+    # &/CASE WHEN), so the plan and results are byte-identical.
+    tok = tok.selectExpr(
         "__id",
         *[
-            F.conv(F.substring("__h", c * 4 + 1, 4), 16, 10)
-            .cast("int")
-            .alias(f"__n{c}")
+            f"cast(conv(substring(__h, {c * 4 + 1}, 4), 16, 10) as int) as __n{c}"
             for c in range(4)
         ],
     )
-    vote_aggs = []
-    for j in range(64):
-        c, jj = j // 16, j % 16
-        bit = F.shiftright(F.col(f"__n{c}"), 15 - jj).bitwiseAND(F.lit(1))
-        vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    vote_aggs = [
+        F.expr(
+            f"sum((shiftright(__n{j // 16}, {15 - j % 16}) & 1) * 2 - 1) as v{j}"
+        )
+        for j in range(64)
+    ]
     votes = tok.groupBy("__id").agg(*vote_aggs)
-    chunk_cols = []
+    chunk_sqls = []
     for c in range(4):
-        expr = F.lit(0)
-        for jj in range(16):
-            j = c * 16 + jj
-            expr = expr + F.when(F.col(f"v{j}") > 0, F.lit(2 ** (15 - jj))).otherwise(
-                F.lit(0)
-            )
-        chunk_cols.append(expr.cast("bigint").alias(f"c{c}"))
-    return votes.select("__id", *chunk_cols)
+        terms = " + ".join(
+            f"(case when v{c * 16 + jj} > 0 then {2 ** (15 - jj)} else 0 end)"
+            for jj in range(16)
+        )
+        chunk_sqls.append(f"cast(0 + {terms} as bigint) as c{c}")
+    return votes.selectExpr("__id", *chunk_sqls)
 
 
 def simhash_near_dups(
