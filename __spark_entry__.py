@@ -43,6 +43,7 @@ from graphkb_spark.operators.aggregate import (
     recurrence_threshold,
     top1_per_group,
 )
+from graphkb_spark.operators.skew import ensure_scan_parallelism
 from graphkb_spark.operators.corpus import PRETRAINED_BPE_MERGES
 from graphkb_spark.operators.dedup import (
     _mh_params,
@@ -493,7 +494,16 @@ def q_hgvs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     n30 = (pk % 30 + 1).cast("string")
     cb1 = F.concat(F.lit("p"), n30, F.lit("."), (pk % 9 + 1).cast("string"))
     cb2 = F.concat(F.lit("p"), n20, F.lit("."), (pk % 7 + 1).cast("string"))
-    src = t["lineitem"].select(
+    # Build the notation AFTER the starved-scan repartition below: the
+    # scan is a single parquet row group at sf0.1 (1 effective task),
+    # so generating the concat strings there serialized ~0.7 s of CPU
+    # AND inflated the exchange from 3 numeric columns to 11 MB of
+    # strings (opt r17, guide §2.3 project-before-exchange + §2.5).
+    # Row-wise deterministic exprs — identical results either side of
+    # the exchange.
+    src = ensure_scan_parallelism(
+        t["lineitem"].select("l_orderkey", "l_partkey", "l_linenumber")
+    ).select(
         "l_orderkey",
         "l_linenumber",
         F.when(ln == 0, F.concat(F.lit("p.G"), n5, F.lit("D")))
@@ -2239,7 +2249,14 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights never materialize as rows on the Spark side."""
     t = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("int")
-    return t["lineitem"].groupBy("l_returnflag").agg(
+    # percentile's partial aggregation (per-task value->freq maps over
+    # 600k rows) is CPU-dense and runs at the scan's 3-row-group
+    # parallelism at sf0.1; repartition the 3 needed columns only when
+    # the scan is starved (plan-time no-op at scale; opt r17, §2.5)
+    src = ensure_scan_parallelism(
+        t["lineitem"].select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    return src.groupBy("l_returnflag").agg(
         F.round(
             F.percentile(F.col("l_extendedprice"), F.lit(0.5), qty), 6
         ).alias("wp50"),

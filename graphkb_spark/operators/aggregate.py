@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphkb_spark.core.materialize import materialize
+from graphkb_spark.operators.skew import ensure_scan_parallelism
 
 
 def recurrence_threshold(
@@ -363,7 +364,19 @@ def grouped_normal_equations(
             ).cast("double").alias(alias)
         return F.sum(c.cast("decimal(38,10)")).cast("double").alias(alias)
 
-    stats = df.groupBy(*group_cols).agg(
+    # The nine moment sums are CPU-dense (boxed decimal adds on the
+    # default engine) and the partial aggregation runs at the SCAN's
+    # parallelism — which for a small/few-row-group parquet file is its
+    # row-group count (measured: 3 tasks over lineitem sf0.1, ~1 s of
+    # serialized decimal CPU per task while 29 cores idled; opt r17,
+    # guide §2.5). Project to the 4 needed columns, then repartition
+    # only when the scan is starved — a plan-time no-op at production
+    # scale where the scan splits naturally, so no exchange is added
+    # on the 100 TB path.
+    dense_in = ensure_scan_parallelism(
+        df.select(*dict.fromkeys([*group_cols, x1_col, x2_col, y_col]))
+    )
+    stats = dense_in.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum(x1, "s1"),
         dsum(x2, "s2"),

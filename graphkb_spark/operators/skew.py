@@ -75,3 +75,28 @@ def key_skew_profile(
         F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
         "rank",
     )
+
+
+def ensure_scan_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` iff its physical plan would run on
+    fewer partitions than ``min_parts`` (default: the session's
+    defaultParallelism) — the guide §2.5 "input skew / unsplittable
+    input" fix, made conditional so it is a plan-time NO-OP whenever the
+    scan splits naturally.
+
+    Why it exists: a CPU-dense stage (decimal aggregation, Arrow-UDF
+    parse) directly over a parquet scan inherits the SCAN's partition
+    count, which for a small file is its row-group count — measured 3
+    tasks over lineitem at sf0.1, single-digit CPU seconds serialized on
+    3 of 32 cores while the rest idled. At production scale the same
+    scan yields thousands of splits and this helper returns ``df``
+    unchanged (the partition-count probe reads plan metadata only — no
+    job, sub-ms per call) — so the exchange it inserts is paid exactly
+    in the starved regime where it buys wall-clock, never on the 100 TB
+    path. Apply it AFTER projecting to the columns the dense stage
+    needs, so the exchange carries the narrow rows, not the full scan
+    width (guide §2.3 "project before the exchange")."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -37,8 +37,13 @@ BUDGETS = [
     ("classifier_score", 0, 0, True),
     # single-shuffle aggregation shapes
     ("dedup_exact", 1, 0, True),
-    ("multiple_regression", 1, 0, True),
-    ("multiple_regression_fast", 1, 0, True),  # same shape, int64 sums
+    # +1 intentional exchange (opt r17): ensure_scan_parallelism
+    # repartitions the 4 projected columns when the scan is starved
+    # (single parquet row group serialized the 9 decimal moment sums
+    # on 1 core); plan-time no-op — and back to 1 exchange — when the
+    # scan splits naturally at scale
+    ("multiple_regression", 2, 0, True),
+    ("multiple_regression_fast", 2, 0, True),  # same shape, int64 sums
     ("pricing_summary", 1, 0, True),
     ("sequence_pack", 1, 0, True),
     ("vocab_build", 2, 0, True),
@@ -48,8 +53,11 @@ BUDGETS = [
     ("domain_rebalance", 2, 0, True),
     # reconcile's exchange-budget (the round-5 rewrite's contract)
     ("reconcile", 3, 0, True),
-    # python boundary only where declared
-    ("hgvs_parse", 0, 1, True),
+    # python boundary only where declared; +1 intentional exchange
+    # (opt r17): the starved-scan repartition spreads the Arrow parse
+    # across cores and ships only the 3 numeric source columns (the
+    # notation strings are built post-exchange); no-op at scale
+    ("hgvs_parse", 1, 1, True),
     ("minhash_lsh", 2, 2, True),
     # round-7 additions
     ("gopher_quality", 0, 0, True),   # narrow scan-speed quality gate
