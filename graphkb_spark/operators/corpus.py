@@ -384,18 +384,25 @@ def bpe_train(
     ).transform(materialize, eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
+    # Both per-round expression trees are built as SQL strings (one
+    # parser call each) instead of Column-by-Column: the HOF-lambda
+    # construction cost ~55 ms of driver py4j churn per round twice
+    # over — ~0.9 s of the query's ~2 s wall at any data size (opt
+    # r17, guide §7.3). F.expr parses to the identical Catalyst
+    # expressions, so plans and results are unchanged.
+    pair_expr = (
+        "explode(zip_with(slice(syms, 1, size(syms) - 1), "
+        "slice(syms, 2, size(syms) - 1), "
+        "(a, b) -> struct(a as l, b as r))) as p"
+    )
+
+    def _sq(s: str) -> str:
+        # SQL string literal under the default parser (backslash
+        # escapes active): escape backslashes then quotes
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     for step in range(n_merges):
-        n = F.size("syms")
-        pairs = syms.filter(n >= 2).select(
-            "freq",
-            F.explode(
-                F.zip_with(
-                    F.slice("syms", 1, n - 1),
-                    F.slice("syms", 2, n - 1),
-                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                )
-            ).alias("p"),
-        )
+        pairs = syms.filter(F.size("syms") >= 2).selectExpr("freq", pair_expr)
         best = (
             pairs.groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("c"))
@@ -411,20 +418,16 @@ def bpe_train(
         # left-to-right non-overlapping replacement: append each symbol
         # unless it is `r` AND the accumulator currently ends in an
         # UNMERGED `l` (a just-merged tail cannot chain into a new pair)
-        apply_merge = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (x == F.lit(r)) & (F.get(acc, F.size(acc) - 1) == F.lit(l)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        apply_merge = (
+            f"aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+            f"if(x = {_sq(r)} and get(acc, size(acc) - 1) = {_sq(l)}, "
+            f"concat(slice(acc, 1, size(acc) - 1), array({_sq(merged)})), "
+            f"concat(acc, array(x)))) as syms"
         )
         # lazy checkpoint: the next round's argmax collect triggers the
         # materialization anyway — eager would add one extra job per
         # round (16 jobs for 8 merges) purely to block earlier
-        syms = syms.select("freq", apply_merge.alias("syms")).transform(
+        syms = syms.selectExpr("freq", apply_merge).transform(
             materialize, eager=False
         )
     spark = df.sparkSession
