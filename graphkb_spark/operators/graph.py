@@ -295,7 +295,10 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .transform(materialize, eager=False)
+        # eager for the same reason as kcore's edge build (opt r17):
+        # the degree union below reads e twice in one job, and a lazy
+        # checkpoint lets both branches recompute the edge build
+        .transform(materialize, eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -434,7 +437,13 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .transform(materialize, eager=False)
+        # EAGER initial checkpoint (opt r17): the round-0 degree union
+        # consumes e twice; under a lazy checkpoint both union branches
+        # recompute the full edge-build (scan + dedup exchange) inside
+        # the first job before any blocks exist — measured as two
+        # identical 6 MB map stages at sf0.1. One eager job
+        # materializes it once; every later reference reads blocks.
+        .transform(materialize, eager=True)
     )
     for r in range(rounds):
         deg = (
