@@ -24,10 +24,13 @@ behind a single hash exchange (same partition keys ⇒ one Exchange, the
 unordered counts ride the sorted child).  A row is matched at tier *k*
 iff ``rank <= least(count_stored, count_new)`` in its bucket; a single
 final groupBy on the pairing key zips the matched stored/new rows
-together.  That is 1 exchange per tier (3 total) plus 1 pairing
-aggregation — no full-outer joins, no persists, no plan fan-out — so
-the operator scales linearly in data volume and its shuffles are keyed
-by (group, content-digest), which inherits the group-key distribution.
+together.  Since round 17, ONE up-front exchange on the group key
+serves all three tiers (hash-partitioning on a subset of a window's
+partition keys satisfies its clustering requirement, so each tier
+adds only a Sort) — total 2 exchanges (group repartition + pairing
+aggregation), no full-outer joins, no persists, no plan fan-out — so
+the operator scales linearly in data volume and its one data shuffle
+is keyed by the group key (fine-grained in the reference usage).
 """
 
 from __future__ import annotations
@@ -71,6 +74,26 @@ def reconcile(
     u = u.withColumn("__tier", F.lit(None).cast("int")).withColumn(
         "__pair", F.lit(None).cast("string")
     )
+    # ONE exchange for all three tiers (guide §2.4): hash-partitioning
+    # on the group key alone satisfies every tier window's
+    # ClusteredDistribution((group, __k)) requirement (a partitioning
+    # whose expressions are a subset of the clustering keys clusters
+    # them too), so EnsureRequirements inserts only per-tier Sorts
+    # below — 3 window exchanges collapse to this single one.  The
+    # partitioning is coarser than (group, tier-key): all rows of one
+    # group land in one partition, which is the right trade wherever
+    # the group key is fine-grained (the reference groups by per-item
+    # sourceId — high cardinality, bounded group size).  A corpus
+    # whose single largest group outgrows a task would want the
+    # per-tier (group, __k) exchanges back — that is the shape this
+    # replaced, not a new requirement.  The partition count is pinned
+    # (explicit N is exempt from AQE byte-coalescing) because the
+    # fused downstream stage is CPU-dense — three tier digests
+    # (md5 of to_json) plus three sorts run behind this one exchange,
+    # and byte-based coalescing of the ~MB-scale exchange would
+    # serialize those CPU seconds onto a handful of cores (measured:
+    # 4 tasks / 2.4 s CPU at sf0.1 when left to AQE).
+    u = u.repartition(u.sparkSession.sparkContext.defaultParallelism, *gcols)
 
     # tier key columns; identical strong/weak keys would re-rank the
     # pass-1 leftovers within the same buckets (each bucket's minority

@@ -952,12 +952,20 @@ def mmr_rerank(
     1..k, score rounded to 6, ties to the smaller id.
 
     Scale shape: the greedy loop is INHERENTLY k sequential steps, but
-    each step is DataFrame-parallel across ALL queries at once — one
-    keyed join of remaining candidates against the (<= step-per-query,
-    small) selected set, one per-query window argmax. Candidate lists
-    are bounded (they come from a top-m retrieval), so per-step state
-    is queries x m rows; both frames checkpoint per step to keep plans
-    flat. Nothing ever collects."""
+    each step is DataFrame-parallel across ALL queries at once.  The
+    max-similarity-to-selected term is maintained INCREMENTALLY
+    (round 17, guide §2.4): each remaining row carries ``__ms`` — its
+    running max similarity to everything selected so far — and a step
+    only joins the remaining rows against the ONE newly picked row per
+    query (``greatest`` of the old ``__ms`` and the similarity to the
+    new pick equals the max over the whole selected set), instead of
+    re-scoring remaining x selected and re-aggregating.  That is one
+    1:1 join + one window argmax per step — the per-step groupBy
+    exchange, second join and anti-join of the original shape are
+    gone, and per-step work is O(remaining), not O(remaining x step).
+    Candidate lists are bounded (they come from a top-m retrieval), so
+    per-step state is queries x m rows; the frame checkpoints per step
+    to keep plans flat. Nothing ever collects."""
     if k < 1 or not 0.0 <= lam <= 1.0:
         raise ValueError("k >= 1 and 0 <= lam <= 1 required")
     # norms computed once at the materialization boundary: every one of
@@ -968,44 +976,25 @@ def mmr_rerank(
         F.col(rel_col).cast("double").alias("__rel"),
         F.col(vec_col).alias("__v"),
         _norm(vec_col).alias("__vn"),
+        F.lit(None).cast("double").alias("__ms"),
     ).transform(materialize, eager=False)
-    selected = None
     picks = []
     for step in range(1, k + 1):
-        if selected is None:
-            scored = remaining.select(
-                "__q", "__id", "__rel", "__v", "__vn",
-                (F.lit(lam) * F.col("__rel")).alias("__mmr"),
-            )
-        else:
-            sel = selected.select(
-                F.col("__q"),
-                F.col("__v").alias("__sv"),
-                F.col("__vn").alias("__svn"),
-            )
-            ms = (
-                remaining.join(sel, "__q")
-                .groupBy("__q", "__id")
-                .agg(
-                    F.max(
-                        _dot("__v", "__sv") / (F.col("__vn") * F.col("__svn"))
-                    ).alias("__ms")
-                )
-            )
-            scored = remaining.join(ms, ["__q", "__id"]).select(
-                "__q", "__id", "__rel", "__v", "__vn",
-                (
-                    F.lit(lam) * F.col("__rel")
-                    - F.lit(1.0 - lam) * F.col("__ms")
-                ).alias("__mmr"),
-            )
+        # __ms is NULL until the first pick; mmr degrades to lam*rel
+        scored = remaining.withColumn(
+            "__mmr",
+            F.lit(lam) * F.col("__rel")
+            - F.when(
+                F.col("__ms").isNotNull(), F.lit(1.0 - lam) * F.col("__ms")
+            ).otherwise(F.lit(0.0)),
+        )
         w = Window.partitionBy("__q").orderBy(
             F.col("__mmr").desc(), F.col("__id").asc()
         )
         pick = (
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("__q", "__id", "__rel", "__v", "__vn", "__mmr")
+            .select("__q", "__id", "__mmr", "__v", "__vn")
             .transform(materialize, eager=False)
         )
         picks.append(
@@ -1014,10 +1003,29 @@ def mmr_rerank(
                 F.round("__mmr", 6).alias("mmr_score"),
             )
         )
-        selected = pick if selected is None else selected.unionByName(pick)
-        remaining = remaining.join(
-            pick.select("__q", "__id"), ["__q", "__id"], "left_anti"
-        ).transform(materialize, eager=False)
+        if step == k:
+            break
+        # 1:1 join against the single new pick per query: drop the
+        # picked row, fold its similarity into the running max
+        # (greatest ignores the initial NULL __ms)
+        sel = pick.select(
+            "__q",
+            F.col("__id").alias("__pid"),
+            F.col("__v").alias("__sv"),
+            F.col("__vn").alias("__svn"),
+        )
+        remaining = (
+            remaining.join(sel, "__q")
+            .filter(F.col("__id") != F.col("__pid"))
+            .select(
+                "__q", "__id", "__rel", "__v", "__vn",
+                F.greatest(
+                    F.col("__ms"),
+                    _dot("__v", "__sv") / (F.col("__vn") * F.col("__svn")),
+                ).alias("__ms"),
+            )
+            .transform(materialize, eager=False)
+        )
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)

@@ -51,8 +51,11 @@ BUDGETS = [
     ("broadcast_dim_join", 1, 0, True),
     ("salted_skew_join", 1, 0, True),
     ("domain_rebalance", 2, 0, True),
-    # reconcile's exchange-budget (the round-5 rewrite's contract)
-    ("reconcile", 3, 0, True),
+    # reconcile's exchange-budget: r17 tightened 3 -> 2 — ONE pinned
+    # group-key repartition now serves all three tier windows (subset
+    # hash-partitioning satisfies their ClusteredDistribution), plus
+    # the pairing aggregation exchange
+    ("reconcile", 2, 0, True),
     # python boundary only where declared; +1 intentional exchange
     # (opt r17): the starved-scan repartition spreads the Arrow parse
     # across cores and ships only the 3 numeric source columns (the

@@ -653,6 +653,61 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert out[1] == 1 and out[2] == 3 and out[3] == 2
 
 
+def test_mmr_rerank_matches_bruteforce_reference(spark):
+    """r17 internals change: the max-similarity-to-selected term is
+    maintained incrementally (running greatest against only the newly
+    picked row) instead of re-aggregated over the full selected set.
+    Pin exact equality — ranks AND rounded scores — against a
+    brute-force pure-Python greedy MMR on a deterministic corpus."""
+    import math
+
+    from graphkb_spark.operators.similarity import mmr_rerank
+
+    rows = []
+    for q in range(3):
+        for i in range(8):
+            vec = [((q * 31 + i * 17 + d * 7) % 13) / 13.0 + 0.1 for d in range(4)]
+            rel = ((q * 7 + i * 5) % 11) / 11.0
+            rows.append((q, i, rel, vec))
+
+    def ref_mmr(cands, k, lam):
+        out = []
+        remaining = dict((i, (rel, v)) for (_, i, rel, v) in cands)
+        selected = []
+        for rank in range(1, k + 1):
+            best = None
+            for i, (rel, v) in sorted(remaining.items()):
+                if selected:
+                    ms = max(
+                        sum(a * b for a, b in zip(v, sv))
+                        / (math.sqrt(sum(a * a for a in v))
+                           * math.sqrt(sum(a * a for a in sv)))
+                        for sv in selected
+                    )
+                    score = lam * rel - (1 - lam) * ms
+                else:
+                    score = lam * rel
+                if best is None or score > best[1]:
+                    best = (i, score)
+            out.append((best[0], rank, round(best[1], 6)))
+            selected.append(remaining.pop(best[0])[1])
+        return out
+
+    df = spark.createDataFrame(rows, ["query_id", "neighbor_id", "rel", "vec"])
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.mmr_score)
+        for r in mmr_rerank(
+            df, "query_id", "neighbor_id", "rel", "vec", k=4, lam=0.7
+        ).collect()
+    }
+    for q in range(3):
+        expect = ref_mmr([r for r in rows if r[0] == q], k=4, lam=0.7)
+        for nid, rank, score in expect:
+            gid, gscore = got[(q, rank)]
+            assert gid == nid, (q, rank, gid, nid)
+            assert abs(gscore - score) < 1e-9, (q, rank, gscore, score)
+
+
 def test_negative_edges_never_hit_real_edges(spark):
     from graphkb_spark.operators.graph import negative_edge_samples
 
