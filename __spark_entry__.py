@@ -3057,7 +3057,9 @@ def q_cgl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _civic_statement_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _civic_statement_candidates(
+    spark: SparkSession, sf_dir: str, spread_scan: bool = False
+) -> DataFrame:
     """Shared synthesis + resolution pipeline behind the civic_sync
     queries: evidence items flow through publication resolution (PMID
     broadcast join + ASCO titlesMatch with exactly-one enforcement),
@@ -3074,14 +3076,31 @@ def _civic_statement_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_publications,
     )
 
+    from graphkb_spark.operators.skew import ensure_scan_parallelism
+
     t = _t(spark, sf_dir, "orders", "customer", "nation")
     k = F.col("o_orderkey")
     aid = (k % 400).cast("int")
     vs = (k % 97).cast("string")
     v2 = (k % 97 + 1).cast("string")
+    # the evidence pipeline from this scan to the statement build is
+    # one broadcast-join-only stage (no exchange), so its parallelism
+    # is the SCAN's — a single row group at small SF serialized the
+    # DNF Arrow UDF, both explodes and the content-key md5 onto one
+    # core (profiled: 1-task / ~1 s-CPU final stage). Conditional
+    # round-robin of the narrow 2-column slice fixes the starved
+    # regime and is a plan-time no-op on splittable inputs (§2.5).
+    # Opt-in (spread_scan): the single-pass consumer civic_sync wins
+    # consistently (interleaved A/B 0.92x); the checkpoint-fan-out
+    # consumer civic_sync_reconcile LOSES (1.15x) — its many small
+    # post-checkpoint jobs each pay 32 Python-worker round trips for
+    # the Arrow DNF UDF where one task amortized them before — so it
+    # keeps the unspread scan.
+    ev_base = t["orders"].filter(k % 3 == 0).select("o_orderkey", "o_custkey")
+    if spread_scan:
+        ev_base = ensure_scan_parallelism(ev_base)
     ev = (
-        t["orders"]
-        .filter(k % 3 == 0)
+        ev_base
         .join(F.broadcast(t["nation"]), (k % 25) == F.col("n_nationkey"))
         .select(
             k.alias("k"),
@@ -3180,7 +3199,7 @@ def q_civic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CIViC evidence resolve->expand pipeline (see
     _civic_statement_candidates); the reconcile write-half is
     civic_sync_reconcile."""
-    out = _civic_statement_candidates(spark, sf_dir)
+    out = _civic_statement_candidates(spark, sf_dir, spread_scan=True)
     return out.select(
         "k",
         "source_type",
