@@ -2384,10 +2384,16 @@ def _cc_label_prop(
                     (F.col("__nc") < F.col("comp")).alias("__changed"),
                 )
             )
-            nxt = nxt.transform(materialize)
-            changed = nxt.filter(F.col("__changed")).limit(1).count()
+            # lazy checkpoint + one full-scan aggregate: the
+            # convergence probe is the action that materializes the
+            # round's blocks, so each round costs ONE job instead of
+            # two (eager checkpoint + separate changed-count) — r17,
+            # guide §1.2 "remove passes". max over the boolean ignores
+            # NULLs exactly as the old filter(__changed) did.
+            nxt = nxt.transform(materialize, eager=False)
+            changed = nxt.agg(F.max("__changed")).first()[0]
             comp = nxt.drop("__changed")
-            if changed == 0:
+            if not changed:
                 converged = True
                 break
     finally:
@@ -2420,8 +2426,10 @@ def _cc_star(
     within one node's closed neighborhood by a star on the same
     vertex set), and the fixpoint is a forest of stars rooted at
     component minima. Convergence = the small-star output equals the
-    previous round's (checked with exceptAll().limit(1) — a driver
-    action on an already-deduped frame, not a collect)."""
+    previous round's — both frames are distinct, so set equality is
+    ONE full-outer join probed for one-sided rows (a single-row
+    aggregate per round that doubles as the round's materializing
+    action, never a collect)."""
     a, b = pair_cols
     e = (
         pairs.select(
@@ -2468,15 +2476,23 @@ def _cc_star(
                 F.greatest(F.col("x"), F.col("m")).alias("hi"),
             )
             .distinct()
-            .transform(materialize)
+            .transform(materialize, eager=False)
         )
         rounds += 1
         if prev is not None:
-            diff = (
-                e.exceptAll(prev).limit(1).count()
-                + prev.exceptAll(e).limit(1).count()
+            # single-job set-equality probe (r17): both frames are
+            # distinct, so e == prev iff the full-outer join has no
+            # one-sided row. The lazy checkpoint above makes this the
+            # materializing action — one job per round where the old
+            # eager checkpoint + two exceptAll().limit(1) probes cost
+            # three.
+            row = (
+                e.withColumn("__l", F.lit(1))
+                .join(prev.withColumn("__r", F.lit(1)), ["lo", "hi"], "full_outer")
+                .agg(F.max(F.col("__l").isNull() | F.col("__r").isNull()))
+                .first()
             )
-            if diff == 0:
+            if not row[0]:
                 break
         prev = e
     if stats is not None:
