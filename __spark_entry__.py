@@ -1668,9 +1668,18 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 3k survivors. The oracle replicates quantization, candidate
     ranking, and rerank exactly."""
     from graphkb_spark.operators.similarity import quantized_topk
+    from graphkb_spark.operators.skew import ensure_scan_parallelism
 
     t = _t(spark, sf_dir, "embeddings")
-    emb = t["embeddings"].withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # the int8 candidate crossJoin + map-side top-m window inherit the
+    # embeddings scan's partitioning (one row group at small SF -> one
+    # task for the whole quantized scoring pass, profiled ~0.5 s CPU);
+    # conditional spread, plan-time no-op on splittable inputs (§2.5)
+    emb = ensure_scan_parallelism(
+        t["embeddings"].withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     out = quantized_topk(emb, queries, k=5)
     return out.select(
@@ -4036,10 +4045,17 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic component vectors — the apply-side of the Gram/PCA
     pipeline, bit-identical in any engine."""
     from graphkb_spark.operators.similarity import project_quantized
+    from graphkb_spark.operators.skew import ensure_scan_parallelism
 
     t = _t(spark, sf_dir, "embeddings")
     comps = [[((i * (k + 3)) % 7) - 3 for i in range(64)] for k in range(4)]
-    out = project_quantized(t["embeddings"], comps, "embedding")
+    # the projection is a pure map over the scan — one row group at
+    # small SF ran the whole quantize+4-component dot pass on one task
+    # (profiled 485 ms single-task CPU stage); conditional spread is a
+    # plan-time no-op on splittable inputs (§2.5)
+    out = project_quantized(
+        ensure_scan_parallelism(t["embeddings"]), comps, "embedding"
+    )
     return out.select("vec_id", "p0", "p1", "p2", "p3")
 
 
