@@ -75,7 +75,11 @@ BUDGETS = [
     ("kmv_distinct", 2, 0, True),      # distinct + rank share partitioning
     ("mixture_interleave", 3, 0, True),# source rank + TakeOrdered + position
     ("linear_attribution", 2, 0, True),# user window + rollup reuse exchange
-    ("embedding_project", 0, 0, True), # narrow quantize+project, scan-speed
+    # +1 intentional exchange (opt r17): ensure_scan_parallelism
+    # spreads the pure-map quantize+4-dot projection when the scan is
+    # one row group (profiled 485 ms single-task stage); plan-time
+    # no-op — and back to 0 exchanges — when the scan splits at scale
+    ("embedding_project", 1, 0, True),
     ("pcm_energy", 0, 2, True),        # synth UDF + decoder; zero shuffles
     # broadcast-nested-loop IS the plan for a broadcast crossJoin
     # (the audit's smj counter includes BNLJ), so no_smj=False
@@ -287,12 +291,34 @@ def test_semantic_decontaminate_broadcasts_eval(spark):
 
 def test_quantized_topk_vectors_never_shuffle(spark):
     """The round-6 rewrite's contract: the top-m window sees only
-    (ids, score); the wide vector column must not ride an exchange.
-    Cheap proxy: the whole plan has at most 2 exchanges (candidate
-    window + final window) and at least one broadcast join."""
-    a = _audit(spark, "embedding_quantized_topk")
-    assert a["exchange"] <= 2, a
+    (ids, score) — no HASH exchange may carry a vector column. Since
+    the r17 starved-scan spread, the plan may ALSO contain conditional
+    RoundRobin repartitions at the scan root (plan-time no-ops on
+    splittable inputs, so they never move vectors on the 100 TB path);
+    those are exempt here, every data-moving hash exchange is not.
+    Plus the original cheap proxies: bounded exchange count and at
+    least one broadcast join."""
+    import re
+
+    df = entrymod.queries()["embedding_quantized_topk"](spark, SF_DIR)
+    a = audit(df)
+    # 2 window exchanges + up to 4 plan copies of the conditional
+    # scan-spread RoundRobin (2 per side; reused at execution)
+    assert a["exchange"] <= 6, a
     assert a["bexchange"] >= 1, a
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted blocks: "(n) Exchange\nInput [k]: [cols]\nArguments: ..."
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\S+)",
+        plan,
+    ):
+        cols, args = m.group(1), m.group(2)
+        if args.startswith("hashpartitioning"):
+            assert not re.search(r"__[cq]v#|embedding#", cols), (
+                f"vector column rides a hash exchange: {cols} / {args}"
+            )
 
 
 def test_decontamination_probe_stays_broadcast(spark):
