@@ -65,8 +65,17 @@ def reconcile(
     gcols = [F.col(c) for c in group_key]
     order_cols = [F.col(c).asc_nulls_last() for c in order] + [F.col(id_col).asc_nulls_last()]
 
-    def digest(keys: Sequence[str]) -> F.Column:
-        return F.md5(F.to_json(F.struct(*[F.col(c) for c in keys])))
+    # tier bucket keys are raw STRUCTS, not digests (r17): the window
+    # only needs equality/ordering on the key, which struct columns
+    # give natively — computing md5(to_json(...)) per row per tier was
+    # the hot stage's dominant CPU (9.4 s over 75 k union rows at
+    # sf0.1, profiled). The serialized form is needed only in the
+    # __pair id of rows that actually MATCH, where a plain to_json
+    # (no md5) is evaluated lazily inside the when() branch. Callers'
+    # key columns must be hashable types (atomics/structs/arrays —
+    # not maps), which both in-repo callers satisfy.
+    def tier_struct(keys: Sequence[str]) -> F.Column:
+        return F.struct(*[F.col(c) for c in keys])
 
     u = stored.select(*cols, F.lit(0).alias("__side")).unionByName(
         batch.select(*cols, F.lit(1).alias("__side"))
@@ -88,19 +97,19 @@ def reconcile(
     # per-tier (group, __k) exchanges back — that is the shape this
     # replaced, not a new requirement.  The partition count is pinned
     # (explicit N is exempt from AQE byte-coalescing) because the
-    # fused downstream stage is CPU-dense — three tier digests
-    # (md5 of to_json) plus three sorts run behind this one exchange,
-    # and byte-based coalescing of the ~MB-scale exchange would
-    # serialize those CPU seconds onto a handful of cores (measured:
-    # 4 tasks / 2.4 s CPU at sf0.1 when left to AQE).
+    # fused downstream stage is CPU-dense — three tier-key sorts and
+    # the window counts run behind this one exchange, and byte-based
+    # coalescing of the ~MB-scale exchange would serialize those CPU
+    # seconds onto a handful of cores (measured: 4 tasks / 2.4 s CPU
+    # at sf0.1 when left to AQE).
     u = u.repartition(u.sparkSession.sparkContext.defaultParallelism, *gcols)
 
     # tier key columns; identical strong/weak keys would re-rank the
     # pass-1 leftovers within the same buckets (each bucket's minority
     # side is already exhausted), so the pass is skipped
-    tiers: list[tuple[int, F.Column]] = [(1, digest(strong_key))]
+    tiers: list[tuple[int, F.Column]] = [(1, tier_struct(strong_key))]
     if list(strong_key) != list(weak_key):
-        tiers.append((2, digest(weak_key)))
+        tiers.append((2, tier_struct(weak_key)))
     tiers.append((3, F.lit("")))
 
     for tier, key_col in tiers:
@@ -131,11 +140,13 @@ def reconcile(
             & F.col("__k").isNotNull()
             & (F.col("__r") <= F.least("__cs", "__cn"))
         )
+        # serialized bucket key, only for rows that match this tier
+        pair_key = F.to_json(F.col("__k")) if tier < 3 else F.col("__k")
         u = u.withColumn(
             "__pair",
             F.when(
                 newly,
-                F.concat_ws("", F.lit(str(tier)), *gcols, F.col("__k"), F.col("__r")),
+                F.concat_ws("", F.lit(str(tier)), *gcols, pair_key, F.col("__r")),
             ).otherwise(F.col("__pair")),
         ).withColumn("__tier", F.when(newly, F.lit(tier)).otherwise(F.col("__tier")))
 
