@@ -525,7 +525,21 @@ def ngram_jaccard_pairs(
         # accumulation across calls in a long-lived session)
         .transform(materialize)
     )
-    posting = base.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle"))
+    # posting/prefix pipeline runs on 64-bit shingle DIGESTS, not the
+    # strings (opt r17, guide §2.3 "narrower types"): the shingle only
+    # serves as (a) the freq/candidate equi-join key and (b) the global
+    # total order for the prefix ranking — both survive hashing. The
+    # prefix, index-prefix and positional filters are lossless under
+    # ANY consistent total order of the shingle universe, and a digest
+    # collision can only MERGE posting lists (slightly inflating df_
+    # and the candidate set — a superset, never a loss); verification
+    # recomputes exact Jaccard on the full string sets, so the output
+    # is bit-identical. 8-byte longs cross the posting exchange instead
+    # of ~25-char UTF8 strings, and every sort/join on the hot path
+    # compares longs.
+    posting = base.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
+    ).withColumn("shingle", F.xxhash64("shingle"))
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     ranked = posting.join(freq, "shingle").withColumn(
         "__rk",
@@ -2924,9 +2938,13 @@ def ngram_containment_pairs(
         )
         .transform(materialize)
     )
+    # 64-bit shingle digests on the posting/prefix path — same lossless
+    # argument as ngram_jaccard_pairs (any consistent total order keeps
+    # the prefix filter exact; collisions only widen the candidate
+    # superset; containment is verified on the full string sets)
     posting = base.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
-    )
+    ).withColumn("shingle", F.xxhash64("shingle"))
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     ranked = posting.join(freq, "shingle").withColumn(
         "__rk",
