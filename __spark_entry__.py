@@ -1755,8 +1755,15 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword-marker argmax (JVM-side heuristic)."""
+    from graphkb_spark.operators.skew import ensure_scan_parallelism
+
     t = _t(spark, sf_dir, "documents")
-    return t["documents"].select(
+    # pure regex map over the scan — one row group at small SF ran the
+    # whole marker-count pass on one task (profiled 467 ms single-task
+    # CPU stage); conditional spread is a plan-time no-op on splittable
+    # inputs (guide §2.5)
+    docs = ensure_scan_parallelism(t["documents"].select("doc_id", "lang", "text"))
+    return docs.select(
         "doc_id", "lang", text_ops.lang_id("text").alias("pred_lang")
     )
 
