@@ -309,9 +309,18 @@ def _minhash_state(
     else:
         digest = lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))  # noqa: E731
         band_hash = lambda band_slice: F.xxhash64(F.concat_ws(",", band_slice))  # noqa: E731
+    # tokenize AFTER the id exchange (opt r17, guide §2.5): words() on
+    # the scan side serializes the regex tokenization onto the scan's
+    # partitions (one row group at small SF = one task); raw text
+    # crosses the exchange (fewer bytes than the word array) and the
+    # tokenize+shingle+digest chain runs at the operator's parallelism.
+    # The two-step select stays un-collapsed (words() is multiply
+    # referenced inside the shingle HOF, so CollapseProject keeps it an
+    # attribute — verified against the optimized plan).
     shingled = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
         .select(
             "__id",
             F.array_distinct(
@@ -516,9 +525,12 @@ def ngram_jaccard_pairs(
             f"budget_action={budget_action!r}: expected 'warn', 'error' or 'minhash'"
         )
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # tokenize AFTER the id exchange — same rationale (and the same
+    # CollapseProject-safety argument) as _minhash_state (opt r17)
     base = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
         .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
         # shingle sets feed the posting list AND two verify joins;
         # localCheckpoint over persist so blocks free on GC (no cache
@@ -722,9 +734,12 @@ def repeated_spans(
     if k < 1 or min_count < 2:
         raise ValueError("k must be >= 1 and min_count >= 2")
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # tokenize AFTER the id exchange — same rationale and
+    # CollapseProject-safety argument as the pair builders (opt r17)
     base = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
     )
     return _repeated_spans_from_tokens(base, id_col, k, min_count)
 
@@ -842,9 +857,12 @@ def cut_repeated_spans(
     if k < 1 or min_count < 2:
         raise ValueError("k must be >= 1 and min_count >= 2")
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # tokenize AFTER the id exchange — same rationale as the pair
+    # builders (opt r17); the checkpoint stores tokens, not raw text
     base = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
         .transform(materialize)
     )
     spans = _repeated_spans_from_tokens(base, id_col, k, min_count)
@@ -896,9 +914,12 @@ def cut_contaminated_spans(
     if broadcast == "auto":
         bench_d = bench_d.transform(materialize)
         broadcast = bench_d.count() <= broadcast_max_digests
+    # tokenize AFTER the id exchange — same rationale as the pair
+    # builders (opt r17); the checkpoint stores tokens, not raw text
     base = (
-        corpus.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
         .transform(materialize)
     )
     grams = base.filter(F.size("__w") >= k).select(
@@ -992,9 +1013,12 @@ def cut_multi_benchmark_spans(
     if broadcast == "auto":
         bench_g = bench_g.transform(materialize)
         broadcast = bench_g.count() <= broadcast_max_digests
+    # tokenize AFTER the id exchange — same rationale as the pair
+    # builders (opt r17); the checkpoint stores tokens, not raw text
     base = (
-        corpus.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
         .transform(materialize)
     )
     grams = base.filter(F.size("__w") >= k).select(
@@ -2538,9 +2562,18 @@ def _minhash_sig_base(
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
         F.lit(_MH_PRIME),
     )
+    # tokenize AFTER the id exchange (opt r17, guide §2.5): words() on
+    # the scan side serializes the regex tokenization onto the scan's
+    # partitions (one row group at small SF = one task); raw text
+    # crosses the exchange (fewer bytes than the word array) and the
+    # tokenize+shingle+digest chain runs at the operator's parallelism.
+    # The two-step select stays un-collapsed (words() is multiply
+    # referenced inside the shingle HOF, so CollapseProject keeps it an
+    # attribute — verified against the optimized plan).
     shingled = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
         .select(
             "__id",
             F.array_distinct(
@@ -2930,9 +2963,12 @@ def ngram_containment_pairs(
             f"budget_action={budget_action!r}: expected 'warn', 'error' or 'minhash'"
         )
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # tokenize AFTER the id exchange — same rationale and
+    # CollapseProject-safety argument as ngram_jaccard_pairs (opt r17)
     base = (
-        df.select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
+        .select("__id", words("__t").alias("__w"))
         .select(
             "__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh")
         )
