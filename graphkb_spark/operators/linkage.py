@@ -115,7 +115,12 @@ def fellegi_sunter_em(
     if not agree_cols:
         raise ValueError("agree_cols must be non-empty")
     # pairs feed one aggregate per round — materialize the (possibly
-    # expensive) blocking pipeline once
+    # expensive) blocking pipeline once. (opt r17: a conditional
+    # starved-scan spread of the pairs frame was measured here —
+    # 5-round interleaved A/B a wash-to-worse, min 2.198 vs 2.261 s —
+    # the per-round M-step aggregate is only ~170 ms single-task at
+    # sf0.1 and 32-task scheduling ate the gain; reverted. At scale
+    # the frame is multi-partition and the question is moot.)
     pairs = pairs.transform(materialize, eager=False)
     # per-field agreeing-pair totals are round-invariant: one job, once
     agree_totals = pairs.agg(
