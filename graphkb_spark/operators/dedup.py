@@ -1145,9 +1145,7 @@ def benchmark_leak_report(
     )
     if broadcast == "auto":
         broadcast = bench_g.count() <= broadcast_max_digests
-    corp = corpus.select(
-        F.col(id_col).alias("__cid"), words(text_col).alias("__w")
-    )
+    corp = corpus.select(F.col(id_col).alias("__cid"), F.col(text_col).alias("__t"))
     if num_partitions != 0:
         # local parallelism aid only — the downstream aggs key by
         # BENCHMARK id, so this doc-keyed exchange serves nothing but
@@ -1156,6 +1154,12 @@ def benchmark_leak_report(
         # corpus text then never crosses the wire at all — the only
         # shuffle left is the map-side-collapsed per-item distincts).
         corp = corp.repartition(n_part, "__cid")
+    # tokenize AFTER the conditional exchange (opt r17): on the
+    # spread path the regex tokenization runs at n_part instead of on
+    # the scan's partitions, and the exchange ships raw text (fewer
+    # bytes than the word array); on the num_partitions=0 path this is
+    # the identical plan
+    corp = corp.select("__cid", words("__t").alias("__w"))
     grams = (
         corp.filter(F.size("__w") >= k)
         .select("__cid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
@@ -1269,7 +1273,7 @@ def benchmark_leak_spans(
         bench_g = bench_g.transform(materialize)
         broadcast = bench_g.count() <= broadcast_max_digests
     grams = (
-        corpus.select(F.col(id_col).alias("__cid"), words(text_col).alias("__w"))
+        corpus.select(F.col(id_col).alias("__cid"), F.col(text_col).alias("__t"))
         # the island window keys by (item, doc), so this doc-keyed
         # exchange is a local parallelism aid only; num_partitions=0
         # skips it (cluster-scale: the corpus text never shuffles, the
@@ -1279,6 +1283,10 @@ def benchmark_leak_spans(
                 n_part, "__cid"
             )
         )
+        # tokenize AFTER the conditional exchange (opt r17): the regex
+        # pass runs at n_part on the spread path; identical plan when
+        # num_partitions=0
+        .select("__cid", words("__t").alias("__w"))
         .filter(F.size("__w") >= k)
         .select(
             "__cid",
@@ -1368,12 +1376,15 @@ def multi_benchmark_leak_spans(
         bench_g = bench_g.transform(materialize)
         broadcast = bench_g.count() <= broadcast_max_digests
     grams = (
-        corpus.select(F.col(id_col).alias("__cid"), words(text_col).alias("__w"))
+        corpus.select(F.col(id_col).alias("__cid"), F.col(text_col).alias("__t"))
         .transform(
             lambda d: d if num_partitions == 0 else d.repartition(
                 n_part, "__cid"
             )
         )
+        # tokenize AFTER the conditional exchange (opt r17) — same
+        # rationale as benchmark_leak_spans
+        .select("__cid", words("__t").alias("__w"))
         .filter(F.size("__w") >= k)
         .select(
             "__cid",
@@ -1658,7 +1669,7 @@ def _contamination_probe(
     rows (bytes ~ docs, not corpus text). The default (None -> local
     core count) keeps single-file local runs parallel."""
     base = corpus.select(
-        F.col(id_col).alias("__id"), words(text_col).alias("__w")
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
     if num_partitions != 0:
         n_part = (
@@ -1666,6 +1677,10 @@ def _contamination_probe(
             or corpus.sparkSession.sparkContext.defaultParallelism
         )
         base = base.repartition(n_part, "__id")
+    # tokenize AFTER the conditional exchange (opt r17): the regex
+    # pass runs at n_part on the spread path; identical plan when
+    # num_partitions=0
+    base = base.select("__id", words("__t").alias("__w"))
     rows = base.select(
         "__id",
         F.greatest(F.size("__w") - F.lit(k - 1), F.lit(0))
@@ -1739,7 +1754,7 @@ def _multi_contamination_probe(
     chained doc-keyed aggregations ride one partitioning; the rows
     entering the second are (docs x sets)-bounded."""
     base = corpus.select(
-        F.col(id_col).alias("__id"), words(text_col).alias("__w")
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
     if num_partitions != 0:
         n_part = (
@@ -1747,6 +1762,10 @@ def _multi_contamination_probe(
             or corpus.sparkSession.sparkContext.defaultParallelism
         )
         base = base.repartition(n_part, "__id")
+    # tokenize AFTER the conditional exchange (opt r17): the regex
+    # pass runs at n_part on the spread path; identical plan when
+    # num_partitions=0
+    base = base.select("__id", words("__t").alias("__w"))
     rows = base.select(
         "__id",
         F.greatest(F.size("__w") - F.lit(k - 1), F.lit(0))
@@ -1934,7 +1953,7 @@ def multi_benchmark_leak_report(
     if broadcast == "auto":
         broadcast = bench_g.count() <= broadcast_max_digests
     corp = corpus.select(
-        F.col(id_col).alias("__cid"), words(text_col).alias("__w")
+        F.col(id_col).alias("__cid"), F.col(text_col).alias("__t")
     )
     if num_partitions != 0:
         # local parallelism aid only (the downstream aggs key by
@@ -1945,6 +1964,10 @@ def multi_benchmark_leak_report(
             or corpus.sparkSession.sparkContext.defaultParallelism
         )
         corp = corp.repartition(n_part, "__cid")
+    # tokenize AFTER the conditional exchange (opt r17): the regex
+    # pass runs at n_part on the spread path; identical plan when
+    # num_partitions=0
+    corp = corp.select("__cid", words("__t").alias("__w"))
     grams = (
         corp.filter(F.size("__w") >= k)
         .select("__cid", F.explode(word_shingles(F.col("__w"), k)).alias("__g"))
