@@ -3074,7 +3074,7 @@ def q_cgl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _civic_statement_candidates(
-    spark: SparkSession, sf_dir: str, spread_scan: bool = False
+    spark: SparkSession, sf_dir: str, spread_scan: bool | int = False
 ) -> DataFrame:
     """Shared synthesis + resolution pipeline behind the civic_sync
     queries: evidence items flow through publication resolution (PMID
@@ -3114,7 +3114,14 @@ def _civic_statement_candidates(
     # keeps the unspread scan.
     ev_base = t["orders"].filter(k % 3 == 0).select("o_orderkey", "o_custkey")
     if spread_scan:
-        ev_base = ensure_scan_parallelism(ev_base)
+        # spread_scan=True -> defaultParallelism; an int caps the
+        # spread (middle ground for checkpoint-fan-out consumers whose
+        # many small post-checkpoint jobs pay per-task Python-worker
+        # round trips at full width)
+        ev_base = ensure_scan_parallelism(
+            ev_base,
+            min_parts=None if spread_scan is True else int(spread_scan),
+        )
     ev = (
         ev_base
         .join(F.broadcast(t["nation"]), (k % 25) == F.col("n_nationkey"))
@@ -3239,7 +3246,12 @@ def q_civic_sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphkb_spark.loaders.civic import sync_statements
 
     cand = (
-        _civic_statement_candidates(spark, sf_dir)
+        # middle-ground spread (r17 A/B): full-width spread_scan=True
+        # measured 1.15x here (32-task scheduling on the many small
+        # post-checkpoint jobs), unspread leaves the ~1 s candidate
+        # build single-task; 8-way parallelizes the Arrow DNF UDF +
+        # explodes while keeping post-checkpoint task counts small
+        _civic_statement_candidates(spark, sf_dir, spread_scan=8)
         .filter(F.col("_error").isNull())
         .select("k", "sourceId",
                 F.col("conditions").cast("array<string>").alias("conditions"),
