@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 MODE_CONF = "spark.graphkb.checkpoint.mode"
 DIR_CONF = "spark.graphkb.checkpoint.dir"
 
-_VALID_MODES = ("local", "reliable", "parquet")
+_VALID_MODES = ("local", "reliable", "parquet", "none")
 
 
 def checkpoint_mode(spark: SparkSession) -> str:
@@ -99,6 +99,14 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     documented exception)."""
     spark = df.sparkSession
     mode = checkpoint_mode(spark)
+    if mode == "none":
+        # Plan-inspection escape hatch (tools/dump_plans.py --nockpt):
+        # a checkpoint truncates .explain() at `Scan ExistingRDD`, so
+        # dumping the full optimized shape needs the boundary gone.
+        # NEVER set this mode for execution — iterative operators rely
+        # on materialize() to cut lineage and to compute multi-consumer
+        # stages once; without it their plans double per round.
+        return df
     if mode == "reliable":
         return df.checkpoint(eager=eager)
     if mode == "parquet":

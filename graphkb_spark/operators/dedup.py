@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from graphkb_spark.core.materialize import materialize
+from graphkb_spark.operators.skew import exchange_width
 
 
 class CandidateBudgetExceeded(RuntimeError):
@@ -289,12 +290,7 @@ def _minhash_state(
     (``minhash_lsh_pairs``) and the streaming suppressor
     (``streaming/incremental.py:streaming_minhash_dedup``)."""
     rows_per_band = num_hashes // bands
-    # The words array is computed BEFORE the repartition: the Exchange
-    # is a hard projection boundary, so downstream shingle lambdas read
-    # a materialized attribute (expressions referenced inside a HOF
-    # lambda re-evaluate per element). The repartition also spreads the
-    # interpreted HOF work across all cores when the source is one file.
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(df)
     if hasher == "md5":
         # one md5 digest per shingle; the affine family minima are the
         # same integers whether computed by the numpy UDF (used here)
@@ -402,8 +398,10 @@ def minhash_lsh_pairs(
     localCheckpoint boundary drops the partitioning info the agg could
     have reused).
     ``num_partitions``: pre-join spread of the signature computation;
-    defaults to ``defaultParallelism`` locally — on a cluster leave it
-    None and let AQE size the exchanges instead.
+    defaults to ``max(defaultParallelism, shuffle.partitions)``
+    (``skew.exchange_width`` — data-sized on a cluster that raises
+    shuffle.partitions, core-sized locally where the session pins the
+    two equal).
     """
     base, banded = _minhash_state(
         df, text_col, id_col, num_hashes, bands, shingle_n, hasher,
@@ -422,9 +420,13 @@ def minhash_lsh_pairs(
     pairs = pairs.join(
         sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    # |A ∪ B| = |A| + |B| - |A ∩ B| on the distinct hashed sets —
+    # identical integers to size(array_union), hence a bit-identical
+    # Jaccard double, for ONE set-op per pair instead of two (opt r18,
+    # guide §1.2 per-task work)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
+        inter / (F.size("sh_a") + F.size("sh_b") - inter)
     ).alias("jaccard")
     return (
         pairs.select("id_a", "id_b", jac)
@@ -524,7 +526,7 @@ def ngram_jaccard_pairs(
         raise ValueError(
             f"budget_action={budget_action!r}: expected 'warn', 'error' or 'minhash'"
         )
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(df)
     # tokenize AFTER the id exchange — same rationale (and the same
     # CollapseProject-safety argument) as _minhash_state (opt r17)
     base = (
@@ -532,6 +534,20 @@ def ngram_jaccard_pairs(
         .repartition(n_part, "__id")
         .select("__id", words("__t").alias("__w"))
         .select("__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh"))
+        # __shh: per-doc 64-bit digests of the shingles, POSITIONALLY
+        # parallel to __sh (dups survive under a digest collision);
+        # __nh: the hash-distinct size. Computed once per doc at the
+        # materialize (not once per candidate pair) — they power the
+        # verify-stage digest prefilter (opt r18, guide §1.2/§4: the
+        # verify join's string set-ops were the largest data-plane CPU
+        # left, and 98-99.9% of candidates FAIL verification, so
+        # proving failure on 8-byte longs is the whole win).
+        .select(
+            "__id",
+            "__sh",
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+        )
+        .withColumn("__nh", F.size(F.array_distinct("__shh")))
         # shingle sets feed the posting list AND two verify joins;
         # localCheckpoint over persist so blocks free on GC (no cache
         # accumulation across calls in a long-lived session)
@@ -548,10 +564,14 @@ def ngram_jaccard_pairs(
     # recomputes exact Jaccard on the full string sets, so the output
     # is bit-identical. 8-byte longs cross the posting exchange instead
     # of ~25-char UTF8 strings, and every sort/join on the hot path
-    # compares longs.
+    # compares longs. The digests come precomputed from the base
+    # (__shh is positionally parallel to __sh, so exploding it yields
+    # the same multiset as explode-then-hash did) — the posting stage
+    # reads longs straight off the checkpoint instead of re-hashing
+    # every shingle occurrence (opt r18).
     posting = base.select(
-        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
-    ).withColumn("shingle", F.xxhash64("shingle"))
+        "__id", F.size("__sh").alias("__n"), F.explode("__shh").alias("shingle")
+    )
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     ranked = posting.join(freq, "shingle").withColumn(
         "__rk",
@@ -681,18 +701,46 @@ def ngram_jaccard_pairs(
         # hot id_a across partitions.
         .repartition(n_part, F.xxhash64(F.col("id_a"), F.col("id_b")))
     )
-    sh = base
-    out = (
-        cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+    sh = base.select(
+        "__id", "__sh", "__shh", "__nh", F.size("__sh").alias("__n")
+    )
+    joined = cand.join(
+        sh.toDF("id_a", "sh_a", "shh_a", "nh_a", "n_a"), "id_a"
+    ).join(sh.toDF("id_b", "sh_b", "shh_b", "nh_b", "n_b"), "id_b")
+    # Digest prefilter (opt r18, guide §1.2 per-task work — exact):
+    # when xxhash64 is injective on each doc's shingle set separately
+    # (__nh == __n, true for every real row; a within-doc collision is
+    # a ~2^-51 event even at 100 TB doc sizes), every hash value in
+    # h(A) ∩ h(B) has exactly one preimage in A and one in B, so
+    # |h(A) ∩ h(B)| = |A ∩ B| + c and |h(A) ∪ h(B)| = |A ∪ B| - c
+    # where c >= 0 counts cross-document collisions — hash-domain
+    # Jaccard is monotonically >= string Jaccard. A pair whose hash
+    # Jaccard is below threshold (minus 1e-9 slack for the double
+    # divisions) is therefore PROVABLY below threshold on strings and
+    # is dropped having paid only one long-array intersect; rows with
+    # a within-doc collision pass through unconditionally. Measured at
+    # sf0.1: 98-99.9% of candidates fail verify, so the expensive
+    # string set-op runs on ~1% of pairs. Conjunct order is
+    # load-bearing: And short-circuits in codegen, so the string
+    # expression below never evaluates for digest-rejected pairs.
+    inter_h = F.size(F.array_intersect("shh_a", "shh_b"))
+    prefilter = (
+        (F.col("nh_a") < F.col("n_a"))
+        | (F.col("nh_b") < F.col("n_b"))
+        | (
+            inter_h / (F.col("nh_a") + F.col("nh_b") - inter_h)
+            >= F.lit(threshold) - F.lit(1e-9)
         )
+    )
+    # exact value for survivors: |A ∪ B| = |A| + |B| - |A ∩ B| on the
+    # distinct string sets — identical integers to size(array_union),
+    # hence a bit-identical double, for one string set-op instead of
+    # two (opt r18)
+    inter_s = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = (inter_s / (F.col("n_a") + F.col("n_b") - inter_s)).alias("jaccard")
+    out = (
+        joined.filter(prefilter)
+        .select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= threshold)
     )
     return out
@@ -733,7 +781,7 @@ def repeated_spans(
     no spans (whole-document duplicates are ``exact_dedup``'s job)."""
     if k < 1 or min_count < 2:
         raise ValueError("k must be >= 1 and min_count >= 2")
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(df)
     # tokenize AFTER the id exchange — same rationale and
     # CollapseProject-safety argument as the pair builders (opt r17)
     base = (
@@ -856,7 +904,7 @@ def cut_repeated_spans(
     (ADVICE r11)."""
     if k < 1 or min_count < 2:
         raise ValueError("k must be >= 1 and min_count >= 2")
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(df)
     # tokenize AFTER the id exchange — same rationale as the pair
     # builders (opt r17); the checkpoint stores tokens, not raw text
     base = (
@@ -909,7 +957,7 @@ def cut_contaminated_spans(
         raise ValueError(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(corpus)
     bench_d = _bench_gram_digests(benchmark, text_col, k)
     if broadcast == "auto":
         bench_d = bench_d.transform(materialize)
@@ -993,7 +1041,7 @@ def cut_multi_benchmark_spans(
         raise ValueError(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(corpus)
     bench_g = (
         benchmarks.select(
             F.col(set_col).cast("string").alias("__s"),
@@ -1122,7 +1170,7 @@ def benchmark_leak_report(
         raise ValueError(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(corpus)
     bench_g = (
         benchmark.select(F.col(id_col).alias("__bid"), words(text_col).alias("__w"))
         .filter(F.size("__w") >= k)
@@ -1252,7 +1300,7 @@ def benchmark_leak_spans(
         raise ValueError(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(corpus)
     bench_g = (
         benchmark.select(F.col(id_col).alias("__bid"), words(text_col).alias("__w"))
         .filter(F.size("__w") >= k)
@@ -1353,7 +1401,7 @@ def multi_benchmark_leak_spans(
         raise ValueError(
             f"broadcast={broadcast!r}: expected True, False or 'auto'"
         )
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(corpus)
     bench_g = (
         benchmarks.select(
             F.col(id_col).alias("__bid"),
@@ -1672,10 +1720,7 @@ def _contamination_probe(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
     if num_partitions != 0:
-        n_part = (
-            num_partitions
-            or corpus.sparkSession.sparkContext.defaultParallelism
-        )
+        n_part = num_partitions or exchange_width(corpus)
         base = base.repartition(n_part, "__id")
     # tokenize AFTER the conditional exchange (opt r17): the regex
     # pass runs at n_part on the spread path; identical plan when
@@ -1757,10 +1802,7 @@ def _multi_contamination_probe(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
     if num_partitions != 0:
-        n_part = (
-            num_partitions
-            or corpus.sparkSession.sparkContext.defaultParallelism
-        )
+        n_part = num_partitions or exchange_width(corpus)
         base = base.repartition(n_part, "__id")
     # tokenize AFTER the conditional exchange (opt r17): the regex
     # pass runs at n_part on the spread path; identical plan when
@@ -1959,10 +2001,7 @@ def multi_benchmark_leak_report(
         # local parallelism aid only (the downstream aggs key by
         # benchmark item); num_partitions=0 skips it — cluster mode,
         # corpus text never on the wire
-        n_part = (
-            num_partitions
-            or corpus.sparkSession.sparkContext.defaultParallelism
-        )
+        n_part = num_partitions or exchange_width(corpus)
         corp = corp.repartition(n_part, "__cid")
     # tokenize AFTER the conditional exchange (opt r17): the regex
     # pass runs at n_part on the spread path; identical plan when
@@ -2107,7 +2146,7 @@ def simhash_near_dups(
     """SimHash near-dup pairs: block on 4 x 16-bit chunks (a pair within
     hamming distance 3 must agree on at least one chunk), verify with
     bit_count(xor) summed over the chunks."""
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(df)
     df = df.repartition(n_part, id_col)
     # the signature table feeds both sides of the self-join;
     # localCheckpoint materializes it once AND frees the blocks on GC
@@ -2660,7 +2699,7 @@ def dedup_against(
     rollup is one keyed aggregation. The reference side is typically
     the smaller/static side — at scale its banded keys come from a
     precomputed signature table, and AQE broadcasts it when small."""
-    n_part = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(corpus)
     cb = _minhash_sig_base(corpus, text_col, id_col, num_hashes, shingle_n, n_part)
     rb = _minhash_sig_base(reference, text_col, id_col, num_hashes, shingle_n, n_part)
     cand = (
@@ -2679,10 +2718,15 @@ def dedup_against(
             rb.select(F.col("__id").alias("__rid"), F.col("__sh").alias("sh_r")),
             "__rid",
         )
+        # arithmetic union on the distinct hashed sets — bit-identical
+        # Jaccard for one set-op instead of two (see minhash_lsh_pairs)
+        .withColumn(
+            "__ih", F.size(F.array_intersect("sh_c", "sh_r"))
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_c", "sh_r"))
-            / F.size(F.array_union("sh_c", "sh_r")),
+            F.col("__ih")
+            / (F.size("sh_c") + F.size("sh_r") - F.col("__ih")),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -2813,7 +2857,7 @@ def sorted_neighborhood_pairs(
     distance; never an all-pairs product."""
     if window <= 0:
         raise ValueError("window must be positive")
-    n_buckets = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    n_buckets = n_buckets or exchange_width(df)
     key = F.col(sort_key_col).cast("string")
     base = (
         df.select(F.col(id_col).alias("__id"), key.alias("__key"))
@@ -2985,25 +3029,35 @@ def ngram_containment_pairs(
         raise ValueError(
             f"budget_action={budget_action!r}: expected 'warn', 'error' or 'minhash'"
         )
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_part = num_partitions or exchange_width(df)
     # tokenize AFTER the id exchange — same rationale and
     # CollapseProject-safety argument as ngram_jaccard_pairs (opt r17)
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(n_part, "__id")
-        .select("__id", words("__t").alias("__w"))
+        .select(
+            "__id", words("__t").alias("__w")
+        )
         .select(
             "__id", F.array_distinct(word_shingles("__w", shingle_n)).alias("__sh")
         )
+        # __shh/__nh: per-doc digest arrays for the verify prefilter,
+        # computed once at the materialize — see ngram_jaccard_pairs
+        .select(
+            "__id", "__sh", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh")
+        )
+        .withColumn("__nh", F.size(F.array_distinct("__shh")))
         .transform(materialize)
     )
     # 64-bit shingle digests on the posting/prefix path — same lossless
     # argument as ngram_jaccard_pairs (any consistent total order keeps
     # the prefix filter exact; collisions only widen the candidate
-    # superset; containment is verified on the full string sets)
+    # superset; containment is verified on the full string sets). The
+    # digests come precomputed off the checkpoint (__shh positionally
+    # parallel to __sh — explode yields the identical multiset).
     posting = base.select(
-        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle")
-    ).withColumn("shingle", F.xxhash64("shingle"))
+        "__id", F.size("__sh").alias("__n"), F.explode("__shh").alias("shingle")
+    )
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     ranked = posting.join(freq, "shingle").withColumn(
         "__rk",
@@ -3059,19 +3113,32 @@ def ngram_containment_pairs(
         # and the stage collapses back to one AQE-coalesced partition
         .repartition(n_part, F.xxhash64(F.col("id_a"), F.col("id_b")))
     )
-    sh = base
+    sh = base.select(
+        "__id", "__sh", "__shh", "__nh", F.size("__sh").alias("__n")
+    )
+    joined = cand.join(
+        sh.toDF("id_a", "sh_a", "shh_a", "nh_a", "n_a"), "id_a"
+    ).join(sh.toDF("id_b", "sh_b", "shh_b", "nh_b", "n_b"), "id_b")
+    # Digest prefilter, containment form (opt r18 — exact, see
+    # ngram_jaccard_pairs for the injectivity argument): with no
+    # within-doc collisions |h(A) ∩ h(B)| = |A ∩ B| + c, c >= 0, and
+    # |h(A)| = |A|, so hash containment >= string containment. The
+    # 1e-6 slack covers the 6-digit rounding of the declared value
+    # (round(x, 6) >= t requires x >= t - 5e-7) plus double rounding;
+    # a dropped pair is provably below threshold AFTER rounding.
+    # 99.9% of candidates fail verify at sf0.1 — they now pay one
+    # long-array intersect instead of a string set-op.
+    inter_h = F.size(F.array_intersect("shh_a", "shh_b"))
+    prefilter = (
+        (F.col("nh_a") < F.col("n_a"))
+        | (F.col("nh_b") < F.col("n_b"))
+        | (inter_h / F.col("nh_a") >= F.lit(threshold) - F.lit(1e-6))
+    )
     cont = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"), 6
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a"), 6
     )
     return (
-        cand.join(
-            sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"),
-            "id_a",
-        )
-        .join(
-            sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"),
-            "id_b",
-        )
+        joined.filter(prefilter)
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )

@@ -40,6 +40,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphkb_spark.operators.skew import exchange_width
+
 RECONCILE_ACTION = "_action"
 
 
@@ -101,8 +103,13 @@ def reconcile(
     # the window counts run behind this one exchange, and byte-based
     # coalescing of the ~MB-scale exchange would serialize those CPU
     # seconds onto a handful of cores (measured: 4 tasks / 2.4 s CPU
-    # at sf0.1 when left to AQE).
-    u = u.repartition(u.sparkSession.sparkContext.defaultParallelism, *gcols)
+    # at sf0.1 when left to AQE).  Width follows
+    # max(defaultParallelism, shuffle.partitions) so a deployment that
+    # sizes shuffle.partitions to its data keeps fine-grained
+    # partitions here too — a cores-wide pin at 100 TB would mean
+    # multi-GB partitions and spill (opt r18, guide §5); locally the
+    # two values are equal, so the plan is unchanged.
+    u = u.repartition(exchange_width(u), *gcols)
 
     # tier key columns; identical strong/weak keys would re-rank the
     # pass-1 leftovers within the same buckets (each bucket's minority

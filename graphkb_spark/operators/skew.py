@@ -19,6 +19,32 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def exchange_width(df: DataFrame) -> int:
+    """Partition count for EXPLICIT repartitions that exist to defeat
+    AQE byte-coalescing of CPU-dense exchanges (the PPJoin verify pin,
+    the reconcile tier exchange).
+
+    ``max(defaultParallelism, spark.sql.shuffle.partitions)`` instead
+    of bare ``defaultParallelism`` (opt r18, VERDICT r17 #3): a pin
+    sized to the CORE count is scale-adaptive in the wrong dimension —
+    at 100 TB a cores-wide exchange means multi-GB partitions and
+    spill (guide §5). ``shuffle.partitions`` is the knob a deployment
+    already sizes to its data (guide §2.2 "100 MB - 1 GB partitions"),
+    so the pin follows it upward while never dropping below the core
+    count. Locally the session factory sets shuffle.partitions == the
+    core count, so this is value-identical to the old pin — the local
+    bench and every plan-shape budget are unchanged by construction.
+    """
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(dp)))
+    except ValueError:
+        # e.g. "auto" on vendor builds — fall back to the core count
+        sp = dp
+    return max(dp, sp)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

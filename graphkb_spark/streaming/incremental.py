@@ -634,9 +634,16 @@ def streaming_minhash_dedup(
                 sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")),
                 "id_b",
             )
+            # arithmetic union on the distinct hashed sets — identical
+            # Jaccard for one set-op per pair instead of two (opt r18,
+            # see minhash_lsh_pairs)
             .filter(
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
                 >= jaccard_threshold
             )
             .select("id_b")
