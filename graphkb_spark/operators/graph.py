@@ -295,14 +295,18 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # eager for the same reason as kcore's edge build (opt r17):
-        # the degree union below reads e twice in one job, and a lazy
-        # checkpoint lets both branches recompute the edge build
+        # eager stays here (unlike kcore, opt r18): even with the
+        # single-pass degree explode, e feeds the deg subtree AND two
+        # keyed joins inside the first job, so a lazy checkpoint would
+        # still compute the edge build more than once before blocks
+        # exist
         .transform(materialize, eager=True)
     )
     deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        # single-branch explode instead of a two-branch union: one read
+        # of the pinned edge blocks, identical counts (opt r18, see
+        # kcore.degrees)
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__deg"))
         .transform(materialize, eager=False)
@@ -437,32 +441,38 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # EAGER initial checkpoint (opt r17): the round-0 degree union
-        # consumes e twice; under a lazy checkpoint both union branches
-        # recompute the full edge-build (scan + dedup exchange) inside
-        # the first job before any blocks exist — measured as two
-        # identical 6 MB map stages at sf0.1. One eager job
-        # materializes it once; every later reference reads blocks.
-        .transform(materialize, eager=True)
+        # lazy again (opt r18): r17 made this eager because the degree
+        # UNION consumed e in two plan branches, double-computing the
+        # edge build inside the first job; the balanced A/B showed the
+        # extra eager job bought the wash back (0.99x vs r16). The
+        # degree count below is now a single-branch explode, so the
+        # round-0 degree job touches e exactly once and materializes
+        # the blocks as a side effect — no duplicated edge build AND
+        # no dedicated checkpoint job.
+        .transform(materialize, eager=False)
     )
-    for r in range(rounds):
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionByName(e.select(F.col("v").alias("node")))
+
+    def degrees(ef: DataFrame, out: str) -> DataFrame:
+        # one pass, not a two-branch union: explode(array(u, v)) emits
+        # both endpoints from a single read of ef, so a lazily
+        # checkpointed ef is computed once by this job instead of once
+        # per union branch (opt r18, guide §1.2 — the same multiset,
+        # hence identical counts)
+        return (
+            ef.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
+            .agg(F.count(F.lit(1)).alias(out))
         )
-        keep = deg.filter(F.col("degree") >= k).select("node")
+
+    for r in range(rounds):
+        keep = degrees(e, "degree").filter(F.col("degree") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .transform(materialize, eager=(r % 3 == 2))
         )
-    return (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return degrees(e, "degree").withColumn(
+        "degree", F.col("degree").cast("bigint")
     )
 
 

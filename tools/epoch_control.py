@@ -32,7 +32,17 @@ import sys
 import tempfile
 from pathlib import Path
 
-CONTROL = ["sessionize", "incremental_merge", "graph_neighbors"]
+# r18 (VERDICT r17 #6): two sub-0.5 s witnesses join the original
+# three mid-size ones so the control spans the size classes — the r17
+# driver table's 20-query sub-second tail regressed on noise and the
+# 3-witness control could not bound that band by size class.
+CONTROL = [
+    "sessionize",
+    "incremental_merge",
+    "graph_neighbors",
+    "pricing_summary",
+    "dedup_exact",
+]
 ROUNDS = 3
 REPO = Path(__file__).resolve().parent.parent
 
