@@ -3106,12 +3106,13 @@ def _civic_statement_candidates(
     # core (profiled: 1-task / ~1 s-CPU final stage). Conditional
     # round-robin of the narrow 2-column slice fixes the starved
     # regime and is a plan-time no-op on splittable inputs (§2.5).
-    # Opt-in (spread_scan): the single-pass consumer civic_sync wins
-    # consistently (interleaved A/B 0.92x); the checkpoint-fan-out
-    # consumer civic_sync_reconcile LOSES (1.15x) — its many small
-    # post-checkpoint jobs each pay 32 Python-worker round trips for
-    # the Arrow DNF UDF where one task amortized them before — so it
-    # keeps the unspread scan.
+    # Opt-in (spread_scan): the single-pass consumer civic_sync takes
+    # the full-width spread (interleaved A/B 0.92x); the
+    # checkpoint-fan-out consumer civic_sync_reconcile uses the CAPPED
+    # 8-way spread (A/B 0.90x) — full width had measured 1.15x there
+    # because its many small post-checkpoint jobs each pay 32
+    # Python-worker round trips for the Arrow DNF UDF where fewer
+    # tasks amortize them.
     ev_base = t["orders"].filter(k % 3 == 0).select("o_orderkey", "o_custkey")
     if spread_scan:
         # spread_scan=True -> defaultParallelism; an int caps the
