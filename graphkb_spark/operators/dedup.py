@@ -616,7 +616,18 @@ def ngram_jaccard_pairs(
         "__id", F.size("__sh").alias("__n"), F.explode("__shh").alias("shingle")
     )
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    ranked = posting.join(freq, "shingle").withColumn(
+    # pin the rank-window exchange (opt r18, same anti-coalesce
+    # rationale as the r17 verify pin): the window requires
+    # hashpartitioning(__id); left to EnsureRequirements, AQE
+    # byte-coalesced the ~4 MB exchange to 3 partitions and serialized
+    # the rank + prefix filter + candidate-feed stage onto 3 cores
+    # (profiled ~0.8 s run over 3 tasks inside canonical_docs). The
+    # explicit same-key repartition satisfies the window's
+    # ClusteredDistribution, so the exchange COUNT is unchanged — it
+    # is just AQE-exempt and runs at the operator's width.
+    ranked = posting.join(freq, "shingle").repartition(
+        n_part, "__id"
+    ).withColumn(
         "__rk",
         F.row_number().over(
             Window.partitionBy("__id").orderBy(
@@ -3102,7 +3113,18 @@ def ngram_containment_pairs(
         "__id", F.size("__sh").alias("__n"), F.explode("__shh").alias("shingle")
     )
     freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    ranked = posting.join(freq, "shingle").withColumn(
+    # pin the rank-window exchange (opt r18, same anti-coalesce
+    # rationale as the r17 verify pin): the window requires
+    # hashpartitioning(__id); left to EnsureRequirements, AQE
+    # byte-coalesced the ~4 MB exchange to 3 partitions and serialized
+    # the rank + prefix filter + candidate-feed stage onto 3 cores
+    # (profiled ~0.8 s run over 3 tasks inside canonical_docs). The
+    # explicit same-key repartition satisfies the window's
+    # ClusteredDistribution, so the exchange COUNT is unchanged — it
+    # is just AQE-exempt and runs at the operator's width.
+    ranked = posting.join(freq, "shingle").repartition(
+        n_part, "__id"
+    ).withColumn(
         "__rk",
         F.row_number().over(
             Window.partitionBy("__id").orderBy(
